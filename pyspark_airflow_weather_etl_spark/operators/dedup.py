@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+North-star extensions (SURVEY.md §2.9 "distinct / dedup"): the
+reference's only dedup is an AVG-collapse of duplicate upsert keys
+(/root/reference/dags/weather_daily_etl.py:186-196, reproduced in
+operators.merge.collapse_duplicates); a training-data pipeline needs
+document-level exact and *near*-duplicate removal.
+
+Scale design:
+- every pairwise step is an **inverted-index join** (explode a
+  bucketing key, self-join on it), never a cross product;
+- hash functions are seeded ``xxhash64`` — deterministic across runs,
+  partitionings, and cluster sizes;
+- candidate pairs are verified with exact Jaccard before anything is
+  dropped, so LSH banding only affects recall, not precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles, tokens
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by md5 fingerprint; keep the min-id row
+    as canonical. Output: one row per distinct text with its
+    duplicate count. A single hash-shuffle on the 32-byte digest —
+    never on the document bodies — so 100 TB of text shuffles ~3 GB
+    of keys."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Return df minus non-canonical exact duplicates."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: k seeded xxhash64 mins over the
+    document's n-gram shingle set. One narrow projection — no shuffle,
+    no UDF (shingle → k hashes → array_min all run in codegen)."""
+    sh = F.array_distinct(shingles(text_col, n))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` hashes, hash each band, and self-join documents
+    that collide in *any* band. The explode keeps the join an
+    equi-join on (band_idx, band_hash) — a shuffle, not a cross
+    product; frequent-bucket skew is handled by AQE skew-join."""
+    buckets = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    ).select(id_col, "bucket.band", "bucket.band_hash")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for all pairs sharing ≥1 shingle,
+    via an inverted-index self-join (shingle → postings → pair
+    counts). At 100 TB, drop stop-shingles (document frequency above a
+    cap) before the join — the standard way to bound postings-list
+    skew; the fixture corpus is small enough to skip that here."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures → banded candidate
+    pairs → exact-Jaccard verification of candidates only. Precision
+    is exact; recall is the LSH S-curve (tests assert it empirically
+    against brute-force jaccard_pairs)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, n)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.array_size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.array_size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per token-hash bit, vote +1/−1 weighted by
+    term frequency; the sign vector packs into one long. Hamming-close
+    fingerprints ≈ similar token distributions. Pure codegen
+    (explode → hash → bit votes → conditional aggregate)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    hashed = tok.select(id_col, F.xxhash64("token").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    packed_expr = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = (
+            F.when(F.col(f"bit_{i}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        packed_expr = packed_expr.bitwiseOR(F.shiftleft(bit, i))
+    return voted.select(F.col(id_col), packed_expr.alias("simhash"))

@@ -1,0 +1,65 @@
+"""Keyed upsert (MERGE) — the reference's serving-layer contract.
+
+Reproduces the Postgres dedup-CTE + ``ON CONFLICT DO UPDATE`` step
+(/root/reference/dags/weather_daily_etl.py:186-209) as a pure-Spark
+join-based merge: collapse duplicate source keys first (Delta/SQL
+MERGE requires unique source keys too), then
+``target ANTI-JOIN updates  UNION  updates``.
+
+Idempotency contract (SURVEY.md §2.6): applying the same batch twice
+yields the same table — tests/test_merge.py asserts it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def collapse_duplicates(
+    df: DataFrame, keys: Sequence[str], how: str = "avg"
+) -> DataFrame:
+    """One row per key before merging.
+
+    ``how='avg'`` is bug-compatible with the reference, which averages
+    *every* metric across duplicate rows — including min_temp_c /
+    max_temp_c (weather_daily_etl.py:188-193: AVG-of-min, not
+    min-of-min). ``how='last'`` keeps the row with the highest sort
+    key instead (the usual last-writer-wins).
+    """
+    value_cols = [c for c in df.columns if c not in keys]
+    if how == "avg":
+        return df.groupBy(*keys).agg(
+            *[F.avg(c).alias(c) for c in value_cols]
+        )
+    if how == "last":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in value_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    raise ValueError(f"unknown collapse mode: {how}")
+
+
+def upsert(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str], how: str = "avg"
+) -> DataFrame:
+    """Last-writer-wins keyed merge: rows of ``target`` whose key
+    appears in ``updates`` are replaced; new keys are inserted.
+
+    Equivalent to ``MERGE INTO target USING updates ON keys WHEN
+    MATCHED UPDATE * WHEN NOT MATCHED INSERT *``. The anti-join
+    shuffles both sides on the key once; when updates are small
+    (a daily batch against years of history) Catalyst broadcasts them
+    and the target never shuffles at all.
+    """
+    collapsed = collapse_duplicates(updates, keys, how)
+    keep = target.join(collapsed, list(keys), "left_anti")
+    return keep.unionByName(collapsed.select(*target.columns))

@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM built-ins (split / transform /
+aggregate / xxhash64) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with input splits. These are
+north-star extensions beyond the reference surface (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword lists for the language-ID heuristic.
+#: Real-language lists (the fixture corpus is synthetic, so the
+#: heuristic honestly returns 'und' there — tests/test_text.py checks
+#: detection on real sentences). Order matters: earlier language wins
+#: score ties.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "it", "that", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the fixture contract: single-space
+    separated). For messier corpora swap in a BPE-ish regex split."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.array_size(tokens(col))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    t = tokens(col)
+    return F.array_size(F.array_distinct(t)).cast("double") / F.array_size(t)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint (md5 hex) — the exact-dedup
+    key. md5 (not xxhash64) so external systems can reproduce it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Token n-gram shingles as strings — the near-dup unit.
+
+    Built from higher-order functions (sequence + transform + slice),
+    so shingling never leaves the JVM. Documents shorter than ``n``
+    tokens yield an empty array.
+    """
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+
+
+def _scores(col: Column | str) -> dict[str, Column]:
+    t = F.array_distinct(tokens(col))
+    return {
+        lang: F.array_size(
+            F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-overlap language ID: argmax score, 'und' if no hits.
+
+    Ties break toward the earlier language in STOPWORDS order — the
+    CASE chain checks languages in order, so the first language at the
+    max score wins (the SQL oracle mirrors the same chain).
+    """
+    scores = _scores(col)
+    mx = F.greatest(*scores.values())
+    expr: Column = F.lit("und")
+    for lang in reversed(list(scores)):
+        expr = F.when((scores[lang] == mx) & (mx > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, mean token
+    length, distinct-token ratio, fingerprint — standard pre-training
+    quality-filter inputs. Exact integer/ratio arithmetic only (no
+    fp-summation-order hazards)."""
+    t = tokens(text_col)
+    n_tok = F.array_size(t)
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        (
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / n_tok
+        ).alias("mean_token_len"),
+        distinct_token_ratio(text_col).alias("distinct_ratio"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,103 @@
+"""The reference pipeline's semantic core, as reusable operators.
+
+Bronze→Silver→Gold for the hourly-weather data model (SURVEY.md §1):
+
+- ``flatten_hourly`` is the reference's signature transformation —
+  struct-of-parallel-arrays → arrays_zip → explode → flat hourly fact
+  (/root/reference/spark_jobs/silver_openmeteo.py:28-56) — generalized
+  to any set of parallel metric arrays and to *many* documents per
+  batch (the reference's ``limit(1)`` kept exactly one; here multiple
+  locations/days flow through one plan).
+- ``daily_rollup`` is gold_openmeteo.py:20-27 generalized from a
+  one-partition global aggregate to a grouped aggregate over all days
+  (one job for any date range — no per-day driver loop).
+
+Partition keys are int end-to-end (fixes the string/int mismatch in
+the reference, SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+#: metric array fields inside the bronze ``hourly`` struct → silver names
+METRICS = {
+    "temperature_2m": "temperature_c",
+    "relative_humidity_2m": "humidity_pct",
+    "precipitation": "precip_mm",
+}
+
+
+def read_bronze(spark: SparkSession, path: str) -> DataFrame:
+    """Bronze scan with an explicit schema — no inference pass
+    (the reference infers: silver_openmeteo.py:24; at 100 TB that is
+    a full extra read)."""
+    return spark.read.schema(schemas.BRONZE_WEATHER).json(path)
+
+
+def flatten_hourly(bronze: DataFrame) -> DataFrame:
+    """Unpivot columnar-JSON time-series → one row per hour.
+
+    arrays_zip aligns the parallel arrays positionally; explode is a
+    narrow op (no shuffle) so flattening scales with input splits.
+    y/m/d derive from event_ts *in the plan* — not driver-side string
+    slicing (SURVEY.md §2.4 D2) — so one job covers any date range and
+    the writer's partitionBy sees real columns.
+    """
+    zipped = bronze.select(
+        F.col("latitude").alias("lat"),
+        F.col("longitude").alias("lon"),
+        F.col("timezone").alias("tz"),
+        F.explode(
+            F.arrays_zip(
+                F.col("hourly.time").alias("time"),
+                *[F.col(f"hourly.{src}").alias(src) for src in METRICS],
+            )
+        ).alias("row"),
+    )
+    ts = F.to_timestamp(F.col("row.time"))
+    return zipped.select(
+        "lat",
+        "lon",
+        "tz",
+        *[
+            F.col(f"row.{src}").cast("double").alias(dst)
+            for src, dst in METRICS.items()
+        ],
+        ts.alias("event_ts"),
+        F.year(ts).alias("y"),
+        F.month(ts).alias("m"),
+        F.dayofmonth(ts).alias("d"),
+    )
+
+
+def daily_rollup(silver: DataFrame) -> DataFrame:
+    """Gold: per-day min/max/avg temperature, precip sum, avg humidity
+    (exact aggregate set of gold_openmeteo.py:22-26). Partial+final
+    hash aggregation — one narrow shuffle of day-level groups."""
+    return silver.groupBy("y", "m", "d").agg(
+        F.min("temperature_c").alias("min_temp_c"),
+        F.max("temperature_c").alias("max_temp_c"),
+        F.avg("temperature_c").alias("avg_temp_c"),
+        F.sum("precip_mm").alias("precip_mm_sum"),
+        F.avg("humidity_pct").alias("avg_humidity_pct"),
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, keys: tuple[str, ...] = ("y", "m", "d")) -> None:
+    """Partitioned parquet sink with *dynamic* partition overwrite:
+    re-running a day rewrites only that day's partitions. The
+    reference's static ``mode("overwrite")`` silently clobbers every
+    previously written partition (silver_openmeteo.py:62-69 —
+    SURVEY.md §2.1 S6), which this engine deliberately fixes. No
+    ``coalesce(1)``: small-file control belongs to AQE +
+    maxRecordsPerFile, not a parallelism collapse."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*keys)
+        .parquet(path)
+    )

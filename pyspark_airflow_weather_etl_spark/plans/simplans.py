@@ -1,0 +1,143 @@
+"""Similarity-search query catalog over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import l2_norm
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch the query parameter (one row, one column). This is query
+    parameterization, not a driver-side compute loop — O(1) regardless
+    of table size, and the vector re-enters the plan as a literal."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 6) AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbours of vec_id=0. zip_with/aggregate
+    fold (JVM codegen, double precision — the oracle casts to DOUBLE[]
+    because DuckDB's FLOAT[] cosine computes in float); ranking is a
+    per-partition k-heap (TakeOrderedAndProject)."""
+    q = _query_vector(spark, sf_dir, 0)
+    return S.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=10
+    )
+
+
+@register("srp_ann_topk")  # LSH probe set: no clean SQL equivalent
+def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via signed-random-projection LSH (8 hyperplanes,
+    Hamming-≤1 probe of 9 buckets) + exact re-ranking of candidates.
+    Rows-only driver check; tests/test_similarity.py measures recall
+    against cosine_topk_bruteforce."""
+    q = _query_vector(spark, sf_dir, 0)
+    return S.srp_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        q,
+        dim=64,
+        k=10,
+        n_planes=8,
+        max_hamming=1,
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               'sum')), 6) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per vector — the building-block expression for cosine,
+    exposed as its own projection (no shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("l2")
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*) AS mean_dim0,
+           CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*) AS mean_dim1,
+           CAST(SUM(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*) AS mean_dim2
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coordinates (first three dims) — the
+    grouped-vector-mean pattern (IVF coarse quantizer training uses
+    exactly this shape). DECIMAL accumulation keeps the means
+    engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    aggs = [
+        (
+            F.sum(
+                F.col("embedding")[i].cast("double").cast("decimal(28,12)")
+            ).cast("double")
+            / F.count("*")
+        ).alias(f"mean_dim{i}")
+        for i in range(3)
+    ]
+    return emb.groupBy("label").agg(F.count("*").alias("n_vecs"), *aggs)
+
+
+@register(
+    "pairwise_topk_per_label",
+    oracle="""
+    WITH scored AS (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT label, id_a, id_b, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                     ORDER BY cosine DESC, id_b) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def pairwise_topk_per_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs top-3 neighbours within each label — the
+    blocking-key pattern that keeps all-pairs similarity from being a
+    global cross join (equi-join on the blocking key, then a per-
+    vector rank window on the same partitioning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pairwise_topk_per_label(emb, k=3)

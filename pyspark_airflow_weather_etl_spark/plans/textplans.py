@@ -1,0 +1,219 @@
+"""Text-analysis and dedup query catalog over the ``documents`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import SQL_AVG, avg_of
+from ..operators import dedup as D
+from ..operators import text as X
+from ..sources.tables import load_table
+from .registry import register
+
+# SQL fragment: distinct-token list of a document (DuckDB).
+_SQL_TOKENS = "list_distinct(string_split(text, ' '))"
+# SQL fragment: 3-gram shingle list (mirrors operators.text.shingles).
+_SQL_SHINGLES = (
+    "list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)), "
+    "i -> concat_ws(' ', string_split(text,' ')[i], "
+    "string_split(text,' ')[i+1], string_split(text,' ')[i+2]))"
+)
+
+
+def _sql_lang_case() -> str:
+    """CASE chain mirroring operators.text.lang_id (same tie-break)."""
+    hits = {
+        lang: f"len(list_intersect({_SQL_TOKENS}, "
+        f"[{', '.join(repr(w) for w in words)}]))"
+        for lang, words in X.STOPWORDS.items()
+    }
+    mx = f"greatest({', '.join(hits.values())})"
+    whens = "\n".join(
+        f"WHEN {hits[lang]} = {mx} AND {mx} > 0 THEN '{lang}'"
+        for lang in X.STOPWORDS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fingerprint,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 digest + token count per doc —
+    the exact-dedup key projection. Pure codegen, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint("text").alias("fingerprint"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "text_quality_features",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                              x -> length(x)), 'sum') AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS distinct_ratio,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length / token stats / repetition
+    ratio / fingerprint) — the standard pre-training quality-filter
+    inputs, all integer-exact arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars_computed").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "mean_token_len",
+        "distinct_ratio",
+        "fingerprint",
+    )
+
+
+@register(
+    "lang_id_documents",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label, {_sql_lang_case()} AS lang_pred
+    FROM documents
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID per document. The fixture corpus
+    is synthetic (its `lang` column is a label, not real language), so
+    the honest heuristic returns 'und' here — tests/test_text.py
+    checks real-language detection on real sentences."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        X.lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "token_frequency",
+    oracle="""
+    SELECT token,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency: explode → two-level aggregate.
+    Partial aggregation collapses each partition's token counts before
+    the shuffle, so the shuffle is vocabulary-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "lang_source_rollup",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           {SQL_AVG('n_chars', 'avg_chars')}
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup per (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        avg_of("n_chars", "avg_chars"),
+    )
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 fingerprint, min-id
+    canonical representative (operators.dedup.exact_duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (≥0.5) via an
+    inverted-index self-join — the brute-force ground truth that the
+    MinHash-LSH path (minhash_near_dup_pairs) is measured against."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=3)
+
+
+@register("minhash_near_dup_pairs")  # xxhash64 signatures: no SQL oracle
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4) candidate generation with
+    exact-Jaccard verification at ≥0.5. Rows-only driver check;
+    tests/test_dedup.py asserts precision=1 and recall vs
+    ngram_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+
+
+@register("simhash_documents")  # xxhash64-based: no SQL oracle
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (token-frequency bit
+    votes). Rows-only driver check; tests assert identical texts hash
+    identically and near-dups stay Hamming-close."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")

@@ -1,0 +1,90 @@
+"""Structured Streaming analogues of the reference's daily batch.
+
+The reference ingests an hourly event stream one day at a time via
+Airflow scheduling (/root/reference/dags/weather_daily_etl.py:73-128);
+semantically that is a tumbling 1-day window over an event-time
+stream. Here the same rollup runs as a real Structured Streaming
+query — watermark for late data, windowed aggregation, and a
+stateful sessionizer — exercised over the fixture ``events`` table
+with ``availableNow`` (bounded backfill), which is exactly how the
+same code would run continuously against a live source.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+from ..schemas import EVENTS_RAW
+from ..session import apply_runtime_confs
+
+_run_ids = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture events parquet (explicit
+    schema — streaming requires it; inference is impossible on an
+    unbounded source)."""
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_daily_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day event-time window per event_type with a 1-day
+    watermark: the streaming form of the gold daily rollup
+    (gold_openmeteo.py:20-27). State per (day, type) only — bounded by
+    the watermark, so it runs forever without state growth."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (
+                F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")
+            ).alias("avg_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "min_value",
+            "max_value",
+            "avg_value",
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+def run_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the streaming rollup over the bounded fixture with
+    availableNow and return the complete result from the memory sink.
+
+    ``complete`` output mode emits every window including the one the
+    watermark hasn't closed yet, which is what makes the result
+    comparable 1:1 with the batch/oracle rollup.
+    """
+    name = f"stream_rollup_{next(_run_ids)}"
+    q = (
+        streaming_daily_rollup(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
