@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 from .text import fingerprint, shingles, tokens
 
 
+def hashed_shingles(text_col: str, n: int = 3):
+    """Distinct n-gram shingles of a document as 64-bit hashes.
+
+    Everything pairwise downstream (postings joins, intersections)
+    runs on 8-byte longs instead of shingle strings — smaller
+    shuffles, cheaper equality. A 64-bit collision merges two
+    shingles with probability ~|shingles|²/2⁶⁴ — immaterial to
+    Jaccard at any realistic corpus size.
+    """
+    return F.transform(
+        F.array_distinct(shingles(text_col, n)), lambda s: F.xxhash64(s)
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical texts by md5 fingerprint; keep the min-id row
     as canonical. Output: one row per distinct text with its
@@ -54,16 +68,25 @@ def minhash_signatures(
     """MinHash signature per document: k seeded xxhash64 mins over the
     document's n-gram shingle set. One narrow projection — no shuffle,
     no UDF (shingle → k hashes → array_min all run in codegen)."""
-    sh = F.array_distinct(shingles(text_col, n))
+    # Pre-hash each distinct shingle string ONCE, then derive the k
+    # signature lanes by re-hashing that 8-byte value with the lane id
+    # — k×shingles long-hashes instead of k×shingles string-hashes.
+    # Two projections on purpose: 'h' is referenced k times, which
+    # stops CollapseProject from inlining the string-hash transform
+    # back into every lane.
+    hashed = df.select(F.col(id_col), hashed_shingles(text_col, n).alias("h"))
     sig = F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))
+                F.transform(
+                    F.col("h"),
+                    lambda h, i=i: F.xxhash64(h, F.lit(i)),
+                )
             )
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return hashed.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -127,7 +150,7 @@ def jaccard_pairs(
     skew; the fixture corpus is small enough to skip that here."""
     sh = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+        F.explode(hashed_shingles(text_col, n)).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
@@ -182,7 +205,7 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     sh = df.select(
         F.col(id_col),
-        F.array_distinct(shingles(text_col, n)).alias("sh"),
+        hashed_shingles(text_col, n).alias("sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

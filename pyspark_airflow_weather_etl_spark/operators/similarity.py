@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 SEED = 42
 
@@ -78,34 +78,43 @@ def srp_topk(
     query_vec: list[float],
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
-    max_hamming: int = 1,
+    bits_per_table: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: restrict the exact ranking to vectors whose SRP
-    bucket is within ``max_hamming`` bits of the query's bucket, then
-    brute-force only those. Probe buckets are enumerated driver-side
-    (n_planes choose ≤max_hamming ids) and pushed down as an IN filter
-    → partition-prunable when the table is written bucketed by
-    srp_bucket. Recall is tested against brute_force_topk."""
+    """ANN top-k via multi-table SRP-LSH: L independent tables of
+    ``bits_per_table`` hyperplane signs each; a vector is a candidate
+    if it matches the query's bucket in *any* table, and only
+    candidates are exactly re-ranked.
+
+    Per-table match probability for angle θ is (1−θ/π)^bits, so more
+    tables trade scan volume for recall — the standard L·(1−p)ᴸ
+    S-curve. The bucket filter is a plain predicate on one long
+    column: at scale, store the signature at write time and
+    bucket/partition by it, and the probe prunes file groups instead
+    of scanning. Recall vs brute_force_topk is measured in
+    tests/test_similarity.py (random Gaussian fixtures are LSH's
+    worst case; clustered real embeddings bucket far better)."""
+    n_planes = bits_per_table * n_tables
     planes = _hyperplanes(dim, n_planes)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = 0
     for i, plane in enumerate(planes):
         if float(np.dot(qv, plane)) >= 0:
             qbits |= 1 << i
-    probes = {qbits}
-    if max_hamming >= 1:
-        probes |= {qbits ^ (1 << i) for i in range(n_planes)}
-    if max_hamming >= 2:
-        probes |= {
-            qbits ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
     with_sig = srp_signature(embeddings, dim, n_planes, vec_col)
-    candidates = with_sig.where(F.col("srp_bucket").isin([int(p) for p in probes]))
+    mask = (1 << bits_per_table) - 1
+    cond = None
+    for t in range(n_tables):
+        shift = t * bits_per_table
+        qbucket = (qbits >> shift) & mask
+        c = (
+            F.shiftright(F.col("srp_bucket"), shift).bitwiseAND(F.lit(mask))
+            == qbucket
+        )
+        cond = c if cond is None else cond | c
+    candidates = with_sig.where(cond)
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
@@ -122,15 +131,28 @@ def pairwise_topk_per_label(
     key, exact cosine, per-vector rank."""
     from pyspark.sql import Window
 
-    a = embeddings.select(
+    # Pre-compute the double-cast vector and its norm once per row,
+    # *before* the join, and force materialization with the shuffle
+    # the join needs anyway (repartition on the blocking key) — n
+    # norm folds instead of n², and per-pair work is one dot + one
+    # divide. The divide matches the oracle's dot/(|a|·|b|) formula.
+    normed = embeddings.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).repartition(group_col)
+    a = normed.select(
         F.col(group_col),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+        F.col("v").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = embeddings.select(
+    b = normed.select(
         F.col(group_col),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
+        F.col("v").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     scored = (
         a.join(b, group_col)
@@ -140,7 +162,9 @@ def pairwise_topk_per_label(
             "id_a",
             "id_b",
             F.round(
-                cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
             ).alias("cosine"),
         )
     )

@@ -52,11 +52,13 @@ def shingles(text_col: str, n: int = 3) -> Column:
 
     Built from higher-order functions (sequence + transform + slice),
     so shingling never leaves the JVM. Documents shorter than ``n``
-    tokens yield an empty array.
+    tokens yield an empty array — guarded explicitly, because
+    ``sequence(0, -1)`` *descends* in Spark rather than being empty.
     """
     return F.expr(
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        f"CASE WHEN size(split({text_col}, ' ')) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))) END"
     )
 
 

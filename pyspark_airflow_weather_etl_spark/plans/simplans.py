@@ -49,18 +49,18 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("srp_ann_topk")  # LSH probe set: no clean SQL equivalent
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via signed-random-projection LSH (8 hyperplanes,
-    Hamming-≤1 probe of 9 buckets) + exact re-ranking of candidates.
-    Rows-only driver check; tests/test_similarity.py measures recall
-    against cosine_topk_bruteforce."""
+    """ANN top-10 via multi-table signed-random-projection LSH
+    (8 tables × 4 bits) + exact re-ranking of bucket-matched
+    candidates only. Rows-only driver check; tests/test_similarity.py
+    measures recall against cosine_topk_bruteforce."""
     q = _query_vector(spark, sf_dir, 0)
     return S.srp_topk(
         load_table(spark, sf_dir, "embeddings"),
         q,
         dim=64,
         k=10,
-        n_planes=8,
-        max_hamming=1,
+        bits_per_table=4,
+        n_tables=8,
     )
 
 

@@ -1,0 +1,77 @@
+"""Near-dup self-consistency: MinHash-LSH against the exact Jaccard
+ground truth on a corpus with injected near-duplicates (the fixture
+corpus has none above threshold by construction at sf0.001).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Fixture docs + exact copies + near copies (one token changed)."""
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    exact_copies = docs.limit(10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near_copies = docs.limit(10).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(exact_copies).unionByName(near_copies).cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark, corpus):
+    dups = exact_duplicates(corpus, "doc_id", "text").where(F.col("n_copies") > 1)
+    assert dups.count() == 10
+    deduped = dedup_exact(corpus, "doc_id", "text")
+    assert deduped.count() == 110  # 120 - 10 planted exact copies
+    # canonical = min id → the original rows survive
+    assert deduped.where(F.col("doc_id") >= 10_000).count() == 10  # near copies
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark, corpus):
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(corpus, "doc_id", "text", 0.5).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(corpus, "doc_id", "text", 0.5).collect()
+    }
+    assert truth, "planted near-dups must appear in the ground truth"
+    # Precision is exact by construction (candidates are verified).
+    assert found <= truth
+    # Banding recall: 8 bands × 4 rows at j≥0.5 — planted pairs are
+    # j≈0.9+, where the S-curve is ≈1.
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall}: {len(found)}/{len(truth)}"
+
+
+def test_simhash_identical_and_near(spark, corpus):
+    h = {r.doc_id: r.simhash for r in simhash(corpus, "doc_id", "text").collect()}
+    orig_ids = sorted(k for k in h if k < 10_000)[:10]
+    for base in orig_ids:
+        assert h[base] == h[base + 10_000], "identical text → identical simhash"
+        near = bin(h[base] ^ h[base + 20_000]).count("1")
+        assert near <= 16, f"near-dup hamming {near} too far"

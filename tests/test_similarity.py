@@ -1,0 +1,59 @@
+"""Similarity-search self-consistency: Spark brute force vs a numpy
+reference, and SRP-LSH recall against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.operators.similarity import (
+    brute_force_topk,
+    srp_topk,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_brute_force_matches_numpy(emb, qvec):
+    rows = emb.select("vec_id", "embedding").collect()
+    q = np.array(qvec)
+    scores = {
+        r.vec_id: float(
+            np.dot(r.embedding, q)
+            / (np.linalg.norm(np.array(r.embedding, dtype=np.float64))
+               * np.linalg.norm(q))
+        )
+        for r in rows
+    }
+    want = sorted(scores, key=lambda k: (-round(scores[k], 6), k))[:10]
+    got = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+    assert got == want
+
+
+def test_srp_recall(emb, qvec):
+    exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in srp_topk(
+            emb, qvec, dim=64, k=10, bits_per_table=4, n_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # Random Gaussian vectors are LSH's worst case (no cluster
+    # structure); 8 tables × 4 bits lands ~0.6-0.8 here. The bound
+    # guards the plumbing; the knobs are workload-specific.
+    assert recall >= 0.5, f"SRP recall {recall}"
+    assert 0 in approx, "the query vector itself must be its own neighbour"
