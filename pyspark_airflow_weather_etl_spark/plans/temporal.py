@@ -1,0 +1,102 @@
+"""Temporal join catalog: as-of (point-in-time) and range joins —
+operators the reference lacks entirely (SURVEY.md §2.9 'joins') and
+Spark has no native form for; the as-of uses the union-window
+formulation from operators.asof (one shuffle, no range explosion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "asof_purchase_prior_view",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.view_event_id AS view_event_id_asof,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    view at-or-before it. The engine's union-window as-of is checked
+    against DuckDB's *native* ASOF JOIN — two independent
+    implementations of the same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("vts", F.col("ts"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["view_event_id", "vts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("view_event_id_asof"),
+        (F.unix_micros("ts") - F.unix_micros("vts_asof")).alias("gap_us"),
+    )
+
+
+@register(
+    "range_join_views_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, count(v.event_id) AS n_views_prior_hour
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <  p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: views in the hour before each purchase.
+    The equi-key (user_id) anchors the shuffle; the time band is a
+    post-join predicate — so this stays a hash/sort-merge join, never
+    a cross product, and AQE splits skewed users."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("v_event_id").alias("n_views_prior_hour"))
+    )

@@ -1,0 +1,74 @@
+"""HTTP REST source (SURVEY.md §2.1 S1).
+
+The reference fetches one Open-Meteo document per day on the Airflow
+worker (/root/reference/dags/weather_daily_etl.py:24-33) and writes
+it to object storage. Here the fetch is an injectable callable so the
+source is testable offline, and the parsed payloads enter Spark as an
+explicit-schema DataFrame (no inference pass).
+
+Scale note: one document per (location, day) is driver-trivial; for
+many thousands of fetch keys, distribute the I/O itself with
+``fetch_distributed`` — a mapInPandas over the key table so each
+executor fetches its partition's URLs (the DataSource-V2-style
+pattern without a custom connector).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+
+Fetcher = Callable[[str], str]
+
+
+def default_fetcher(timeout_s: int = 30) -> Fetcher:
+    """GET with the reference's 30 s timeout + raise-on-non-2xx
+    contract (weather_daily_etl.py:31-33). Import-gated: this
+    container has no network."""
+
+    def fetch(url: str) -> str:
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=timeout_s) as resp:  # noqa: S310
+            if not 200 <= resp.status < 300:
+                raise RuntimeError(f"HTTP {resp.status} for {url}")
+            return resp.read().decode("utf-8")
+
+    return fetch
+
+
+def read_http_json(
+    spark: SparkSession,
+    urls: Sequence[str],
+    fetcher: Fetcher,
+    schema=None,
+) -> DataFrame:
+    """Fetch each URL (driver-side — for small key sets) and parse the
+    JSON documents into a typed DataFrame."""
+    payloads = [json.loads(fetcher(u)) for u in urls]
+    return spark.createDataFrame(payloads, schema or schemas.BRONZE_WEATHER)
+
+
+def fetch_distributed(
+    keys: DataFrame, url_col: str, fetcher_factory: Callable[[], Fetcher]
+) -> DataFrame:
+    """Executor-side fetch: each partition fetches its own URLs.
+
+    Returns (url, body) rows; follow with ``from_json`` + an explicit
+    schema. ``fetcher_factory`` is called once per worker (connection
+    pooling), not per row.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        fetch = fetcher_factory()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"url": pdf[url_col], "body": pdf[url_col].map(fetch)}
+            )
+
+    return keys.mapInPandas(run, "url string, body string")
