@@ -575,6 +575,28 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "from_json_typed_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 40 AND 60
+    """,
+)
+def from_json_typed_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with an explicit schema (from_json, not
+    per-path get_json_object): one parse per row however many fields
+    are read, and the struct then filters/projects like any column."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return parsed.where(F.col("p.k").between(40, 60)).select(
+        "event_id", "event_type", F.col("p.k").alias("k")
+    )
+
+
 # --------------------------------------- time-series (weather analog)
 
 

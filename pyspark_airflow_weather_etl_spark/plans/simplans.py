@@ -117,6 +117,53 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_centroids_pandas",
+    oracle="""
+    SELECT label,
+           CAST(len(grp) AS BIGINT) AS n_vecs,
+           round(sqrt(list_aggregate(list_transform(
+               list_transform(range(1, 65),
+                   i -> list_aggregate(list_transform(grp, e -> CAST(e[i] AS DOUBLE)),
+                                       'sum') / len(grp)),
+               x -> x * x), 'sum')), 6) AS centroid_norm
+    FROM (SELECT label, list(embedding ORDER BY vec_id) AS grp
+          FROM embeddings GROUP BY label)
+    """,
+)
+def grouped_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64-dim centroid per label via applyInPandas — the grouped
+    Arrow-batched UDAF pattern (each group arrives as one pandas
+    frame; numpy does the column mean). The per-dim mean sums floats
+    in ascending vec_id order on both engines, so even this Python
+    path is value-exact against the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # accumulate in data order (not pairwise) to mirror the
+        # oracle's sequential list_aggregate sum
+        acc = np.zeros(mat.shape[1])
+        for row in mat:
+            acc += row
+        mean = acc / len(mat)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "centroid_norm": [round(float(np.sqrt((mean * mean).sum())), 6)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, "label int, n_vecs bigint, centroid_norm double"
+    )
+
+
+@register(
     "pairwise_topk_per_label",
     oracle="""
     WITH scored AS (

@@ -1,0 +1,70 @@
+"""Physical-plan regression guards: the scale properties the engine
+promises (broadcast dims, pushed filters, pruned scans, top-k heaps,
+partial aggregation) must survive refactors. These inspect the
+executed plan string the way `.explain("formatted")` renders it."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_airflow_weather_etl_spark.plans import REGISTRY
+
+from conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 needed columns only — no l_orderkey/l_partkey/l_suppkey in the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    assert plan.count("HashAggregate") >= 2, "partial+final aggregation"
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark):
+    plan = _plan(spark, "q3_top_unshipped_orders")
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, "dim filter pushed to scan"
+
+
+def test_q5_all_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join_big_spenders")
+    assert "LeftAnti" in _plan(spark, "anti_join_no_pending")
+
+
+def test_topk_is_heap_not_sort(spark):
+    plan = _plan(spark, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_group_limit_pushdown(spark):
+    plan = _plan(spark, "window_top_orders_per_customer")
+    assert "WindowGroupLimit" in plan, (
+        "rn<=k should push a per-group limit below the window sort"
+    )
+
+
+def test_range_join_stays_equi_keyed(spark):
+    plan = _plan(spark, "range_join_views_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["minhash_near_dup_pairs", "ngram_jaccard_pairs"]
+)
+def test_near_dup_never_cross_joins(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
