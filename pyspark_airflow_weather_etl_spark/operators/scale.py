@@ -1,0 +1,100 @@
+"""Scale-hardening operators (SURVEY.md §7 Phase 5): data layout and
+skew tools for the 100 TB deployment.
+
+- ``write_bucketed``: hash-bucketed table layout so repeated fact-fact
+  joins/aggregations on the bucket key run with ZERO exchange — the
+  shuffle is paid once at write time, amortized over every query.
+- ``salted_join``: explicit salting for a hot key that AQE's runtime
+  skew splitting can't fix (e.g. one key that is 50% of the table —
+  splitting the partition still leaves one straggler *task* per
+  sub-split reading the same build side).
+- ``two_phase_agg``: salt → partial agg → final agg for skewed
+  group-bys of algebraic aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    path: str,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist hash-bucketed (+ optionally sorted) — joins and aggs on
+    the bucket key then need no exchange (and no sort, when sorted)."""
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salts: int = 8,
+) -> DataFrame:
+    """Equi-join where ``left`` has heavily skewed join keys: spread
+    each left key over ``salts`` sub-keys (deterministic hash of the
+    full row, so re-runs place rows identically) and replicate the
+    right side to every salt. Right-side cost ×salts — use for
+    dimension-sized right sides only."""
+    on = list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)
+    ).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return l_salted.join(r_salted, on + ["__salt"], how).drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: bool = True,
+    salts: int = 16,
+) -> DataFrame:
+    """Skew-proof grouped SUM/COUNT: group on (key, salt) first — the
+    hot key's rows split across ``salts`` reducers — then combine the
+    partials. (Spark's partial aggregation already does this map-side;
+    explicit salting matters when the *reduce* side of one key
+    overwhelms a task, e.g. low-cardinality keys with giant groups.)"""
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count("*").alias("__cnt"),
+            *[F.sum(c).alias(f"__sum_{c}") for c in sums],
+        )
+    )
+    aggs: list[Column] = []
+    if counts:
+        aggs.append(F.sum("__cnt").alias("n_rows"))
+    aggs.extend(F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sums)
+    return partial.groupBy(*keys).agg(*aggs)
+
+
+def bucketed_tables_join(
+    spark: SparkSession, left_table: str, right_table: str, on: Sequence[str]
+) -> DataFrame:
+    """Join two co-bucketed tables — with matching bucket specs the
+    physical plan contains no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), list(on))

@@ -118,6 +118,88 @@ def srp_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_rows: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means (Lloyd, fixed seed) on a
+    deterministic sample. Sampling+training a quantizer driver-side is
+    the standard FAISS-style recipe — the sample is small by design;
+    the *assignment* below is the distributed part."""
+    sample = np.asarray(
+        [
+            [float(x) for x in r[0]]
+            for r in embeddings.select(vec_col)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .collect()
+        ]
+    )
+    rng = np.random.default_rng(SEED)
+    centroids = sample[rng.choice(len(sample), n_cells, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid — pure JVM
+    expressions (one squared-distance fold per centroid, argmin via
+    array_position), no Python in the scan path. At write time,
+    partition/bucket by ``ivf_cell`` and probes become partition
+    pruning."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn("__d", dists).withColumn(
+        "ivf_cell",
+        (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1).cast(
+            "int"
+        ),
+    ).drop("__d")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: rank the query's ``nprobe`` nearest cells driver-side,
+    scan only vectors assigned to those cells, exact-rank the rest."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d2.argsort()[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    candidates = assigned.where(F.col("ivf_cell").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def pairwise_topk_per_label(
     embeddings: DataFrame,
     k: int = 3,

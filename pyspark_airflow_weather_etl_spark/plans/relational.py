@@ -576,6 +576,135 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_nation_activity",
+    oracle="""
+    WITH cust_n AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), supp_n AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM cust_n c FULL OUTER JOIN supp_n s ON c.nationkey = s.nationkey
+    """,
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (nations with only
+    customers, only suppliers, or both). Pre-aggregating before the
+    join keeps the outer join key-cardinality-sized."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'retail_price' AS metric, p_retailprice AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide metric columns → (key, metric, value) long
+    form — Spark's native unpivot (Expand, narrow, no shuffle)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(
+        "p_partkey", ["retail_price", "size"], "metric", "value"
+    )
+
+
+@register(
+    "array_agg_order_ids",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey), ',')
+             AS order_ids,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 250000
+    GROUP BY o_custkey
+    """,
+)
+def array_agg_order_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: per-customer sorted id list joined to one
+    string (collect_list is unordered by contract — array_sort makes
+    the result partitioning-independent)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 250000
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("o_orderkey"))).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("order_ids"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "date_arithmetic_shipping",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS days_to_ship,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', o_orderdate, l_shipdate) > 30 AS BOOLEAN) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 1 AND o_orderkey % 100 = 0
+    """,
+)
+def date_arithmetic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic in the plan: datediff, interval addition,
+    derived booleans (the reference does all date math driver-side —
+    SURVEY.md §2.4 D2)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 100 == 0
+    )
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            days.alias("days_to_ship"),
+            F.date_format(
+                F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd"
+            ).alias("due_date"),
+            (days > 30).alias("late"),
+        )
+    )
+
+
+@register(
     "from_json_typed_props",
     oracle="""
     SELECT event_id, event_type,

@@ -64,6 +64,18 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_ann_topk")  # trained quantizer: no SQL equivalent
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: k-means coarse quantizer (trained on a
+    deterministic sample, fixed seed), JVM-side cell assignment,
+    nprobe=4 of 16 cells scanned, exact re-rank. Rows-only driver
+    check; tests/test_similarity.py measures recall vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    centroids = S.ivf_train_centroids(emb, n_cells=16)
+    return S.ivf_topk(emb, q, centroids, k=10, nprobe=4)
+
+
 @register(
     "embedding_norms",
     oracle="""

@@ -1,0 +1,86 @@
+"""Scale-layout operators: bucketed joins must eliminate exchanges;
+salted join / two-phase agg must be result-identical to their naive
+forms on skewed data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.functions.exact import DEC
+from pyspark_airflow_weather_etl_spark.operators.scale import (
+    bucketed_tables_join,
+    salted_join,
+    two_phase_agg,
+    write_bucketed,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share one key — the AQE-resistant shape."""
+    hot = spark.range(9000).select(
+        F.lit(1).alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    rest = spark.range(1000).select(
+        (F.col("id") % 50 + 2).cast("long").alias("k"),
+        (F.col("id") * 3.0).alias("v"),
+    )
+    return hot.unionByName(rest).cache()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8,
+                   str(tmp_path / "orders_b"), sort_cols=["o_orderkey"])
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", ["o_orderkey"], 8,
+        str(tmp_path / "lineitem_b"), sort_cols=["o_orderkey"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_tables_join(spark, "orders_b", "lineitem_b",
+                                      ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [(k, f"name_{k}") for k in range(1, 52)], "k long, name string"
+    )
+    plain = skewed.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(skewed, dim, ["k"]).groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_two_phase_agg_equals_direct(spark, skewed):
+    direct = {
+        r.k: (r.n_rows, r.sum_v)
+        for r in skewed.groupBy("k")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("v").cast(DEC)).cast("double").alias("sum_v"),
+        )
+        .collect()
+    }
+    salted_df = two_phase_agg(
+        skewed.withColumn("v", F.col("v").cast(DEC)), ["k"], sums=["v"]
+    )
+    two = {
+        r.k: (r.n_rows, float(r.sum_v)) for r in salted_df.collect()
+    }
+    assert direct == two

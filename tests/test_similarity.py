@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from pyspark_airflow_weather_etl_spark.operators.similarity import (
     brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
     srp_topk,
 )
 from pyspark_airflow_weather_etl_spark.sources.tables import load_table
@@ -57,3 +60,22 @@ def test_srp_recall(emb, qvec):
     # guards the plumbing; the knobs are workload-specific.
     assert recall >= 0.5, f"SRP recall {recall}"
     assert 0 in approx, "the query vector itself must be its own neighbour"
+
+
+def test_ivf_recall_and_cells(emb, qvec):
+    centroids = ivf_train_centroids(emb, n_cells=16)
+    cells = ivf_assign(emb, centroids)
+    counts = {
+        r.ivf_cell: r.n
+        for r in cells.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= set(range(16))
+    assert max(counts.values()) < 500, "assignment must actually partition"
+
+    exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {
+        r.vec_id for r in ivf_topk(emb, qvec, centroids, k=10, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    assert 0 in approx
