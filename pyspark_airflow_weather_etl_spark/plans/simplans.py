@@ -100,12 +100,9 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             / COUNT(*) AS mean_dim0,
-           CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             / COUNT(*) AS mean_dim1,
-           CAST(SUM(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             / COUNT(*) AS mean_dim2
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS mean_dim1,
+           round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS mean_dim2
     FROM embeddings
     GROUP BY label
     """,
@@ -113,16 +110,19 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid coordinates (first three dims) — the
     grouped-vector-mean pattern (IVF coarse quantizer training uses
-    exactly this shape). DECIMAL accumulation keeps the means
-    engine-exact."""
+    exactly this shape).
+
+    Rounded double mean, NOT decimal accumulation: a float's exact
+    decimal expansion can terminate exactly on the decimal cast's
+    half-way point, where Spark (HALF_UP) and DuckDB (HALF_EVEN)
+    disagree — observed once in 6000 casts at sf0.1. A mean of
+    |x|≲1 floats differs across summation orders by ~1e-16, so
+    round(6) is deterministic to ~1e-10 odds per value instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     aggs = [
-        (
-            F.sum(
-                F.col("embedding")[i].cast("double").cast("decimal(28,12)")
-            ).cast("double")
-            / F.count("*")
-        ).alias(f"mean_dim{i}")
+        F.round(F.avg(F.col("embedding")[i].cast("double")), 6).alias(
+            f"mean_dim{i}"
+        )
         for i in range(3)
     ]
     return emb.groupBy("label").agg(F.count("*").alias("n_vecs"), *aggs)
