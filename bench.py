@@ -30,9 +30,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_revenue",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q19_disjunctive_predicates",
+    "sql_q4_late_orders",
     "window_top_orders_per_customer",
     "window_running_customer_total",
     "sessionize_user_events",
+    "asof_purchase_prior_view",
+    "range_join_views_before_purchase",
     "events_daily_rollup",
     "topk_orders_by_price",
     "cube_orders_status_priority",
@@ -42,6 +48,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
     "cosine_topk_bruteforce",
+    "srp_ann_topk",
+    "ivf_ann_topk",
     "pairwise_topk_per_label",
     "multimodal_features",
     "streaming_daily_rollup",
@@ -54,8 +62,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
-    # Warm up the JVM/codegen paths with a trivial job.
+    # Warm up the JVM codegen + Hadoop FS/parquet reader paths so the
+    # first measured query doesn't pay one-time session init.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
