@@ -38,7 +38,7 @@ def read_bronze(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schemas.BRONZE_WEATHER).json(path)
 
 
-def flatten_hourly(bronze: DataFrame) -> DataFrame:
+def flatten_hourly(bronze: DataFrame, dedupe: bool = True) -> DataFrame:
     """Unpivot columnar-JSON time-series → one row per hour.
 
     arrays_zip aligns the parallel arrays positionally; explode is a
@@ -46,7 +46,24 @@ def flatten_hourly(bronze: DataFrame) -> DataFrame:
     y/m/d derive from event_ts *in the plan* — not driver-side string
     slicing (SURVEY.md §2.4 D2) — so one job covers any date range and
     the writer's partitionBy sees real columns.
+
+    Schema evolution: a document missing a metric array (the API adds
+    or drops a field) yields nulls for that metric — the explicit
+    bronze schema makes the field nullable instead of silently
+    re-inferring a different shape (SURVEY.md §7 hard-point e).
+
+    Duplicate documents: the reference keeps one arbitrary document
+    per day via ``limit(1)`` (silver_openmeteo.py:28); ``dedupe=True``
+    generalizes that to dropDuplicates on the (location, hour) key —
+    deterministic, and correct when a day's directory holds several
+    documents for *different* locations.
     """
+    # A document missing one metric array must not vanish: arrays_zip
+    # of a NULL array is NULL and explode(NULL) drops the row, so each
+    # metric falls back to a null-array shaped like `time`.
+    null_like_time = F.transform(
+        F.col("hourly.time"), lambda _: F.lit(None).cast("double")
+    )
     zipped = bronze.select(
         F.col("latitude").alias("lat"),
         F.col("longitude").alias("lon"),
@@ -54,12 +71,15 @@ def flatten_hourly(bronze: DataFrame) -> DataFrame:
         F.explode(
             F.arrays_zip(
                 F.col("hourly.time").alias("time"),
-                *[F.col(f"hourly.{src}").alias(src) for src in METRICS],
+                *[
+                    F.coalesce(F.col(f"hourly.{src}"), null_like_time).alias(src)
+                    for src in METRICS
+                ],
             )
         ).alias("row"),
     )
     ts = F.to_timestamp(F.col("row.time"))
-    return zipped.select(
+    flat = zipped.select(
         "lat",
         "lon",
         "tz",
@@ -72,6 +92,9 @@ def flatten_hourly(bronze: DataFrame) -> DataFrame:
         F.month(ts).alias("m"),
         F.dayofmonth(ts).alias("d"),
     )
+    if dedupe:
+        flat = flat.dropDuplicates(["lat", "lon", "event_ts"])
+    return flat
 
 
 def daily_rollup(silver: DataFrame) -> DataFrame:

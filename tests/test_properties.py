@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): the as-of join against a
+pandas brute-force reference, and upsert idempotency/merge laws over
+random batches. SURVEY.md §5 calls for property tests the reference
+never had."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark_airflow_weather_etl_spark.operators.asof import asof_join
+from pyspark_airflow_weather_etl_spark.operators.merge import upsert
+
+# One (key, ts, value) event table: few keys, colliding timestamps.
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=50),  # ts
+        st.integers(min_value=0, max_value=99),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _brute_force_asof(left_rows, right_rows):
+    out = {}
+    for i, (k, ts, _v) in enumerate(left_rows):
+        best = None
+        for rk, rts, rv in right_rows:
+            if rk == k and rts <= ts and (best is None or rts > best[0]
+                                          or (rts == best[0] and rv > best[1])):
+                best = (rts, rv)
+        out[i] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=events_strategy, right=events_strategy)
+def test_asof_join_matches_brute_force(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts, _v) in enumerate(left)],
+        "row_id long, k long, ts long",
+    )
+    # collapse right duplicates per (k, ts) to max value, as the
+    # operator's documented tie rule does
+    rdf = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in right], "k long, ts long, v long"
+    )
+    got = {
+        r.row_id: r.v_asof
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts", right_values=["v"]
+        ).collect()
+    }
+    want = _brute_force_asof(
+        [(k, ts, v) for k, ts, v in left], [(k, ts, v) for k, ts, v in right]
+    )
+    assert got == want
+
+
+batch_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=batch_strategy, batch=batch_strategy)
+def test_upsert_laws(spark, target, batch):
+    tdf = spark.createDataFrame(
+        pd.DataFrame(target, columns=["k", "v"]), "k long, v double"
+    ).dropDuplicates(["k"])
+    bdf = spark.createDataFrame(
+        pd.DataFrame(batch, columns=["k", "v"]), "k long, v double"
+    )
+    once = upsert(tdf, bdf, ["k"])
+    twice = upsert(once, bdf, ["k"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    # Idempotency: re-applying the same batch changes nothing.
+    assert a == b
+    # Key-uniqueness: the merged table has one row per key.
+    keys = [k for k, _ in a]
+    assert len(keys) == len(set(keys))
+    # Every batch key's value comes from the batch (last-writer-wins).
+    batch_keys = {k for k, _ in batch}
+    merged = dict(a)
+    for k in batch_keys:
+        vals = [v for bk, v in batch if bk == k]
+        assert abs(merged[k] - sum(vals) / len(vals)) < 1e-9

@@ -85,6 +85,38 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, bronze_dir, tmp_path):
     assert after.where(F.col("d") == 1).count() == 24
 
 
+def test_missing_metric_schema_evolution(spark, tmp_path):
+    """A bronze doc without the precipitation array (API field drop /
+    add — SURVEY.md §7 hard-point e) must keep its rows, with nulls
+    for the missing metric only."""
+    doc = _doc("2024-03-05", 51.0)
+    del doc["hourly"]["precipitation"]
+    p = tmp_path / "b" / "y=2024/m=03/d=05"
+    p.mkdir(parents=True)
+    (p / "doc.json").write_text(json.dumps(doc))
+    silver = flatten_hourly(read_bronze(spark, str(tmp_path / "b")))
+    rows = silver.collect()
+    assert len(rows) == 24
+    assert all(r.precip_mm is None for r in rows)
+    assert all(r.temperature_c is not None for r in rows)
+
+
+def test_duplicate_documents_deduped(spark, bronze_dir, tmp_path):
+    """Two copies of the same day's document (the reference guards
+    this with limit(1) — silver_openmeteo.py:28) must flatten to one
+    row per hour, not two."""
+    day, lat = "2024-03-06", 40.0
+    p = tmp_path / "b" / "y=2024/m=03/d=06"
+    p.mkdir(parents=True)
+    (p / "doc1.json").write_text(json.dumps(_doc(day, lat)))
+    (p / "doc2.json").write_text(json.dumps(_doc(day, lat)))
+    silver = flatten_hourly(read_bronze(spark, str(tmp_path / "b")))
+    assert silver.count() == 24
+    assert flatten_hourly(
+        read_bronze(spark, str(tmp_path / "b")), dedupe=False
+    ).count() == 48
+
+
 def test_rerun_same_day_no_duplicates(spark, bronze_dir, tmp_path):
     out = str(tmp_path / "silver")
     silver = flatten_hourly(read_bronze(spark, bronze_dir))
