@@ -87,6 +87,51 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def portable_shingle_hash(text_col: str, n: int = 3) -> Column:
+    """Shingle hashes via md5-prefix (not xxhash64): reproducible by
+    ANY system with md5 — the property a *fingerprint* needs (external
+    dedup against another store), where the LSH internals are free to
+    use the faster xxhash64."""
+    return F.expr(
+        f"transform(CASE WHEN size(split({text_col}, ' ')) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))) END, "
+        f"s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: the min shingle-hash of
+    every sliding window of ``window`` hashes, deduplicated — the
+    rolling-hash fingerprint family that guarantees any shared run of
+    ≥ window+n-1 tokens yields a shared fingerprint. Pure higher-order
+    functions; one explode at the end for an inverted fingerprint
+    index."""
+    hs = portable_shingle_hash(text_col, n)
+    fps = F.array_distinct(
+        F.when(
+            F.size(hs) >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size(hs) - window),
+                lambda i: F.array_min(F.slice(hs, i + 1, window)),
+            ),
+        ).otherwise(
+            F.when(F.size(hs) > 0, F.array(F.array_min(hs))).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: length, token count, mean token
     length, distinct-token ratio, fingerprint — standard pre-training

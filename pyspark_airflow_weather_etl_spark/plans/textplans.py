@@ -200,6 +200,118 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=3)
 
 
+@register(
+    "regex_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation) — the
+    pre-tokenizer split every BPE-family tokenizer applies first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+_SQL_SHINGLE_HASHES = (
+    "list_transform("
+    + _SQL_SHINGLES
+    + ", s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))"
+)
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM documents
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(CASE
+               WHEN len(hs) >= 4 THEN
+                 list_transform(range(1, len(hs) - 2),
+                                i -> list_aggregate(hs[i:i+3], 'min'))
+               WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+               ELSE [] END) AS fp
+      FROM hashed
+    )
+    SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+    """,
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling fingerprints: min md5-prefix hash per
+    sliding window of 4 shingle hashes, deduplicated — any shared
+    token run of ≥ 6 tokens between documents is guaranteed to share
+    a fingerprint. The md5-based hash keeps the fingerprints
+    reproducible by external systems (and by the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.winnowing_fingerprints(docs, "doc_id", "text", n=3, window=4)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), idf AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.token,
+             round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN idf ON tf.token = idf.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, token) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency × inverse document frequency, top-3
+    terms per document. The IDF side is vocabulary-sized, so it
+    broadcasts back onto the TF side — no large shuffle at corpus
+    scale. ln() rounded to 6 dp (libm ulp differences)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # one scalar job; enters the plan as a literal
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
+
+
 @register("minhash_near_dup_pairs")  # xxhash64 signatures: no SQL oracle
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4) candidate generation with
