@@ -445,6 +445,48 @@ def window_running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "window_rank_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_cheapest,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             AS neighbourhood_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: percent_rank / cume_dist (rounded —
+    internal division), first_value, nth_value over an unbounded
+    frame, and a sliding ±1-row decimal sum. One shuffle; every
+    window shares the (custkey | price, key) sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_near = w.rowsBetween(-1, 1)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.nth_value("o_orderkey", 2).over(w_all).alias("second_cheapest"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w_near)
+        .cast("double")
+        .alias("neighbourhood_total"),
+    )
+
+
 # ------------------------------------------------------- sorts / topk
 
 

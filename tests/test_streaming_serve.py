@@ -1,0 +1,50 @@
+"""foreachBatch streaming upsert: the streaming serving table must
+equal the batch rollup, and replaying the whole stream must be
+idempotent (keyed merge semantics — the reference's re-run guarantee
+at streaming latency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.functions.exact import DEC
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+from pyspark_airflow_weather_etl_spark.streaming.serve import stream_upsert_daily
+
+from conftest import SF_DIR
+
+
+def _batch_truth(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return {
+        (r.day, r.event_type): (r.sum_value, r.n_events)
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+
+
+def test_stream_upsert_matches_batch_and_is_idempotent(spark, tmp_path):
+    target = str(tmp_path / "serving")
+    stream_upsert_daily(spark, SF_DIR, target)
+    got = {
+        (r.day, r.event_type): (r.sum_value, r.n_events)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == _batch_truth(spark)
+
+    # Replay the entire stream into the same target (fresh checkpoint
+    # → every event re-delivered): keyed upsert must converge to the
+    # same table, not double counts.
+    stream_upsert_daily(spark, SF_DIR, target)
+    again = {
+        (r.day, r.event_type): (r.sum_value, r.n_events)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == got
