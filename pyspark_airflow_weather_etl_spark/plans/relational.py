@@ -164,6 +164,75 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_per_group_joinback",
+    oracle="""
+    WITH best AS (
+      SELECT s_nationkey AS nk, min(s_acctbal) AS min_bal
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+    FROM supplier s JOIN best b
+      ON s.s_nationkey = b.nk AND s.s_acctbal = b.min_bal
+    """,
+)
+def q2_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: the aggregate-then-join-back pattern — compute
+    a per-group extreme (min supplier balance per nation), then rejoin
+    to recover the full row(s) achieving it (the decorrelated form of
+    a correlated MIN subquery)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    best = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return supp.join(
+        F.broadcast(best),
+        (supp.s_nationkey == best.nk) & (supp.s_acctbal == best.min_bal),
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           {SQL_DSUM('l_quantity', 'total_qty')}
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      AND o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 180)
+    GROUP BY c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: HAVING over a grouped sum feeding an IN
+    subquery (a left-semi join after decorrelation) — big orders and
+    who placed them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "q"))
+        .where(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+@register(
     "q7_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,

@@ -3,8 +3,6 @@ synthetic, so the oracle-parity test only proves 'und' there)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from pyspark_airflow_weather_etl_spark.operators.text import lang_id, shingles
 
 
