@@ -1060,6 +1060,83 @@ def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_event_stats",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT date_trunc('day', ts) AS win_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('day', ts) - INTERVAL 1 DAY, value FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d') AS window_start,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'sum_value')}
+    FROM assigned
+    GROUP BY win_start
+    """,
+)
+def sliding_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 2-day windows advancing
+    1 day, so every event lands in two windows (Spark's window() with
+    a slide emits one row per covering window — the oracle expresses
+    the same assignment as a UNION of the two shifted buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap) checked against the
+    independent gaps-and-islands SQL formulation — two definitions of
+    'session' proven equivalent on the same data."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
     "sessionize_user_events",
     oracle="""
     WITH flagged AS (
