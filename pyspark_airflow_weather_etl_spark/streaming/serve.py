@@ -46,10 +46,20 @@ def _daily_rollup_update(events: DataFrame) -> DataFrame:
 
 
 def stream_upsert_daily(
-    spark: SparkSession, sf_dir: str, target_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Run the streaming rollup and MERGE every micro-batch into the
-    parquet serving table at ``target_path``."""
+    parquet serving table at ``target_path``.
+
+    With ``checkpoint_dir`` set, restarts resume from the committed
+    offsets: a re-run over already-processed input is a no-op
+    (exactly-once progress tracking). Without it, a re-run replays
+    everything — and converges to the same table anyway, because the
+    keyed merge is idempotent. Both properties are tested.
+    """
     keys = ["day", "event_type"]
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -68,14 +78,16 @@ def stream_upsert_daily(
         # being rewritten.
 
     name = f"serve_{next(_run_ids)}"
-    q = (
+    writer = (
         _daily_rollup_update(read_events_stream(spark, sf_dir))
         .writeStream.foreachBatch(merge_batch)
         .outputMode("update")
         .queryName(name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.awaitTermination()
     finally:

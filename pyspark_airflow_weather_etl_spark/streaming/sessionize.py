@@ -10,6 +10,13 @@ stateful path agrees with it on bounded input.
 State per key is one open session (start/end/count) — O(users), not
 O(events); the processing-time timeout closes idle sessions so state
 cannot grow without bound on a live stream.
+
+Ordering caveat: rows are sorted per group *within* a micro-batch,
+but a row older than the open session's end arriving in a LATER
+micro-batch would extend rather than backfill (state keeps only the
+open session). On a live source, bound that with the upstream
+watermark; for a strict event-time treatment use event-time timers
+(transformWithState) instead of this processing-time form.
 """
 
 from __future__ import annotations

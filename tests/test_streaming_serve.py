@@ -48,3 +48,28 @@ def test_stream_upsert_matches_batch_and_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert again == got
+
+
+def test_checkpointed_restart_is_noop(spark, tmp_path):
+    """With a persistent checkpoint, a restart resumes from committed
+    offsets and reprocesses nothing (exactly-once progress)."""
+    target = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert_daily(spark, SF_DIR, target, checkpoint_dir=ckpt)
+    first = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    # Poison the target: if the restart reprocessed anything, the
+    # merge would repair/change rows and the poison would vanish.
+    poison = spark.createDataFrame(
+        [("9999-01-01", "poison", 1.0, 1)],
+        spark.read.parquet(target).schema,
+    )
+    spark.read.parquet(target).unionByName(poison).write.mode(
+        "overwrite"
+    ).parquet(target + "2")
+    spark.read.parquet(target + "2").write.mode("overwrite").parquet(target)
+
+    stream_upsert_daily(spark, SF_DIR, target, checkpoint_dir=ckpt)
+    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert ("9999-01-01", "poison", 1.0, 1) in after, "restart must not rewrite"
+    assert len(after) == len(first) + 1
