@@ -764,12 +764,16 @@ def scalar_string_part_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_math_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing + math scalars (sqrt exact per IEEE; ln
-    rounded to 6 dp since libm implementations differ in the last ulp)."""
+    rounded to 6 dp since libm implementations differ in the last
+    ulp). The global average comes from a broadcast single-row
+    aggregate cross-joined back — NOT a partition-less window, which
+    would funnel the whole table through one task at scale."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy()
-    avg_price = (
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
-        / F.count("*").over(w)
+    global_avg = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+            / F.count("*")
+        ).alias("avg_price")
     )
     bucket = (
         F.when(F.col("o_totalprice") < 50000, "small")
@@ -777,11 +781,12 @@ def scalar_math_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
     )
     return (
-        orders.select(
+        orders.crossJoin(F.broadcast(global_avg))
+        .select(
             bucket.alias("bucket"),
             F.col("o_totalprice"),
-            F.round(F.sqrt(avg_price), 6).alias("sqrt_avg"),
-            F.round(F.log(avg_price), 6).alias("ln_avg"),
+            F.round(F.sqrt(F.col("avg_price")), 6).alias("sqrt_avg"),
+            F.round(F.log(F.col("avg_price")), 6).alias("ln_avg"),
         )
         .groupBy("bucket", "sqrt_avg", "ln_avg")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total"))
