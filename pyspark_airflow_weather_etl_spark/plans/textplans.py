@@ -312,6 +312,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_token_positions",
+    oracle="""
+    SELECT doc_id, s.word, s.pos FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                    (w, i) -> struct_pack(word := w,
+                                          pos := CAST(i - 1 AS INT)))) AS s
+      FROM documents WHERE doc_id < 50)
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows with positions. The same expansion is a built-in posexplode —
+    shown here as a UDTF to cover the extension point; keep UDTFs off
+    hot paths (row-at-a-time Python) and prefer posexplode/explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, word: string, pos: int")
+    class TokenPositions:
+        def eval(self, row):  # TABLE arg arrives as one Row
+            for i, w in enumerate(row.text.split(" ")):
+                yield (row.doc_id, w, i)
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return TokenPositions(docs.select("doc_id", "text").asTable()).toDF(
+        "doc_id", "word", "pos"
+    )
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) % 10 = 3
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    binary variant, then typed variant_get extraction — the
+    shredded-JSON storage model for open-ended schemas (vs from_json,
+    which needs the schema up front)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_id", k.alias("k"), (k % 10).alias("k_mod"))
+        .where(F.col("k_mod") == 3)
+    )
+
+
 @register("minhash_near_dup_pairs")  # xxhash64 signatures: no SQL oracle
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4) candidate generation with
