@@ -80,6 +80,34 @@ def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlation_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, sample stddev (both engines use the same co-moment
+    definitions; rounding absorbs summation-order ulps — corr/stddev
+    are scale-free so 6 dp, covariance is price-scaled so 2 dp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+            "price_qty_corr"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
+@register(
     "histogram_order_values",
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
