@@ -108,6 +108,34 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "linear_regression_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def linear_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit as aggregates (regr_slope/intercept/r2) — the one-pass
+    distributed regression both engines define by the same co-moment
+    formulas; rounding scaled to each statistic (slope/r2 are ~unit
+    scale, intercept is price-scaled)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@register(
     "histogram_order_values",
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
