@@ -56,6 +56,61 @@ HEADLINE = [
 ]
 
 
+def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
+    """Measure the amortized-layout story: the same orders⨝lineitem
+    aggregation against (a) plain parquet (shuffle both sides) and
+    (b) pre-bucketed tables (zero exchange). The bucketed write is
+    setup, not measurement — at scale it is paid once and amortized
+    over every downstream join on the key."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.scale import (
+        bucketed_tables_join,
+        write_bucketed,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_buckets_")
+    write_bucketed(orders, "bench_orders_b", ["o_orderkey"], 16,
+                   f"{tmp}/orders", sort_cols=["o_orderkey"])
+    write_bucketed(li, "bench_lineitem_b", ["o_orderkey"], 16,
+                   f"{tmp}/lineitem", sort_cols=["o_orderkey"])
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+        )
+
+    out: dict[str, float] = {}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        agg(orders.join(li, "o_orderkey")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["join_shuffled"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        agg(
+            bucketed_tables_join(
+                spark, "bench_orders_b", "bench_lineitem_b", ["o_orderkey"]
+            )
+        ).write.format("noop").mode("overwrite").save()
+        out["join_bucketed"] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+        spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -74,6 +129,8 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings.update(_layout_comparison(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
