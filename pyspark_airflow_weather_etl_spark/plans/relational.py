@@ -440,8 +440,8 @@ def anti_join_no_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rn
     FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
           FROM orders)
     WHERE rn <= 3
     """,
@@ -722,7 +722,7 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            upper(p_name) AS name_upper,
            substring(p_type, 1, 4) AS type_prefix,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS INT) AS name_len,
            concat(p_brand, '/', p_type) AS brand_type,
            replace(p_name, ' ', '_') AS name_snake,
            CAST(regexp_extract(p_brand, '[0-9]+', 0) AS INT) AS brand_num
