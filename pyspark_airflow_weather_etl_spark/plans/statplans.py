@@ -37,6 +37,81 @@ def percentile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "two_phase_skew_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {SQL_DSUM('l_quantity', 'sum_l_quantity')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def two_phase_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salt→partial→final skew-proof aggregation (operators.scale.
+    two_phase_agg) hash-checked against the plain GROUP BY — the
+    rewrite is an identity on results, only the shuffle shape changes
+    (a 3-value group key like l_returnflag is exactly the giant-group
+    case where one reducer would otherwise take the whole table)."""
+    from ..functions.exact import DEC
+    from ..operators.scale import two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast(DEC).alias("l_quantity")
+    )
+    out = two_phase_agg(li, ["l_returnflag"], sums=["l_quantity"])
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
+    )
+
+
+@register(
+    "salted_join_identity",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           {SQL_DSUM('c_acctbal', 'total_balance')}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_join_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salted join (operators.scale.salted_join — left
+    keys spread over 8 salts, dimension replicated to every salt)
+    hash-checked against the plain equi-join: correctness is
+    invariant, only the key distribution changes."""
+    from ..operators.scale import salted_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        salted_join(cust, nation, ["c_nationkey"], salts=8)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+        )
+    )
+
+
+@register("approx_percentile_prices")  # t-digest sketch: engine-specific
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch that replaces the exact
+    per-group sort at 100 TB. Rows-only driver check; pytest bounds
+    the sketch against the exact percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_p50"
+        ),
+        F.percentile("o_totalprice", 0.5).alias("exact_p50"),
+    )
+
+
 @register("approx_distinct_users")  # HLL sketch: engine-specific, no oracle
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count —
