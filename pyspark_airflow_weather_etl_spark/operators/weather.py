@@ -31,11 +31,19 @@ METRICS = {
 }
 
 
-def read_bronze(spark: SparkSession, path: str) -> DataFrame:
+def read_bronze(
+    spark: SparkSession, path: str, multiline: bool = False
+) -> DataFrame:
     """Bronze scan with an explicit schema — no inference pass
     (the reference infers: silver_openmeteo.py:24; at 100 TB that is
-    a full extra read)."""
-    return spark.read.schema(schemas.BRONZE_WEATHER).json(path)
+    a full extra read). ``multiline=True`` for pretty-printed API
+    dumps (one document spanning lines); the default line-delimited
+    mode is splittable and preferred for large landings."""
+    return (
+        spark.read.schema(schemas.BRONZE_WEATHER)
+        .option("multiLine", str(multiline).lower())
+        .json(path)
+    )
 
 
 def flatten_hourly(bronze: DataFrame, dedupe: bool = True) -> DataFrame:

@@ -56,6 +56,14 @@ def test_bronze_to_silver_schema_and_rows(spark, bronze_dir):
     assert first.lat == 52.52
 
 
+def test_multiline_pretty_json(spark, tmp_path):
+    p = tmp_path / "b" / "y=2024/m=03/d=09"
+    p.mkdir(parents=True)
+    (p / "doc.json").write_text(json.dumps(_doc("2024-03-09", 50.0), indent=2))
+    silver = flatten_hourly(read_bronze(spark, str(tmp_path / "b"), multiline=True))
+    assert silver.count() == 24
+
+
 def test_gold_rollup_matches_reference_aggregates(spark, bronze_dir):
     gold = daily_rollup(flatten_hourly(read_bronze(spark, bronze_dir)))
     row = {(r.y, r.m, r.d): r for r in gold.collect()}[(2024, 3, 1)]
