@@ -73,6 +73,25 @@ def sql_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, GROUPING_SETS_ORDERS)
 
 
+LATERAL_TOP_CUSTOMER = """
+    SELECT n_name, t.top_custkey, t.bal
+    FROM nation, LATERAL (
+      SELECT c_custkey AS top_custkey, c_acctbal AS bal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 1) t
+"""
+
+
+@register("sql_lateral_top_customer", oracle=LATERAL_TOP_CUSTOMER)
+def sql_lateral_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-row ORDER BY/LIMIT — the
+    top-1-per-outer-row pattern as first-class SQL (Catalyst
+    decorrelates it; the window-rank form is its plan twin)."""
+    return _sql(spark, sf_dir, LATERAL_TOP_CUSTOMER)
+
+
 NTILE_PRICE_QUARTILES = """
     SELECT quartile,
            count(*) AS n_orders,

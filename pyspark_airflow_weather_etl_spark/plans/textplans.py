@@ -313,6 +313,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_functions_tokens",
+    oracle="""
+    SELECT doc_id,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3],
+                           '|') AS first3_sorted,
+           string_split(text, ' ')[1] AS head_token,
+           string_split(text, ' ')[-1] AS last_token
+    FROM documents
+    """,
+)
+def array_functions_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function surface: membership, distinct size,
+    sort + slice + join, head/tail element access — all higher-order
+    built-ins over the token array."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), "|"
+        ).alias("first3_sorted"),
+        F.element_at(toks, 1).alias("head_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+@register(
     "udtf_token_positions",
     oracle="""
     SELECT doc_id, s.word, s.pos FROM (
