@@ -1,0 +1,89 @@
+"""Iterative DataFrame algorithms: connected components for dedup
+clustering.
+
+Near-dup detection yields PAIRS; deduplication needs CLUSTERS (a≈b,
+b≈c ⇒ {a,b,c} keep one). Components come from hash-min label
+propagation: every node repeatedly adopts the smallest label in its
+neighbourhood until a fixed point. Each round is two shuffles
+(join + min-aggregate); rounds needed ≈ graph diameter, and near-dup
+graphs are shallow (dup groups are cliques or short chains), so 3-6
+rounds close real corpora.
+
+Iterative DataFrame loops grow lineage without bound —
+``localCheckpoint`` truncates the plan each round so round N+1 does
+not re-run rounds 1..N (the classic iterative-algorithm footgun).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the smallest node id reachable from it.
+
+    Converges when no label changes; stops early via a cheap count of
+    changed labels per round.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+    # symmetric edge list (propagate both directions)
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # label each node with the min of (its label, neighbours' labels)
+        neighbour_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.node == neighbour_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs → (node, component, is_canonical): one canonical
+    representative (min id) per transitive duplicate cluster — the row
+    set to KEEP is everything outside ``pairs`` plus the canonical
+    member of each cluster."""
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.withColumn(
+        "is_canonical", F.col("node") == F.col("component")
+    )

@@ -396,6 +396,49 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters_jaccard",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) j JOIN sizes sa ON sa.doc_id = j.id_a
+           JOIN sizes sb ON sb.doc_id = j.id_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS a, u AS b FROM sym
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    )
+    SELECT a AS node, min(b) AS component,
+           CAST(a = min(b) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over exact-Jaccard near-dup pairs:
+    the engine's iterative hash-min label propagation
+    (operators.graph.connected_components, lineage-checkpointed per
+    round) hash-checked against DuckDB's recursive-CTE transitive
+    closure — two entirely different algorithms for the same
+    components."""
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=3)
+    return dedup_clusters(pairs)
+
+
 @register("minhash_near_dup_pairs")  # xxhash64 signatures: no SQL oracle
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4) candidate generation with

@@ -1,0 +1,55 @@
+"""Connected components / dedup clusters: known topologies, and the
+end-to-end near-dup → cluster pipeline on planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.operators.dedup import jaccard_pairs
+from pyspark_airflow_weather_etl_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds), clique
+    # {10,11,12}, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """Plant a transitive near-dup chain doc→copyA→copyB; the cluster
+    must collapse to one canonical id."""
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    a = docs.limit(5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    b = docs.limit(5).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz qqq")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(a).unionByName(b)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", threshold=0.5)
+    clusters = dedup_clusters(pairs).collect()
+    by_comp: dict[int, set[int]] = {}
+    for r in clusters:
+        by_comp.setdefault(r.component, set()).add(r.node)
+    # each planted chain {d, d+1000, d+2000} lands in ONE component
+    for d in [r.doc_id for r in docs.limit(5).collect()]:
+        comps = [c for c, members in by_comp.items()
+                 if {d, d + 1000, d + 2000} <= members]
+        assert comps, f"chain for doc {d} not clustered: {by_comp}"
+    canon = {r.node for r in clusters if r.is_canonical}
+    assert all(r.component in canon for r in clusters)
