@@ -1,0 +1,52 @@
+"""Catalog hygiene: the driver contract must stay internally
+consistent as entries are added."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+from pyspark_airflow_weather_etl_spark.plans import REGISTRY
+
+
+def test_every_entry_documented():
+    for name, q in REGISTRY.items():
+        assert q.doc, f"{name} has no docstring"
+
+
+def test_contract_exports_match_registry():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(qs) == set(REGISTRY)
+    assert set(oracles) <= set(qs)
+    # every oracle references only pre-registered fixture views
+    fixtures = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    import re
+
+    for name, sql in oracles.items():
+        tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql,
+                                re.IGNORECASE))
+        cte_names = set(re.findall(r"(?:WITH(?:\s+RECURSIVE)?\s+|,\s*)"
+                                   r"([a-z_][a-z0-9_]*)\s+AS\s*\(", sql,
+                                   re.IGNORECASE))
+        aliases = {"t", "n", "c", "s", "o", "l", "a", "b", "e", "q", "j",
+                   "n1", "n2", "sa", "sb", "v", "p", "r", "u", "w"}
+        tables = {t.lower() for t in tables}
+        cte_names = {t.lower() for t in cte_names}
+        unknown = tables - fixtures - cte_names - aliases - {
+            "unnest", "lateral", "read_parquet",
+            "null",  # 'IS NOT DISTINCT FROM NULL' matches the regex
+        }
+        assert not unknown, f"{name} references non-fixture tables: {unknown}"
+
+
+def test_rows_only_entries_are_the_documented_sketches():
+    rows_only = {n for n, q in REGISTRY.items() if not q.oracle}
+    assert rows_only == {
+        "minhash_near_dup_pairs",
+        "simhash_documents",
+        "srp_ann_topk",
+        "ivf_ann_topk",
+        "approx_distinct_users",
+        "approx_percentile_prices",
+    }, f"unexpected rows-only set: {rows_only}"
