@@ -24,13 +24,17 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 10,
+    max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the smallest node id reachable from it.
 
     Converges when no label changes; stops early via a cheap count of
-    changed labels per round.
+    changed labels per round. Rounds needed ≈ graph diameter; if the
+    loop exhausts ``max_iter`` with labels still changing, the result
+    would be a silently-wrong clustering (chains longer than max_iter
+    collapse into several components), so that raises instead of
+    returning.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -46,6 +50,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iter):
         # label each node with the min of (its label, neighbours' labels)
         neighbour_min = (
@@ -72,7 +77,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter — labels "
+            "at this point would be a wrong clustering, not an "
+            "approximation"
+        )
     return labels
 
 

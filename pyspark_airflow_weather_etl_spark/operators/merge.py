@@ -16,6 +16,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_AVG_OK = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
 
 
 def collapse_duplicates(
@@ -26,11 +32,26 @@ def collapse_duplicates(
     ``how='avg'`` is bug-compatible with the reference, which averages
     *every* metric across duplicate rows — including min_temp_c /
     max_temp_c (weather_daily_etl.py:188-193: AVG-of-min, not
-    min-of-min). ``how='last'`` keeps the row with the highest sort
-    key instead (the usual last-writer-wins).
+    min-of-min). It therefore requires every value column to be
+    numeric — ``F.avg`` on a string/timestamp column silently yields
+    NULL, which would destroy data, so non-numeric value columns are a
+    hard error here. ``how='last'`` keeps the row with the highest
+    sort key instead (the usual last-writer-wins) and works for any
+    column types.
     """
     value_cols = [c for c in df.columns if c not in keys]
     if how == "avg":
+        non_numeric = [
+            f.name
+            for f in df.schema.fields
+            if f.name in value_cols and not isinstance(f.dataType, _AVG_OK)
+        ]
+        if non_numeric:
+            raise TypeError(
+                "collapse_duplicates(how='avg') averages every value "
+                f"column, but {non_numeric} are not numeric (F.avg would "
+                "silently NULL them); use how='last' for mixed-type rows"
+            )
         return df.groupBy(*keys).agg(
             *[F.avg(c).alias(c) for c in value_cols]
         )
@@ -61,5 +82,12 @@ def upsert(
     and the target never shuffles at all.
     """
     collapsed = collapse_duplicates(updates, keys, how)
+    # Re-cast to the target's exact schema: avg() widens ints to
+    # double, and unionByName would otherwise propagate that widening
+    # into the merged table, silently mutating the serving schema.
+    target_types = {f.name: f.dataType for f in target.schema.fields}
+    collapsed = collapsed.select(
+        *[F.col(c).cast(target_types[c]).alias(c) for c in target.columns]
+    )
     keep = target.join(collapsed, list(keys), "left_anti")
-    return keep.unionByName(collapsed.select(*target.columns))
+    return keep.unionByName(collapsed)

@@ -51,7 +51,19 @@ def salted_join(
     each left key over ``salts`` sub-keys (deterministic hash of the
     full row, so re-runs place rows identically) and replicate the
     right side to every salt. Right-side cost ×salts — use for
-    dimension-sized right sides only."""
+    dimension-sized right sides only.
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated ``salts`` times, so any join that emits unmatched
+    right rows ('right'/'full') would duplicate them per salt, and
+    semi/anti semantics silently change under replication.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side duplicates unmatched right rows for "
+            "right/full joins and breaks semi/anti semantics"
+        )
     on = list(on)
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)

@@ -1,4 +1,12 @@
-"""Query catalog — importing this package populates the registry."""
+"""Query catalog — importing this package populates the registry.
+
+Registration order matters: the correctness driver walks ``queries()``
+in dict order under a per-round budget, so entries that have never
+received a driver row must come first. ``_DRIVER_VERIFIED`` is the set
+of names with a green CORRECTNESS row from prior rounds; everything
+else (new queries, round-1 leftovers) is hoisted to the front of the
+registry after all modules have registered.
+"""
 
 from . import (  # noqa: F401
     relational,
@@ -10,3 +18,72 @@ from . import (  # noqa: F401
     textplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
+
+# Names with a green (or rows-only-by-design) row in CORRECTNESS_r01.json.
+# Keep appending per round; never remove — a name absent from this set is
+# scheduled ahead of everything in it.
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "anti_join_no_pending",
+        "array_agg_order_ids",
+        "cosine_topk_bruteforce",
+        "cube_orders_status_priority",
+        "date_arithmetic_shipping",
+        "distinct_customers_per_priority",
+        "embedding_near_dup_pairs",
+        "embedding_norms",
+        "events_daily_rollup",
+        "from_json_typed_props",
+        "full_outer_nation_activity",
+        "grouped_centroids_pandas",
+        "ivf_ann_topk",
+        "json_props_extract",
+        "label_centroids",
+        "null_semantics",
+        "pairwise_topk_per_label",
+        "percentile_price_quartiles",
+        "pivot_daily_event_values",
+        "q10_returned_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_predicates",
+        "q1_pricing_summary",
+        "q2_min_per_group_joinback",
+        "q3_top_unshipped_orders",
+        "q5_nation_revenue",
+        "q7_volume_shipping",
+        "rollup_pricing_by_flag_status",
+        "scalar_date_order_months",
+        "scalar_math_order_buckets",
+        "scalar_string_part_catalog",
+        "semi_join_big_spenders",
+        "session_window_native",
+        "sessionize_user_events",
+        "setop_cust_fulfilled_and_open",
+        "setop_cust_fulfilled_only",
+        "setop_union_segments",
+        "sliding_window_event_stats",
+        "sql_above_nation_avg",
+        "sql_grouping_sets_orders",
+        "sql_lateral_top_customer",
+        "sql_ntile_price_quartiles",
+        "sql_q4_late_orders",
+        "srp_ann_topk",
+        "topk_orders_by_price",
+        "unpivot_part_metrics",
+        "window_order_value_delta",
+        "window_rank_distribution",
+        "window_running_customer_total",
+        "window_top_orders_per_customer",
+    }
+)
+
+
+def _hoist_unverified() -> None:
+    unverified = {n: q for n, q in REGISTRY.items() if n not in _DRIVER_VERIFIED}
+    verified = {n: q for n, q in REGISTRY.items() if n in _DRIVER_VERIFIED}
+    REGISTRY.clear()
+    REGISTRY.update(unverified)
+    REGISTRY.update(verified)
+
+
+_hoist_unverified()

@@ -46,6 +46,36 @@ def write_parquet_partitioned(
     )
 
 
+def overwrite_parquet_swap(df: DataFrame, path: str) -> None:
+    """Overwrite ``path`` with ``df`` even when ``df`` READS from
+    ``path`` (the read-merge-rewrite serving pattern).
+
+    A plain ``mode('overwrite')`` on the source path is unsafe: Spark
+    deletes the target before the job finishes, so any task retry or
+    lost cached block recomputes from a partially-deleted input and
+    silently truncates the table. Instead: materialize fully into a
+    sibling temp directory (the source stays intact for recomputes),
+    then swap via the Hadoop FileSystem API — delete target, rename
+    temp into place. A crash between delete and rename leaves the
+    complete temp directory on disk (recoverable), never a silent
+    truncation. On a real deployment prefer a transactional table
+    format (Delta/Iceberg MERGE), which makes the swap a metadata op.
+    """
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + ".__swap_tmp__"
+    df.write.mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dest.getFileSystem(conf)
+    if fs.exists(dest):
+        fs.delete(dest, True)
+    if not fs.rename(src, dest):
+        raise IOError(f"rename {tmp} -> {path} failed; data is at {tmp}")
+
+
 def jdbc_writer(
     df: DataFrame,
     url: str,

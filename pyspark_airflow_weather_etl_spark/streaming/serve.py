@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
 from ..operators.merge import upsert
+from ..sources.writers import overwrite_parquet_swap
 from .rollup import read_events_stream
 
 _run_ids = itertools.count()
@@ -68,14 +69,10 @@ def stream_upsert_daily(
             target = s.read.parquet(target_path)
         except Exception:  # first batch: table does not exist yet
             target = s.createDataFrame([], batch.schema)
-        merged = upsert(target, batch, keys, how="last").persist()
-        merged.count()  # materialize before overwriting the source
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
-        # On a real cluster use a transactional table format (Delta/
-        # Iceberg MERGE) instead of persist-then-overwrite — a lost
-        # cache block during the write would recompute from the path
-        # being rewritten.
+        merged = upsert(target, batch, keys, how="last")
+        # temp-write + FS rename: the source parquet stays intact for
+        # any recompute until the fully-written table swaps in
+        overwrite_parquet_swap(merged, target_path)
 
     name = f"serve_{next(_run_ids)}"
     writer = (

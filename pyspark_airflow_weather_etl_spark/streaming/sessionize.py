@@ -84,7 +84,10 @@ def _sessionize_group(
             closed.append([user_id, seq, n, start, end])
             seq, n, start, end = seq + 1, 1, t, t
         else:
-            n, end = n + 1, t
+            # max(), not t: a cross-batch out-of-order row with t < end
+            # must not rewind the session end — a rewound end could push
+            # the NEXT row past GAP_US and spuriously split the session.
+            n, end = n + 1, max(end, t)
     state.update((seq, n, start, end))
     try:
         state.setTimeoutDuration(60 * 60 * 1000)  # close after 1h idle

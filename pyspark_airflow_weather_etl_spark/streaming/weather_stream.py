@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import upsert
 from ..operators.weather import flatten_hourly
+from ..sources.writers import overwrite_parquet_swap
 from ..schemas import BRONZE_WEATHER
 from ..session import apply_runtime_confs
 
@@ -71,10 +72,8 @@ def run_weather_stream(
             target = s.read.parquet(gold_path)
         except Exception:
             target = s.createDataFrame([], gold_update.schema)
-        merged = upsert(target, gold_update, ["y", "m", "d"], how="last").persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(gold_path)
-        merged.unpersist()
+        merged = upsert(target, gold_update, ["y", "m", "d"], how="last")
+        overwrite_parquet_swap(merged, gold_path)
 
     name = f"weather_stream_{next(_run_ids)}"
     writer = (

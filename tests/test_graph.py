@@ -28,6 +28,21 @@ def test_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_components_raise_when_unconverged(spark):
+    """A chain whose diameter exceeds max_iter must raise, never return
+    a silently-wrong clustering (ADVICE round 1)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain is one component
+    got = {r.component for r in connected_components(chain).collect()}
+    assert got == {0}
+
+
 def test_dedup_clusters_end_to_end(spark):
     """Plant a transitive near-dup chain doc→copyA→copyB; the cluster
     must collapse to one canonical id."""

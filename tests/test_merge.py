@@ -6,6 +6,8 @@ Postgres ON CONFLICT upsert (weather_daily_etl.py:186-209).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark_airflow_weather_etl_spark.operators.merge import (
     collapse_duplicates,
     upsert,
@@ -62,3 +64,27 @@ def test_upsert_collapses_duplicate_source_keys(spark):
     out = upsert(target, updates, KEYS).collect()
     assert len(out) == 1
     assert out[0].min_temp_c == 15.0
+
+
+def test_collapse_avg_rejects_non_numeric_value_columns(spark):
+    """F.avg on a string column silently yields NULL — a default-mode
+    upsert over mixed-type rows would destroy data, so it must raise."""
+    stage = spark.createDataFrame(
+        [(2024, 3, 1, 10.0, "sunny")],
+        "y int, m int, d int, min_temp_c double, sky string",
+    )
+    with pytest.raises(TypeError, match="not numeric"):
+        collapse_duplicates(stage, KEYS, how="avg")
+
+
+def test_upsert_preserves_target_schema_dtypes(spark):
+    """avg() widens ints to double; the merge must cast back so the
+    serving table's schema never silently mutates across upserts."""
+    target = spark.createDataFrame(
+        [(2024, 3, 1, 5)], "y int, m int, d int, n_hours int"
+    )
+    updates = spark.createDataFrame(
+        [(2024, 3, 2, 7)], "y int, m int, d int, n_hours int"
+    )
+    merged = upsert(target, updates, KEYS)
+    assert merged.schema == target.schema

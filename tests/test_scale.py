@@ -67,6 +67,15 @@ def test_salted_join_equals_plain_join(spark, skewed):
     )
 
 
+def test_salted_join_rejects_outer_and_semi(spark, skewed):
+    """The replicated right side duplicates unmatched right rows for
+    right/full joins and breaks semi/anti semantics (ADVICE round 1)."""
+    dim = spark.createDataFrame([(1, "one")], "k long, name string")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(skewed, dim, ["k"], how=how)
+
+
 def test_two_phase_agg_equals_direct(spark, skewed):
     direct = {
         r.k: (r.n_rows, r.sum_v)
