@@ -105,10 +105,25 @@ def flatten_hourly(bronze: DataFrame, dedupe: bool = True) -> DataFrame:
     return flat
 
 
-def daily_rollup(silver: DataFrame) -> DataFrame:
+def daily_rollup(silver: DataFrame, exact: bool = False) -> DataFrame:
     """Gold: per-day min/max/avg temperature, precip sum, avg humidity
     (exact aggregate set of gold_openmeteo.py:22-26). Partial+final
-    hash aggregation — one narrow shuffle of day-level groups."""
+    hash aggregation — one narrow shuffle of day-level groups.
+
+    ``exact=True`` switches SUM/AVG to the DECIMAL(18,6) accumulation
+    of ``functions.exact`` — order- and engine-independent results for
+    oracle hash-comparison and reproducible re-runs (the plain float
+    path is cheaper and fine for serving)."""
+    if exact:
+        from ..functions.exact import avg_of, dsum
+
+        return silver.groupBy("y", "m", "d").agg(
+            F.min("temperature_c").alias("min_temp_c"),
+            F.max("temperature_c").alias("max_temp_c"),
+            avg_of("temperature_c", "avg_temp_c"),
+            dsum("precip_mm", "precip_mm_sum"),
+            avg_of("humidity_pct", "avg_humidity_pct"),
+        )
     return silver.groupBy("y", "m", "d").agg(
         F.min("temperature_c").alias("min_temp_c"),
         F.max("temperature_c").alias("max_temp_c"),

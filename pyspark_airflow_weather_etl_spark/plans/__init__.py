@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     streamplans,
     temporal,
     textplans,
+    weatherplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 
