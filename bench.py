@@ -46,6 +46,7 @@ HEADLINE = [
     "token_frequency",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
     "minhash_near_dup_pairs",
     "cosine_topk_bruteforce",
     "srp_ann_topk",

@@ -142,16 +142,33 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for all pairs sharing ≥1 shingle,
     via an inverted-index self-join (shingle → postings → pair
-    counts). At 100 TB, drop stop-shingles (document frequency above a
-    cap) before the join — the standard way to bound postings-list
-    skew; the fixture corpus is small enough to skip that here."""
+    counts).
+
+    ``max_df`` is the stop-shingle document-frequency cap: a shingle
+    appearing in more than ``max_df`` documents is removed from every
+    document's shingle set *before* the self-join (sizes shrink too,
+    so Jaccard stays a true set similarity — over the pruned space).
+    The postings join is quadratic per shingle (df·(df−1)/2 pairs), so
+    one boilerplate phrase shared by 1 M documents is 5·10¹¹ pairs —
+    the cap is what makes the join feasible at 100 TB. Hot shingles
+    are few by construction, so the pruning side broadcasts; the extra
+    cost is one map-side-combined groupBy of shingle hashes."""
     sh = df.select(
         F.col(id_col),
         F.explode(hashed_shingles(text_col, n)).alias("shingle"),
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -201,6 +201,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_pairs_capped",
+    oracle=f"""
+    WITH sh_all AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, shingle FROM sh_all
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 5
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-pruned exact Jaccard: shingles with document
+    frequency > 5 are dropped from every shingle set before the
+    postings self-join (df·(df−1)/2 pairs per shingle makes hot
+    shingles quadratic — the cap is the 100 TB feasibility knob).
+    Jaccard is computed over the pruned shingle space on both engines,
+    so the oracle encodes the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=3, max_df=5)
+
+
+@register(
     "regex_token_stats",
     oracle=r"""
     SELECT doc_id,

@@ -35,6 +35,7 @@ def test_contract_exports_match_registry():
         cte_names = {t.lower() for t in cte_names}
         unknown = tables - fixtures - cte_names - aliases - {
             "unnest", "lateral", "read_parquet",
+            "read_json",  # committed bronze fixture (weatherplans)
             "null",  # 'IS NOT DISTINCT FROM NULL' matches the regex
         }
         assert not unknown, f"{name} references non-fixture tables: {unknown}"

@@ -75,3 +75,41 @@ def test_simhash_identical_and_near(spark, corpus):
         assert h[base] == h[base + 10_000], "identical text → identical simhash"
         near = bin(h[base] ^ h[base + 20_000]).count("1")
         assert near <= 16, f"near-dup hamming {near} too far"
+
+
+def test_jaccard_max_df_prunes_stop_shingles(spark):
+    """A boilerplate phrase shared by every doc must not create pairs
+    once its shingles exceed the document-frequency cap; docs that are
+    near-dups beyond the boilerplate must survive pruning."""
+    boiler = "terms of service apply to all content"
+    rows = [
+        # 1 & 2: true near-dups (same body, one token changed)
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " alpha beta gamma delta epsilon zeta eta iota"),
+        # 3-8: unrelated bodies sharing ONLY the boilerplate
+        (3, boiler + " red orange yellow green blue indigo violet one"),
+        (4, boiler + " cat dog bird fish horse goat sheep two"),
+        (5, boiler + " north south east west up down left three"),
+        (6, boiler + " mon tue wed thu fri sat sun four"),
+        (7, boiler + " jan feb mar apr may jun jul five"),
+        (8, boiler + " zero uno dos tres cuatro cinco seis six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    # boilerplate shingles tie every doc pair above 0.2
+    assert len(uncapped) > 1
+
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, max_df=4
+        ).collect()
+    }
+    # only the true near-dup pair survives, and its similarity is now
+    # measured over body shingles alone
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] > uncapped[(1, 2)] - 0.3  # still high
