@@ -50,7 +50,9 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "cosine_topk_bruteforce",
     "srp_ann_topk",
+    "srp_ann_topk_at_rest",
     "ivf_ann_topk",
+    "embedding_near_dup_blocked",
     "pairwise_topk_per_label",
     "multimodal_features",
     "streaming_daily_rollup",
@@ -122,6 +124,13 @@ def main() -> None:
     # first measured query doesn't pay one-time session init.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # Build the at-rest LSH index before timing: signature-at-write is
+    # ingest-time cost, amortized over every probe (same treatment as
+    # the bucketed-table write in _layout_comparison).
+    from pyspark_airflow_weather_etl_spark.plans.simplans import srp_index_path
+
+    srp_index_path(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

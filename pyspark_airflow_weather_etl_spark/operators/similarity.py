@@ -118,6 +118,183 @@ def srp_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def srp_index_write(
+    embeddings: DataFrame,
+    dim: int,
+    path: str,
+    bits_per_table: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the signature-at-rest LSH index: one row per
+    (LSH table, vector), laid out as ``t=<table>/bucket=<subbucket>``
+    parquet partitions — the classic L-hash-tables structure, expressed
+    as Spark partition layout.
+
+    A probe then reads exactly ``n_tables`` partitions (those matching
+    the query's sub-bucket per table) via partition *pruning* — no
+    signature recompute, no full scan. The trade: vectors are stored
+    once per table (L× storage, here 8×); the alternative is an
+    id-only index plus a fetch join against the base table, which
+    reads less but adds a shuffle per probe. For read-heavy ANN
+    serving the L× copy is the standard choice (it is what an
+    in-memory LSH hash table does too).
+
+    Signatures are computed ONCE here, at write time — at 100 TB this
+    is the difference between paying 32 hyperplane dot products per
+    vector per query and paying them once at ingest."""
+    n_planes = bits_per_table * n_tables
+    sig = srp_signature(embeddings, dim, n_planes, vec_col)
+    mask = (1 << bits_per_table) - 1
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
+                .bitwiseAND(F.lit(mask))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    (
+        sig.select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb"))
+        .select(id_col, vec_col, "tb.t", "tb.bucket")
+        .write.mode("overwrite")
+        .partitionBy("t", "bucket")
+        .parquet(path)
+    )
+
+
+def srp_topk_at_rest(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    bits_per_table: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted ``srp_index_write`` layout.
+
+    The query's sub-bucket per table is computed driver-side; the probe
+    predicate is an OR of ``(t, bucket)`` equalities on the two
+    partition columns, so the scan touches only ``n_tables`` of the
+    ``n_tables × 2^bits`` partitions (PartitionFilters in the plan —
+    asserted in tests/test_plan_shapes.py). Candidates dedupe on id
+    (a vector matching in several tables appears once per match) and
+    are exactly re-ranked. Returns the same rows as the full-scan
+    ``srp_topk`` — same planes, same multi-probe OR — at a fraction of
+    the read (bench: srp_ann_topk vs srp_ann_topk_at_rest)."""
+    n_planes = bits_per_table * n_tables
+    planes = _hyperplanes(dim, n_planes)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) >= 0:
+            qbits |= 1 << i
+    mask = (1 << bits_per_table) - 1
+    idx = spark.read.parquet(index_path)
+    cond = None
+    for t in range(n_tables):
+        qbucket = (qbits >> (t * bits_per_table)) & mask
+        c = (F.col("t") == t) & (F.col("bucket") == qbucket)
+        cond = c if cond is None else cond | c
+    candidates = idx.where(cond).dropDuplicates([id_col])
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    bits_per_table: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT the cartesian: SRP sub-buckets
+    as blocking keys (equi-join on (table, bucket)), then exact cosine
+    verification of colliding pairs only — the embedding-space mirror
+    of ``dedup.minhash_near_duplicates`` (banding → verify).
+
+    Precision is exact (every emitted pair is verified); recall is the
+    SRP S-curve 1−(1−p^b)^L with p = 1−θ/π, measured empirically in
+    tests/test_similarity.py against the all-pairs ground truth
+    (plans.simplans.embedding_near_dup_pairs keeps the cartesian form
+    as exactly that oracle). Defaults (4 bits × 16 tables) are sized
+    for the fixture's θ≈60° near-dups; a 100 TB dedup pass at
+    cosine ≥ 0.9 wants more bits per table (candidate volume per
+    table is Σ_bucket df²/2 — more bits → smaller buckets), fewer
+    tables. The join itself is the scale story: candidates come from
+    an equi-join shuffle on (t, bucket) — never an all-pairs product —
+    and vectors/norms are computed once per row before the join."""
+    n_planes = bits_per_table * n_tables
+    sig = srp_signature(embeddings, dim, n_planes, vec_col)
+    mask = (1 << bits_per_table) - 1
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(tables).alias("tb")
+    ).select(id_col, "tb.t", "tb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    normed = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    va = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,

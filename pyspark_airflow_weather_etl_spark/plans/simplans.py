@@ -64,6 +64,62 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-process cache of built at-rest LSH indexes, keyed by sf_dir —
+#: the index is written once (the ingest-time cost) and every probe
+#: reuses it, which is the point of signature-at-rest.
+_SRP_INDEX: dict[str, str] = {}
+
+
+def srp_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the persisted SRP index for sf_dir."""
+    if sf_dir not in _SRP_INDEX:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="srp_index_") + "/embeddings"
+        S.srp_index_write(
+            load_table(spark, sf_dir, "embeddings"),
+            dim=64,
+            path=path,
+            bits_per_table=4,
+            n_tables=8,
+        )
+        _SRP_INDEX[sf_dir] = path
+    return _SRP_INDEX[sf_dir]
+
+
+@register("srp_ann_topk_at_rest")  # LSH probe set: no clean SQL equivalent
+def srp_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 probing the signature-at-rest LSH index: signatures
+    are computed once at write time and laid out as t=/bucket=
+    partitions, so the probe reads 8 of 128 partitions via partition
+    pruning instead of recomputing 32 hyperplane dot products over the
+    full table (srp_ann_topk is that full-scan form; returns the same
+    rows — tests/test_similarity.py asserts equality)."""
+    q = _query_vector(spark, sf_dir, 0)
+    return S.srp_topk_at_rest(
+        spark,
+        srp_index_path(spark, sf_dir),
+        q,
+        dim=64,
+        k=10,
+        bits_per_table=4,
+        n_tables=8,
+    )
+
+
+@register("embedding_near_dup_blocked")  # LSH blocking: no clean SQL form
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe embedding near-dup pairs: SRP sub-bucket blocking
+    keys (equi-join on (table, bucket)) + exact cosine verify of
+    colliding pairs only — never an all-pairs product. Precision is
+    exact; recall vs the cartesian ground truth
+    (embedding_near_dup_pairs) is measured in
+    tests/test_similarity.py (≥0.95 on the fixture)."""
+    return S.embedding_near_duplicates_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle="""
@@ -80,9 +136,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥0.4), exact all-pairs —
     the ground-truth baseline the SRP-blocked path approximates. The
     all-pairs product is intentional here (it IS the oracle
-    definition); at corpus scale use srp_signature buckets as the
-    blocking key and verify only colliding pairs, exactly as
-    minhash_near_duplicates does for text."""
+    definition); embedding_near_dup_blocked is the scale path —
+    srp_signature buckets as the blocking key, verify only colliding
+    pairs, exactly as minhash_near_duplicates does for text."""
     from ..functions.vectors import dot
 
     emb = load_table(spark, sf_dir, "embeddings")

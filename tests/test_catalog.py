@@ -47,6 +47,8 @@ def test_rows_only_entries_are_the_documented_sketches():
         "minhash_near_dup_pairs",
         "simhash_documents",
         "srp_ann_topk",
+        "srp_ann_topk_at_rest",
+        "embedding_near_dup_blocked",
         "ivf_ann_topk",
         "approx_distinct_users",
         "approx_percentile_prices",

@@ -79,3 +79,61 @@ def test_ivf_recall_and_cells(emb, qvec):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall}"
     assert 0 in approx
+
+
+def test_srp_at_rest_equals_full_scan(spark, emb, qvec, tmp_path):
+    """The persisted t=/bucket= index probe must return exactly the
+    full-scan srp_topk rows (same planes, same multi-probe OR) — and
+    its scan must actually prune partitions."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_write,
+        srp_topk_at_rest,
+    )
+
+    path = str(tmp_path / "srp_index")
+    srp_index_write(emb, dim=64, path=path)
+    at_rest = srp_topk_at_rest(spark, path, qvec, dim=64, k=10)
+    full = srp_topk(emb, qvec, dim=64, k=10)
+    assert [(r.vec_id, r.cosine) for r in at_rest.collect()] == [
+        (r.vec_id, r.cosine) for r in full.collect()
+    ]
+    # partition pruning: the probe's scan carries non-empty partition
+    # filters on t/bucket (inputFiles() ignores pruning, so read the
+    # executed plan) — 8 of the 8×16 partitions are actually read
+    import re
+
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no partition filters in scan:\n{plan}"
+
+
+def test_blocked_near_dup_precision_and_recall(spark, emb):
+    """SRP-blocked near-dup pairs: every emitted pair must be a true
+    ≥threshold pair (exact verification ⇒ precision 1.0), and recall
+    vs the all-pairs ground truth must clear the S-curve floor."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        embedding_near_duplicates_blocked,
+    )
+    from pyspark_airflow_weather_etl_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("c"),
+        )
+        .where(F.col("c") >= 0.4)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates_blocked(emb, threshold=0.4).collect()
+    }
+    assert got <= truth  # exact verify: no false positives
+    assert len(got & truth) / len(truth) >= 0.95
