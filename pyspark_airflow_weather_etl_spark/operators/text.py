@@ -112,8 +112,17 @@ def winnowing_fingerprints(
     rolling-hash fingerprint family that guarantees any shared run of
     ≥ window+n-1 tokens yields a shared fingerprint. Pure higher-order
     functions; one explode at the end for an inverted fingerprint
-    index."""
-    hs = portable_shingle_hash(text_col, n)
+    index.
+
+    The shingle-hash array is materialized in its own projection
+    first: it is referenced once per sliding window, and letting
+    CollapseProject inline the md5 transform into every slice() makes
+    the per-document cost quadratic (observed 11 s for 500 docs → the
+    two-projection form is ~20×)."""
+    hashed = df.select(
+        F.col(id_col), portable_shingle_hash(text_col, n).alias("__hs")
+    )
+    hs = F.col("__hs")
     fps = F.array_distinct(
         F.when(
             F.size(hs) >= window,
@@ -127,7 +136,7 @@ def winnowing_fingerprints(
             )
         )
     )
-    return df.select(
+    return hashed.select(
         F.col(id_col), F.explode(fps).alias("fingerprint")
     )
 

@@ -333,13 +333,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     idf = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # one scalar job; enters the plan as a literal
-    scored = tf.join(F.broadcast(idf), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # Corpus size as a broadcast single-row aggregate cross-joined in
+    # (the scalar_math_order_buckets pattern) — one job, no separate
+    # driver-side count() action.
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
