@@ -91,8 +91,19 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
         )
 
     out: dict[str, float] = {}
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Force the conditions where the exchange matters: no broadcast
+    # fallback, high shuffle partitions (a 1000-executor cluster's
+    # setting — at local sf0.1 the exchange is otherwise too cheap to
+    # see). The bucketed path's plan has zero exchanges either way
+    # (asserted in tests/test_plan_shapes.py); this makes the
+    # shuffled path pay what it would pay at scale.
+    forced = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "400",
+    }
+    old_confs = {k: spark.conf.get(k) for k in forced}
+    for k, v in forced.items():
+        spark.conf.set(k, v)
     try:
         t0 = time.perf_counter()
         agg(orders.join(li, "o_orderkey")).write.format("noop").mode(
@@ -108,7 +119,8 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         out["join_bucketed"] = round(time.perf_counter() - t0, 3)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for k, v in old_confs.items():
+            spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
     return out

@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     temporal,
     textplans,
     weatherplans,
+    bucketplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

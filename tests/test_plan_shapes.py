@@ -68,3 +68,39 @@ def test_near_dup_never_cross_joins(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_layout_joins_are_exchange_free(spark):
+    """The co-bucketed orders/lineitem layout must remove every
+    exchange from the fact-fact joins — even with broadcast disabled
+    and shuffle partitions forced high (where a shuffle would be
+    most visible). The plain-parquet forms of the same queries DO
+    shuffle, which is the amortized-layout story bench measures."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "200",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for bucketed, plain in [
+            ("q3_bucketed_layout", "q3_top_unshipped_orders"),
+            ("q18_bucketed_layout", "q18_large_volume_customers"),
+        ]:
+            bp = _plan(spark, bucketed)
+            pp = _plan(spark, plain)
+            assert bp.count("Exchange hashpartitioning") == 0, (
+                f"{bucketed} must not shuffle:\n{bp}"
+            )
+            assert pp.count("Exchange hashpartitioning") >= 2, (
+                f"{plain} expected to shuffle its fact joins"
+            )
+            # same rows: bucketing is layout, not semantics
+            got_b = sorted(map(tuple, REGISTRY[bucketed].fn(spark, SF_DIR).collect()))
+            got_p = sorted(map(tuple, REGISTRY[plain].fn(spark, SF_DIR).collect()))
+            assert got_b == got_p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
