@@ -16,7 +16,9 @@ but a row older than the open session's end arriving in a LATER
 micro-batch would extend rather than backfill (state keeps only the
 open session). On a live source, bound that with the upstream
 watermark; for a strict event-time treatment use event-time timers
-(transformWithState) instead of this processing-time form.
+(transformWithState) instead of this processing-time form. (TWS is
+unavailable in this container: its driver worker requires the
+`protobuf` package — ROADMAP.md item 4 records the probe.)
 """
 
 from __future__ import annotations
