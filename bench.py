@@ -126,6 +126,74 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
+    """Hot-key join three ways at the same result hash: plain SMJ
+    (one straggler task owns the hot key), AQE skew-join (runtime
+    splits the oversized partition), and explicit salting
+    (operators.scale.salted_join — deterministic pre-spread for skew
+    AQE can't fix, e.g. when the hot partition's *build* lookups, not
+    its size, dominate). Skew is synthesized deterministically: half
+    of lineitem maps to one key, the rest spread over 999."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.functions.exact import dsum
+    from pyspark_airflow_weather_etl_spark.operators.scale import salted_join
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod("l_orderkey", F.lit(1000)))
+        .cast("long")
+        .alias("k"),
+        F.col("l_quantity").alias("v"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    )
+
+    def agg(j):
+        return j.groupBy("w").agg(
+            F.count("*").alias("n"), dsum("v", "sv")
+        )
+
+    out: dict[str, float] = {}
+    forced = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.shuffle.partitions": "64",
+    }
+    old = {k: spark.conf.get(k) for k in forced}
+    for k, v in forced.items():
+        spark.conf.set(k, v)
+    results = {}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t0 = time.perf_counter()
+        results["plain"] = sorted(map(tuple, agg(skewed.join(dim, "k")).collect()))
+        out["join_skew_plain"] = round(time.perf_counter() - t0, 3)
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        t0 = time.perf_counter()
+        results["aqe"] = sorted(map(tuple, agg(skewed.join(dim, "k")).collect()))
+        out["join_skew_aqe"] = round(time.perf_counter() - t0, 3)
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t0 = time.perf_counter()
+        results["salted"] = sorted(
+            map(tuple, agg(salted_join(skewed, dim, ["k"])).collect())
+        )
+        out["join_skew_salted"] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # same result hash on all three paths (decimal sums: exact)
+    assert results["plain"] == results["aqe"] == results["salted"], (
+        "skew rewrites changed the answer"
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -144,6 +212,18 @@ def main() -> None:
 
     srp_index_path(spark, sf_dir)
 
+    # Warm the shingle-HOF codegen/JIT path on a 200-doc slice: the
+    # generated shingle-eval methods take several seconds of C2
+    # compilation on first use (measured 15 s cold vs 2 s steady for
+    # ngram_jaccard_pairs); per-query numbers should reflect steady
+    # state, not whichever dedup query happens to run first.
+    from pyspark_airflow_weather_etl_spark.operators.dedup import jaccard_pairs
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    jaccard_pairs(
+        load_table(spark, sf_dir, "documents").limit(200), "doc_id", "text"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
@@ -153,6 +233,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     timings.update(_layout_comparison(spark, sf_dir))
+    timings.update(_skew_comparison(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -24,6 +24,21 @@ from pyspark.sql import functions as F
 from .text import fingerprint, shingles, tokens
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan has
+    fewer splits than cores. The shingle/signature transforms below
+    multiply each row ~100× in compute; a fixture-sized corpus read as
+    ONE parquet split would otherwise run that entire pipeline on a
+    single core (measured: 10.5 s single-task vs ~1 s spread at
+    sf0.1). On a real deployment the input has more splits than cores
+    and this is a no-op — the guard is what makes it safe to leave in
+    the operator."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def hashed_shingles(text_col: str, n: int = 3):
     """Distinct n-gram shingles of a document as 64-bit hashes.
 
@@ -32,10 +47,52 @@ def hashed_shingles(text_col: str, n: int = 3):
     shuffles, cheaper equality. A 64-bit collision merges two
     shingles with probability ~|shingles|²/2⁶⁴ — immaterial to
     Jaccard at any realistic corpus size.
-    """
+
+    Prefer ``add_hashed_shingles`` (the DataFrame form): this Column
+    helper references the token array several times, and inside ONE
+    projection CollapseProject may inline (= re-evaluate) it per
+    reference."""
     return F.transform(
         F.array_distinct(shingles(text_col, n)), lambda s: F.xxhash64(s)
     )
+
+
+def add_hashed_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "__shingles"
+) -> DataFrame:
+    """``df`` plus a distinct shingle-hash array column, computed
+    WITHOUT materializing shingle strings: each token is xxhash64'd
+    once (its own projection — the multi-reference combine step below
+    then can't be inlined into per-element re-evaluation), and ``n``
+    consecutive token hashes combine via one more xxhash64. The
+    string form (split → slice → concat_ws → hash) allocates a string
+    per shingle and compiles ~10× more generated code — it measured
+    5-15 s for 5 000 docs where this form is sub-second. Distinct-set
+    semantics are identical: tokens are space-free, so the
+    (t_i..t_{i+n-1}) tuple ↔ string shingle map is a bijection,
+    modulo the same 64-bit collision odds."""
+    ht_df = df.withColumn(
+        "__ht",
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)),
+    )
+    ht = F.col("__ht")
+    # Chained pairwise combine: zip the hash array against itself
+    # shifted by 1..n-1 (slice is ONE array copy per shift; zip_with
+    # one pass). element_at(ht, i+j) with a computed index measured
+    # ~15× slower here — per-element bound-checked lookups inside a
+    # transform lambda don't codegen tightly.
+    combined = ht
+    for j in range(1, n):
+        combined = F.zip_with(
+            combined,
+            F.slice(ht, j + 1, F.size(ht) - j),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    shingle_arr = F.slice(combined, 1, F.size(ht) - (n - 1))
+    out = F.when(
+        F.size(ht) < n, F.array().cast("array<bigint>")
+    ).otherwise(F.array_distinct(shingle_arr))
+    return ht_df.withColumn(out_col, out).drop("__ht")
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -74,7 +131,9 @@ def minhash_signatures(
     # Two projections on purpose: 'h' is referenced k times, which
     # stops CollapseProject from inlining the string-hash transform
     # back into every lane.
-    hashed = df.select(F.col(id_col), hashed_shingles(text_col, n).alias("h"))
+    hashed = add_hashed_shingles(
+        spread_small_scan(df), text_col, n, out_col="h"
+    ).select(id_col, "h")
     sig = F.array(
         *[
             F.array_min(
@@ -157,9 +216,9 @@ def jaccard_pairs(
     the cap is what makes the join feasible at 100 TB. Hot shingles
     are few by construction, so the pruning side broadcasts; the extra
     cost is one map-side-combined groupBy of shingle hashes."""
-    sh = df.select(
+    sh = add_hashed_shingles(spread_small_scan(df), text_col, n).select(
         F.col(id_col),
-        F.explode(hashed_shingles(text_col, n)).alias("shingle"),
+        F.explode(F.col("__shingles")).alias("shingle"),
     )
     if max_df is not None:
         hot = (
@@ -220,10 +279,9 @@ def minhash_near_duplicates(
     against brute-force jaccard_pairs)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
-    sh = df.select(
-        F.col(id_col),
-        hashed_shingles(text_col, n).alias("sh"),
-    )
+    sh = add_hashed_shingles(
+        spread_small_scan(df), text_col, n, out_col="sh"
+    ).select(id_col, "sh")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -246,7 +304,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     term frequency; the sign vector packs into one long. Hamming-close
     fingerprints ≈ similar token distributions. Pure codegen
     (explode → hash → bit votes → conditional aggregate)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tok = spread_small_scan(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
     hashed = tok.select(id_col, F.xxhash64("token").alias("h"))
     votes = [
         F.sum(

@@ -119,7 +119,9 @@ def winnowing_fingerprints(
     CollapseProject inline the md5 transform into every slice() makes
     the per-document cost quadratic (observed 11 s for 500 docs → the
     two-projection form is ~20×)."""
-    hashed = df.select(
+    from .dedup import spread_small_scan
+
+    hashed = spread_small_scan(df).select(
         F.col(id_col), portable_shingle_hash(text_col, n).alias("__hs")
     )
     hs = F.col("__hs")
