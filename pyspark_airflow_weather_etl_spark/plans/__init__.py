@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     textplans,
     weatherplans,
     bucketplans,
+    tpchplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 
