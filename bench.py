@@ -52,6 +52,7 @@ HEADLINE = [
     "srp_ann_topk",
     "srp_ann_topk_at_rest",
     "ivf_ann_topk",
+    "ivf_ann_topk_at_rest",
     "embedding_near_dup_blocked",
     "pairwise_topk_per_label",
     "multimodal_features",
@@ -208,9 +209,13 @@ def main() -> None:
     # Build the at-rest LSH index before timing: signature-at-write is
     # ingest-time cost, amortized over every probe (same treatment as
     # the bucketed-table write in _layout_comparison).
-    from pyspark_airflow_weather_etl_spark.plans.simplans import srp_index_path
+    from pyspark_airflow_weather_etl_spark.plans.simplans import (
+        ivf_index_path,
+        srp_index_path,
+    )
 
     srp_index_path(spark, sf_dir)
+    ivf_index_path(spark, sf_dir)
 
     # Warm the shingle-HOF codegen/JIT path on a 200-doc slice: the
     # generated shingle-eval methods take several seconds of C2

@@ -404,6 +404,53 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def ivf_index_write(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF layout: vectors partitioned by their coarse
+    cell (``ivf_cell=<n>`` directories). Cell assignment is computed
+    once at write time; a probe then reads exactly ``nprobe`` of the
+    ``n_cells`` partitions via partition pruning — the FAISS inverted-
+    list structure expressed as parquet partition layout (and unlike
+    the SRP multi-table index, each vector lives in exactly ONE cell,
+    so there is no storage multiplier)."""
+    (
+        ivf_assign(embeddings, centroids, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_at_rest(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN against a persisted ``ivf_index_write`` layout: rank
+    the query's ``nprobe`` nearest cells driver-side (O(n_cells) on
+    the trained centroids), scan only those partitions, exact-rank the
+    candidates. Same rows as the in-memory ``ivf_topk`` (identical
+    centroids ⇒ identical cell assignment ⇒ identical candidate set);
+    the difference is the scan reads nprobe/n_cells of the data via
+    PartitionFilters instead of computing assignments over the full
+    table per query."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d2.argsort()[:nprobe]]
+    idx = spark.read.parquet(index_path)
+    candidates = idx.where(F.col("ivf_cell").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def pairwise_topk_per_label(
     embeddings: DataFrame,
     k: int = 3,

@@ -179,6 +179,37 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, q, centroids, k=10, nprobe=4)
 
 
+#: Per-process cache of built IVF layouts: sf_dir -> (path, centroids).
+_IVF_INDEX: dict[str, tuple[str, object]] = {}
+
+
+def ivf_index_path(spark: SparkSession, sf_dir: str):
+    """Build (once) and return the persisted IVF layout + its trained
+    centroids for sf_dir — write-time cell assignment, probe-time
+    partition pruning."""
+    if sf_dir not in _IVF_INDEX:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = S.ivf_train_centroids(emb, n_cells=16)
+        path = tempfile.mkdtemp(prefix="ivf_index_") + "/embeddings"
+        S.ivf_index_write(emb, centroids, path)
+        _IVF_INDEX[sf_dir] = (path, centroids)
+    return _IVF_INDEX[sf_dir]
+
+
+@register("ivf_ann_topk_at_rest")  # trained quantizer: no SQL equivalent
+def ivf_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 probing the persisted ivf_cell=<n> partition
+    layout: assignment computed once at write time, probe reads
+    nprobe=4 of 16 partitions via partition pruning (no per-query
+    assignment over the full table). Same rows as ivf_ann_topk —
+    tests/test_similarity.py asserts equality."""
+    q = _query_vector(spark, sf_dir, 0)
+    path, centroids = ivf_index_path(spark, sf_dir)
+    return S.ivf_topk_at_rest(spark, path, q, centroids, k=10, nprobe=4)
+
+
 @register(
     "embedding_norms",
     oracle="""

@@ -50,6 +50,7 @@ def test_rows_only_entries_are_the_documented_sketches():
         "srp_ann_topk_at_rest",
         "embedding_near_dup_blocked",
         "ivf_ann_topk",
+        "ivf_ann_topk_at_rest",
         "approx_distinct_users",
         "approx_percentile_prices",
     }, f"unexpected rows-only set: {rows_only}"

@@ -137,3 +137,28 @@ def test_blocked_near_dup_precision_and_recall(spark, emb):
     }
     assert got <= truth  # exact verify: no false positives
     assert len(got & truth) / len(truth) >= 0.95
+
+
+def test_ivf_at_rest_equals_in_memory(spark, emb, qvec, tmp_path):
+    """The persisted ivf_cell= layout probe must return exactly the
+    in-memory ivf_topk rows (same centroids => same cells), with a
+    partition-pruned scan."""
+    import re
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk_at_rest,
+        ivf_train_centroids,
+    )
+
+    centroids = ivf_train_centroids(emb, n_cells=16)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, centroids, path)
+    at_rest = ivf_topk_at_rest(spark, path, qvec, centroids, k=10, nprobe=4)
+    in_mem = ivf_topk(emb, qvec, centroids, k=10, nprobe=4)
+    assert [(r.vec_id, r.cosine) for r in at_rest.collect()] == [
+        (r.vec_id, r.cosine) for r in in_mem.collect()
+    ]
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no partition filters:\n{plan}"
