@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.exact import SQL_AVG, SQL_DSUM
 from ..operators.multimodal import attach_payload, extract_features
 from ..sources.tables import load_table
+from ..streaming.joins import run_stream_stream_join
 from ..streaming.rollup import run_streaming_daily_rollup
 from .registry import register
 
@@ -32,6 +33,31 @@ def streaming_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same SQL oracle as the batch version, proving batch/stream
     parity."""
     return run_streaming_daily_rollup(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join_view_purchase",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream inner join: (view, purchase) pairs
+    for the same user with the purchase within an hour after the view
+    — the streaming form of the batch range join. Two-sided time
+    bound + 1 h watermarks on both streams keep join state O(window);
+    over the bounded fixture the append-mode result equals the batch
+    join, so the same SQL oracle hash-checks it."""
+    return run_stream_stream_join(spark, sf_dir)
 
 
 @register(

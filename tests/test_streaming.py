@@ -25,3 +25,38 @@ def test_stream_equals_batch(spark):
         for r in run_streaming_daily_rollup(spark, SF_DIR).collect()
     }
     assert batch == stream
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked view⨝purchase stream-stream join over the
+    bounded fixture must equal the plain batch join with the same
+    time bound (batch/stream parity)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.joins import (
+        run_stream_stream_join,
+    )
+
+    got = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in run_stream_stream_join(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts",
+    )
+    want = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            (F.col("u") == F.col("user_id"))
+            & (F.col("ts") >= F.col("vts"))
+            & (F.col("ts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and got
