@@ -90,3 +90,92 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Image resize as Arrow-batched mapInPandas over image assets.
+
+    The fake 'resize' truncates the payload to ``max_bytes`` and
+    derives the new dimensions from the truncated length — both
+    deterministic byte/arithmetic ops, so the whole path (filter →
+    batch → per-batch transform → binary out) is oracle-checked with
+    substring/length SQL. A real deployment replaces the two marked
+    lines with decode → thumbnail → re-encode and keeps the rest:
+    partitioning, batch shape, and schema are the engineered part.
+    Only rows with media_type='image' are touched — the filter happens
+    BEFORE the Python boundary, so audio/video bytes never leave the
+    JVM."""
+
+    def _fake_resize(b: bytes) -> bytes:  # <- real: decode+thumbnail
+        return bytes(b)[:max_bytes]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(_fake_resize)
+            n = resized.map(len)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": (n % 640 + 16).astype("int32"),
+                    "height": ((n * 7) % 480 + 16).astype("int32"),
+                    "payload": resized,
+                }
+            )
+
+    return assets.where(F.col("media_type") == "image").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 100, every: int = 4
+) -> DataFrame:
+    """Video frame sampling: one output row per kept frame — the
+    row-multiplying mapInPandas shape (explode across the Arrow
+    boundary). The fake treats each ``frame_bytes`` payload chunk as
+    one encoded frame and keeps every ``every``-th; a real deployment
+    swaps the chunker for a container demuxer (pyav et al.) and keeps
+    the batching, schema, and video-only JVM-side filter. Sampled
+    frames are byte slices, so the oracle reproduces them with
+    substring arithmetic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_idx, out_frame = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, every):
+                    out_id.append(asset_id)
+                    out_idx.append(i)
+                    out_frame.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame": pd.Series(out_frame, dtype="object"),
+                }
+            )
+
+    return assets.where(F.col("media_type") == "video").mapInPandas(
+        batches, FRAME_SCHEMA
+    )

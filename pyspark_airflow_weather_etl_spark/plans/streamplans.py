@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.exact import SQL_AVG, SQL_DSUM
 from ..operators.multimodal import attach_payload, extract_features
@@ -82,3 +83,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     length because the fixture corpus is ASCII.)"""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(least(length(text), 256) % 640 + 16 AS INT) AS width,
+           CAST((least(length(text), 256) * 7) % 480 + 16 AS INT) AS height,
+           hex(encode(substring(text, 1, 256))) AS payload_hex
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: image-typed assets only (filtered
+    JVM-side before the Python boundary), Arrow-batched mapInPandas
+    producing the resized binary payload + new dimensions. The fake
+    resize is a deterministic byte truncation, so even the payload
+    hash-checks (hex-projected — the driver's sort can't order raw
+    binary columns; operators keep real binary)."""
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(attach_payload(docs), max_bytes=256)
+    return out.select(
+        "asset_id", "width", "height", F.hex("payload").alias("payload_hex")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS asset_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT asset_id, CAST(i AS INT) AS frame_idx,
+           hex(encode(substring(text, CAST(i AS INT) * 100 + 1, 100)))
+             AS frame_hex
+    FROM v, unnest(range(0, n // 100, 4)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 4th 100-byte chunk of each
+    video-typed payload as one output row — the row-multiplying
+    mapInPandas shape (explode across the Arrow boundary). Chunking
+    stands in for a real demuxer; batching, schema, and the
+    video-only JVM-side filter are the engineered part. Frames are
+    hex-projected for the driver compare (see multimodal_resize)."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_frames(attach_payload(docs), frame_bytes=100, every=4)
+    return out.select("asset_id", "frame_idx", F.hex("frame").alias("frame_hex"))

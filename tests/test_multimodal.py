@@ -33,3 +33,40 @@ def test_extract_features_roundtrip(spark):
 def test_real_decode_is_gated(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def _assets(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "payload bytes " * (10 + i)) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    return attach_payload(docs)
+
+
+def test_resize_only_touches_images(spark):
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    assets = _assets(spark)
+    out = resize_images(assets, max_bytes=64).collect()
+    n_images = assets.where("media_type = 'image'").count()
+    assert len(out) == n_images
+    assert all(len(r.payload) <= 64 for r in out)
+    assert all(16 <= r.width < 656 and 16 <= r.height < 496 for r in out)
+
+
+def test_frame_sample_row_multiplying(spark):
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    assets = _assets(spark)
+    out = sample_frames(assets, frame_bytes=50, every=2).collect()
+    vids = {r.asset_id: r.payload for r in
+            assets.where("media_type = 'video'").collect()}
+    assert {r.asset_id for r in out} <= set(vids)
+    for r in out:
+        b = bytes(vids[r.asset_id])
+        assert bytes(r.frame) == b[r.frame_idx * 50:(r.frame_idx + 1) * 50]
+        assert r.frame_idx % 2 == 0
