@@ -127,6 +127,45 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
+    """Sorted-layout data skipping: the same narrow o_orderdate range
+    scan against (a) the fixture's unsorted parquet (every file spans
+    the full date range — min/max stats prune nothing) and (b) a
+    range-partitioned + sorted rewrite (tight per-file stats — the
+    scan touches ~1/16 of the files). Write cost is ingest-time,
+    amortized over every range query."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.scale import write_sorted
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="bench_sorted_") + "/orders"
+    write_sorted(orders, tmp, ["o_orderdate"], files_per_write=16)
+
+    pred = (
+        (F.col("o_orderdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-03-08").cast("timestamp"))
+    )
+
+    def probe(df):
+        return df.where(pred).agg(
+            F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+        )
+
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    n_plain = probe(orders).collect()[0]["n"]
+    out["range_scan_unsorted"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_sorted = probe(spark.read.parquet(tmp)).collect()[0]["n"]
+    out["range_scan_sorted"] = round(time.perf_counter() - t0, 3)
+    assert n_plain == n_sorted, "layout changed the answer"
+    return out
+
+
 def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
     """Hot-key join three ways at the same result hash: plain SMJ
     (one straggler task owns the hot key), AQE skew-join (runtime
@@ -239,6 +278,7 @@ def main() -> None:
 
     timings.update(_layout_comparison(spark, sf_dir))
     timings.update(_skew_comparison(spark, sf_dir))
+    timings.update(_layout_skipping(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -110,3 +110,31 @@ def bucketed_tables_join(
     """Join two co-bucketed tables — with matching bucket specs the
     physical plan contains no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), list(on))
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    files_per_write: int | None = None,
+) -> None:
+    """Range-partition + sort-within-files layout: rows land in files
+    whose min/max column statistics are tight, so a range predicate
+    skips whole files (file-level pruning from the range layout) and
+    whole row groups inside the touched files (parquet min/max
+    stats). The query-side filter needs no hint — Spark's parquet
+    reader consults the footer stats automatically; what the WRITE
+    controls is whether those stats are selective. On unsorted data
+    every file spans the full value range and nothing skips.
+
+    This is the single cheapest 100 TB read optimization: one sort at
+    write time buys every range query a data-proportional scan."""
+    if files_per_write:
+        w = df.repartitionByRange(int(files_per_write), *sort_cols)
+    else:
+        w = df.repartitionByRange(*sort_cols)
+    (
+        w.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

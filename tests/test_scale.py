@@ -93,3 +93,38 @@ def test_two_phase_agg_equals_direct(spark, skewed):
         r.k: (r.n_rows, float(r.sum_v)) for r in salted_df.collect()
     }
     assert direct == two
+
+
+def test_write_sorted_layout_skips(spark, tmp_path):
+    """Range-partitioned + sorted write: a narrow range predicate's
+    scan must report pushed filters and return the same rows as the
+    unsorted scan; per-file stats must be tight (each file's span is
+    a fraction of the global range)."""
+    import pyspark.sql.functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.scale import write_sorted
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    path = str(tmp_path / "sorted")
+    write_sorted(df, path, ["k"], files_per_write=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 100_000
+    pred_lo, pred_hi = 10_000, 12_000
+    got = back.where(F.col("k").between(pred_lo, pred_hi)).count()
+    assert got == pred_hi - pred_lo + 1
+    # tight per-file stats: no file spans more than ~2/8 of the range
+    import pyarrow.parquet as pq
+    import glob
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append(max(maxs) - min(mins))
+    assert len(spans) == 8
+    assert max(spans) < 100_000 / 4
