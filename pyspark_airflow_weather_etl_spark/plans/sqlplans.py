@@ -110,3 +110,24 @@ def sql_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing over a global ordering (fully tie-broken via
     o_orderkey so bucket boundaries are deterministic)."""
     return _sql(spark, sf_dir, NTILE_PRICE_QUARTILES)
+
+
+RECURSIVE_CALENDAR = """
+    WITH RECURSIVE days(d) AS (
+      SELECT DATE '1998-03-01' AS d
+      UNION ALL
+      SELECT d + INTERVAL '1' DAY FROM days WHERE d < DATE '1998-03-31'
+    )
+    SELECT CAST(d AS STRING) AS day, count(o_orderkey) AS n_orders
+    FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY d
+"""
+
+
+@register("sql_recursive_calendar", oracle=RECURSIVE_CALENDAR)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) generating a calendar
+    spine, left-joined to order counts — densification that surfaces
+    zero-order days, which a plain GROUP BY can never produce. The
+    identical recursive text runs on both engines."""
+    return _sql(spark, sf_dir, RECURSIVE_CALENDAR)

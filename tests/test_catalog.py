@@ -27,7 +27,8 @@ def test_contract_exports_match_registry():
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql,
                                 re.IGNORECASE))
         cte_names = set(re.findall(r"(?:WITH(?:\s+RECURSIVE)?\s+|,\s*)"
-                                   r"([a-z_][a-z0-9_]*)\s+AS\s*\(", sql,
+                                   r"([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?"
+                                   r"\s+AS\s*\(", sql,
                                    re.IGNORECASE))
         aliases = {"t", "n", "c", "s", "o", "l", "a", "b", "e", "q", "j",
                    "n1", "n2", "sa", "sb", "v", "p", "r", "u", "w"}
