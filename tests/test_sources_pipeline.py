@@ -76,3 +76,47 @@ def test_pipeline_backfill_and_serve(spark, tmp_path):
     twice = pipe.serve(once, date(2024, 3, 1), date(2024, 3, 2))
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     assert once.count() == 2
+
+
+def test_jdbc_live_roundtrip_via_derby(spark, tmp_path):
+    """Live S7 exercise: the same jdbc_writer the Postgres load uses,
+    pointed at the Derby embedded driver Spark ships (no external DB
+    in this container). Append the gold rows, read them back through
+    JDBC, merge a second batch with the upsert contract — the full
+    load_gold_to_pg.py:36-43 shape end-to-end."""
+    from pyspark_airflow_weather_etl_spark.operators.merge import upsert
+
+    url = f"jdbc:derby:{tmp_path}/serving;create=true"
+    derby = "org.apache.derby.jdbc.EmbeddedDriver"
+    gold = spark.createDataFrame(
+        [(2024, 3, 1, 9.5, 21.0), (2024, 3, 2, 8.0, 19.5)],
+        "y int, m int, d int, min_temp_c double, max_temp_c double",
+    )
+    jdbc_writer(gold, url, "gold_daily", "app", "app", driver=derby).save()
+
+    def read_back():
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "gold_daily")
+            .option("driver", derby)
+            .load()
+        )
+
+    assert read_back().count() == 2
+    # serving merge: day 2 corrected + day 3 new, last-writer-wins
+    batch = spark.createDataFrame(
+        [(2024, 3, 2, 7.5, 20.0), (2024, 3, 3, 6.0, 18.0)],
+        "y int, m int, d int, min_temp_c double, max_temp_c double",
+    )
+    merged = upsert(read_back(), batch, ["y", "m", "d"], how="last")
+    jdbc_writer(
+        merged, url, "gold_daily_v2", "app", "app", driver=derby
+    ).save()
+    rows = {
+        (r.y, r.m, r.d): r.min_temp_c
+        for r in spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "gold_daily_v2")
+        .option("driver", derby).load().collect()
+    }
+    assert rows == {(2024, 3, 1): 9.5, (2024, 3, 2): 7.5, (2024, 3, 3): 6.0}
