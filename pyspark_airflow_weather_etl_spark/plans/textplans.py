@@ -500,3 +500,83 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically and near-dups stay Hamming-close."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS normalized
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training text normalization: lowercase → strip
+    non-alphanumerics → collapse whitespace → trim. Pure codegen
+    regexp chain (patterns restricted to the RE2∩Java-regex common
+    subset so both engines agree byte-for-byte)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ).alias("normalized"),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-000-' || doc_id || ' now' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               raw,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: emails and phone numbers
+    masked with typed placeholders. The fixture corpus carries no PII,
+    so both engines first append a synthesized contact line (same
+    expression), then scrub it — the interesting bit is the masking
+    regexes, which stay inside the RE2∩Java common subset (no
+    backrefs, no lookaround) so the engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-000-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" now"),
+        ).alias("raw"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("raw"),
+                r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\+?[0-9][0-9()\-]{6,}[0-9]",
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
