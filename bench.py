@@ -202,7 +202,13 @@ def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
         "spark.sql.shuffle.partitions": "64",
     }
-    old = {k: spark.conf.get(k) for k in forced}
+    # adaptive.enabled is toggled inside the experiment — snapshot it
+    # with the rest so the finally restores the caller's value, not a
+    # hardcoded one
+    old = {
+        k: spark.conf.get(k)
+        for k in [*forced, "spark.sql.adaptive.enabled"]
+    }
     for k, v in forced.items():
         spark.conf.set(k, v)
     results = {}
@@ -224,7 +230,6 @@ def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
         )
         out["join_skew_salted"] = round(time.perf_counter() - t0, 3)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
         for k, v in old.items():
             spark.conf.set(k, v)
     # same result hash on all three paths (decimal sums: exact)

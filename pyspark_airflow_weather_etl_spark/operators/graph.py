@@ -36,47 +36,44 @@ def connected_components(
     collapse into several components), so that raises instead of
     returning.
     """
-    # Iterative-algorithm sizing: each round is two small shuffles of
-    # label-sized state; at the session default (often 200) that is
-    # hundreds of near-empty tasks per round. Run the loop at the
-    # cluster's parallelism and restore the conf after the final
-    # checkpoint has materialized. (Measured 2× at fixture scale; on
-    # a large cluster size this to the label volume instead.)
-    spark = edges.sparkSession
-    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
-    try:
-        return _propagate(edges, src, dst, max_iter)
-    finally:
-        # get(key, None) is None when the session never set the key
-        # explicitly — unset restores the engine default in that case
-        if old_shuffle is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
-        else:
-            spark.conf.unset("spark.sql.shuffle.partitions")
+    return _propagate(edges, src, dst, max_iter)
 
 
 def _propagate(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
+    # Iterative-algorithm sizing: each round is two small shuffles of
+    # label-sized state; at the session default (often 200) that is
+    # hundreds of near-empty tasks per round. Instead of mutating the
+    # session-global spark.sql.shuffle.partitions (which would leak
+    # into concurrent queries on the same session), size the loop with
+    # EXPLICIT hash repartitions on the join/agg keys: both join
+    # inputs arrive hash-partitioned on their key at the same count,
+    # which satisfies the join's distribution requirement, so no
+    # conf-sized exchange is ever planned inside the loop. (Measured
+    # 2× at fixture scale; on a large cluster size `par` to the label
+    # volume instead.)
+    par = edges.sparkSession.sparkContext.defaultParallelism
     # symmetric edge list (propagate both directions), materialized
     # ONCE: every structure below must derive from this checkpoint —
     # deriving from `edges` again would re-run the (possibly
     # expensive) upstream pipeline that produced the pairs, once per
-    # consumer and once per propagation round.
+    # consumer and once per propagation round. Partitioned on the
+    # join key `v` before the checkpoint so every round's join reads
+    # it pre-aligned (localCheckpoint preserves partitioning).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        .repartition(par, "u", "v")
+        .dropDuplicates()
+        .repartition(par, "v")
         .localCheckpoint()
     )
     # sym is symmetric, so `u` alone covers every node
     labels = (
         sym.select(F.col("u").alias("node"))
-        .distinct()
+        .repartition(par, "node")
+        .dropDuplicates()
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
@@ -86,6 +83,8 @@ def _propagate(
         # label each node with the min of (its label, neighbours' labels)
         neighbour_min = (
             sym.join(labels, sym.v == labels.node)
+            .select("u", "component")
+            .repartition(par, "u")
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )

@@ -5,11 +5,15 @@ the exact baseline, and a random-hyperplane (SRP) LSH variant as the
 scale path — at 100 TB the LSH bucket join touches a small candidate
 set per query instead of every vector.
 
-Everything is JVM expressions (zip_with/aggregate fold — see
-functions.vectors); scores are therefore deterministic regardless of
-partitioning. The hyperplanes are generated driver-side from a fixed
-seed and enter the plan as literals (at 64 dims × 16 planes that is
-a ~4 KB literal — broadcast-trivial).
+Scoring and ranking are JVM expressions (zip_with/aggregate fold —
+see functions.vectors), deterministic regardless of partitioning.
+SRP signature computation defaults to an Arrow-batched numpy matmul
+(``srp_signature(impl='arrow')`` — the documented exception to the
+built-ins-first rule; a pure-JVM expression form remains as
+``impl='expr'``); both forms are seeded and deterministic. The
+hyperplanes derive from a fixed seed and either enter the plan as
+literals (~4 KB at 64 dims × 16 planes — broadcast-trivial) or are
+regenerated inside the UDF, so nothing is closure-captured.
 """
 
 from __future__ import annotations
@@ -80,11 +84,20 @@ def srp_signature(
         @pandas_udf("long")
         def _sig(v: pd.Series) -> pd.Series:
             planes = _hyperplanes(dim, n_planes)  # deterministic: SEED
-            x = np.vstack(v.to_numpy())  # (batch, dim) float
-            bits = (x.astype(np.float64) @ planes.T) >= 0  # (batch, planes)
-            weights = (1 << np.arange(n_planes)).astype(np.uint64)
-            packed = (bits.astype(np.uint64) * weights).sum(axis=1)
-            return pd.Series(packed.astype(np.int64))
+            mask = v.notna().to_numpy()
+            out = [None] * len(v)
+            if mask.any():
+                x = np.vstack(v[mask].to_numpy())  # (batch, dim) float
+                bits = (x.astype(np.float64) @ planes.T) >= 0
+                weights = (1 << np.arange(n_planes)).astype(np.uint64)
+                packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+                for row, i in enumerate(np.flatnonzero(mask)):
+                    out[i] = int(np.int64(packed[row]))
+            # null embedding -> null signature (the expr path folds
+            # null dots to bucket 0; null is the honest answer — a
+            # null vector belongs to no bucket and drops out of
+            # bucket equi-joins)
+            return pd.Series(out, dtype=object)
 
         return df.withColumn(out_col, _sig(F.col(vec_col)))
     planes = _hyperplanes(dim, n_planes)

@@ -1,11 +1,12 @@
 """Query catalog — importing this package populates the registry.
 
 Registration order matters: the correctness driver walks ``queries()``
-in dict order under a per-round budget, so entries that have never
-received a driver row must come first. ``_DRIVER_VERIFIED`` is the set
-of names with a green CORRECTNESS row from prior rounds; everything
-else (new queries, round-1 leftovers) is hoisted to the front of the
-registry after all modules have registered.
+in dict order under a per-round budget (~50 names/round). Scheduling
+policy: names with NO driver row ever come first, then the *stalest*
+verified set (so rounds of refactoring on shared operators get
+re-checked — stale green is the main correctness risk), then the most
+recently verified set last. Round 3 therefore re-runs the round-1-era
+names, which were last verified against round-1 code.
 """
 
 from . import (  # noqa: F401
@@ -22,10 +23,10 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 
-# Names with a green (or rows-only-by-design) row in CORRECTNESS_r01.json.
-# Keep appending per round; never remove — a name absent from this set is
-# scheduled ahead of everything in it.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
+# Names with a green (or rows-only-by-design) row per round, oldest
+# first. A name absent from every set is scheduled ahead of all of
+# them; among verified sets, the oldest (stalest) re-runs first.
+_VERIFIED_R1: frozenset[str] = frozenset(
     {
         "anti_join_no_pending",
         "array_agg_order_ids",
@@ -81,12 +82,77 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 )
 
 
-def _hoist_unverified() -> None:
-    unverified = {n: q for n, q in REGISTRY.items() if n not in _DRIVER_VERIFIED}
-    verified = {n: q for n, q in REGISTRY.items() if n in _DRIVER_VERIFIED}
+# CORRECTNESS_r02.json rows (round-2 code, freshest — scheduled last).
+_VERIFIED_R2: frozenset[str] = frozenset(
+    {
+        "approx_distinct_users",
+        "approx_percentile_prices",
+        "array_functions_tokens",
+        "asof_purchase_prior_view",
+        "correlation_stats",
+        "dedup_clusters_jaccard",
+        "dedup_exact_documents",
+        "deterministic_sample_orders",
+        "doc_fingerprints",
+        "embedding_near_dup_blocked",
+        "histogram_order_values",
+        "ivf_ann_topk_at_rest",
+        "lang_id_documents",
+        "lang_source_rollup",
+        "linear_regression_aggs",
+        "merge_upsert_daily",
+        "minhash_near_dup_pairs",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "ngram_jaccard_pairs",
+        "ngram_jaccard_pairs_capped",
+        "pii_scrub",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_bucketed_layout",
+        "q1_pricing_summary",
+        "q3_bucketed_layout",
+        "q3_top_unshipped_orders",
+        "q6_forecast_revenue",
+        "q9_profit_by_nation_year",
+        "range_join_views_before_purchase",
+        "regex_token_stats",
+        "salted_join_identity",
+        "simhash_documents",
+        "sql_recursive_calendar",
+        "srp_ann_topk_at_rest",
+        "stream_stream_join_view_purchase",
+        "streaming_daily_rollup",
+        "text_normalize",
+        "text_quality_features",
+        "tfidf_top_terms",
+        "token_frequency",
+        "two_phase_skew_agg",
+        "udtf_token_positions",
+        "variant_props_extract",
+        "weather_daily_rollup",
+        "weather_flatten_hourly",
+        "winnowing_fingerprints",
+    }
+)
+
+
+def _schedule_registry() -> None:
+    """Reorder REGISTRY: never-verified first, then stalest round's
+    names, then the freshest round's. q1/q3 appear in both rounds'
+    sets — the freshest wins (they were re-checked in r2)."""
+    tiers = [
+        _VERIFIED_R1 - _VERIFIED_R2,
+        _VERIFIED_R2,
+    ]
+    entries = dict(REGISTRY)
     REGISTRY.clear()
-    REGISTRY.update(unverified)
-    REGISTRY.update(verified)
+    in_any = frozenset().union(*tiers)
+    REGISTRY.update({n: q for n, q in entries.items() if n not in in_any})
+    for tier in tiers:
+        REGISTRY.update({n: q for n, q in entries.items() if n in tier})
 
 
-_hoist_unverified()
+_schedule_registry()

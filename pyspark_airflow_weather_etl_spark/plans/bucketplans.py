@@ -18,6 +18,7 @@ plans, while the plain-parquet plans shuffle both sides.
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,37 +29,43 @@ from ..operators.scale import write_bucketed
 from ..sources.tables import load_table
 from .registry import REGISTRY, register
 
-#: Per-process cache of built layouts, keyed by sf_dir — the bucketed
-#: write is ingest-time cost, paid once and reused by every entry.
-_BUCKETED: dict[str, tuple[str, str]] = {}
-
 
 def bucketed_fixture_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write (once) and return the co-bucketed (orders, lineitem)
-    table names for ``sf_dir``. 16 buckets on the order key, sorted
-    within buckets, so joins need neither exchange nor sort."""
-    if sf_dir not in _BUCKETED:
-        tag = abs(hash(sf_dir)) % 10_000_000
-        names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
-        root = tempfile.mkdtemp(prefix="bucketed_fixture_")
-        write_bucketed(
-            load_table(spark, sf_dir, "orders"),
-            names[0],
-            ["o_orderkey"],
-            16,
-            f"{root}/orders",
-            sort_cols=["o_orderkey"],
-        )
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem"),
-            names[1],
-            ["l_orderkey"],
-            16,
-            f"{root}/lineitem",
-            sort_cols=["l_orderkey"],
-        )
-        _BUCKETED[sf_dir] = names
-    return _BUCKETED[sf_dir]
+    """Write (once per session) and return the co-bucketed
+    (orders, lineitem) table names for ``sf_dir``. 16 buckets on the
+    order key, sorted within buckets, so joins need neither exchange
+    nor sort.
+
+    The name tag is a DETERMINISTIC digest of ``sf_dir`` (Python's
+    ``hash()`` is salted per process — it would mint fresh table
+    names and leak the previous run's bucketed dirs every run), and
+    "already built" is read from the session catalog itself rather
+    than a process-global cache, so a new SparkSession in the same
+    process rebuilds instead of returning names it never registered."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
+    if all(spark.catalog.tableExists(n) for n in names):
+        return names
+    for n in names:  # tolerate a half-built pair from a dead session
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    root = tempfile.mkdtemp(prefix="bucketed_fixture_")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        names[0],
+        ["o_orderkey"],
+        16,
+        f"{root}/orders",
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        names[1],
+        ["l_orderkey"],
+        16,
+        f"{root}/lineitem",
+        sort_cols=["l_orderkey"],
+    )
+    return names
 
 
 @register(

@@ -113,3 +113,21 @@ def test_jaccard_max_df_prunes_stop_shingles(spark):
     # measured over body shingles alone
     assert set(capped) == {(1, 2)}
     assert capped[(1, 2)] > uncapped[(1, 2)] - 0.3  # still high
+
+
+def test_minhash_expr_impl_parity(spark, corpus):
+    """The pure-JVM signature family (impl='expr') must deliver the
+    same precision guarantee and comparable recall to the default
+    Arrow family — different hash families, same collision stats."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(corpus, "doc_id", "text", 0.5).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            corpus, "doc_id", "text", 0.5, impl="expr"
+        ).collect()
+    }
+    assert found <= truth
+    assert len(found & truth) / len(truth) >= 0.9

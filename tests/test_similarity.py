@@ -162,3 +162,29 @@ def test_ivf_at_rest_equals_in_memory(spark, emb, qvec, tmp_path):
     plan = at_rest._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), f"no partition filters:\n{plan}"
+
+
+def test_srp_signature_null_embedding(spark):
+    """Null embeddings must yield a null signature (not a worker
+    crash: np.vstack over None raised before the mask guard)."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_signature,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, None), (2, [-1.0] * 8)], schema
+    )
+    rows = {
+        r.vec_id: r.srp_bucket
+        for r in srp_signature(df, dim=8, n_planes=4).collect()
+    }
+    assert rows[1] is None
+    assert rows[0] is not None and rows[2] is not None
