@@ -16,6 +16,8 @@ pattern without a custom connector).
 from __future__ import annotations
 
 import json
+import time
+import zlib
 from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,10 +27,60 @@ from .. import schemas
 Fetcher = Callable[[str], str]
 
 
-def default_fetcher(timeout_s: int = 30) -> Fetcher:
+class FetchFailed(RuntimeError):
+    """A fetch exhausted its retry budget; ``__cause__`` is the last
+    underlying error."""
+
+
+def with_retry(
+    fetch: Fetcher,
+    retries: int = 2,
+    backoff_s: float = 120.0,
+    jitter: float = 0.1,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Fetcher:
+    """Bounded exponential backoff around a fetcher — the engine-level
+    form of the reference's task-level retry contract (O3:
+    /root/reference/dags/weather_daily_etl.py:53-57, retries 1-2 at
+    2 min). The reference restarts the whole Airflow task; here the
+    retry wraps the single fetch, so inside ``fetch_distributed`` one
+    flaky URL no longer fails the whole partition's task (and with it
+    the Spark stage).
+
+    Delay for attempt k is ``backoff_s·2ᵏ`` plus a DETERMINISTIC
+    jitter fraction derived from (url, attempt) — spreads a thundering
+    herd of executors without introducing nondeterminism. ``sleep`` is
+    injectable for tests. After ``retries`` re-attempts the last error
+    propagates as ``FetchFailed`` with the cause chained."""
+
+    def fetch_with_retry(url: str) -> str:
+        attempt = 0
+        while True:
+            try:
+                return fetch(url)
+            except Exception as e:  # noqa: BLE001 — any failure retries
+                if attempt >= retries:
+                    raise FetchFailed(
+                        f"fetch failed after {retries + 1} attempts: {url}"
+                    ) from e
+                frac = (
+                    zlib.crc32(f"{url}#{attempt}".encode()) % 1000
+                ) / 1000.0
+                sleep(backoff_s * (2**attempt) * (1.0 + jitter * frac))
+                attempt += 1
+
+    return fetch_with_retry
+
+
+def default_fetcher(
+    timeout_s: int = 30,
+    retries: int = 2,
+    backoff_s: float = 120.0,
+) -> Fetcher:
     """GET with the reference's 30 s timeout + raise-on-non-2xx
-    contract (weather_daily_etl.py:31-33). Import-gated: this
-    container has no network."""
+    contract (weather_daily_etl.py:31-33), wrapped in the O3 retry
+    policy (retries 2 @ 2 min backoff). Import-gated: this container
+    has no network."""
 
     def fetch(url: str) -> str:
         import urllib.request
@@ -38,7 +90,7 @@ def default_fetcher(timeout_s: int = 30) -> Fetcher:
                 raise RuntimeError(f"HTTP {resp.status} for {url}")
             return resp.read().decode("utf-8")
 
-    return fetch
+    return with_retry(fetch, retries=retries, backoff_s=backoff_s)
 
 
 def read_http_json(

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -46,34 +47,158 @@ def write_parquet_partitioned(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
 def overwrite_parquet_swap(df: DataFrame, path: str) -> None:
     """Overwrite ``path`` with ``df`` even when ``df`` READS from
-    ``path`` (the read-merge-rewrite serving pattern).
+    ``path`` (the read-merge-rewrite serving pattern), flat layout.
 
     A plain ``mode('overwrite')`` on the source path is unsafe: Spark
     deletes the target before the job finishes, so any task retry or
     lost cached block recomputes from a partially-deleted input and
     silently truncates the table. Instead: materialize fully into a
     sibling temp directory (the source stays intact for recomputes),
-    then swap via the Hadoop FileSystem API — delete target, rename
-    temp into place. A crash between delete and rename leaves the
-    complete temp directory on disk (recoverable), never a silent
-    truncation. On a real deployment prefer a transactional table
-    format (Delta/Iceberg MERGE), which makes the swap a metadata op.
+    then swap — rename target ASIDE (never delete-first), rename temp
+    into place, drop the aside copy last. No crash point loses data:
+    at every instant a complete copy exists at ``path``, the aside
+    path, or the temp path. The swap is still not ATOMIC for
+    concurrent readers (a reader in the rename window can miss the
+    table, and S3-family renames are copy+delete) — serving tables
+    with concurrent readers should use the versioned protocol below
+    (``write_serving_version`` / ``read_serving_table``), where
+    readers resolve a pointer and data directories are never moved.
     """
     spark = df.sparkSession
-    tmp = path.rstrip("/") + ".__swap_tmp__"
+    base = path.rstrip("/")
+    tmp = base + ".__swap_tmp__"
     df.write.mode("overwrite").parquet(tmp)
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    dest = jvm.org.apache.hadoop.fs.Path(path)
+    jvm, fs, dest = _hadoop_fs(spark, base)
     src = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = dest.getFileSystem(conf)
-    if fs.exists(dest):
-        fs.delete(dest, True)
+    aside = jvm.org.apache.hadoop.fs.Path(base + ".__swap_old__")
+    if fs.exists(aside):
+        fs.delete(aside, True)
+    if fs.exists(dest) and not fs.rename(dest, aside):
+        raise IOError(f"rename {base} aside failed; table intact at {base}")
     if not fs.rename(src, dest):
-        raise IOError(f"rename {tmp} -> {path} failed; data is at {tmp}")
+        raise IOError(
+            f"rename {tmp} -> {base} failed; data is at {tmp}"
+            f"{' and ' + str(aside) if fs.exists(aside) else ''}"
+        )
+    fs.delete(aside, True)
+
+
+#: Serving-table version directories are ``v-<n>``; ``_current`` is
+#: the pointer file naming the live one.
+_PTR = "_current"
+_VDIR = re.compile(r"^v-(\d+)$")
+
+
+def _list_complete_versions(fs, jvm, root) -> list[tuple[int, str]]:
+    """(version number, dir name) of every version directory whose
+    Spark commit finished (``_SUCCESS`` present), ascending."""
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        m = _VDIR.match(name)
+        if not m or not st.isDirectory():
+            continue
+        ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(ok):
+            out.append((int(m.group(1)), name))
+    return sorted(out)
+
+
+def write_serving_version(df: DataFrame, path: str) -> str:
+    """Publish ``df`` as the next version of the serving table at
+    ``path`` and return the version directory name.
+
+    Object-store-safe single-writer publish protocol (the engine's
+    stand-in for a transactional table format, which this container
+    does not ship):
+
+    1. write parquet into ``path/v-<n+1>`` — Spark's commit drops
+       ``_SUCCESS`` there only on full success;
+    2. flip the ``path/_current`` pointer: write ``_current.tmp``,
+       delete ``_current``, rename into place — the only mutated
+       object is one tiny pointer file; data directories are NEVER
+       renamed or deleted while live, so rename-as-copy stores can't
+       expose a partial table;
+    3. prune versions older than the previous one (previous is kept
+       as the rollback target).
+
+    A crash at ANY point leaves the reader correct:
+    before the flip, ``_current`` still names the old complete
+    version; mid-flip (pointer missing), ``read_serving_table`` falls
+    back to the newest ``_SUCCESS``-complete version dir — which is
+    the fully-committed new one. The reference gets the equivalent
+    guarantee from Postgres ``ON CONFLICT`` in one statement
+    (/root/reference/dags/weather_daily_etl.py:197-206)."""
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    jvm, fs, root = _hadoop_fs(spark, base)
+    versions = _list_complete_versions(fs, jvm, root)
+    nxt = (versions[-1][0] + 1) if versions else 1
+    vname = f"v-{nxt:06d}"
+    df.write.mode("overwrite").parquet(f"{base}/{vname}")
+
+    ptr = jvm.org.apache.hadoop.fs.Path(root, _PTR)
+    ptr_tmp = jvm.org.apache.hadoop.fs.Path(root, _PTR + ".tmp")
+    out = fs.create(ptr_tmp, True)
+    out.write(bytearray(vname.encode("utf-8")))
+    out.close()
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    if not fs.rename(ptr_tmp, ptr):
+        raise IOError(f"pointer flip failed at {base}; new data at {vname}")
+
+    # keep current + previous; prune older (crash mid-prune harmless)
+    for _, old in versions[:-1]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(root, old), True)
+    return vname
+
+
+def resolve_serving_version(spark, path: str) -> str | None:
+    """Directory name of the live version at ``path``, or None when no
+    complete version exists. Pointer first; newest complete version
+    as the crash-recovery fallback (covers a writer dying mid-flip)."""
+    base = path.rstrip("/")
+    jvm, fs, root = _hadoop_fs(spark, base)
+    ptr = jvm.org.apache.hadoop.fs.Path(root, _PTR)
+    if fs.exists(ptr):
+        stream = fs.open(ptr)
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        vname = reader.readLine()
+        reader.close()
+        if vname and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(root, f"{vname}/_SUCCESS")
+        ):
+            return vname
+    versions = _list_complete_versions(fs, jvm, root)
+    return versions[-1][1] if versions else None
+
+
+def read_serving_table(spark, path: str) -> DataFrame:
+    """Read the live version of the serving table at ``path``.
+
+    Raises FileNotFoundError when no complete version exists — the
+    ONLY condition under which a caller may treat the table as
+    never-written. (The streaming merge paths rely on this contract:
+    a broad except here would silently re-initialize the serving
+    table after a crashed swap.)"""
+    vname = resolve_serving_version(spark, path)
+    if vname is None:
+        raise FileNotFoundError(f"no complete serving version under {path}")
+    return spark.read.parquet(f"{path.rstrip('/')}/{vname}")
 
 
 def jdbc_writer(

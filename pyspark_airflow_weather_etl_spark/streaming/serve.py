@@ -8,9 +8,12 @@ join-based upsert the batch path uses (operators.merge.upsert) — one
 code path for both latencies, idempotent under replays because the
 merge is keyed.
 
-The serving table here is partitioned parquet (dynamic overwrite
-keeps the rewrite scoped to touched partitions); swap the writer for
-writers.write_jdbc against a real store.
+The serving table is published through the versioned pointer
+protocol (writers.write_serving_version / read_serving_table): each
+micro-batch writes a new complete version directory and flips a tiny
+pointer file, so a crash at any point — including mid-swap — leaves
+readers on a complete version, never a partial or missing table.
+Swap the writer for writers.write_jdbc against a real store.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
 from ..operators.merge import upsert
-from ..sources.writers import overwrite_parquet_swap
+from ..sources.writers import read_serving_table, write_serving_version
 from .rollup import read_events_stream
 
 _run_ids = itertools.count()
@@ -66,13 +69,15 @@ def stream_upsert_daily(
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         try:
-            target = s.read.parquet(target_path)
-        except Exception:  # first batch: table does not exist yet
+            target = read_serving_table(s, target_path)
+        except FileNotFoundError:
+            # Genuinely never written (no complete version and no
+            # pointer) — NOT merely a crashed swap: read_serving_table
+            # recovers from those itself. A broad except here would
+            # silently re-initialize the table to one micro-batch.
             target = s.createDataFrame([], batch.schema)
         merged = upsert(target, batch, keys, how="last")
-        # temp-write + FS rename: the source parquet stays intact for
-        # any recompute until the fully-written table swaps in
-        overwrite_parquet_swap(merged, target_path)
+        write_serving_version(merged, target_path)
 
     name = f"serve_{next(_run_ids)}"
     writer = (

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import upsert
 from ..operators.weather import flatten_hourly
-from ..sources.writers import overwrite_parquet_swap
+from ..sources.writers import read_serving_table, write_serving_version
 from ..schemas import BRONZE_WEATHER
 from ..session import apply_runtime_confs
 
@@ -69,11 +69,13 @@ def run_weather_stream(
         s = bronze_batch.sparkSession
         gold_update = _gold_batch(flatten_hourly(bronze_batch))
         try:
-            target = s.read.parquet(gold_path)
-        except Exception:
+            target = read_serving_table(s, gold_path)
+        except FileNotFoundError:
+            # never written — crashed swaps are recovered inside
+            # read_serving_table, so this cannot silently re-init
             target = s.createDataFrame([], gold_update.schema)
         merged = upsert(target, gold_update, ["y", "m", "d"], how="last")
-        overwrite_parquet_swap(merged, gold_path)
+        write_serving_version(merged, gold_path)
 
     name = f"weather_stream_{next(_run_ids)}"
     writer = (

@@ -120,3 +120,80 @@ def test_jdbc_live_roundtrip_via_derby(spark, tmp_path):
         .option("driver", derby).load().collect()
     }
     assert rows == {(2024, 3, 1): 9.5, (2024, 3, 2): 7.5, (2024, 3, 3): 6.0}
+
+
+def test_with_retry_transient_failures_then_success():
+    from pyspark_airflow_weather_etl_spark.sources.http import with_retry
+
+    calls, sleeps = [], []
+
+    def flaky(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise ConnectionError("transient")
+        return "ok"
+
+    fetch = with_retry(flaky, retries=2, backoff_s=2.0, sleep=sleeps.append)
+    assert fetch("https://api.test/x") == "ok"
+    assert len(calls) == 3
+    # exponential: ~2s then ~4s (plus deterministic jitter <=10%)
+    assert len(sleeps) == 2
+    assert 2.0 <= sleeps[0] <= 2.2 and 4.0 <= sleeps[1] <= 4.4
+    # deterministic: the same (url, attempt) always sleeps the same
+    sleeps2 = []
+    calls.clear()
+    with_retry(flaky, retries=2, backoff_s=2.0, sleep=sleeps2.append)(
+        "https://api.test/x"
+    )
+    assert sleeps2 == sleeps
+
+
+def test_with_retry_permanent_failure_raises_with_cause():
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.sources.http import (
+        FetchFailed,
+        with_retry,
+    )
+
+    calls = []
+
+    def dead(url):
+        calls.append(url)
+        raise ConnectionError("down")
+
+    fetch = with_retry(dead, retries=2, backoff_s=1.0, sleep=lambda s: None)
+    with pytest.raises(FetchFailed) as ei:
+        fetch("https://api.test/x")
+    assert len(calls) == 3  # initial + 2 retries, then gave up
+    assert isinstance(ei.value.__cause__, ConnectionError)
+
+
+def test_fetch_distributed_with_flaky_executor_fetcher(spark):
+    """One transiently-flaky URL must not fail the partition's task:
+    the retry wraps the single fetch inside the executor."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.sources.http import (
+        fetch_distributed,
+        with_retry,
+    )
+
+    keys = spark.range(8).select(
+        F.concat(F.lit("https://api.test/item/"), F.col("id")).alias("url")
+    )
+
+    def factory():
+        seen: dict[str, int] = {}
+
+        def flaky(url):
+            seen[url] = seen.get(url, 0) + 1
+            if url.endswith("/3") and seen[url] == 1:
+                raise ConnectionError("transient")
+            return f"body-of-{url.rsplit('/', 1)[1]}"
+
+        return with_retry(flaky, retries=2, backoff_s=0.0, sleep=lambda s: None)
+
+    out = {r.url: r.body for r in fetch_distributed(keys, "url", factory).collect()}
+    assert len(out) == 8
+    assert out["https://api.test/item/3"] == "body-of-3"

@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from pyspark_airflow_weather_etl_spark.functions.exact import DEC
 from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+from pyspark_airflow_weather_etl_spark.sources.writers import (
+    read_serving_table,
+    write_serving_version,
+)
 from pyspark_airflow_weather_etl_spark.streaming.serve import stream_upsert_daily
 
 from conftest import SF_DIR
@@ -35,7 +39,7 @@ def test_stream_upsert_matches_batch_and_is_idempotent(spark, tmp_path):
     stream_upsert_daily(spark, SF_DIR, target)
     got = {
         (r.day, r.event_type): (r.sum_value, r.n_events)
-        for r in spark.read.parquet(target).collect()
+        for r in read_serving_table(spark, target).collect()
     }
     assert got == _batch_truth(spark)
 
@@ -45,7 +49,7 @@ def test_stream_upsert_matches_batch_and_is_idempotent(spark, tmp_path):
     stream_upsert_daily(spark, SF_DIR, target)
     again = {
         (r.day, r.event_type): (r.sum_value, r.n_events)
-        for r in spark.read.parquet(target).collect()
+        for r in read_serving_table(spark, target).collect()
     }
     assert again == got
 
@@ -56,20 +60,19 @@ def test_checkpointed_restart_is_noop(spark, tmp_path):
     target = str(tmp_path / "serving")
     ckpt = str(tmp_path / "ckpt")
     stream_upsert_daily(spark, SF_DIR, target, checkpoint_dir=ckpt)
-    first = sorted(map(tuple, spark.read.parquet(target).collect()))
+    first = sorted(map(tuple, read_serving_table(spark, target).collect()))
 
     # Poison the target: if the restart reprocessed anything, the
     # merge would repair/change rows and the poison would vanish.
+    # (Publishing the poisoned table is itself a self-referencing
+    # versioned write — the protocol handles read-modify-publish.)
+    cur = read_serving_table(spark, target)
     poison = spark.createDataFrame(
-        [("9999-01-01", "poison", 1.0, 1)],
-        spark.read.parquet(target).schema,
+        [("9999-01-01", "poison", 1.0, 1)], cur.schema
     )
-    spark.read.parquet(target).unionByName(poison).write.mode(
-        "overwrite"
-    ).parquet(target + "2")
-    spark.read.parquet(target + "2").write.mode("overwrite").parquet(target)
+    write_serving_version(cur.unionByName(poison), target)
 
     stream_upsert_daily(spark, SF_DIR, target, checkpoint_dir=ckpt)
-    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    after = sorted(map(tuple, read_serving_table(spark, target).collect()))
     assert ("9999-01-01", "poison", 1.0, 1) in after, "restart must not rewrite"
     assert len(after) == len(first) + 1

@@ -11,6 +11,7 @@ from pyspark_airflow_weather_etl_spark.operators.weather import (
     flatten_hourly,
     read_bronze,
 )
+from pyspark_airflow_weather_etl_spark.sources.writers import read_serving_table
 from pyspark_airflow_weather_etl_spark.streaming.weather_stream import (
     run_weather_stream,
 )
@@ -32,7 +33,7 @@ def test_incremental_days_match_batch(spark, tmp_path):
     # Day 1 arrives; stream processes it.
     _write_day(bronze, "2024-03-01", 52.5)
     run_weather_stream(spark, str(bronze), gold, checkpoint_dir=ckpt)
-    assert spark.read.parquet(gold).count() == 1
+    assert read_serving_table(spark, gold).count() == 1
 
     # Days 2 and 3 land later; resume from the checkpoint — only the
     # new files are read, and the gold table grows incrementally.
@@ -43,7 +44,7 @@ def test_incremental_days_match_batch(spark, tmp_path):
     got = {
         (r.y, r.m, r.d): (r.min_temp_c, r.max_temp_c, r.avg_temp_c,
                           r.precip_mm_sum, r.avg_humidity_pct)
-        for r in spark.read.parquet(gold).collect()
+        for r in read_serving_table(spark, gold).collect()
     }
     batch = {
         (r.y, r.m, r.d): (r.min_temp_c, r.max_temp_c, r.avg_temp_c,
@@ -61,6 +62,6 @@ def test_incremental_days_match_batch(spark, tmp_path):
     again = {
         (r.y, r.m, r.d): (r.min_temp_c, r.max_temp_c, r.avg_temp_c,
                           r.precip_mm_sum, r.avg_humidity_pct)
-        for r in spark.read.parquet(gold).collect()
+        for r in read_serving_table(spark, gold).collect()
     }
     assert again == got
