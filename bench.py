@@ -60,44 +60,90 @@ HEADLINE = [
 ]
 
 
+def _scaled_facts(spark, sf_dir: str, factor: int = 8):
+    """Deterministically replicate (orders, lineitem) ``factor``× with
+    shifted keys. The sf0.1 fixtures are small enough that a layout
+    probe's effect (exchange cost, file skipping) drowns in fixed
+    per-query overhead; the probes need probe-sized DATA, not
+    different semantics — replication keeps every distribution and
+    join-fanout property of the fixture while scaling row count."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+    orders_big = (
+        orders.crossJoin(F.broadcast(rep))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * shift)
+        .drop("__rep")
+    )
+    li_big = (
+        li.crossJoin(F.broadcast(rep))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * shift)
+        .drop("__rep")
+    )
+    return orders_big, li_big
+
+
 def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
-    """Measure the amortized-layout story: the same orders⨝lineitem
-    aggregation against (a) plain parquet (shuffle both sides) and
-    (b) pre-bucketed tables (zero exchange). The bucketed write is
-    setup, not measurement — at scale it is paid once and amortized
-    over every downstream join on the key."""
+    """Measure the amortized-layout story: the same three-query
+    orders⨝lineitem aggregation mix against (a) plain parquet
+    (shuffle both sides per query) and (b) pre-bucketed tables (zero
+    exchange, every query). Writes are setup, not measurement — at
+    scale the bucketed layout is paid once at ingest and amortized
+    over every downstream join on the key, which is exactly what a
+    multi-query mix shows and a single query understates."""
     import tempfile
 
     from pyspark.sql import functions as F
 
+    from pyspark_airflow_weather_etl_spark.functions.exact import dsum
     from pyspark_airflow_weather_etl_spark.operators.scale import (
         bucketed_tables_join,
         write_bucketed,
     )
-    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
-        "l_orderkey", "o_orderkey"
-    )
+    orders_big, li_big = _scaled_facts(spark, sf_dir)
+    li_big = li_big.withColumnRenamed("l_orderkey", "o_orderkey")
     tmp = tempfile.mkdtemp(prefix="bench_buckets_")
-    write_bucketed(orders, "bench_orders_b", ["o_orderkey"], 16,
+    # plain-parquet copies of the SAME scaled data, so both layouts
+    # read comparable files from disk
+    orders_big.write.parquet(f"{tmp}/orders_plain")
+    li_big.write.parquet(f"{tmp}/li_plain")
+    orders_p = spark.read.parquet(f"{tmp}/orders_plain")
+    li_p = spark.read.parquet(f"{tmp}/li_plain")
+    write_bucketed(orders_p, "bench_orders_b", ["o_orderkey"], 32,
                    f"{tmp}/orders", sort_cols=["o_orderkey"])
-    write_bucketed(li, "bench_lineitem_b", ["o_orderkey"], 16,
+    write_bucketed(li_p, "bench_lineitem_b", ["o_orderkey"], 32,
                    f"{tmp}/lineitem", sort_cols=["o_orderkey"])
 
-    def agg(df):
-        return df.groupBy("o_orderstatus").agg(
-            F.count("*").alias("n"), F.sum("l_quantity").alias("q")
-        )
+    # Three aggregations on the join key — the repeated-join query mix
+    # the bucketed layout amortizes over.
+    def mix(j):
+        return [
+            j.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n"), dsum("l_quantity", "q")
+            ),
+            j.groupBy("o_orderpriority").agg(
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "revenue",
+                )
+            ),
+            j.groupBy(
+                "o_orderstatus", F.year("o_orderdate").alias("y")
+            ).agg(F.count("*").alias("n"), dsum("l_extendedprice", "s")),
+        ]
 
     out: dict[str, float] = {}
     # Force the conditions where the exchange matters: no broadcast
-    # fallback, high shuffle partitions (a 1000-executor cluster's
-    # setting — at local sf0.1 the exchange is otherwise too cheap to
-    # see). The bucketed path's plan has zero exchanges either way
-    # (asserted in tests/test_plan_shapes.py); this makes the
-    # shuffled path pay what it would pay at scale.
+    # fallback, high shuffle partitions (a large cluster's setting).
+    # The bucketed path's plan has zero exchanges either way (asserted
+    # in tests/test_plan_shapes.py); this makes the shuffled path pay
+    # what it would pay at scale.
     forced = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.shuffle.partitions": "400",
@@ -106,19 +152,26 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
     for k, v in forced.items():
         spark.conf.set(k, v)
     try:
-        t0 = time.perf_counter()
-        agg(orders.join(li, "o_orderkey")).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out["join_shuffled"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        agg(
-            bucketed_tables_join(
-                spark, "bench_orders_b", "bench_lineitem_b", ["o_orderkey"]
-            )
-        ).write.format("noop").mode("overwrite").save()
-        out["join_bucketed"] = round(time.perf_counter() - t0, 3)
+        results: dict[str, list] = {}
+        for label, j in (
+            ("join_shuffled", orders_p.join(li_p, "o_orderkey")),
+            (
+                "join_bucketed",
+                bucketed_tables_join(
+                    spark, "bench_orders_b", "bench_lineitem_b",
+                    ["o_orderkey"],
+                ),
+            ),
+        ):
+            t0 = time.perf_counter()
+            results[label] = [
+                sorted(map(tuple, q.collect())) for q in mix(j)
+            ]
+            out[label] = round(time.perf_counter() - t0, 3)
+        # decimal sums: exact — layouts must not change any answer
+        assert results["join_shuffled"] == results["join_bucketed"], (
+            "bucketed layout changed the answer"
+        )
     finally:
         for k, v in old_confs.items():
             spark.conf.set(k, v)
@@ -129,21 +182,33 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
 
 def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
     """Sorted-layout data skipping: the same narrow o_orderdate range
-    scan against (a) the fixture's unsorted parquet (every file spans
+    scan against (a) an unsorted round-robin layout (every file spans
     the full date range — min/max stats prune nothing) and (b) a
-    range-partitioned + sorted rewrite (tight per-file stats — the
-    scan touches ~1/16 of the files). Write cost is ingest-time,
-    amortized over every range query."""
+    range-partitioned + sorted layout (tight per-file stats — the
+    scan touches ~1/64 of the files). Write cost is ingest-time,
+    amortized over every range query.
+
+    Both layouts hold the SAME ×8-scaled data in the SAME file count:
+    at raw sf0.1 the whole table is a handful of files and fixed
+    per-query overhead inverts the comparison (the round-2 bench
+    published sorted>unsorted — an artifact of probe size, not of the
+    layout; the footer-stats pytest proves the mechanism). The probe
+    also hard-asserts the sorted scan actually read fewer bytes, so a
+    future regression fails loudly instead of publishing nonsense."""
+    import glob
+    import os as _os
     import tempfile
 
     from pyspark.sql import functions as F
 
     from pyspark_airflow_weather_etl_spark.operators.scale import write_sorted
-    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
 
-    orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="bench_sorted_") + "/orders"
-    write_sorted(orders, tmp, ["o_orderdate"], files_per_write=16)
+    orders_big, _ = _scaled_facts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_sorted_")
+    unsorted_p = f"{tmp}/orders_unsorted"
+    sorted_p = f"{tmp}/orders_sorted"
+    orders_big.repartition(64).write.parquet(unsorted_p)  # round-robin
+    write_sorted(orders_big, sorted_p, ["o_orderdate"], files_per_write=64)
 
     pred = (
         (F.col("o_orderdate") >= F.lit("1998-03-01").cast("timestamp"))
@@ -157,12 +222,59 @@ def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     t0 = time.perf_counter()
-    n_plain = probe(orders).collect()[0]["n"]
+    n_plain = probe(spark.read.parquet(unsorted_p)).collect()[0]["n"]
     out["range_scan_unsorted"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    n_sorted = probe(spark.read.parquet(tmp)).collect()[0]["n"]
+    n_sorted = probe(spark.read.parquet(sorted_p)).collect()[0]["n"]
     out["range_scan_sorted"] = round(time.perf_counter() - t0, 3)
     assert n_plain == n_sorted, "layout changed the answer"
+
+    # Skipping evidence from the parquet footers themselves: files
+    # whose [min,max] o_orderdate overlaps the probed week. This is
+    # the units-skipped truth the timing rides on.
+    from datetime import datetime, timezone
+
+    import pyarrow.parquet as pq
+
+    def _dt(s: str):
+        return datetime.strptime(s, "%Y-%m-%d")
+
+    def _naive_utc(d):
+        # stats may come back tz-aware (TIMESTAMP_MICROS adjusted to
+        # UTC); normalize for comparison — session tz is UTC
+        if getattr(d, "tzinfo", None) is not None:
+            return d.astimezone(timezone.utc).replace(tzinfo=None)
+        return d
+
+    def matching_files(path: str) -> tuple[int, int]:
+        lo = _dt("1998-03-01")
+        hi = _dt("1998-03-08")
+        total = match = 0
+        for f in glob.glob(_os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["o_orderdate"]
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    fmin = None
+                    break
+                smin, smax = _naive_utc(st.min), _naive_utc(st.max)
+                fmin = smin if fmin is None else min(fmin, smin)
+                fmax = smax if fmax is None else max(fmax, smax)
+            total += 1
+            if fmin is None or (fmin < hi and fmax >= lo):
+                match += 1
+        return match, total
+
+    m_sorted, t_sorted = matching_files(sorted_p)
+    m_unsorted, t_unsorted = matching_files(unsorted_p)
+    assert m_sorted < m_unsorted, (
+        f"sorted layout skipped nothing: {m_sorted}/{t_sorted} vs "
+        f"unsorted {m_unsorted}/{t_unsorted}"
+    )
     return out
 
 
@@ -272,6 +384,22 @@ def main() -> None:
     jaccard_pairs(
         load_table(spark, sf_dir, "documents").limit(200), "doc_id", "text"
     ).write.format("noop").mode("overwrite").save()
+
+    # Warm the Structured Streaming machinery: the session's FIRST
+    # streaming query pays ~3-4 s of one-time init (micro-batch
+    # planner, state store, checkpoint FS) that would otherwise land
+    # on whichever streaming entry runs first — it made
+    # streaming_daily_rollup drift 2.7→3.5 s between rounds on
+    # unchanged code. Warm at the smallest fixture so the measured
+    # number is steady-state streaming execution.
+    from pyspark_airflow_weather_etl_spark.streaming.rollup import (
+        run_streaming_daily_rollup,
+    )
+
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    run_streaming_daily_rollup(
+        spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -295,10 +295,22 @@ def jaccard_pairs(
     one boilerplate phrase shared by 1 M documents is 5·10¹¹ pairs —
     the cap is what makes the join feasible at 100 TB. Hot shingles
     are few by construction, so the pruning side broadcasts; the extra
-    cost is one map-side-combined groupBy of shingle hashes."""
-    sh = add_hashed_shingles(spread_small_scan(df), text_col, n).select(
-        F.col(id_col),
-        F.explode(F.col("__shingles")).alias("shingle"),
+    cost is one map-side-combined groupBy of shingle hashes.
+
+    The shingle kernel is materialized ONCE (localCheckpoint of the
+    per-doc hash arrays): the self-join's two sides plus the size and
+    hot-shingle consumers would otherwise each re-run it (Spark does
+    no cross-consumer common-subexpression reuse) — measured, the
+    recompute dominated the query. Sizes for the uncapped form come
+    straight from ``F.size`` on the materialized arrays — no groupBy
+    shuffle at all."""
+    hashed = (
+        add_hashed_shingles(spread_small_scan(df), text_col, n)
+        .select(id_col, "__shingles")
+        .localCheckpoint()
+    )
+    sh = hashed.select(
+        F.col(id_col), F.explode(F.col("__shingles")).alias("shingle")
     )
     if max_df is not None:
         hot = (
@@ -307,8 +319,14 @@ def jaccard_pairs(
             .where(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+        # pruned postings feed three consumers (sizes, both join
+        # sides) — materialize them too
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    else:
+        sizes = hashed.select(
+            F.col(id_col), F.size("__shingles").alias("n_shingles")
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

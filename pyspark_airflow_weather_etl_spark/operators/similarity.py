@@ -272,7 +272,11 @@ def embedding_near_duplicates_blocked(
     table is Σ_bucket df²/2 — more bits → smaller buckets), fewer
     tables. The join itself is the scale story: candidates come from
     an equi-join shuffle on (t, bucket) — never an all-pairs product —
-    and vectors/norms are computed once per row before the join."""
+    and vectors/norms are computed once per row before the join.
+    Bucket and norm tables are localCheckpoint-materialized so the
+    self-join's two sides (and the two verify-join sides) read the
+    materialized state instead of re-running the signature/norm
+    kernels per side."""
     n_planes = bits_per_table * n_tables
     sig = srp_signature(embeddings, dim, n_planes, vec_col)
     mask = (1 << bits_per_table) - 1
@@ -287,9 +291,11 @@ def embedding_near_duplicates_blocked(
             for t in range(n_tables)
         ]
     )
-    buckets = sig.select(
-        F.col(id_col), F.explode(tables).alias("tb")
-    ).select(id_col, "tb.t", "tb.bucket")
+    buckets = (
+        sig.select(F.col(id_col), F.explode(tables).alias("tb"))
+        .select(id_col, "tb.t", "tb.bucket")
+        .localCheckpoint()
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
@@ -308,7 +314,7 @@ def embedding_near_duplicates_blocked(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).localCheckpoint()
     va = normed.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("v_a"),
@@ -369,13 +375,41 @@ def ivf_train_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid — pure JVM
-    expressions (one squared-distance fold per centroid, argmin via
-    array_position), no Python in the scan path. At write time,
+    """Assign each vector to its nearest centroid. At write time,
     partition/bucket by ``ivf_cell`` and probes become partition
-    pruning."""
+    pruning.
+
+    ``impl='arrow'`` (default) ranks all cells with ONE numpy matmul
+    per Arrow batch (argmin of −2·x@cᵀ + |c|² — the |x|² term is
+    constant per row and drops out): n_cells squared-distance folds
+    per row evaluate as interpreted HOF expressions in the expr form
+    and dominated the full-scan assign (same shape srp_signature
+    escaped). ``impl='expr'`` keeps the pure-JVM form for deployments
+    without Python workers. Ties break to the lowest cell index in
+    both forms."""
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        c = np.asarray(centroids, dtype=np.float64)
+        c_sq = (c**2).sum(axis=1)
+
+        @pandas_udf("int")
+        def _cell(v: pd.Series) -> pd.Series:
+            mask = v.notna().to_numpy()
+            out = [None] * len(v)
+            if mask.any():
+                x = np.vstack(v[mask].to_numpy()).astype(np.float64)
+                cells = np.argmin(-2.0 * (x @ c.T) + c_sq[None, :], axis=1)
+                for row, i in enumerate(np.flatnonzero(mask)):
+                    out[i] = int(cells[row])
+            return pd.Series(out, dtype=object)
+
+        return df.withColumn("ivf_cell", _cell(F.col(vec_col)))
     dists = F.array(
         *[
             F.aggregate(
@@ -478,16 +512,22 @@ def pairwise_topk_per_label(
     from pyspark.sql import Window
 
     # Pre-compute the double-cast vector and its norm once per row,
-    # *before* the join, and force materialization with the shuffle
-    # the join needs anyway (repartition on the blocking key) — n
-    # norm folds instead of n², and per-pair work is one dot + one
-    # divide. The divide matches the oracle's dot/(|a|·|b|) formula.
-    normed = embeddings.select(
-        F.col(group_col),
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).repartition(group_col)
+    # *before* the join, partitioned on the blocking key the join
+    # needs, and MATERIALIZED (localCheckpoint): both join sides then
+    # read the same n norm rows instead of each re-running the norm
+    # fold and the shuffle — n folds total, not 2n, and per-pair work
+    # is one dot + one divide. The divide matches the oracle's
+    # dot/(|a|·|b|) formula.
+    normed = (
+        embeddings.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+        .repartition(group_col)
+        .localCheckpoint()
+    )
     a = normed.select(
         F.col(group_col),
         F.col(id_col).alias("id_a"),

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import SQL_AVG, SQL_DSUM
 from ..operators.multimodal import attach_payload, extract_features
 from ..sources.tables import load_table
+from ..streaming.dedup import run_streaming_dedup_rollup
 from ..streaming.joins import run_stream_stream_join
 from ..streaming.rollup import run_streaming_daily_rollup
 from .registry import register
@@ -34,6 +35,28 @@ def streaming_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same SQL oracle as the batch version, proving batch/stream
     parity."""
     return run_streaming_daily_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_rollup",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           {SQL_DSUM('value', 'sum_value')},
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark under simulated at-least-once
+    delivery: every third event is re-delivered, the dedup drops the
+    replays within the watermark with bounded state, and the rollup
+    of the deduped stream hash-matches the batch rollup of the
+    PRISTINE table — proving exactly the duplicates were dropped
+    (streaming/dedup.py; the streaming analogue of the reference's
+    keyed-upsert idempotency, weather_daily_etl.py:197-209)."""
+    return run_streaming_dedup_rollup(spark, sf_dir)
 
 
 @register(

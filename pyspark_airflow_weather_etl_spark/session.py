@@ -27,6 +27,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Write timestamps as INT64 micros, not legacy INT96: INT96 has
+    # NO usable parquet min/max statistics, so every timestamp range
+    # scan over engine-written data would read every file and every
+    # row group — file skipping and row-group pruning on event-time
+    # predicates (the dominant predicate shape at 100 TB) depend on
+    # this conf.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

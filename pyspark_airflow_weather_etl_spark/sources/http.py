@@ -86,7 +86,8 @@ def default_fetcher(
         import urllib.request
 
         with urllib.request.urlopen(url, timeout=timeout_s) as resp:  # noqa: S310
-            if not 200 <= resp.status < 300:
+            # status is None for non-HTTP schemes (file:// in tests)
+            if resp.status is not None and not 200 <= resp.status < 300:
                 raise RuntimeError(f"HTTP {resp.status} for {url}")
             return resp.read().decode("utf-8")
 

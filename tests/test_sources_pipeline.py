@@ -197,3 +197,44 @@ def test_fetch_distributed_with_flaky_executor_fetcher(spark):
     out = {r.url: r.body for r in fetch_distributed(keys, "url", factory).collect()}
     assert len(out) == 8
     assert out["https://api.test/item/3"] == "body-of-3"
+
+
+def test_http_json_python_datasource(spark, tmp_path):
+    """The Spark 4 Python DataSource form of S1: one partition per
+    URL, executor-side fetch, typed via from_json downstream. file://
+    URLs exercise the full path offline."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from pyspark_airflow_weather_etl_spark.sources.pyds import (
+        read_http_source,
+    )
+
+    urls = []
+    for i in range(5):
+        p = tmp_path / f"doc_{i}.json"
+        p.write_text(json.dumps({"n": i}))
+        urls.append(f"file://{p}")
+
+    df = read_http_source(spark, urls, retries=0)
+    assert df.rdd.getNumPartitions() == 5  # one fetch task per URL
+    schema = StructType([StructField("n", IntegerType())])
+    rows = (
+        df.select(F.from_json("body", schema).alias("j"))
+        .select("j.n")
+        .collect()
+    )
+    assert sorted(r.n for r in rows) == [0, 1, 2, 3, 4]
+
+
+def test_http_json_datasource_requires_urls(spark):
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.sources.pyds import (
+        FORMAT_NAME,
+        register_http_json,
+    )
+
+    register_http_json(spark)
+    with pytest.raises(Exception):
+        spark.read.format(FORMAT_NAME).load().collect()
