@@ -57,6 +57,7 @@ HEADLINE = [
     "pairwise_topk_per_label",
     "multimodal_features",
     "streaming_daily_rollup",
+    "streaming_dedup_rollup",
 ]
 
 
@@ -402,15 +403,27 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Release the finished query's localCheckpoint blocks: the
+        # ContextCleaner frees them only after the driver-side refs
+        # are GC'd; without this, checkpointed RDDs from dedup/ANN
+        # queries accumulate in executor storage for the rest of the
+        # run and pressure later queries' memory.
+        del df
+        gc.collect()
 
+    gc.collect()
     timings.update(_layout_comparison(spark, sf_dir))
+    gc.collect()
     timings.update(_skew_comparison(spark, sf_dir))
+    gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)

@@ -512,22 +512,19 @@ def pairwise_topk_per_label(
     from pyspark.sql import Window
 
     # Pre-compute the double-cast vector and its norm once per row,
-    # *before* the join, partitioned on the blocking key the join
-    # needs, and MATERIALIZED (localCheckpoint): both join sides then
-    # read the same n norm rows instead of each re-running the norm
-    # fold and the shuffle — n folds total, not 2n, and per-pair work
-    # is one dot + one divide. The divide matches the oracle's
-    # dot/(|a|·|b|) formula.
-    normed = (
-        embeddings.select(
-            F.col(group_col),
-            F.col(id_col),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            l2_norm(F.col(vec_col)).alias("nrm"),
-        )
-        .repartition(group_col)
-        .localCheckpoint()
-    )
+    # *before* the join, and force materialization with the shuffle
+    # the join needs anyway (repartition on the blocking key) — n
+    # norm folds instead of n², and per-pair work is one dot + one
+    # divide. The divide matches the oracle's dot/(|a|·|b|) formula.
+    # (No localCheckpoint here: the dominant cost is the per-pair dot
+    # fold after the join, not the pre-join recompute — measured, a
+    # checkpoint buys nothing and its storage lingers.)
+    normed = embeddings.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).repartition(group_col)
     a = normed.select(
         F.col(group_col),
         F.col(id_col).alias("id_a"),
