@@ -1,10 +1,21 @@
 """Vector expressions over ``array<float>`` columns — JVM-side only.
 
-Cosine/dot/norm are expressed with ``zip_with`` + ``aggregate`` higher-
-order functions, so similarity search stays inside whole-stage codegen
-(no Python boundary). ``aggregate`` is a sequential left fold — its
-summation order is deterministic, which keeps scores reproducible
-across partitionings (SURVEY.md §4's similarity note).
+Cosine/dot/norm are ``zip_with`` + ``aggregate`` higher-order
+functions. HOFs are CodegenFallback in Spark — they evaluate
+interpreted — but the fold is still the fastest exact JVM form:
+unrolling the dot into a fixed-width expression tree
+(a[0]*b[0] + a[1]*b[1] + …, which DOES codegen) measured ~60%
+SLOWER at dim=64, because 2×64 bounds/null-checked GetArrayItem
+calls cost more than one interpreted pass over the array data.
+(Bit-identical sums either way; don't re-try the unroll without
+re-measuring.) The remaining speedup for pair-verify hot paths is
+numpy vectorization, which reorders the float sum and breaks exact
+oracle parity — see ROADMAP.
+
+``aggregate`` is a sequential left fold — its summation order is
+deterministic, which keeps scores reproducible across partitionings
+(SURVEY.md §4's similarity note) and equal to the sequential-sum
+DuckDB oracles.
 """
 
 from __future__ import annotations
