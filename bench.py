@@ -61,13 +61,15 @@ HEADLINE = [
 ]
 
 
-def _scaled_facts(spark, sf_dir: str, factor: int = 8):
+def _scaled_facts(spark, sf_dir: str, factor: int = 4):
     """Deterministically replicate (orders, lineitem) ``factor``× with
     shifted keys. The sf0.1 fixtures are small enough that a layout
     probe's effect (exchange cost, file skipping) drowns in fixed
     per-query overhead; the probes need probe-sized DATA, not
     different semantics — replication keeps every distribution and
-    join-fanout property of the fixture while scaling row count."""
+    join-fanout property of the fixture while scaling row count.
+    Factor 4 keeps the layout deltas unambiguous (≥3×) while bounding
+    the probe's share of total bench wall-clock."""
     from pyspark.sql import functions as F
 
     from pyspark_airflow_weather_etl_spark.sources.tables import load_table

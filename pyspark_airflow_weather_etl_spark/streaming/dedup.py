@@ -48,6 +48,9 @@ def run_streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for source replay. The rollup of the
     deduped stream must equal the batch rollup of the pristine table.
     """
+    from ..session import streaming_session
+
+    spark = streaming_session(spark)
     events = read_events_stream(spark, sf_dir)
     redelivered = events.where(F.col("event_id") % 3 == 0)
     feed = events.unionByName(redelivered)

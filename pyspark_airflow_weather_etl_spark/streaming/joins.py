@@ -60,6 +60,9 @@ def stream_stream_view_purchase(
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the view⨝purchase stream-stream join over the bounded
     fixture (availableNow → memory sink) and return the joined rows."""
+    from ..session import streaming_session
+
+    spark = streaming_session(spark)
     ev = read_events_stream(spark, sf_dir)
     views = ev.where(F.col("event_type") == "view")
     purchases = ev.where(F.col("event_type") == "purchase")

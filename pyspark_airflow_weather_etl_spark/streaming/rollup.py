@@ -74,6 +74,9 @@ def run_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark hasn't closed yet, which is what makes the result
     comparable 1:1 with the batch/oracle rollup.
     """
+    from ..session import streaming_session
+
+    spark = streaming_session(spark)
     name = f"stream_rollup_{next(_run_ids)}"
     q = (
         streaming_daily_rollup(read_events_stream(spark, sf_dir))

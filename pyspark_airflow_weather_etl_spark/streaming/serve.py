@@ -64,6 +64,9 @@ def stream_upsert_daily(
     everything — and converges to the same table anyway, because the
     keyed merge is idempotent. Both properties are tested.
     """
+    from ..session import streaming_session
+
+    spark = streaming_session(spark)
     keys = ["day", "event_type"]
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:

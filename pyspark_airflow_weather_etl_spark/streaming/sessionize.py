@@ -134,6 +134,9 @@ def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded input the last session per user stays open unless timed
     out, so tests compare only the *closed* sessions against the
     batch ground truth."""
+    from ..session import streaming_session
+
+    spark = streaming_session(spark)
     name = f"sessionize_{next(_run_ids)}"
     q = (
         sessionize_stream(read_events_stream(spark, sf_dir), timeout=False)

@@ -64,6 +64,9 @@ def run_weather_stream(
     be complete — with one JSON document per (day, location) (the
     bronze contract) that holds by construction; re-delivery of a
     day's file replaces, never duplicates, via the keyed merge."""
+    from ..session import streaming_session
+
+    spark = streaming_session(spark)
 
     def merge_batch(bronze_batch: DataFrame, batch_id: int) -> None:
         s = bronze_batch.sparkSession
