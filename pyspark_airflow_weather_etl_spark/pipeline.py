@@ -8,6 +8,16 @@ DataFrame stages behind one SparkSession. Orchestration (the date)
 is a *parameter of the plan*, not a process topology: a backfill is
 one call with a range predicate, not N serialized DAG runs
 (README.md:86-102 does it with a shell loop and max_active_runs=1).
+
+The reference's remaining orchestration-level semantics map as:
+- O3 retry policy (retries 1-2 @ 2 min, weather_daily_etl.py:53-57):
+  engine-level now — ``sources.http.with_retry`` wraps every fetch
+  in bounded exponential backoff, so transient upstream failures
+  retry per-request instead of per-task; a scheduler MAY still add
+  whole-stage retries on top.
+- O5 task isolation (one container per stage): out of engine scope
+  by design — stages share one session here; process isolation is a
+  scheduler concern and adds nothing to query semantics.
 """
 
 from __future__ import annotations
