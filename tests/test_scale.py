@@ -128,3 +128,25 @@ def test_write_sorted_layout_skips(spark, tmp_path):
         spans.append(max(maxs) - min(mins))
     assert len(spans) == 8
     assert max(spans) < 100_000 / 4
+
+
+def test_engine_writes_carry_timestamp_stats(spark, tmp_path):
+    """Spark's default INT96 timestamp encoding carries NO parquet
+    min/max statistics, which silently disables file skipping and
+    row-group pruning on event-time range predicates. The engine
+    forces TIMESTAMP_MICROS (session.py RUNTIME_CONFS); this guards
+    the conf."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(1000).selectExpr(
+        "timestamp_micros(cast(id * 1000000 as long)) AS ts"
+    )
+    p = str(tmp_path / "ts_stats")
+    df.coalesce(1).write.parquet(p)
+    f = glob.glob(p + "/*.parquet")[0]
+    st = pq.ParquetFile(f).metadata.row_group(0).column(0).statistics
+    assert st is not None and st.has_min_max, (
+        "timestamp column written without min/max stats — INT96 leak"
+    )
