@@ -297,17 +297,20 @@ def jaccard_pairs(
     are few by construction, so the pruning side broadcasts; the extra
     cost is one map-side-combined groupBy of shingle hashes.
 
-    The shingle kernel is materialized ONCE (localCheckpoint of the
-    per-doc hash arrays): the self-join's two sides plus the size and
+    The shingle kernel is cached ONCE (``persist`` of the per-doc
+    hash arrays): the self-join's two sides plus the size and
     hot-shingle consumers would otherwise each re-run it (Spark does
     no cross-consumer common-subexpression reuse) — measured, the
-    recompute dominated the query. Sizes for the uncapped form come
-    straight from ``F.size`` on the materialized arrays — no groupBy
-    shuffle at all."""
+    recompute dominated the query. ``persist`` rather than
+    ``localCheckpoint``: same reuse, but lineage is retained so an
+    executor loss at scale recomputes the lost blocks instead of
+    failing the query. Sizes for the uncapped form come straight
+    from ``F.size`` on the cached arrays — no groupBy shuffle at
+    all."""
     hashed = (
         add_hashed_shingles(spread_small_scan(df), text_col, n)
         .select(id_col, "__shingles")
-        .localCheckpoint()
+        .persist()
     )
     sh = hashed.select(
         F.col(id_col), F.explode(F.col("__shingles")).alias("shingle")
@@ -321,7 +324,7 @@ def jaccard_pairs(
         )
         # pruned postings feed three consumers (sizes, both join
         # sides) — materialize them too
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     else:
         sizes = hashed.select(
@@ -382,20 +385,21 @@ def minhash_near_duplicates(
     as lazy plans, the shingle pass would run 4× and the signature
     pass 2× (measured: the recompute, not signature eval, dominated
     the round-2 4.9 s — each stage is sub-second evaluated once).
-    ``localCheckpoint`` materializes shingles and signatures exactly
-    once so every join side reads the materialized state. At scale
-    this is the standard design anyway: signatures are tiny
-    (k longs/doc) and the shingle table is corpus-sized but written
-    to executor-local disk, cheaper than re-running the shingle
-    kernel over the full corpus three more times."""
+    ``persist`` caches shingles and signatures exactly once so every
+    join side reads the cached state (lineage retained — an executor
+    loss recomputes, unlike localCheckpoint). At scale this is the
+    standard design anyway: signatures are tiny (k longs/doc) and the
+    shingle table is corpus-sized but spills to executor disk,
+    cheaper than re-running the shingle kernel over the full corpus
+    three more times."""
     hashed = (
         add_hashed_shingles(spread_small_scan(df), text_col, n, out_col="sh")
         .select(id_col, "sh")
-        .localCheckpoint()
+        .persist()
     )
     sigs = _signatures_over(
         hashed, id_col, "sh", num_hashes, impl
-    ).localCheckpoint()
+    ).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     a = hashed.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -273,10 +273,11 @@ def embedding_near_duplicates_blocked(
     tables. The join itself is the scale story: candidates come from
     an equi-join shuffle on (t, bucket) — never an all-pairs product —
     and vectors/norms are computed once per row before the join.
-    Bucket and norm tables are localCheckpoint-materialized so the
-    self-join's two sides (and the two verify-join sides) read the
-    materialized state instead of re-running the signature/norm
-    kernels per side."""
+    Bucket and norm tables are persist()-cached so the self-join's
+    two sides (and the two verify-join sides) read the cached state
+    instead of re-running the signature/norm kernels per side
+    (lineage retained, so executor loss recomputes rather than
+    failing)."""
     n_planes = bits_per_table * n_tables
     sig = srp_signature(embeddings, dim, n_planes, vec_col)
     mask = (1 << bits_per_table) - 1
@@ -294,7 +295,7 @@ def embedding_near_duplicates_blocked(
     buckets = (
         sig.select(F.col(id_col), F.explode(tables).alias("tb"))
         .select(id_col, "tb.t", "tb.bucket")
-        .localCheckpoint()
+        .persist()
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -314,7 +315,7 @@ def embedding_near_duplicates_blocked(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-    ).localCheckpoint()
+    ).persist()
     va = normed.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("v_a"),
