@@ -9,7 +9,7 @@ from ..functions.exact import SQL_AVG, SQL_DSUM
 from ..operators.multimodal import attach_payload, extract_features
 from ..sources.tables import load_table
 from ..streaming.dedup import run_streaming_dedup_rollup
-from ..streaming.joins import run_stream_stream_join
+from ..streaming.joins import run_stream_static_enrichment, run_stream_stream_join
 from ..streaming.rollup import run_streaming_daily_rollup
 from .registry import register
 
@@ -57,6 +57,27 @@ def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/dedup.py; the streaming analogue of the reference's
     keyed-upsert idempotency, weather_daily_etl.py:197-209)."""
     return run_streaming_dedup_rollup(spark, sf_dir)
+
+
+@register(
+    "stream_static_enrichment",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           {SQL_DSUM('e.value', 'sum_value')},
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the event stream enriched with
+    the static customer dimension per micro-batch (stateless — no
+    watermark or join state; the dim is re-resolved each batch, which
+    is how slowly-changing dimensions stay fresh), rolled up per
+    market segment and hash-checked against the batch join+agg
+    (streaming/joins.py::run_stream_static_enrichment)."""
+    return run_stream_static_enrichment(spark, sf_dir)
 
 
 @register(

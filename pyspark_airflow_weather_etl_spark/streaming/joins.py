@@ -77,3 +77,47 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension, rolled up per market segment.
+
+    The static side is a plain batch DataFrame — Spark broadcasts it
+    into every micro-batch (stream-static joins are stateless: no
+    watermark, no join state, the dimension is simply re-resolved per
+    batch, which is also what makes slowly-changing dimensions pick
+    up updates between batches at no extra cost). This is the
+    streaming form of the classic fact⨝dim enrichment every
+    reference-style ingest does right after landing."""
+    from ..functions.exact import DEC
+    from ..session import streaming_session
+    from ..sources.tables import load_table
+
+    spark = streaming_session(spark)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = read_events_stream(spark, sf_dir).join(
+        F.broadcast(customers),
+        F.col("user_id") == F.col("c_custkey"),
+    )
+    rolled = enriched.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        F.count("*").alias("n_events"),
+    )
+    name = f"stream_static_{next(_run_ids)}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
