@@ -112,6 +112,72 @@ def bucketed_tables_join(
     return spark.table(left_table).join(spark.table(right_table), list(on))
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    files_per_write: int | None = None,
+) -> None:
+    """Z-order (Morton) layout: interleave the bits of min/max-scaled
+    numeric columns into one sort key and range-partition + sort by
+    it — every file then has a TIGHT min/max span on EVERY z-ordered
+    column simultaneously, so range predicates on any of them (or
+    any combination) skip files via footer stats. A single-column
+    sort (``write_sorted``) gives perfect skipping on that column and
+    none on the others; Z-order trades a bit of per-column tightness
+    for multi-column skipping — the standard lakehouse layout for
+    multi-dimension probe tables (e.g. (event_time, user_id)).
+
+    Column scaling needs each column's min/max — ONE driver-side agg
+    row over the input (the same bounded-collect class as IVF
+    centroid training; at 100 TB this is a metadata-cheap pass Spark
+    computes from partial aggs). Columns must be numeric or castable
+    to double (timestamps cast to epoch seconds). The interleaved key
+    is ``bits × len(cols)`` wide — keep ≤ 62 bits total.
+    """
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"z-key would need {bits * len(cols)} bits; keep bits*cols <= 62"
+        )
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top)
+                .cast("long"),
+            )
+        )
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, v in enumerate(scaled):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, i).bitwiseAND(F.lit(1)),
+                    i * len(scaled) + j,
+                )
+            )
+    zdf = df.withColumn("__z", key)
+    if files_per_write:
+        zdf = zdf.repartitionByRange(int(files_per_write), "__z")
+    else:
+        zdf = zdf.repartitionByRange("__z")
+    (
+        zdf.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

@@ -150,3 +150,58 @@ def test_engine_writes_carry_timestamp_stats(spark, tmp_path):
     assert st is not None and st.has_min_max, (
         "timestamp column written without min/max stats — INT96 leak"
     )
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort: the x-sorted layout has tight
+    x spans but full-range y spans per file (no skipping on y); the
+    z-ordered layout has partial spans on BOTH columns, so range
+    predicates on either column prune files. Results identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.scale import (
+        write_sorted,
+        write_zordered,
+    )
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("y"),
+    )
+    pz = str(tmp_path / "zorder")
+    px = str(tmp_path / "xsorted")
+    write_zordered(df, pz, ["x", "y"], bits=10, files_per_write=16)
+    write_sorted(df, px, ["x"], files_per_write=16)
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    # x-sorted: x spans tiny, y spans ~full range in every file
+    assert max(spans(px, "x")) < 250
+    assert min(spans(px, "y")) > 900
+    # z-order: BOTH columns partially bounded per file — each file
+    # covers a rectangle of the (x, y) plane, not a stripe
+    zx, zy = spans(pz, "x"), spans(pz, "y")
+    assert sum(zx) / len(zx) < 600, f"x spans not bounded: {zx}"
+    assert sum(zy) / len(zy) < 600, f"y spans not bounded: {zy}"
+
+    # same rows under a 2-D range probe from either layout
+    pred = (F.col("x").between(100, 200)) & (F.col("y").between(300, 400))
+    n_z = spark.read.parquet(pz).where(pred).count()
+    n_x = spark.read.parquet(px).where(pred).count()
+    assert n_z == n_x > 0
