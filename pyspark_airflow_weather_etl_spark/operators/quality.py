@@ -60,6 +60,40 @@ def check(df: DataFrame, expectations: Sequence[Expectation]) -> dict[str, int]:
     return {e.name: row[e.name] for e in expectations}
 
 
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile in long format — ONE aggregate pass over
+    one scan, however many columns: (column_name, n_rows, n_non_null,
+    n_distinct, min_value, max_value). The wide agg row unpivots via
+    ``stack``; min/max are cast to string so heterogeneous column
+    types share one schema.
+
+    n_distinct is exact (COUNT DISTINCT — Spark plans the multi-
+    distinct agg with an Expand, one pass over the scan); at 100 TB
+    swap in ``approx_count_distinct`` per column for a single-agg
+    sketch pass — exact is kept here because the DuckDB oracle
+    hash-checks the values."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_non_null", "n_distinct",
+        "min_value", "max_value",
+    )
+
+
 def with_metrics(df: DataFrame, name: str = "metrics") -> tuple[DataFrame, Observation]:
     """Attach observe() counters to a DataFrame: the metrics are
     collected as a side effect of whatever action runs next (a write,

@@ -229,3 +229,52 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT p.column_name,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           p.n_non_null, p.n_distinct, p.min_value, p.max_value
+    FROM (
+      SELECT 'o_orderkey' AS column_name,
+             COUNT(o_orderkey) AS n_non_null,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders
+    ) p
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling query (operators.quality.
+    profile_columns): per-column non-null / exact-distinct / min /
+    max over orders in a single aggregate scan, unpivoted to long
+    form — the profiling primitive a 100 TB ingest runs per layer
+    (the reference's only quality signal is a COUNT(*) echo,
+    weather_daily_etl.py:183-184). String/long columns only here:
+    double→string formatting differs across engines, so the oracle
+    sticks to types with canonical text forms."""
+    from ..operators.quality import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
