@@ -1,0 +1,101 @@
+"""Corpus-governance operators for training-data pipelines: takedown
+lists and eval-set decontamination.
+
+Neither exists in the reference (its corpus is one weather document a
+day); both are table-stakes for a 100 TB text pipeline:
+
+- **takedown**: remove documents named by an external key list (DMCA /
+  opt-out / license revocation), including exact duplicates of the
+  listed texts that entered under different ids — a blocklist keyed by
+  content fingerprint, not just by id.
+- **decontamination**: remove documents that contain any n-gram from a
+  benchmark/eval set, so evaluation data cannot leak into training
+  (the n-gram-overlap rule used by public LM training pipelines).
+
+Both are broadcast anti-joins — the governance side is tiny (at most
+millions of keys/phrases) and the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def apply_takedown(
+    df: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove blocklisted documents AND exact-content duplicates of
+    them: the blocklist ids resolve to content fingerprints against
+    the corpus, and removal is by fingerprint — so a byte-identical
+    copy of a taken-down document that entered under another id is
+    removed too (takedown by content, not by bookkeeping).
+
+    Two broadcast anti/semi joins on md5 digests; the corpus is
+    scanned, never shuffled."""
+    fp = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
+    )
+    blocked_fps = (
+        fp.join(
+            F.broadcast(
+                blocklist.select(F.col(block_id_col).alias(id_col))
+            ),
+            id_col,
+            "left_semi",
+        )
+        .select("__fp")
+        .distinct()
+    )
+    keep = fp.join(
+        F.broadcast(blocked_fps), "__fp", "left_anti"
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def ngram_phrases(text_col: str, n: int = 3):
+    """Token n-grams of a text column as SPACE-JOINED STRINGS (not
+    hashes) — the oracle-comparable form. The hashed form for 100 TB
+    runs is ``dedup.add_hashed_shingles``; string phrases are kept
+    here because decontamination lists are human-auditable artifacts
+    (you want to SEE which benchmark phrase matched)."""
+    t = tokens(text_col)
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda _, i: F.concat_ws(
+            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark_phrases: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Drop every document whose token ``n``-grams overlap any
+    benchmark phrase (each phrase must itself be ``n`` tokens).
+    ``arrays_overlap`` against the broadcast-literal phrase array is
+    pure codegen — no join, no shuffle; the corpus is filtered in one
+    scan. For benchmark sets too large for a literal (millions of
+    phrases), explode + broadcast semi-join on hashed shingles
+    instead (same shape as ``dedup.jaccard_pairs``)."""
+    for p in benchmark_phrases:
+        if len(p.split(" ")) != n:
+            raise ValueError(
+                f"benchmark phrase must be exactly {n} tokens: {p!r}"
+            )
+    phrases = F.array(*[F.lit(p) for p in benchmark_phrases])
+    contaminated = F.arrays_overlap(ngram_phrases(text_col, n), phrases)
+    return df.where(~contaminated)

@@ -580,3 +580,53 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("scrubbed"),
     )
+
+
+@register(
+    "takedown_documents",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE md5(d.text) NOT IN (
+      SELECT md5(text) FROM documents WHERE doc_id IN (0, 1, 2, 3, 4)
+    )
+    """,
+)
+def takedown_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown-list enforcement (operators.governance.apply_takedown):
+    the corpus minus blocklisted ids AND any byte-identical copies of
+    their texts under other ids — removal keys on the content
+    fingerprint, not the bookkeeping id. Broadcast semi/anti joins on
+    md5 digests; the corpus never shuffles."""
+    from ..operators.governance import apply_takedown
+
+    docs = load_table(spark, sf_dir, "documents")
+    blocklist = spark.range(5).select(F.col("id").alias("doc_id"))
+    return apply_takedown(docs, blocklist)
+
+
+@register(
+    "decontaminate_documents",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE NOT (
+      ' ' || text || ' ' LIKE '% key agg row %'
+      OR ' ' || text || ' ' LIKE '% batch window spark %'
+    )
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators.governance.decontaminate):
+    drop every document whose token 3-grams overlap a benchmark
+    phrase — the n-gram-overlap rule that keeps eval data out of a
+    training corpus. arrays_overlap against the broadcast-literal
+    phrase list is one codegen scan, no join. The oracle expresses
+    token-trigram containment as delimited-substring LIKE, exact
+    under the fixture's single-space token contract (text.tokens)."""
+    from ..operators.governance import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs, ["key agg row", "batch window spark"], n=3
+    )
