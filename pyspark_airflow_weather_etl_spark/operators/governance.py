@@ -77,6 +77,42 @@ def ngram_phrases(text_col: str, n: int = 3):
     return F.array_distinct(grams)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-mix
+    weighting step (N% of web, all of wiki, …). A row is kept iff the
+    first two hex digits of md5(id) fall below its stratum's
+    threshold, so the sample is a PURE FUNCTION OF THE DATA: stable
+    across partitionings, engines, cluster sizes, and re-runs —
+    unlike ``df.sampleBy(seed)``, whose per-row randomness depends on
+    row order. Resolution is 1/256 per stratum (two hex digits);
+    strata absent from ``fractions`` are dropped (an explicit mix is
+    a whitelist). One codegen filter, no shuffle."""
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    cond = None
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0,1]")
+        n = int(round(frac * 256))
+        c = F.col(strata_col) == stratum
+        if n <= 0:
+            continue  # 0.0: stratum fully dropped
+        if n < 256:  # 256 ('100') breaks 2-char lexicographic compare
+            c = c & (
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+                < F.lit(format(n, "02x"))
+            )
+        cond = c if cond is None else cond | c
+    if cond is None:  # every stratum at 0.0 — empty mix
+        return df.where(F.lit(False))
+    return df.where(cond)
+
+
 def decontaminate(
     df: DataFrame,
     benchmark_phrases: Sequence[str],

@@ -630,3 +630,33 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(
         docs, ["key agg row", "batch window spark"], n=3
     )
+
+
+@register(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE (source = 'src0')
+       OR (source = 'src1' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+       OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20')
+    GROUP BY source
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix weighting (operators.governance.stratified_sample):
+    keep all of src0, ~50% of src1, ~12.5% of src2, drop every other
+    source — per-stratum md5-prefix thresholds, so the mix is a pure
+    function of the data (stable across engines/partitionings/re-runs,
+    unlike seed-based sampleBy). Rolled up per source and hash-checked
+    against the same thresholds in SQL."""
+    from ..operators.governance import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.125}, "doc_id"
+    )
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -62,3 +62,27 @@ def test_decontaminate_rejects_wrong_arity_phrase(spark):
     docs = _docs(spark, [(0, "a b c")])
     with pytest.raises(ValueError):
         decontaminate(docs, ["two tokens"], n=3)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        stratified_sample,
+    )
+
+    docs = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2)).alias("source"),
+    )
+    frac = {"s0": 0.25, "s1": 1.0}
+    a = stratified_sample(docs, "source", frac, "doc_id")
+    counts = {r.source: r.n for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["s1"] == 4000  # frac 1.0 keeps everything
+    assert 800 <= counts["s0"] <= 1200  # ~25% of 4000
+    # pure function of the data: same rows under a different partitioning
+    b = stratified_sample(docs.repartition(13), "source", frac, "doc_id")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+    # unlisted stratum is dropped
+    c = stratified_sample(docs, "source", {"s0": 0.25}, "doc_id")
+    assert c.where(F.col("source") == "s1").count() == 0
