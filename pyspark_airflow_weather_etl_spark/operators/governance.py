@@ -61,12 +61,14 @@ def apply_takedown(
     return df.join(keep, id_col, "left_semi")
 
 
-def ngram_phrases(text_col: str, n: int = 3):
+def ngram_phrases(text_col: str, n: int = 3, distinct: bool = True):
     """Token n-grams of a text column as SPACE-JOINED STRINGS (not
     hashes) — the oracle-comparable form. The hashed form for 100 TB
     runs is ``dedup.add_hashed_shingles``; string phrases are kept
     here because decontamination lists are human-auditable artifacts
-    (you want to SEE which benchmark phrase matched)."""
+    (you want to SEE which benchmark phrase matched).
+    ``distinct=False`` keeps every occurrence — repetition metrics
+    need the multiset."""
     t = tokens(text_col)
     grams = F.transform(
         F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
@@ -74,7 +76,7 @@ def ngram_phrases(text_col: str, n: int = 3):
             " ", *[F.element_at(t, i + j + 1) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def stratified_sample(

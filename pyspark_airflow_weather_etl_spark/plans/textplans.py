@@ -660,3 +660,45 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, GREATEST(len(tk) - 2, 0)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               AS grams
+      FROM t)
+    SELECT doc_id,
+           len(grams) AS n_trigrams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / NULLIF(len(grams), 0), 6) AS dup_fraction
+    FROM g
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-rules quality
+    signal): duplicate-trigram fraction per document — high values
+    mark boilerplate/spam/generated text for filtering. Pure codegen
+    (token slice → trigram transform → array_distinct), no shuffle,
+    no Python; the 100 TB form is identical because the work is
+    per-row."""
+    from ..operators.governance import ngram_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = ngram_phrases("text", 3, distinct=False)
+    nt = F.array_size(grams)
+    nd = F.array_size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        nt.alias("n_trigrams"),
+        nd.alias("n_distinct"),
+        F.when(
+            nt > 0,
+            F.round(1.0 - nd.cast("double") / nt, 6),
+        ).alias("dup_fraction"),
+    )
