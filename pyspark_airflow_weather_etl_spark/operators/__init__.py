@@ -9,6 +9,11 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     simhash,
 )
+from .governance import (  # noqa: F401
+    apply_takedown,
+    decontaminate,
+    stratified_sample,
+)
 from .merge import collapse_duplicates, upsert  # noqa: F401
 from .multimodal import attach_payload, extract_features  # noqa: F401
 from .quality import check, expect_in_range, expect_not_null  # noqa: F401
