@@ -130,3 +130,42 @@ def dedup_clusters(
     return comp.withColumn(
         "is_canonical", F.col("node") == F.col("component")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The dedup ACTION: ``df`` minus near-duplicates, keeping the
+    HIGHEST-``quality_col`` member of each transitive duplicate
+    cluster (ties break to the lowest id) — what a training pipeline
+    actually ships, vs min-id canonicalization which can discard the
+    best copy of a near-dup group. Rows outside every cluster pass
+    through untouched.
+
+    Cost: the component propagation over the (small) pair graph, one
+    window over cluster members, and two semi/anti joins against the
+    corpus — the corpus itself shuffles only for the final keyed
+    semi-join."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, id_a, id_b)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col)), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col("node")
+    )
+    winners = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("node").alias(id_col))
+    )
+    outside = df.join(
+        comp.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
+    return df.join(winners.unionByName(outside), id_col, "left_semi")

@@ -702,3 +702,59 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - nd.cast("double") / nt, 6),
         ).alias("dup_fraction"),
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) j JOIN sizes sa ON sa.doc_id = j.id_a
+           JOIN sizes sb ON sb.doc_id = j.id_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS a, u AS b FROM sym
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ), comp AS (
+      SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+    ), ranked AS (
+      SELECT c.node, c.component,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.node
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id IN (SELECT node FROM ranked WHERE rn = 1)
+       OR d.doc_id NOT IN (SELECT node FROM comp)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal keeping the BEST copy: exact
+    Jaccard pairs at >=0.5 -> transitive clusters (iterative label
+    propagation) -> per-cluster argmax on n_chars (tie: lowest id) ->
+    corpus semi-join (operators.graph.dedup_keep_best). Hash-checked
+    against the recursive-CTE + window form of the same policy —
+    the dedup ACTION a training pipeline ships, not just the pair
+    list."""
+    from ..operators.graph import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=3)
+    return dedup_keep_best(docs, pairs, "doc_id", "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )

@@ -68,3 +68,30 @@ def test_dedup_clusters_end_to_end(spark):
         assert comps, f"chain for doc {d} not clustered: {by_comp}"
     canon = {r.node for r in clusters if r.is_canonical}
     assert all(r.component in canon for r in clusters)
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.graph import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),  # cluster A: doc 2 has higher quality than doc 1
+            (2, 99),
+            (3, 50),  # cluster B: tie -> lowest id (3) wins
+            (4, 50),
+            (5, 7),  # no pairs: passes through
+        ],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_best(docs, pairs, "doc_id", "quality").collect()
+    )
+    assert kept == [2, 3, 5]
