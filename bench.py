@@ -413,12 +413,18 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # Release the finished query's localCheckpoint blocks: the
+        # Release the finished query's persisted blocks: the
         # ContextCleaner frees them only after the driver-side refs
-        # are GC'd; without this, checkpointed RDDs from dedup/ANN
-        # queries accumulate in executor storage for the rest of the
-        # run and pressure later queries' memory.
+        # are GC'd, and asynchronously at that — without this, cached
+        # stages from dedup/ANN queries accumulate in executor
+        # storage for the rest of the run and pressure later queries
+        # into spilling (pairwise_topk measured 2.9 s early-run vs
+        # ~8 s late-run on identical code). clearCache() initiates
+        # the unpersist immediately; each catalog query is
+        # self-contained, so dropping all cached relations between
+        # queries is safe.
         del df
+        spark.catalog.clearCache()
         gc.collect()
 
     gc.collect()
