@@ -161,3 +161,39 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         distinct_token_ratio(text_col).alias("distinct_ratio"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks — the sequence-
+    prep step before packing training batches: (id, chunk_idx,
+    chunk_text, n_tokens), chunk_idx 1-based, last chunk ragged.
+
+    Pure per-row codegen (token slice per chunk index + posexplode) —
+    no shuffle, no Python; at 100 TB this runs at scan speed and the
+    output is written straight back out partitioned however the
+    packing stage wants it. Null texts produce no chunks."""
+    t = tokens(text_col)
+    n_chunks = F.ceil(F.size(t) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(
+                " ", F.slice(t, (i - 1) * chunk_tokens + 1, chunk_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks))
+        .select(
+            id_col,
+            (F.col("pos") + 1).alias("chunk_idx"),
+            F.col("col").alias("chunk_text"),
+        )
+        .withColumn("n_tokens", F.array_size(F.split("chunk_text", " ")))
+    )

@@ -758,3 +758,34 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, pairs, "doc_id", "n_chars").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@register(
+    "chunk_documents_fixed",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(
+               1, CAST(ceil(len(tk) / 32.0) AS BIGINT))) AS INT) AS chunk_idx,
+             unnest(list_transform(
+               generate_series(1, CAST(ceil(len(tk) / 32.0) AS BIGINT)),
+               i -> array_to_string(tk[(i-1)*32+1 : i*32], ' '))) AS chunk_text
+      FROM t)
+    SELECT doc_id, chunk_idx, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (operators.text.chunk_documents,
+    32 tokens/chunk): the sequence-prep step of a training pipeline,
+    pure per-row codegen, hash-checked against a DuckDB
+    list-slice/unnest oracle computing the same windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, "doc_id", "text", 32).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
