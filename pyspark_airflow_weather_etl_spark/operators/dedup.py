@@ -418,6 +418,115 @@ def minhash_near_duplicates(
     )
 
 
+#: Portable MinHash lane coefficients: odd a < 2³⁰, b < 2³⁰, fixed
+#: (numpy default_rng(2026)). With 32-bit shingle hashes, every
+#: a·x + b stays below 2⁶³ — EXACT in signed-64 arithmetic in any
+#: engine (no wraparound, no HUGEINT needed), which is what lets the
+#: full LSH pipeline be replayed by the SQL oracle.
+PORTABLE_MINHASH_A = [
+    914669163, 192129793, 28365615, 687101529, 392428667, 501725625,
+    85714717, 397821911, 690900359, 381089585, 892345035, 848812503,
+    756373207, 971890795, 774391813, 190431539,
+]
+PORTABLE_MINHASH_B = [
+    921758931, 700922344, 105727811, 320300157, 177890572, 1038267756,
+    781641116, 987681589, 303331142, 682761077, 648727104, 808239934,
+    126719000, 553142069, 692073037, 886798281,
+]
+PORTABLE_MINHASH_MOD = 1 << 61
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Fully PORTABLE MinHash-LSH near-dup pairs: every stage —
+    md5-derived 32-bit shingle hashes, multiply-mod signature lanes,
+    band keys as raw signature slices (no opaque hash), candidate
+    equi-join, exact-Jaccard verification — uses arithmetic any
+    engine reproduces bit-for-bit, so the WHOLE pipeline is checkable
+    against an independent SQL oracle (the xxhash64 family in
+    ``minhash_near_duplicates`` is faster but engine-specific, hence
+    rows-only checked; this twin is the cross-engine proof of the
+    banding math). Band join keys are the 4-lane signature slices
+    themselves: array equality is a plain shuffle key in Spark and a
+    list key in SQL — at 100 TB hash the slice (one key column
+    instead of four) and keep this form as the verification twin."""
+    from .text import portable_shingle_hash
+
+    k = len(PORTABLE_MINHASH_A)
+    n_bands = k // rows_per_band
+    hashed = (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(portable_shingle_hash(text_col, n)).alias("h"),
+        )
+        .where(F.size("h") > 0)
+        .persist()
+    )
+    def _lane(a: int, b: int):
+        # single-arg lambda: PySpark infers HOF arity from the
+        # Python signature, so coefficients bind via closure
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(
+            PORTABLE_MINHASH_MOD
+        )
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("h"), _lane(a, b)))
+            for a, b in zip(PORTABLE_MINHASH_A, PORTABLE_MINHASH_B)
+        ]
+    )
+    band_slices = F.array(
+        *[
+            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+            for bi in range(n_bands)
+        ]
+    )
+    bands = (
+        hashed.select(F.col(id_col), sig.alias("sig"))
+        .select(F.col(id_col), F.posexplode(band_slices))
+        .select(
+            id_col,
+            F.col("pos").alias("band_idx"),
+            F.col("col").alias("bslice"),
+        )
+        .persist()
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bslice") == F.col("b.bslice"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("h").alias("h_a"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("h").alias("h_b"))
+    inter = F.array_size(F.array_intersect("h_a", "h_b")).cast("double")
+    union = (
+        F.array_size("h_a") + F.array_size("h_b")
+        - F.array_size(F.array_intersect("h_a", "h_b"))
+    )
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: per token-hash bit, vote +1/−1 weighted by
     term frequency; the sign vector packs into one long. Hamming-close

@@ -789,3 +789,53 @@ def chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
+
+
+def _portable_minhash_oracle() -> str:
+    from ..operators.dedup import (
+        PORTABLE_MINHASH_A,
+        PORTABLE_MINHASH_B,
+        PORTABLE_MINHASH_MOD,
+    )
+
+    lanes = ", ".join(
+        f"list_aggregate(list_transform(h, x -> (x * {a} + {b}) % "
+        f"{PORTABLE_MINHASH_MOD}), 'min')"
+        for a, b in zip(PORTABLE_MINHASH_A, PORTABLE_MINHASH_B)
+    )
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS h FROM documents
+    ), nz AS (SELECT * FROM hs WHERE len(h) > 0),
+    sigs AS (SELECT doc_id, [{lanes}] AS sig FROM nz),
+    bands AS (
+      SELECT doc_id, t.b AS band_idx, sig[t.b*4+1 : t.b*4+4] AS bslice
+      FROM sigs, UNNEST([0, 1, 2, 3]) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bslice = b.bslice
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(x.h, y.h)) * 1.0 /
+           (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))) AS jaccard
+    FROM cand c JOIN nz x ON x.doc_id = c.id_a
+                JOIN nz y ON y.doc_id = c.id_b
+    WHERE len(list_intersect(x.h, y.h)) * 1.0 /
+          (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))) >= 0.5
+    """
+
+
+@register("minhash_lsh_portable_pairs", oracle=_portable_minhash_oracle())
+def minhash_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE MinHash-LSH pipeline hash-checked cross-engine:
+    portable 32-bit shingle hashes -> 16 multiply-mod signature lanes
+    -> 4 banded slice keys -> candidate equi-join -> exact-Jaccard
+    verify, with arithmetic chosen so DuckDB replays every stage
+    bit-for-bit (operators.dedup.portable_minhash_pairs). The
+    xxhash64 family (minhash_near_dup_pairs) stays the fast path;
+    this twin is the independent proof of the banding math the
+    rows-only check can't give."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.portable_minhash_pairs(docs, "doc_id", "text", threshold=0.5)
