@@ -635,7 +635,8 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stratified_sample_documents",
     oracle="""
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE (source = 'src0')
        OR (source = 'src1' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')

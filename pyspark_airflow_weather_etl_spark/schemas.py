@@ -149,13 +149,28 @@ LINEITEM = T.StructType(
     ]
 )
 
-#: ``ts`` is parquet TIMESTAMP(NANOS); Spark reads it as nanos-long
-#: (see session.RUNTIME_CONFS) and sources.tables converts it to a
-#: proper timestamp in the plan.
+#: Raw-read schema for fixtures written as parquet TIMESTAMP(NANOS):
+#: Spark reads nanos only as a long (``spark.sql.legacy.parquet.nanosAsLong``),
+#: and sources.tables rebuilds a proper timestamp in the plan. Used ONLY
+#: when the footer probe (sources.tables._events_ts_physical_type) says
+#: the physical column is integral nanos.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: Logical schema for events fixtures written as parquet timestamp[us]
+#: (or any physical encoding Spark reads natively as TimestampType).
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

@@ -3,33 +3,91 @@
 Every scan declares its StructType (no inference — SURVEY.md §1.3) so
 Catalyst can prune columns and push filters into the parquet reader
 without a footer-merge pass over 100 TB of files.
+
+``events.ts`` has shipped under two physical encodings (parquet
+TIMESTAMP(NANOS), which Spark 4 can only read as a nanos-long, and
+native ``timestamp[us]``). Mixed-writer lakes make this kind of benign
+physical drift the norm at 100 TB, so the loader probes ONE footer per
+path (cached) and picks the read strategy from the evidence instead of
+freezing an assumption into the schema.
 """
 
 from __future__ import annotations
 
+import functools
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import schemas
 from ..session import apply_runtime_confs
 
 
+@functools.lru_cache(maxsize=None)
+def events_ts_is_integral(path: str) -> bool:
+    """True iff the parquet ``ts`` column at ``path`` is physically an
+    integer (TIMESTAMP(NANOS) surfaced as nanos-long under
+    ``spark.sql.legacy.parquet.nanosAsLong``); False for a native
+    timestamp encoding (timestamp[us]/[ms]/int96).
+
+    Reads a single parquet footer on the driver — O(KB) regardless of
+    dataset size — and caches per path, so at 100 TB this is one
+    metadata round-trip, not a scan.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    target = path
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if files:
+            target = files[0]
+    return pat.is_integer(pq.ParquetFile(target).schema_arrow.field("ts").type)
+
+
+def events_read_plan(path: str, spark: SparkSession | None = None):
+    """Return ``(read_schema, needs_nanos_rebuild)`` for an events
+    parquet at ``path``.
+
+    Falls back to an unforced Spark schema probe (one footer read on
+    the JVM side) when pyarrow can't open the path — e.g. a non-local
+    filesystem URI that only the Hadoop connectors understand.
+    """
+    try:
+        integral = events_ts_is_integral(path)
+    except Exception:
+        if spark is None:
+            raise
+        probed = spark.read.parquet(path).schema["ts"].dataType
+        integral = isinstance(probed, (T.LongType, T.IntegerType))
+    return (schemas.EVENTS_RAW, True) if integral else (schemas.EVENTS, False)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` arrives as parquet TIMESTAMP(NANOS); Spark 4 reads
-    nanos only as a long (``spark.sql.legacy.parquet.nanosAsLong``),
-    so the column is re-expressed as a micros timestamp *in the plan*
-    (`ts div 1000` stays integer arithmetic — a double division would
-    lose precision above 2^53 ns).
+    For ``events`` the physical type of ``ts`` is probed from the
+    footer: nanos-as-long fixtures are rebuilt in the plan via
+    ``timestamp_micros(ts div 1000)`` (integer arithmetic — a double
+    division would lose precision above 2^53 ns); native micros
+    fixtures are read directly as TimestampType.
     """
     apply_runtime_confs(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        schema, rebuild = events_read_plan(path, spark)
+        df = spark.read.schema(schema).parquet(path)
+        if rebuild:
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     schema = schemas.FIXTURES.get(name)
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    df = reader.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return reader.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
-from ..schemas import EVENTS_RAW
 from ..session import apply_runtime_confs
+from ..sources.tables import events_read_plan
 
 _run_ids = itertools.count()
 
@@ -27,14 +27,19 @@ _run_ids = itertools.count()
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture events parquet (explicit
     schema — streaming requires it; inference is impossible on an
-    unbounded source)."""
+    unbounded source). The ``ts`` physical type is probed from one
+    footer (sources.tables.events_read_plan) so nanos-as-long and
+    native-micros fixtures both read correctly."""
     apply_runtime_confs(spark)
+    schema, rebuild = events_read_plan(f"{sf_dir}/events.parquet", spark)
     raw = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if rebuild:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_daily_rollup(events: DataFrame) -> DataFrame:
