@@ -139,13 +139,76 @@ _VERIFIED_R2: frozenset[str] = frozenset(
 )
 
 
+# Names the driver actually verified in rounds 3–5 (the keys of
+# CORRECTNESS_r0{3,4,5}.json — identical set all three rounds because
+# this scheduler kept emitting the same head). Freshest evidence →
+# scheduled LAST so round 6's ~50-name budget lands on the 58 catalog
+# entries whose last driver row predates the r3 refactors of
+# dedup.py / similarity.py / session.py.
+_VERIFIED_R5: frozenset[str] = frozenset(
+    {
+        "anti_join_no_pending",
+        "array_agg_order_ids",
+        "chunk_documents_fixed",
+        "cosine_topk_bruteforce",
+        "cube_orders_status_priority",
+        "date_arithmetic_shipping",
+        "decontaminate_documents",
+        "dedup_keep_best_quality",
+        "distinct_customers_per_priority",
+        "doc_repetition_stats",
+        "embedding_near_dup_pairs",
+        "embedding_norms",
+        "events_daily_rollup",
+        "from_json_typed_props",
+        "full_outer_nation_activity",
+        "ivf_ann_topk",
+        "json_props_extract",
+        "label_centroids",
+        "minhash_lsh_portable_pairs",
+        "null_semantics",
+        "pivot_daily_event_values",
+        "profile_orders_columns",
+        "q10_returned_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_predicates",
+        "q2_min_per_group_joinback",
+        "q5_nation_revenue",
+        "q7_volume_shipping",
+        "rollup_pricing_by_flag_status",
+        "scalar_date_order_months",
+        "scalar_math_order_buckets",
+        "scalar_string_part_catalog",
+        "semi_join_big_spenders",
+        "session_window_native",
+        "sessionize_user_events",
+        "setop_cust_fulfilled_and_open",
+        "setop_cust_fulfilled_only",
+        "setop_union_segments",
+        "sliding_window_event_stats",
+        "srp_ann_topk",
+        "stratified_sample_documents",
+        "stream_static_enrichment",
+        "streaming_dedup_rollup",
+        "takedown_documents",
+        "topk_orders_by_price",
+        "unpivot_part_metrics",
+        "window_order_value_delta",
+        "window_rank_distribution",
+        "window_running_customer_total",
+        "window_top_orders_per_customer",
+    }
+)
+
+
 def _schedule_registry() -> None:
     """Reorder REGISTRY: never-verified first, then stalest round's
-    names, then the freshest round's. q1/q3 appear in both rounds'
-    sets — the freshest wins (they were re-checked in r2)."""
+    names, then the freshest round's. A name in several rounds' sets
+    is scheduled by its freshest row (later tiers win)."""
     tiers = [
-        _VERIFIED_R1 - _VERIFIED_R2,
-        _VERIFIED_R2,
+        _VERIFIED_R1 - _VERIFIED_R2 - _VERIFIED_R5,
+        _VERIFIED_R2 - _VERIFIED_R5,
+        _VERIFIED_R5,
     ]
     entries = dict(REGISTRY)
     REGISTRY.clear()
