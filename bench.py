@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark_airflow_weather_etl_spark.caching import release_cached  # noqa: E402
 from pyspark_airflow_weather_etl_spark.plans import REGISTRY  # noqa: E402
 from pyspark_airflow_weather_etl_spark.session import get_spark  # noqa: E402
 
@@ -413,18 +414,14 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # Release the finished query's persisted blocks: the
-        # ContextCleaner frees them only after the driver-side refs
-        # are GC'd, and asynchronously at that — without this, cached
-        # stages from dedup/ANN queries accumulate in executor
-        # storage for the rest of the run and pressure later queries
-        # into spilling (pairwise_topk measured 2.9 s early-run vs
-        # ~8 s late-run on identical code). clearCache() initiates
-        # the unpersist immediately; each catalog query is
-        # self-contained, so dropping all cached relations between
-        # queries is safe.
+        # Release the finished query's operator-tracked persisted
+        # blocks (blocking unpersist): without this, cached stages
+        # from dedup/ANN queries accumulate in executor storage for
+        # the rest of the run and pressure later queries into
+        # spilling (pairwise_topk measured 2.9 s early-run vs ~8 s
+        # late-run on identical code).
         del df
-        spark.catalog.clearCache()
+        release_cached()
         gc.collect()
 
     gc.collect()

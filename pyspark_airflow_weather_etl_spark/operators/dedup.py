@@ -18,11 +18,14 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import claim_group, persist_into
 from .text import fingerprint, shingles, tokens
 
 #: Seed for the multiply-shift MinHash lane coefficients (arrow impl).
@@ -38,16 +41,52 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     sf0.1). On a real deployment the input has more splits than cores
     and this is a no-op — the guard is what makes it safe to leave in
     the operator."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # Short-circuit on the file count first: every file is at least
-    # one split, so >= target files means the scan is already spread
-    # and we never pay the plan-to-RDD conversion below (which is pure
-    # driver overhead per call at scale, where the guard is a no-op).
-    if len(df.inputFiles()) >= target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # Short-circuit without the plan-to-RDD conversion below (pure
+    # driver overhead per call at scale, where the guard is a no-op)
+    # when bin-packing PROVABLY cannot collapse the scan under
+    # ``target`` splits. A raw file count is not enough — Spark packs
+    # tiny files together (FilePartition), so 1000 near-empty files
+    # can scan as one split. Each file contributes at least
+    # ``openCostInBytes`` of packing mass and each split holds at
+    # most ``maxPartitionBytes`` of it, so
+    # n_files * openCost >= target * maxPartitionBytes guarantees
+    # >= target splits.
+    open_cost = _bytes_conf(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
+    max_pb = _bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    n_files = len(df.inputFiles())
+    if n_files * open_cost >= target * max_pb:
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+_BYTE_UNITS = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+}
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ('134217728', '128m', '4MB')."""
+    raw = spark.conf.get(key, None)
+    if not raw:
+        return default
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", raw.strip())
+    if not m:
+        return default
+    return int(m.group(1)) * _BYTE_UNITS.get(m.group(2).lower() or "b", 1)
 
 
 def hashed_shingles(text_col: str, n: int = 3):
@@ -307,10 +346,12 @@ def jaccard_pairs(
     failing the query. Sizes for the uncapped form come straight
     from ``F.size`` on the cached arrays — no groupBy shuffle at
     all."""
-    hashed = (
-        add_hashed_shingles(spread_small_scan(df), text_col, n)
-        .select(id_col, "__shingles")
-        .persist()
+    caches = claim_group("jaccard_pairs")
+    hashed = persist_into(
+        caches,
+        add_hashed_shingles(spread_small_scan(df), text_col, n).select(
+            id_col, "__shingles"
+        ),
     )
     sh = hashed.select(
         F.col(id_col), F.explode(F.col("__shingles")).alias("shingle")
@@ -324,7 +365,9 @@ def jaccard_pairs(
         )
         # pruned postings feed three consumers (sizes, both join
         # sides) — materialize them too
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+        sh = persist_into(
+            caches, sh.join(F.broadcast(hot), "shingle", "left_anti")
+        )
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     else:
         sizes = hashed.select(
@@ -392,14 +435,16 @@ def minhash_near_duplicates(
     shingle table is corpus-sized but spills to executor disk,
     cheaper than re-running the shingle kernel over the full corpus
     three more times."""
-    hashed = (
-        add_hashed_shingles(spread_small_scan(df), text_col, n, out_col="sh")
-        .select(id_col, "sh")
-        .persist()
+    caches = claim_group("minhash_near_duplicates")
+    hashed = persist_into(
+        caches,
+        add_hashed_shingles(
+            spread_small_scan(df), text_col, n, out_col="sh"
+        ).select(id_col, "sh"),
     )
-    sigs = _signatures_over(
-        hashed, id_col, "sh", num_hashes, impl
-    ).persist()
+    sigs = persist_into(
+        caches, _signatures_over(hashed, id_col, "sh", num_hashes, impl)
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     a = hashed.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -460,14 +505,15 @@ def portable_minhash_pairs(
 
     k = len(PORTABLE_MINHASH_A)
     n_bands = k // rows_per_band
-    hashed = (
+    caches = claim_group("portable_minhash_pairs")
+    hashed = persist_into(
+        caches,
         spread_small_scan(df)
         .select(
             F.col(id_col),
             F.array_distinct(portable_shingle_hash(text_col, n)).alias("h"),
         )
-        .where(F.size("h") > 0)
-        .persist()
+        .where(F.size("h") > 0),
     )
     def _lane(a: int, b: int):
         # single-arg lambda: PySpark infers HOF arity from the
@@ -488,15 +534,15 @@ def portable_minhash_pairs(
             for bi in range(n_bands)
         ]
     )
-    bands = (
+    bands = persist_into(
+        caches,
         hashed.select(F.col(id_col), sig.alias("sig"))
         .select(F.col(id_col), F.posexplode(band_slices))
         .select(
             id_col,
             F.col("pos").alias("band_idx"),
             F.col("col").alias("bslice"),
-        )
-        .persist()
+        ),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

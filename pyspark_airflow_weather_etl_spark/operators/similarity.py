@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import claim_group, persist_into
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 SEED = 42
@@ -292,10 +293,12 @@ def embedding_near_duplicates_blocked(
             for t in range(n_tables)
         ]
     )
-    buckets = (
-        sig.select(F.col(id_col), F.explode(tables).alias("tb"))
-        .select(id_col, "tb.t", "tb.bucket")
-        .persist()
+    caches = claim_group("embedding_near_duplicates_blocked")
+    buckets = persist_into(
+        caches,
+        sig.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+            id_col, "tb.t", "tb.bucket"
+        ),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -311,11 +314,16 @@ def embedding_near_duplicates_blocked(
         )
         .distinct()
     )
-    normed = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
+    normed = persist_into(
+        caches,
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        ),
+    )
     va = normed.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("v_a"),
