@@ -169,19 +169,31 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def _minhash_sig_udf(num_hashes: int):
+#: Shingle count per lane-matrix chunk inside ``_minhash_sig_udf``.
+#: Peak temp = chunk · k · 8 B — 64 MiB at the default k = 32 — so
+#: worker memory is bounded no matter how large an Arrow batch (or a
+#: single pathological document) gets.
+MINHASH_LANE_CHUNK = 1 << 18
+
+
+def _minhash_sig_udf(num_hashes: int, lane_chunk: int = MINHASH_LANE_CHUNK):
     """Arrow-batched MinHash signature kernel: shingle-hash array in,
-    ``num_hashes`` lane-mins out via ONE vectorized pass per batch.
+    ``num_hashes`` lane-mins out via vectorized passes per batch.
 
     The k lanes are a multiply-shift universal hash family
     h_i(x) = a_i·x + b_i (mod 2⁶⁴, a_i odd) — the standard MinHash
     construction; coefficients regenerate inside the UDF from
     MINHASH_SEED, so nothing is closure-captured and the Arrow
-    transfer is the hash array in, k longs back. The whole batch
-    evaluates as one (Σ|shingles|, k) outer product + segmented min
+    transfer is the hash array in, k longs back. Rows evaluate as
+    (Σ|shingles|, k) outer products + segmented min
     (``np.minimum.reduceat``) — the same shape that took
     ``srp_signature`` from 9.5 s of interpreted HOF eval to
-    milliseconds (similarity.py)."""
+    milliseconds (similarity.py) — but chunked to
+    ``MINHASH_LANE_CHUNK`` shingles per matrix so peak memory stays
+    fixed: Arrow batch size is a row-count knob, not a byte knob, and
+    one batch of long documents would otherwise materialize a
+    multi-GiB lane matrix. A single document larger than the chunk is
+    itself processed in slices with a running per-lane min."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<bigint>")
@@ -190,22 +202,49 @@ def _minhash_sig_udf(num_hashes: int):
         a = rng.integers(0, 2**63, num_hashes, dtype=np.uint64) * 2 + 1
         b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
         arrs = h.to_numpy()
-        lens = np.array(
-            [0 if v is None else len(v) for v in arrs], dtype=np.int64
-        )
-        nonempty = lens > 0
-        if not nonempty.any():
-            return pd.Series([None] * len(arrs))
-        flat = np.concatenate(
-            [np.asarray(arrs[i], dtype=np.int64) for i in np.flatnonzero(nonempty)]
-        ).astype(np.uint64)
-        # (total_shingles, k) lane hashes; uint64 arithmetic wraps mod 2^64
-        lanes = flat[:, None] * a[None, :] + b[None, :]
-        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-        mins = np.minimum.reduceat(lanes, starts, axis=0).astype(np.int64)
         out: list = [None] * len(arrs)
-        for row, i in enumerate(np.flatnonzero(nonempty)):
-            out[i] = mins[row]
+
+        def emit(rows: list[int]) -> None:
+            # One (flat, k) matrix for a group of rows whose total
+            # shingle count fits the chunk budget.
+            flat = np.concatenate(
+                [np.asarray(arrs[i], dtype=np.int64) for i in rows]
+            ).astype(np.uint64)
+            lanes = flat[:, None] * a[None, :] + b[None, :]
+            lens = np.array([len(arrs[i]) for i in rows], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            mins = np.minimum.reduceat(lanes, starts, axis=0).astype(
+                np.int64
+            )
+            for row, i in enumerate(rows):
+                out[i] = mins[row]
+
+        def emit_sliced(i: int) -> None:
+            # Monster document: running per-lane min over fixed slices.
+            flat = np.asarray(arrs[i], dtype=np.int64).astype(np.uint64)
+            acc = None
+            for s in range(0, len(flat), lane_chunk):
+                piece = flat[s : s + lane_chunk]
+                m = (piece[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                acc = m if acc is None else np.minimum(acc, m)
+            out[i] = acc.astype(np.int64)
+
+        pending: list[int] = []
+        pending_len = 0
+        for i, v in enumerate(arrs):
+            n = 0 if v is None else len(v)
+            if n == 0:
+                continue
+            if n > lane_chunk:
+                emit_sliced(i)
+                continue
+            if pending and pending_len + n > lane_chunk:
+                emit(pending)
+                pending, pending_len = [], 0
+            pending.append(i)
+            pending_len += n
+        if pending:
+            emit(pending)
         return pd.Series(out)
 
     return _sig

@@ -399,8 +399,19 @@ def ivf_assign(
     per row evaluate as interpreted HOF expressions in the expr form
     and dominated the full-scan assign (same shape srp_signature
     escaped). ``impl='expr'`` keeps the pure-JVM form for deployments
-    without Python workers. Ties break to the lowest cell index in
-    both forms."""
+    without Python workers.
+
+    Parity contract between the two forms: BOTH rank cells by the
+    same decision statistic −2·x·c + |c|² (the |x|² term is constant
+    per row and drops out of the argmin) and break exact ties to the
+    lowest cell index. Summation order still differs (numpy matmul is
+    SIMD/pairwise, the SQL fold is sequential), so two cells whose
+    statistics differ by less than float rounding (~1 ulp of the
+    accumulated sum) may legitimately diverge between impls — each
+    pick is then within rounding of the true nearest cell, which
+    tests/test_similarity.py asserts on an exact-midpoint fixture.
+    Oracle-checked catalog plans pin ONE impl (the default) so driver
+    correctness never rides on cross-impl float agreement."""
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -419,21 +430,24 @@ def ivf_assign(
             return pd.Series(out, dtype=object)
 
         return df.withColumn("ivf_cell", _cell(F.col(vec_col)))
-    dists = F.array(
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c**2).sum(axis=1)
+    scores = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    F.array(*[F.lit(float(x)) for x in row]),
+                    lambda x, y: x.cast("double") * y,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
+                lambda dot_: F.lit(-2.0) * dot_ + F.lit(float(sq)),
             )
-            for c in centroids
+            for row, sq in zip(c, c_sq)
         ]
     )
-    return df.withColumn("__d", dists).withColumn(
+    return df.withColumn("__d", scores).withColumn(
         "ivf_cell",
         (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1).cast(
             "int"

@@ -131,3 +131,32 @@ def test_minhash_expr_impl_parity(spark, corpus):
     }
     assert found <= truth
     assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_minhash_sig_chunking_invariant(spark):
+    """Signatures must be identical whatever the lane-chunk budget:
+    a tiny chunk (forcing both the multi-row grouping and the
+    monster-document slice path) vs the default must agree bit-for-bit
+    on long documents."""
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        _minhash_sig_udf,
+        add_hashed_shingles,
+    )
+
+    long_text = " ".join(f"tok{i % 97}x{i % 13}" for i in range(3000))
+    rows = [(1, long_text), (2, "short doc"), (3, ""), (4, long_text[:500])]
+    df = add_hashed_shingles(
+        spark.createDataFrame(rows, "doc_id long, text string"), "text"
+    ).select("doc_id", "__shingles")
+
+    def sigs(chunk):
+        udf = _minhash_sig_udf(16, lane_chunk=chunk)
+        return {
+            r.doc_id: None if r.s is None else tuple(r.s)
+            for r in df.select("doc_id", udf("__shingles").alias("s")).collect()
+        }
+
+    small, default = sigs(64), sigs(1 << 18)
+    assert small == default
+    assert small[1] is not None and len(small[1]) == 16
+    assert small[3] is None  # empty text -> no shingles -> null signature

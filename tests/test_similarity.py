@@ -188,3 +188,48 @@ def test_srp_signature_null_embedding(spark):
     }
     assert rows[1] is None
     assert rows[0] is not None and rows[2] is not None
+
+
+def test_ivf_assign_impl_parity_near_ties(spark):
+    """arrow and expr ivf_assign must agree everywhere except genuine
+    float-rounding ties — and on an EXACT midpoint both must break the
+    tie to the lowest cell index. Any divergence must be an epsilon-
+    tie: both picks within rounding of the true minimum distance."""
+    import numpy as np
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    dim = 8
+    centroids = np.zeros((3, dim))
+    centroids[1, 0] = 2.0
+    centroids[2, 1] = 4.0
+    rows = [
+        (0, [1.0] + [0.0] * (dim - 1)),          # exact midpoint c0/c1
+        (1, [1.0 + 1e-12] + [0.0] * (dim - 1)),  # epsilon off midpoint
+        (2, [0.1] * dim),                        # clearly c0
+        (3, [1.9] + [0.1] * (dim - 1)),          # clearly c1
+        (4, None),                               # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for impl in ("arrow", "expr"):
+        got[impl] = {
+            r.vec_id: r.ivf_cell
+            for r in ivf_assign(df, centroids, impl=impl).collect()
+        }
+    # exact midpoint: lowest index in BOTH impls
+    assert got["arrow"][0] == 0 and got["expr"][0] == 0
+    assert got["arrow"][4] is None and got["expr"][4] is None
+    vecs = {i: v for i, v in rows}
+    for vid in (1, 2, 3):
+        a_cell, e_cell = got["arrow"][vid], got["expr"][vid]
+        if a_cell == e_cell:
+            continue
+        # divergence allowed only on an epsilon-tie
+        x = np.array(vecs[vid], dtype=np.float64)
+        d = ((centroids - x) ** 2).sum(axis=1)
+        assert abs(d[a_cell] - d[e_cell]) < 1e-9, (vid, a_cell, e_cell)
+    # clear-winner rows must agree exactly
+    assert got["arrow"][2] == got["expr"][2] == 0
+    assert got["arrow"][3] == got["expr"][3] == 1
