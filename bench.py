@@ -24,6 +24,18 @@ from pyspark_airflow_weather_etl_spark.caching import release_cached  # noqa: E4
 from pyspark_airflow_weather_etl_spark.plans import REGISTRY  # noqa: E402
 from pyspark_airflow_weather_etl_spark.session import get_spark  # noqa: E402
 
+#: Repeats per measured query; the published number is the MEDIAN, so
+#: one contended run on a shared box can't silently distort a round's
+#: record (r5 published a 2.8x blowout on byte-identical code).
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+
+def _median(samples: list[float]) -> float:
+    s = sorted(samples)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 #: Headline set: one per operator family, weighted toward the plans
 #: whose scaling behaviour matters (fact-fact joins, windows,
 #: inverted-index self-joins, streaming).
@@ -167,11 +179,14 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
                 ),
             ),
         ):
-            t0 = time.perf_counter()
-            results[label] = [
-                sorted(map(tuple, q.collect())) for q in mix(j)
-            ]
-            out[label] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(BENCH_RUNS):
+                t0 = time.perf_counter()
+                results[label] = [
+                    sorted(map(tuple, q.collect())) for q in mix(j)
+                ]
+                samples.append(time.perf_counter() - t0)
+            out[label] = round(_median(samples), 3)
         # decimal sums: exact — layouts must not change any answer
         assert results["join_shuffled"] == results["join_bucketed"], (
             "bucketed layout changed the answer"
@@ -225,12 +240,19 @@ def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
         )
 
     out: dict[str, float] = {}
-    t0 = time.perf_counter()
-    n_plain = probe(spark.read.parquet(unsorted_p)).collect()[0]["n"]
-    out["range_scan_unsorted"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    n_sorted = probe(spark.read.parquet(sorted_p)).collect()[0]["n"]
-    out["range_scan_sorted"] = round(time.perf_counter() - t0, 3)
+    n_plain = n_sorted = None
+    samples: list[float] = []
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        n_plain = probe(spark.read.parquet(unsorted_p)).collect()[0]["n"]
+        samples.append(time.perf_counter() - t0)
+    out["range_scan_unsorted"] = round(_median(samples), 3)
+    samples = []
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        n_sorted = probe(spark.read.parquet(sorted_p)).collect()[0]["n"]
+        samples.append(time.perf_counter() - t0)
+    out["range_scan_sorted"] = round(_median(samples), 3)
     assert n_plain == n_sorted, "layout changed the answer"
 
     # Skipping evidence from the parquet footers themselves: files
@@ -329,22 +351,22 @@ def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
         spark.conf.set(k, v)
     results = {}
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        t0 = time.perf_counter()
-        results["plain"] = sorted(map(tuple, agg(skewed.join(dim, "k")).collect()))
-        out["join_skew_plain"] = round(time.perf_counter() - t0, 3)
-
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        t0 = time.perf_counter()
-        results["aqe"] = sorted(map(tuple, agg(skewed.join(dim, "k")).collect()))
-        out["join_skew_aqe"] = round(time.perf_counter() - t0, 3)
-
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        t0 = time.perf_counter()
-        results["salted"] = sorted(
-            map(tuple, agg(salted_join(skewed, dim, ["k"])).collect())
-        )
-        out["join_skew_salted"] = round(time.perf_counter() - t0, 3)
+        variants = [
+            ("plain", "join_skew_plain", "false",
+             lambda: agg(skewed.join(dim, "k"))),
+            ("aqe", "join_skew_aqe", "true",
+             lambda: agg(skewed.join(dim, "k"))),
+            ("salted", "join_skew_salted", "false",
+             lambda: agg(salted_join(skewed, dim, ["k"]))),
+        ]
+        for key, label, aqe, build in variants:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            samples = []
+            for _ in range(BENCH_RUNS):
+                t0 = time.perf_counter()
+                results[key] = sorted(map(tuple, build().collect()))
+                samples.append(time.perf_counter() - t0)
+            out[label] = round(_median(samples), 3)
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
@@ -408,21 +430,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     import gc
 
+    # Repeats are INTERLEAVED (whole-list passes, median per query
+    # across passes), not back-to-back: this box shows multi-minute
+    # contention windows, and back-to-back samples all land inside
+    # the same window — r5 published join_bucketed at 10× on
+    # byte-identical code that way. Spreading a query's samples
+    # across the session also averages out position-dependent
+    # pressure (late-list queries measured ~2× their fresh-session
+    # cost in a back-to-back variant of this loop).
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(BENCH_RUNS):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+            # Release the finished query's operator-tracked persisted
+            # blocks (blocking unpersist): without this, cached stages
+            # from dedup/ANN queries accumulate in executor storage
+            # for the rest of the run and pressure later queries into
+            # spilling (pairwise_topk measured 2.9 s early-run vs
+            # ~8 s late-run on identical code).
+            del df
+            release_cached()
+            gc.collect()
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Release the finished query's operator-tracked persisted
-        # blocks (blocking unpersist): without this, cached stages
-        # from dedup/ANN queries accumulate in executor storage for
-        # the rest of the run and pressure later queries into
-        # spilling (pairwise_topk measured 2.9 s early-run vs ~8 s
-        # late-run on identical code).
-        del df
-        release_cached()
-        gc.collect()
+        timings[name] = round(_median(samples[name]), 3)
 
     gc.collect()
     timings.update(_layout_comparison(spark, sf_dir))
