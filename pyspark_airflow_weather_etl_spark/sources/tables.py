@@ -28,10 +28,12 @@ from ..session import apply_runtime_confs
 
 @functools.lru_cache(maxsize=None)
 def events_ts_is_integral(path: str) -> bool:
-    """True iff the parquet ``ts`` column at ``path`` is physically an
-    integer (TIMESTAMP(NANOS) surfaced as nanos-long under
-    ``spark.sql.legacy.parquet.nanosAsLong``); False for a native
-    timestamp encoding (timestamp[us]/[ms]/int96).
+    """True iff Spark will surface the parquet ``ts`` column at
+    ``path`` as a nanos-long: either a genuine integer column, or a
+    parquet TIMESTAMP(NANOS) — which pyarrow reports as
+    ``timestamp[ns]`` but Spark 4 can only read as a long under
+    ``spark.sql.legacy.parquet.nanosAsLong``. False for encodings
+    Spark reads natively as TimestampType (timestamp[us]/[ms]/int96).
 
     Reads a single parquet footer on the driver — O(KB) regardless of
     dataset size — and caches per path, so at 100 TB this is one
@@ -47,7 +49,8 @@ def events_ts_is_integral(path: str) -> bool:
         )
         if files:
             target = files[0]
-    return pat.is_integer(pq.ParquetFile(target).schema_arrow.field("ts").type)
+    t = pq.ParquetFile(target).schema_arrow.field("ts").type
+    return pat.is_integer(t) or (pat.is_timestamp(t) and t.unit == "ns")
 
 
 def events_read_plan(path: str, spark: SparkSession | None = None):

@@ -1,0 +1,113 @@
+"""Regression lock for the round-5 events.ts corruption: the loader
+must read BOTH physical encodings the driver has shipped — parquet
+TIMESTAMP(NANOS) (surfaced as nanos-long) and native timestamp[us] —
+to identical timestamps, in batch and streaming form. Mixed-writer
+lakes make this drift the norm at 100 TB; never hardcode an encoding."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark_airflow_weather_etl_spark.sources.tables import (
+    events_read_plan,
+    events_ts_is_integral,
+    load_table,
+)
+from pyspark_airflow_weather_etl_spark.streaming.rollup import (
+    read_events_stream,
+)
+
+from conftest import SF_DIR
+
+_US = [
+    1704067200_000000,  # 2024-01-01 00:00:00 UTC
+    1704070800_500000,
+    1706654716_220708,
+]
+
+
+def _write_events(path, ts_array):
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 11, 10], pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def _fixture_dirs(tmp_path):
+    micros_dir = tmp_path / "micros"
+    nanos_dir = tmp_path / "nanos"
+    micros_dir.mkdir()
+    nanos_dir.mkdir()
+    _write_events(
+        str(micros_dir / "events.parquet"),
+        pa.array(_US, pa.timestamp("us")),
+    )
+    _write_events(
+        str(nanos_dir / "events.parquet"),
+        pa.array([u * 1000 for u in _US], pa.timestamp("ns")),
+    )
+    return str(micros_dir), str(nanos_dir)
+
+
+def test_footer_probe_classifies_encodings(tmp_path):
+    micros_dir, nanos_dir = _fixture_dirs(tmp_path)
+    # timestamp[us] -> native TimestampType read, no rebuild
+    assert not events_ts_is_integral(f"{micros_dir}/events.parquet")
+    plan_schema, rebuild = events_read_plan(f"{micros_dir}/events.parquet")
+    assert not rebuild and str(plan_schema["ts"].dataType) == "TimestampType()"
+    # parquet TIMESTAMP(NANOS) (pyarrow: timestamp[ns]) -> Spark can
+    # only surface it as nanos-long -> integral path with rebuild
+    assert events_ts_is_integral(f"{nanos_dir}/events.parquet")
+    plan_schema, rebuild = events_read_plan(f"{nanos_dir}/events.parquet")
+    assert rebuild and str(plan_schema["ts"].dataType) == "LongType()"
+
+
+def test_both_encodings_read_equal_batch_and_stream(spark, tmp_path):
+    micros_dir, nanos_dir = _fixture_dirs(tmp_path)
+    batches = {}
+    for label, d in (("micros", micros_dir), ("nanos", nanos_dir)):
+        df = load_table(spark, d, "events")
+        assert str(df.schema["ts"].dataType) == "TimestampType()"
+        batches[label] = sorted(
+            (r.event_id, r.ts) for r in df.select("event_id", "ts").collect()
+        )
+    assert batches["micros"] == batches["nanos"]
+    assert batches["micros"][0][1].year == 2024
+
+    streams = {}
+    for label, d in (("micros", micros_dir), ("nanos", nanos_dir)):
+        q = (
+            read_events_stream(spark, d)
+            .select("event_id", "ts")
+            .writeStream.format("memory")
+            .queryName(f"enc_{label}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        streams[label] = sorted(
+            (r.event_id, r.ts) for r in spark.table(f"enc_{label}").collect()
+        )
+    assert streams["micros"] == streams["nanos"] == batches["micros"]
+
+
+def test_real_fixture_spans_thirty_days(spark):
+    """The production symptom: 30 days of fixture events must not
+    compress. Guard the actual testdata read."""
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert (hi - lo).days >= 25
