@@ -71,6 +71,55 @@ def events_read_plan(path: str, spark: SparkSession | None = None):
     return (schemas.EVENTS_RAW, True) if integral else (schemas.EVENTS, False)
 
 
+@functools.lru_cache(maxsize=None)
+def _check_schema_drift(path: str, name: str) -> None:
+    """Fail LOUDLY if a declared scan schema would silently misread
+    the parquet's physical types — the r5 failure class: Spark forces
+    a declared LongType onto a physical timestamp[us] column without
+    complaint and the values come out 1000x off. One cached footer
+    read per (path, table); only temporal-vs-non-temporal drift is an
+    error (numeric widenings and string cases Spark handles soundly).
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    declared = schemas.FIXTURES.get(name)
+    if declared is None:
+        return
+    target = path
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return
+        target = files[0]
+    try:
+        arrow = pq.ParquetFile(target).schema_arrow
+    except Exception:
+        return  # non-local FS — Spark's own reader will validate
+    for field in declared.fields:
+        if field.name not in arrow.names:
+            continue
+        phys = arrow.field(field.name).type
+        phys_temporal = pat.is_timestamp(phys) or pat.is_date(phys)
+        decl_temporal = isinstance(
+            field.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+        # timestamp[ns] deliberately reads as long (events rebuild
+        # path) — that pairing is the one sanctioned exception.
+        if phys_temporal and getattr(phys, "unit", None) == "ns":
+            continue
+        if phys_temporal != decl_temporal:
+            raise ValueError(
+                f"schema drift in {target}: column {field.name!r} is "
+                f"{phys} in the parquet footer but declared as "
+                f"{field.dataType.simpleString()} — a forced read "
+                f"would silently corrupt values; update schemas.py "
+                f"or the loader's rebuild rules"
+            )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
@@ -88,6 +137,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if rebuild:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
+    _check_schema_drift(path, name)
     schema = schemas.FIXTURES.get(name)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(path)

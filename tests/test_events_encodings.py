@@ -111,3 +111,35 @@ def test_real_fixture_spans_thirty_days(spark):
     ev = load_table(spark, SF_DIR, "events")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     assert (hi - lo).days >= 25
+
+
+def test_schema_drift_guard_raises(spark, tmp_path):
+    """If the driver ships a fixture whose physical type would be
+    silently misread by the declared schema (the r5 failure class),
+    load_table must refuse loudly instead of corrupting values."""
+    import pytest
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # orders declares o_orderdate: timestamp; ship it as a plain long
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderstatus": pa.array(["O"]),
+            "o_totalprice": pa.array([1.0], pa.float64()),
+            "o_orderdate": pa.array([1704067200], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT"]),
+            "o_clerk": pa.array(["c"]),
+            "o_shippriority": pa.array([0], pa.int32()),
+            "o_comment": pa.array(["x"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    with pytest.raises(ValueError, match="schema drift"):
+        load_table(spark, str(tmp_path), "orders")
+
+
+def test_schema_drift_guard_passes_real_fixtures(spark):
+    for name in ("orders", "lineitem", "events", "documents"):
+        assert load_table(spark, SF_DIR, name).limit(1).count() >= 0
