@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import claim_group, persist_into
-from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..functions.vectors import cosine_similarity, dot, l2_norm, pair_dot_arrow
 
 SEED = 42
 
@@ -257,6 +257,7 @@ def embedding_near_duplicates_blocked(
     n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT the cartesian: SRP sub-buckets
     as blocking keys (equi-join on (table, bucket)), then exact cosine
@@ -278,7 +279,15 @@ def embedding_near_duplicates_blocked(
     two sides (and the two verify-join sides) read the cached state
     instead of re-running the signature/norm kernels per side
     (lineage retained, so executor loss recomputes rather than
-    failing)."""
+    failing).
+
+    ``impl``: 'expr' (default) keeps the exact sequential-fold dot —
+    LSH blocking leaves few verify pairs, so the fold is NOT the
+    bottleneck here and the pure-JVM path avoids a Python-worker
+    round-trip; 'arrow' switches to the einsum kernel
+    (functions.vectors.pair_dot_arrow — measured a wash at sf0.1,
+    identical output after round-6). Contrast pairwise_topk_per_label,
+    whose within-block all-pairs density makes arrow the default."""
     n_planes = bits_per_table * n_tables
     sig = srp_signature(embeddings, dim, n_planes, vec_col)
     mask = (1 << bits_per_table) - 1
@@ -334,6 +343,11 @@ def embedding_near_duplicates_blocked(
         F.col("v").alias("v_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    pair_dot = (
+        pair_dot_arrow()(F.col("v_a"), F.col("v_b"))
+        if impl == "arrow"
+        else dot(F.col("v_a"), F.col("v_b"))
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -341,9 +355,7 @@ def embedding_near_duplicates_blocked(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("v_a"), F.col("v_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
+                pair_dot / (F.col("nrm_a") * F.col("nrm_b")), 6
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -527,11 +539,19 @@ def pairwise_topk_per_label(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str = "label",
+    impl: str = "arrow",
 ) -> DataFrame:
     """All-pairs top-k restricted to a blocking key (label): the
     grouped-blocking pattern that keeps all-pairs similarity from
     being a global cross join. Within each block: equi-join on the
-    key, exact cosine, per-vector rank."""
+    key, exact cosine, per-vector rank.
+
+    ``impl='arrow'`` (default) scores pairs with the einsum kernel
+    (functions.vectors.pair_dot_arrow): within-block all-pairs is
+    dense (|block|² dots), where the batched matmul measured ~20%
+    faster than the interpreted fold at sf0.1 with IDENTICAL output
+    after the round-6 contract; 'expr' keeps the exact sequential
+    fold (the form the DuckDB oracle replays)."""
     from pyspark.sql import Window
 
     # Pre-compute the double-cast vector and its norm once per row,
@@ -560,6 +580,11 @@ def pairwise_topk_per_label(
         F.col("v").alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    pair_dot = (
+        pair_dot_arrow()(F.col("vec_a"), F.col("vec_b"))
+        if impl == "arrow"
+        else dot(F.col("vec_a"), F.col("vec_b"))
+    )
     scored = (
         a.join(b, group_col)
         .where(F.col("id_a") != F.col("id_b"))
@@ -568,9 +593,7 @@ def pairwise_topk_per_label(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
+                pair_dot / (F.col("nrm_a") * F.col("nrm_b")), 6
             ).alias("cosine"),
         )
     )

@@ -233,3 +233,17 @@ def test_ivf_assign_impl_parity_near_ties(spark):
     # clear-winner rows must agree exactly
     assert got["arrow"][2] == got["expr"][2] == 0
     assert got["arrow"][3] == got["expr"][3] == 1
+
+
+def test_pair_dot_impl_parity(spark, emb):
+    """expr (sequential fold) and arrow (einsum) pair scoring must
+    produce identical rows after the round-6 cosine contract."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        embedding_near_duplicates_blocked,
+        pairwise_topk_per_label,
+    )
+
+    for fn in (embedding_near_duplicates_blocked, pairwise_topk_per_label):
+        a = set(map(tuple, fn(emb, impl="expr").collect()))
+        b = set(map(tuple, fn(emb, impl="arrow").collect()))
+        assert a == b and a
