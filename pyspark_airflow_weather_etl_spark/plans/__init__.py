@@ -201,18 +201,107 @@ _VERIFIED_R5: frozenset[str] = frozenset(
 )
 
 
+# CORRECTNESS_r06.json rows (round-6 code, freshest tier).
+_VERIFIED_R6: frozenset[str] = frozenset(
+    {
+        "approx_distinct_users",
+        "approx_percentile_prices",
+        "array_functions_tokens",
+        "asof_purchase_prior_view",
+        "correlation_stats",
+        "dedup_clusters_jaccard",
+        "dedup_exact_documents",
+        "deterministic_sample_orders",
+        "doc_fingerprints",
+        "embedding_near_dup_blocked",
+        "grouped_centroids_pandas",
+        "histogram_order_values",
+        "ivf_ann_topk_at_rest",
+        "lang_id_documents",
+        "lang_source_rollup",
+        "linear_regression_aggs",
+        "minhash_near_dup_pairs",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "ngram_jaccard_pairs",
+        "ngram_jaccard_pairs_capped",
+        "pairwise_topk_per_label",
+        "percentile_price_quartiles",
+        "pii_scrub",
+        "q1_pricing_summary",
+        "q3_top_unshipped_orders",
+        "range_join_views_before_purchase",
+        "regex_token_stats",
+        "salted_join_identity",
+        "simhash_documents",
+        "sql_above_nation_avg",
+        "sql_grouping_sets_orders",
+        "sql_lateral_top_customer",
+        "sql_ntile_price_quartiles",
+        "sql_q4_late_orders",
+        "sql_recursive_calendar",
+        "srp_ann_topk_at_rest",
+        "stream_stream_join_view_purchase",
+        "streaming_daily_rollup",
+        "text_normalize",
+        "text_quality_features",
+        "tfidf_top_terms",
+        "token_frequency",
+        "two_phase_skew_agg",
+        "udtf_token_positions",
+        "variant_props_extract",
+        "weather_daily_rollup",
+        "weather_flatten_hourly",
+        "winnowing_fingerprints",
+    }
+)
+
+
+# Previously-red beats oldest: these rows were red in CORRECTNESS_r05
+# (fixed in round 6) or last driver-verified on r2-era code, and the
+# r6 rotation budget missed them — so the driver's own record lags the
+# fixes. They jump the whole queue until a driver round regreens them.
+_PRIORITY_R7: frozenset[str] = frozenset(
+    {
+        # red in r5, fixed r6, never re-checked by the driver:
+        "events_daily_rollup",
+        "pivot_daily_event_values",
+        "sliding_window_event_stats",
+        "session_window_native",
+        "sessionize_user_events",
+        "streaming_dedup_rollup",
+        "stratified_sample_documents",
+        # last driver row dates to round-2 code:
+        "merge_upsert_daily",
+        "q6_forecast_revenue",
+        "q9_profit_by_nation_year",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q3_bucketed_layout",
+        "q18_bucketed_layout",
+    }
+)
+
+
 def _schedule_registry() -> None:
-    """Reorder REGISTRY: never-verified first, then stalest round's
-    names, then the freshest round's. A name in several rounds' sets
-    is scheduled by its freshest row (later tiers win)."""
+    """Reorder REGISTRY: priority names (previously-red / known-stale)
+    first, then never-verified, then stalest round's names, then the
+    freshest round's. A name in several rounds' sets is scheduled by
+    its freshest row (later tiers win) — except priority, which wins
+    over everything."""
     tiers = [
-        _VERIFIED_R1 - _VERIFIED_R2 - _VERIFIED_R5,
-        _VERIFIED_R2 - _VERIFIED_R5,
-        _VERIFIED_R5,
+        _VERIFIED_R1 - _VERIFIED_R2 - _VERIFIED_R5 - _VERIFIED_R6,
+        _VERIFIED_R2 - _VERIFIED_R5 - _VERIFIED_R6,
+        _VERIFIED_R5 - _VERIFIED_R6,
+        _VERIFIED_R6,
     ]
+    tiers = [tier - _PRIORITY_R7 for tier in tiers]
     entries = dict(REGISTRY)
     REGISTRY.clear()
-    in_any = frozenset().union(*tiers)
+    in_any = frozenset().union(_PRIORITY_R7, *tiers)
+    REGISTRY.update({n: q for n, q in entries.items() if n in _PRIORITY_R7})
     REGISTRY.update({n: q for n, q in entries.items() if n not in in_any})
     for tier in tiers:
         REGISTRY.update({n: q for n, q in entries.items() if n in tier})
