@@ -143,3 +143,133 @@ def test_schema_drift_guard_raises(spark, tmp_path):
 def test_schema_drift_guard_passes_real_fixtures(spark):
     for name in ("orders", "lineitem", "events", "documents"):
         assert load_table(spark, SF_DIR, name).limit(1).count() >= 0
+
+
+def test_mixed_encoding_dir_refuses_loudly(spark, tmp_path):
+    """A dir holding BOTH nanos and micros part-files has no single
+    sound read plan — the probe must raise, never let the first
+    file's encoding silently misread the second (the r5 corruption
+    class, directory-internal edition)."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.sources.tables import (
+        MixedEncodingError,
+    )
+
+    mixed = tmp_path / "events.parquet"
+    mixed.mkdir()
+    _write_events(
+        str(mixed / "part-0.parquet"), pa.array(_US, pa.timestamp("us"))
+    )
+    _write_events(
+        str(mixed / "part-1.parquet"),
+        pa.array([u * 1000 for u in _US], pa.timestamp("ns")),
+    )
+    with pytest.raises(MixedEncodingError, match="mixed ts encodings"):
+        events_ts_is_integral(str(mixed))
+    # the Spark-fallback path must propagate, not silently re-probe
+    with pytest.raises(MixedEncodingError):
+        events_read_plan(str(mixed), spark)
+    with pytest.raises(MixedEncodingError):
+        load_table(spark, str(tmp_path), "events")
+
+
+def test_homogeneous_multifile_dir_still_reads(tmp_path):
+    """Two files that agree must classify fine (no false refusal)."""
+    d = tmp_path / "homog"
+    d.mkdir()
+    for i in range(2):
+        _write_events(
+            str(d / f"part-{i}.parquet"),
+            pa.array([u * 1000 for u in _US], pa.timestamp("ns")),
+        )
+    assert events_ts_is_integral(str(d))
+
+
+def test_drift_guard_checks_every_part_file(spark, tmp_path):
+    """A clean first file must not vouch for a drifted sibling."""
+    import pytest
+
+    def orders_table(date_array):
+        return pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([1], pa.int64()),
+                "o_orderstatus": pa.array(["O"]),
+                "o_totalprice": pa.array([1.0], pa.float64()),
+                "o_orderdate": date_array,
+                "o_orderpriority": pa.array(["1-URGENT"]),
+                "o_clerk": pa.array(["c"]),
+                "o_shippriority": pa.array([0], pa.int32()),
+                "o_comment": pa.array(["x"]),
+            }
+        )
+
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    pq.write_table(
+        orders_table(pa.array([1704067200_000000], pa.timestamp("us"))),
+        str(d / "part-0.parquet"),
+    )
+    pq.write_table(
+        orders_table(pa.array([1704067200], pa.int64())),
+        str(d / "part-1.parquet"),
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        load_table(spark, str(tmp_path), "orders")
+
+
+def test_drift_guard_rejects_ns_under_declared_temporal(spark, tmp_path):
+    """timestamp[ns] is sanctioned ONLY against an integral declared
+    type (the events rebuild). Under a declared TimestampType Spark
+    would die later with an unactionable nanosAsLong convert error —
+    the guard must raise the explanatory one up front."""
+    import pytest
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderstatus": pa.array(["O"]),
+            "o_totalprice": pa.array([1.0], pa.float64()),
+            "o_orderdate": pa.array(
+                [1704067200_000000000], pa.timestamp("ns")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"]),
+            "o_clerk": pa.array(["c"]),
+            "o_shippriority": pa.array([0], pa.int32()),
+            "o_comment": pa.array(["x"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    with pytest.raises(ValueError, match="schema drift"):
+        load_table(spark, str(tmp_path), "orders")
+
+
+def test_spark_fallback_probe_is_cached():
+    """When pyarrow can't open the path, the Spark fallback probe
+    must run ONCE per path, not once per load_table call — at 100 TB
+    the fallback is a remote file listing."""
+    from pyspark.sql import types as T
+
+    from pyspark_airflow_weather_etl_spark.sources import tables
+
+    calls = {"n": 0}
+
+    class _FakeDF:
+        schema = {"ts": T.StructField("ts", T.LongType())}
+
+    class _FakeReader:
+        def parquet(self, path):
+            calls["n"] += 1
+            return _FakeDF()
+
+    class _FakeSpark:
+        read = _FakeReader()
+
+    tables._SPARK_PROBE_CACHE.clear()
+    bogus = "hdfs://nowhere/events.parquet"
+    for _ in range(3):
+        schema, rebuild = events_read_plan(bogus, _FakeSpark())
+        assert rebuild
+    assert calls["n"] == 1
