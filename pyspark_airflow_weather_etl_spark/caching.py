@@ -47,9 +47,27 @@ def claim_group(name: str) -> list[DataFrame]:
 
 
 def persist_into(frames: list[DataFrame], df: DataFrame) -> DataFrame:
-    """``df.persist()`` registered for group-scoped release."""
+    """``df.persist()`` registered for group-scoped release.
+
+    If ``frames`` is no longer the registered list for any group — a
+    concurrent invocation re-claimed the group (or ``release_cached``
+    ran) while this invocation was still building — the block is
+    unpersisted immediately instead of being appended to the orphaned
+    list, where nothing would ever release it. The caller's result
+    stays correct (lineage is retained); it only forfeits the cache,
+    which is the documented late-consumer semantics anyway. The check
+    and append share the claim lock, so an append can never land in a
+    list that ``claim_group`` has already popped for release.
+    """
     df.persist()
-    frames.append(df)
+    with _lock:
+        if any(frames is live for live in _groups.values()):
+            frames.append(df)
+            return df
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session already stopped — nothing to release
     return df
 
 

@@ -63,3 +63,32 @@ def test_result_correct_after_release(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     expected = {(d, d + 10_000) for d in [r.doc_id for r in docs.limit(5).collect()]}
     assert expected <= got
+
+
+def test_orphaned_invocation_does_not_leak(spark):
+    """If a group is re-claimed while an earlier invocation is still
+    building, the earlier invocation's subsequent persists must not
+    land in the orphaned list (where nothing would release them) —
+    they self-release instead."""
+    from pyspark_airflow_weather_etl_spark.caching import (
+        claim_group,
+        persist_into,
+    )
+
+    release_cached()
+    base = _n_persistent(spark)
+
+    stale = claim_group("race_probe")      # invocation A starts
+    fresh = claim_group("race_probe")      # invocation B re-claims
+    df = spark.range(10).toDF("x")
+    out = persist_into(stale, df)          # A persists late
+    out.count()
+    assert stale == []                     # not tracked in orphan list
+    assert _n_persistent(spark) == base    # and not left persisted
+
+    # the live list still tracks and releases normally
+    df2 = persist_into(fresh, spark.range(5).toDF("y"))
+    df2.count()
+    assert _n_persistent(spark) == base + 1
+    release_cached("race_probe")
+    assert _n_persistent(spark) == base
