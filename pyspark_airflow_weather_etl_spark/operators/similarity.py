@@ -540,18 +540,49 @@ def pairwise_topk_per_label(
     vec_col: str = "embedding",
     group_col: str = "label",
     impl: str = "arrow",
+    hot_label_threshold: int = 4096,
+    hot_target_block: int = 512,
+    hot_tables: int = 4,
+    hot_min_bits: int = 4,
+    hot_max_bits: int = 12,
+    dim: int = 64,
 ) -> DataFrame:
     """All-pairs top-k restricted to a blocking key (label): the
     grouped-blocking pattern that keeps all-pairs similarity from
     being a global cross join. Within each block: equi-join on the
     key, exact cosine, per-vector rank.
 
+    **Hot-label guard.** Within-label all-pairs is O(Σ n_label²): one
+    million-vector label at 100 TB is a quadratic block no cluster
+    survives. Labels with ≥ ``hot_label_threshold`` rows therefore
+    switch to SRP sub-blocking (the `embedding_near_duplicates_blocked`
+    machinery): ``hot_tables`` independent bucket tables whose width
+    is derived IN-PLAN from the label's own row count —
+    ``bits = clamp(ceil(log2(n / hot_target_block)))`` — so every
+    label's buckets hold ~``hot_target_block`` rows and candidate
+    volume is O(n · hot_target_block · hot_tables), linear in n, not
+    n². All rows of a label share its count, so the mask is
+    label-consistent with no driver-side collect. Hot results are
+    approximate (a true top-k neighbor in no shared bucket is missed —
+    the SRP S-curve; recall bounded in tests/test_similarity.py);
+    labels BELOW the threshold keep the exact path bit-for-bit, so
+    the DuckDB oracle contract is unchanged at fixture scale, where
+    every label is cold.
+
     ``impl='arrow'`` (default) scores pairs with the einsum kernel
     (functions.vectors.pair_dot_arrow): within-block all-pairs is
     dense (|block|² dots), where the batched matmul measured ~20%
     faster than the interpreted fold at sf0.1 with IDENTICAL output
     after the round-6 contract; 'expr' keeps the exact sequential
-    fold (the form the DuckDB oracle replays)."""
+    fold (the form the DuckDB oracle replays). Residual contract
+    note: the einsum sum and the sequential fold can differ by
+    ~1e-13, absorbed by the 6-dp round except for a pair whose true
+    cosine sits within that epsilon of a 0.5e-6 rounding boundary
+    (can also flip a rank-k tie). Verified identical at sf0.1; a
+    boundary hit grows more likely with pair count — oracle-critical
+    runs that cannot tolerate a 1-ulp-at-6dp flake should pass
+    'expr'.
+    """
     from pyspark.sql import Window
 
     # Pre-compute the double-cast vector and its norm once per row,
@@ -568,36 +599,167 @@ def pairwise_topk_per_label(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     ).repartition(group_col)
-    a = normed.select(
-        F.col(group_col),
-        F.col(id_col).alias("id_a"),
-        F.col("v").alias("vec_a"),
-        F.col("nrm").alias("nrm_a"),
+    # Label sizes route each label to the exact or sub-blocked path.
+    # The agg and the join both key on group_col, reusing the
+    # repartition exchange — no extra shuffle beyond the tiny agg.
+    counts = normed.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("label_n")
     )
-    b = normed.select(
-        F.col(group_col),
-        F.col(id_col).alias("id_b"),
-        F.col("v").alias("vec_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
+    routed = normed.join(counts, group_col)
+
+    def _directed_pairs(scored_side: DataFrame) -> tuple[DataFrame, DataFrame]:
+        a = scored_side.select(
+            F.col(group_col),
+            F.col(id_col).alias("id_a"),
+            F.col("v").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        b = scored_side.select(
+            F.col(group_col),
+            F.col(id_col).alias("id_b"),
+            F.col("v").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        return a, b
+
     pair_dot = (
         pair_dot_arrow()(F.col("vec_a"), F.col("vec_b"))
         if impl == "arrow"
         else dot(F.col("vec_a"), F.col("vec_b"))
     )
-    scored = (
-        a.join(b, group_col)
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            group_col,
-            "id_a",
-            "id_b",
-            F.round(
-                pair_dot / (F.col("nrm_a") * F.col("nrm_b")), 6
-            ).alias("cosine"),
-        )
+    cosine = F.round(pair_dot / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+        "cosine"
     )
+
+    cold = routed.where(F.col("label_n") < F.lit(hot_label_threshold))
+    ca, cb = _directed_pairs(cold)
+    cold_scored = (
+        ca.join(cb, group_col)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(group_col, "id_a", "id_b", cosine)
+    )
+
+    hot = routed.where(F.col("label_n") >= F.lit(hot_label_threshold))
+    hot_scored = _hot_label_scored_pairs(
+        hot,
+        cosine,
+        id_col=id_col,
+        group_col=group_col,
+        target_block=hot_target_block,
+        n_tables=hot_tables,
+        min_bits=hot_min_bits,
+        max_bits=hot_max_bits,
+        dim=dim,
+    )
+
+    scored = cold_scored.unionByName(hot_scored)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def hot_label_candidate_pairs(
+    hot: DataFrame,
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    target_block: int = 512,
+    n_tables: int = 4,
+    min_bits: int = 4,
+    max_bits: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Directed candidate pairs for hot labels via per-label-width SRP
+    sub-blocking. ``hot`` carries (group_col, id_col, ``v`` double
+    vector, ``label_n`` row count). Exposed separately so tests can
+    assert the pair-volume bound directly.
+
+    Each label masks the shared ``n_tables × max_bits``-plane SRP
+    signature down to its own width (in-plan from ``label_n``), so
+    candidate count per label is ~``n_tables · n · target_block``
+    instead of n². Pairs are directed (both (a,b) and (b,a)) because
+    the consumer ranks per id_a.
+    """
+    n_planes = n_tables * max_bits
+    sig = srp_signature(hot, dim, n_planes, vec_col="v")
+    bits = F.least(
+        F.lit(max_bits),
+        F.greatest(
+            F.lit(min_bits),
+            F.ceil(
+                F.log2(F.col("label_n") / F.lit(float(target_block)))
+            ).cast("int"),
+        ),
+    )
+    sig = sig.withColumn("label_bits", bits)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(
+                    f"shiftright(srp_bucket, {t} * label_bits) & "
+                    f"(shiftleft(CAST(1 AS BIGINT), label_bits) - 1)"
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = sig.select(
+        F.col(group_col), F.col(id_col), F.explode(tables).alias("tb")
+    ).select(group_col, id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    a, b = buckets.alias("ba"), buckets.alias("bb")
+    return (
+        a.join(
+            b,
+            (F.col(f"ba.{group_col}") == F.col(f"bb.{group_col}"))
+            & (F.col("ba.t") == F.col("bb.t"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col(f"ba.{id_col}") != F.col(f"bb.{id_col}")),
+        )
+        .select(
+            F.col(f"ba.{group_col}").alias(group_col),
+            F.col(f"ba.{id_col}").alias("id_a"),
+            F.col(f"bb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _hot_label_scored_pairs(
+    hot: DataFrame,
+    cosine,
+    id_col: str,
+    group_col: str,
+    target_block: int,
+    n_tables: int,
+    min_bits: int,
+    max_bits: int,
+    dim: int,
+) -> DataFrame:
+    """Score hot-label SRP candidates with the same cosine expression
+    the exact path uses (vectors re-joined by id)."""
+    cands = hot_label_candidate_pairs(
+        hot,
+        id_col=id_col,
+        group_col=group_col,
+        target_block=target_block,
+        n_tables=n_tables,
+        min_bits=min_bits,
+        max_bits=max_bits,
+        dim=dim,
+    )
+    va = hot.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = hot.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(group_col, "id_a", "id_b", cosine)
     )

@@ -247,3 +247,123 @@ def test_pair_dot_impl_parity(spark, emb):
         a = set(map(tuple, fn(emb, impl="expr").collect()))
         b = set(map(tuple, fn(emb, impl="arrow").collect()))
         assert a == b and a
+
+
+class TestHotLabelSubBlocking:
+    """pairwise_topk_per_label's hot-label guard: above the row
+    threshold a label switches from exact all-pairs (O(n²)) to
+    per-label-width SRP sub-blocking — candidate volume must stay
+    ~linear in n, recall must hold on clustered data, and labels
+    below the threshold must stay bit-for-bit exact."""
+
+    DIM = 16
+
+    @staticmethod
+    def _df(spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        )
+
+    def _random_rows(self, n, label, start=0, seed=7):
+        rng = np.random.default_rng(seed)
+        return [
+            (start + i, label, [float(x) for x in rng.standard_normal(self.DIM)])
+            for i in range(n)
+        ]
+
+    def test_candidate_volume_is_subquadratic(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            hot_label_candidate_pairs,
+        )
+
+        n, target_block, n_tables = 2000, 64, 2
+        df = self._df(spark, self._random_rows(n, "hot"))
+        hot = df.select(
+            "label",
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).withColumn("label_n", F.lit(n))
+        cands = hot_label_candidate_pairs(
+            hot,
+            target_block=target_block,
+            n_tables=n_tables,
+            min_bits=2,
+            max_bits=8,
+            dim=self.DIM,
+        )
+        n_pairs = cands.count()
+        # bits = ceil(log2(2000/64)) = 5 -> ~32 buckets of ~62 rows:
+        # per-table pair volume ~ n * target_block, never ~ n * (n-1)
+        assert n_pairs <= n_tables * n * 4 * target_block  # 4x skew slack
+        assert n_pairs < n * (n - 1) // 4
+        # directed pairs, both orientations present
+        one = cands.limit(1).collect()[0]
+        assert (
+            cands.where(
+                (F.col("id_a") == one.id_b) & (F.col("id_b") == one.id_a)
+            ).count()
+            == 1
+        )
+
+    def test_hot_recall_on_clustered_data(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            pairwise_topk_per_label,
+        )
+
+        rng = np.random.default_rng(11)
+        n_clusters, per_cluster = 100, 8
+        centers = rng.standard_normal((n_clusters, self.DIM))
+        rows = []
+        for i in range(n_clusters * per_cluster):
+            c = centers[i % n_clusters]
+            v = c + 0.02 * rng.standard_normal(self.DIM)
+            rows.append((i, "hot", [float(x) for x in v]))
+        df = self._df(spark, rows)
+
+        kwargs = dict(
+            k=3,
+            hot_target_block=32,
+            hot_tables=4,
+            hot_min_bits=2,
+            hot_max_bits=8,
+            dim=self.DIM,
+        )
+        exact = pairwise_topk_per_label(
+            df, hot_label_threshold=10**9, **kwargs
+        )
+        approx = pairwise_topk_per_label(df, hot_label_threshold=100, **kwargs)
+        top1 = {
+            r.id_a: r.id_b for r in exact.where(F.col("rank") == 1).collect()
+        }
+        got = {}
+        for r in approx.collect():
+            got.setdefault(r.id_a, set()).add(r.id_b)
+        hits = sum(
+            1 for a, b in top1.items() if b in got.get(a, set())
+        )
+        assert hits / len(top1) >= 0.9
+
+    def test_cold_labels_stay_exact(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            pairwise_topk_per_label,
+        )
+
+        rows = (
+            self._random_rows(300, "hot", start=0, seed=3)
+            + self._random_rows(40, "cold", start=1000, seed=4)
+        )
+        df = self._df(spark, rows)
+        kwargs = dict(k=3, hot_min_bits=2, hot_max_bits=8, dim=self.DIM)
+        mixed = pairwise_topk_per_label(
+            df, hot_label_threshold=100, hot_target_block=32, **kwargs
+        )
+        all_exact = pairwise_topk_per_label(
+            df, hot_label_threshold=10**9, **kwargs
+        )
+        cold_mixed = sorted(
+            map(tuple, mixed.where(F.col("label") == "cold").collect())
+        )
+        cold_exact = sorted(
+            map(tuple, all_exact.where(F.col("label") == "cold").collect())
+        )
+        assert cold_mixed == cold_exact and len(cold_mixed) == 40 * 3
