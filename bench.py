@@ -169,8 +169,13 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
         spark.conf.set(k, v)
     try:
         results: dict[str, list] = {}
-        for label, j in (
-            ("join_shuffled", orders_p.join(li_p, "o_orderkey")),
+        # "badpath" = the DELIBERATE bad-path comparator (broadcast
+        # disabled, 400 forced shuffle partitions) — renamed from
+        # r1-r6's "join_shuffled", whose name collision with the
+        # differently-designed r1 probe caused two rounds of false
+        # regression reads (BASELINE.md round-7 note maps old→new).
+        variants = (
+            ("join_shuffled_badpath", orders_p.join(li_p, "o_orderkey")),
             (
                 "join_bucketed",
                 bucketed_tables_join(
@@ -178,19 +183,26 @@ def _layout_comparison(spark, sf_dir: str) -> dict[str, float]:
                     ["o_orderkey"],
                 ),
             ),
-        ):
-            samples = []
-            for _ in range(BENCH_RUNS):
+        )
+        # Repeats INTERLEAVE across the variants (pass loop outside),
+        # same as the headline loop: back-to-back samples all land in
+        # one of this box's contention windows and the median can't
+        # reject the outlier (r5's join_bucketed blowout was exactly
+        # this probe sampled back-to-back).
+        samples: dict[str, list[float]] = {lbl: [] for lbl, _ in variants}
+        for _ in range(BENCH_RUNS):
+            for label, j in variants:
                 t0 = time.perf_counter()
                 results[label] = [
                     sorted(map(tuple, q.collect())) for q in mix(j)
                 ]
-                samples.append(time.perf_counter() - t0)
-            out[label] = round(_median(samples), 3)
+                samples[label].append(time.perf_counter() - t0)
+        for label, _ in variants:
+            out[label] = round(_median(samples[label]), 3)
         # decimal sums: exact — layouts must not change any answer
-        assert results["join_shuffled"] == results["join_bucketed"], (
-            "bucketed layout changed the answer"
-        )
+        assert (
+            results["join_shuffled_badpath"] == results["join_bucketed"]
+        ), "bucketed layout changed the answer"
     finally:
         for k, v in old_confs.items():
             spark.conf.set(k, v)
@@ -241,18 +253,21 @@ def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     n_plain = n_sorted = None
-    samples: list[float] = []
+    # Interleaved repeats (see _layout_comparison) — one contention
+    # window can't own all of a variant's samples.
+    samples: dict[str, list[float]] = {
+        "range_scan_unsorted": [],
+        "range_scan_sorted": [],
+    }
     for _ in range(BENCH_RUNS):
         t0 = time.perf_counter()
         n_plain = probe(spark.read.parquet(unsorted_p)).collect()[0]["n"]
-        samples.append(time.perf_counter() - t0)
-    out["range_scan_unsorted"] = round(_median(samples), 3)
-    samples = []
-    for _ in range(BENCH_RUNS):
+        samples["range_scan_unsorted"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         n_sorted = probe(spark.read.parquet(sorted_p)).collect()[0]["n"]
-        samples.append(time.perf_counter() - t0)
-    out["range_scan_sorted"] = round(_median(samples), 3)
+        samples["range_scan_sorted"].append(time.perf_counter() - t0)
+    for label, s in samples.items():
+        out[label] = round(_median(s), 3)
     assert n_plain == n_sorted, "layout changed the answer"
 
     # Skipping evidence from the parquet footers themselves: files
@@ -304,14 +319,31 @@ def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
+def _skew_comparison(
+    spark, sf_dir: str, factor: int = 1, suffix: str = ""
+) -> dict[str, float]:
     """Hot-key join three ways at the same result hash: plain SMJ
     (one straggler task owns the hot key), AQE skew-join (runtime
     splits the oversized partition), and explicit salting
     (operators.scale.salted_join — deterministic pre-spread for skew
     AQE can't fix, e.g. when the hot partition's *build* lookups, not
     its size, dominate). Skew is synthesized deterministically: half
-    of lineitem maps to one key, the rest spread over 999."""
+    of lineitem maps to one key, the rest spread over 999.
+
+    ``factor`` > 1 replicates the skewed fact WITHOUT shifting its
+    keys (the hot key must stay hot — contrast ``_scaled_facts``,
+    where shifted keys preserve join fanout): at ×32 the hot key owns
+    ~10M rows, so the plain variant's single hot task actually hits
+    executor-memory pressure and the AQE/salted rewrites are measured
+    doing the work they exist for — spill/skew evidence the raw
+    17 MB fixture cannot produce. The replicated input is
+    materialized to parquet ONCE as setup (untimed, like the layout
+    probes' writes): timing the crossJoin build inside every sample
+    would put the identical ~8 s of input construction in all three
+    variants and dilute the join-strategy delta the probe exists to
+    measure."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from pyspark_airflow_weather_etl_spark.functions.exact import dsum
@@ -326,6 +358,12 @@ def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
         .alias("k"),
         F.col("l_quantity").alias("v"),
     )
+    if factor > 1:
+        rep = spark.range(factor).select(F.col("id").alias("__rep"))
+        big = skewed.crossJoin(F.broadcast(rep)).drop("__rep")
+        tmp = tempfile.mkdtemp(prefix=f"bench_skew{factor}_")
+        big.repartition(64).write.parquet(f"{tmp}/skewed")
+        skewed = spark.read.parquet(f"{tmp}/skewed")
     dim = spark.range(1000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("w")
     )
@@ -340,38 +378,66 @@ def _skew_comparison(spark, sf_dir: str) -> dict[str, float]:
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
         "spark.sql.shuffle.partitions": "64",
     }
-    # adaptive.enabled is toggled inside the experiment — snapshot it
-    # with the rest so the finally restores the caller's value, not a
-    # hardcoded one
-    old = {
-        k: spark.conf.get(k)
-        for k in [*forced, "spark.sql.adaptive.enabled"]
+    #: AQE thresholds aggressively lowered — the knob a real
+    #: deployment would turn first. Measured finding (round 7, ×32):
+    #: it barely helps (6.4 s vs default-AQE 6.8 s vs salted 3.3 s),
+    #: and the executed plan confirms why — no ``skew=true`` appears
+    #: even with a 1 MB threshold + forceOptimizeSkewedJoin, because
+    #: AQE's skew detection is COMPRESSED-BYTE-based and this hot
+    #: partition (one constant key, low-cardinality values) compresses
+    #: to almost nothing while still costing ~10M rows of single-task
+    #: sort/join CPU. That byte-light CPU-heavy class is exactly the
+    #: skew ``salted_join``'s docstring claims AQE can't fix; this
+    #: variant keeps the measured evidence in the bench record.
+    aqe_tuned = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     }
+    variants = [
+        ("plain", f"join_skew_plain{suffix}",
+         {"spark.sql.adaptive.enabled": "false"},
+         lambda: agg(skewed.join(dim, "k"))),
+        ("aqe", f"join_skew_aqe{suffix}",
+         {"spark.sql.adaptive.enabled": "true"},
+         lambda: agg(skewed.join(dim, "k"))),
+        ("salted", f"join_skew_salted{suffix}",
+         {"spark.sql.adaptive.enabled": "false"},
+         lambda: agg(salted_join(skewed, dim, ["k"]))),
+    ]
+    if factor > 1:
+        variants.insert(
+            2,
+            ("aqe_tuned", f"join_skew_aqe_tuned{suffix}",
+             {"spark.sql.adaptive.enabled": "true", **aqe_tuned},
+             lambda: agg(skewed.join(dim, "k"))),
+        )
+    toggled = sorted({k for _, _, confs, _ in variants for k in confs})
+    old = {k: spark.conf.get(k) for k in [*forced, *toggled]}
     for k, v in forced.items():
         spark.conf.set(k, v)
     results = {}
     try:
-        variants = [
-            ("plain", "join_skew_plain", "false",
-             lambda: agg(skewed.join(dim, "k"))),
-            ("aqe", "join_skew_aqe", "true",
-             lambda: agg(skewed.join(dim, "k"))),
-            ("salted", "join_skew_salted", "false",
-             lambda: agg(salted_join(skewed, dim, ["k"]))),
-        ]
-        for key, label, aqe, build in variants:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe)
-            samples = []
-            for _ in range(BENCH_RUNS):
+        # Interleaved repeats (see _layout_comparison); per-variant
+        # confs are re-set per sample — cheap session-conf writes.
+        samples: dict[str, list[float]] = {lbl: [] for _, lbl, _, _ in variants}
+        for _ in range(BENCH_RUNS):
+            for key, label, confs, build in variants:
+                for k, v in confs.items():
+                    spark.conf.set(k, v)
                 t0 = time.perf_counter()
                 results[key] = sorted(map(tuple, build().collect()))
-                samples.append(time.perf_counter() - t0)
-            out[label] = round(_median(samples), 3)
+                samples[label].append(time.perf_counter() - t0)
+                for k in confs:
+                    spark.conf.set(k, old[k])
+        for _, label, _, _ in variants:
+            out[label] = round(_median(samples[label]), 3)
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
-    # same result hash on all three paths (decimal sums: exact)
-    assert results["plain"] == results["aqe"] == results["salted"], (
+    # same result hash on every path (decimal sums: exact)
+    baseline_res = results["plain"]
+    assert all(r == baseline_res for r in results.values()), (
         "skew rewrites changed the answer"
     )
     return out
@@ -462,6 +528,11 @@ def main() -> None:
     timings.update(_layout_comparison(spark, sf_dir))
     gc.collect()
     timings.update(_skew_comparison(spark, sf_dir))
+    gc.collect()
+    # Memory-pressure edition: same triad at ×32 the rows so the hot
+    # key's single task actually pressures executor memory (the 100 TB
+    # skew story needs spill-scale evidence, not 17 MB timings).
+    timings.update(_skew_comparison(spark, sf_dir, factor=32, suffix="_32x"))
     gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
 
