@@ -68,6 +68,7 @@ HEADLINE = [
     "ivf_ann_topk_at_rest",
     "embedding_near_dup_blocked",
     "pairwise_topk_per_label",
+    "pairwise_topk_per_label_hot",
     "multimodal_features",
     "streaming_daily_rollup",
     "streaming_dedup_rollup",

@@ -334,3 +334,19 @@ def pairwise_topk_per_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector rank window on the same partitioning)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pairwise_topk_per_label(emb, k=3)
+
+
+@register("pairwise_topk_per_label_hot")
+def pairwise_topk_per_label_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-label SCALE path of ``pairwise_topk_per_label``: the
+    threshold is forced below every fixture label size so all labels
+    route through multi-table SRP sub-blocking (per-label bucket
+    widths derived in-plan — candidate volume linear in label size,
+    never n²). Approximate by design, so rows-only like the other
+    LSH-family entries; the pytest bound
+    (tests/test_similarity.py::TestHotLabelSubBlocking) asserts ≥0.9
+    top-1 recall on clustered data and the sub-quadratic pair-volume
+    guarantee. Pairs with the exact entry above the way
+    ``srp_ann_topk`` pairs with ``cosine_topk_bruteforce``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pairwise_topk_per_label(emb, k=3, hot_label_threshold=32)
