@@ -540,7 +540,7 @@ def pairwise_topk_per_label(
     vec_col: str = "embedding",
     group_col: str = "label",
     impl: str = "arrow",
-    hot_label_threshold: int = 4096,
+    hot_label_threshold: int | None = 4096,
     hot_target_block: int = 512,
     hot_tables: int = 4,
     hot_min_bits: int = 4,
@@ -568,6 +568,15 @@ def pairwise_topk_per_label(
     labels BELOW the threshold keep the exact path bit-for-bit, so
     the DuckDB oracle contract is unchanged at fixture scale, where
     every label is cold.
+
+    ``hot_label_threshold=None`` disables the guard entirely and
+    emits the pure exact plan — no routing window, no (empty) hot
+    branch. The guarded plan's dormant hot branch costs ~0.5 s of
+    empty-stage scheduling per run at sf0.1 (a pandas_udf stage plus
+    four shuffles that plan and launch even with zero rows), so
+    callers that KNOW their label sizes are bounded — oracle
+    replays, benchmarked exact baselines — should pass None; the
+    default keeps the guard for everyone else.
 
     ``impl='arrow'`` (default) scores pairs with the einsum kernel
     (functions.vectors.pair_dot_arrow): within-block all-pairs is
@@ -600,12 +609,19 @@ def pairwise_topk_per_label(
         l2_norm(F.col(vec_col)).alias("nrm"),
     ).repartition(group_col)
     # Label sizes route each label to the exact or sub-blocked path.
-    # The agg and the join both key on group_col, reusing the
-    # repartition exchange — no extra shuffle beyond the tiny agg.
-    counts = normed.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("label_n")
+    # Window count over the SAME partitioning the repartition already
+    # established — no join, no broadcast, no extra exchange (an
+    # agg+join variant measured +0.75 s cold at sf0.1 from its extra
+    # stages; a broadcast join ties the window here but inherits a
+    # broadcast-size ceiling at extreme label cardinality that the
+    # window form doesn't have).
+    routed = (
+        None
+        if hot_label_threshold is None
+        else normed.withColumn(
+            "label_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
     )
-    routed = normed.join(counts, group_col)
 
     def _directed_pairs(scored_side: DataFrame) -> tuple[DataFrame, DataFrame]:
         a = scored_side.select(
@@ -631,28 +647,32 @@ def pairwise_topk_per_label(
         "cosine"
     )
 
-    cold = routed.where(F.col("label_n") < F.lit(hot_label_threshold))
+    cold = (
+        normed
+        if routed is None
+        else routed.where(F.col("label_n") < F.lit(hot_label_threshold))
+    )
     ca, cb = _directed_pairs(cold)
-    cold_scored = (
+    scored = (
         ca.join(cb, group_col)
         .where(F.col("id_a") != F.col("id_b"))
         .select(group_col, "id_a", "id_b", cosine)
     )
 
-    hot = routed.where(F.col("label_n") >= F.lit(hot_label_threshold))
-    hot_scored = _hot_label_scored_pairs(
-        hot,
-        cosine,
-        id_col=id_col,
-        group_col=group_col,
-        target_block=hot_target_block,
-        n_tables=hot_tables,
-        min_bits=hot_min_bits,
-        max_bits=hot_max_bits,
-        dim=dim,
-    )
-
-    scored = cold_scored.unionByName(hot_scored)
+    if routed is not None:
+        hot = routed.where(F.col("label_n") >= F.lit(hot_label_threshold))
+        hot_scored = _hot_label_scored_pairs(
+            hot,
+            cosine,
+            id_col=id_col,
+            group_col=group_col,
+            target_block=hot_target_block,
+            n_tables=hot_tables,
+            min_bits=hot_min_bits,
+            max_bits=hot_max_bits,
+            dim=dim,
+        )
+        scored = scored.unionByName(hot_scored)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k

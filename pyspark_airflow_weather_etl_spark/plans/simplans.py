@@ -331,9 +331,14 @@ def pairwise_topk_per_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs top-3 neighbours within each label — the
     blocking-key pattern that keeps all-pairs similarity from being a
     global cross join (equi-join on the blocking key, then a per-
-    vector rank window on the same partitioning)."""
+    vector rank window on the same partitioning). The hot-label guard
+    is disabled here (``hot_label_threshold=None``): this entry IS
+    the exact oracle-replayed baseline, fixture label sizes are known
+    bounded, and the guarded plan's dormant hot branch costs ~0.5 s
+    of empty-stage scheduling per run — the guarded form is
+    benchmarked separately as ``pairwise_topk_per_label_hot``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pairwise_topk_per_label(emb, k=3)
+    return S.pairwise_topk_per_label(emb, k=3, hot_label_threshold=None)
 
 
 @register("pairwise_topk_per_label_hot")
