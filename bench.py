@@ -444,6 +444,66 @@ def _skew_comparison(
     return out
 
 
+def _streaming_state_pressure(spark, sf_dir: str) -> dict[str, float]:
+    """Stateful-streaming edition of the memory-pressure evidence
+    (the skew triad's ×32 sibling): the dedup+rollup pipeline over
+    ×8 key-shifted events, so ``dropDuplicatesWithinWatermark``
+    holds 8× the per-watermark key state and the windowed agg 8× the
+    group state — the knob that turns a 17 MB streaming probe into
+    one that actually exercises state-store growth. Setup (the
+    replicated write) is untimed, like every layout probe; the timed
+    run must produce EXACTLY the batch rollup of the same replicated
+    table (every injected re-delivery dropped, nothing else), so the
+    pressure run is correctness-asserted, not just timed. Single
+    variant — nothing to interleave with; the median of
+    ``BENCH_RUNS`` back-to-back samples is the published number."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.functions.exact import DEC
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.dedup import (
+        run_streaming_dedup_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    shift = ev.agg(F.max("event_id")).first()[0] + 1
+    rep = spark.range(8).select(F.col("id").alias("__rep"))
+    big = (
+        ev.crossJoin(F.broadcast(rep))
+        .withColumn("event_id", F.col("event_id") + F.col("__rep") * shift)
+        .drop("__rep")
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_stream8_")
+    big.repartition(16).write.parquet(f"{tmp}/events.parquet")
+
+    batch = (
+        load_table(spark, tmp, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    expect = sorted(map(tuple, batch.collect()))
+    samples: list[float] = []
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        got = run_streaming_dedup_rollup(spark, tmp)
+        rows = sorted(map(tuple, got.collect()))
+        samples.append(time.perf_counter() - t0)
+        assert rows == expect, (
+            "streaming dedup under 8x state pressure changed the answer"
+        )
+    return {"streaming_dedup_rollup_8x": round(_median(samples), 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -534,6 +594,8 @@ def main() -> None:
     # key's single task actually pressures executor memory (the 100 TB
     # skew story needs spill-scale evidence, not 17 MB timings).
     timings.update(_skew_comparison(spark, sf_dir, factor=32, suffix="_32x"))
+    gc.collect()
+    timings.update(_streaming_state_pressure(spark, sf_dir))
     gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
 

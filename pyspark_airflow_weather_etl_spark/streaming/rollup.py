@@ -27,16 +27,30 @@ _run_ids = itertools.count()
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture events parquet (explicit
     schema — streaming requires it; inference is impossible on an
-    unbounded source). The ``ts`` physical type is probed from one
-    footer (sources.tables.events_read_plan) so nanos-as-long and
-    native-micros fixtures both read correctly."""
+    unbounded source). The ``ts`` physical type is probed from the
+    footers (sources.tables.events_read_plan) so nanos-as-long and
+    native-micros fixtures both read correctly.
+
+    Handles both physical layouts ``events.parquet`` has shipped in:
+    a single FILE (the fixture quirk — streamed from the parent dir
+    with a glob so the source doesn't try to list the file as a
+    directory) and a DIRECTORY of part-files (the production norm at
+    scale — streamed from the directory itself; a filename glob would
+    match zero part-files and silently stream nothing, the failure
+    mode the ×8 state-pressure bench probe caught)."""
+    import os
+
     apply_runtime_confs(spark)
-    schema, rebuild = events_read_plan(f"{sf_dir}/events.parquet", spark)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema, rebuild = events_read_plan(path, spark)
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if rebuild:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw

@@ -273,3 +273,43 @@ def test_spark_fallback_probe_is_cached():
         schema, rebuild = events_read_plan(bogus, _FakeSpark())
         assert rebuild
     assert calls["n"] == 1
+
+
+def test_directory_layout_events_stream_reads_all_parts(spark, tmp_path):
+    """events.parquet as a DIRECTORY of part-files (the production
+    layout at scale) must stream every part: the old filename glob
+    matched zero part-files and silently streamed nothing — caught by
+    the x8 state-pressure bench probe."""
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    _write_events(
+        str(d / "part-0.parquet"), pa.array(_US, pa.timestamp("us"))
+    )
+    _write_events(
+        str(d / "part-1.parquet"),
+        pa.array([u + 3_600_000_000 for u in _US], pa.timestamp("us")),
+    )
+    batch = sorted(
+        (r.event_id, r.ts)
+        for r in load_table(spark, str(tmp_path), "events")
+        .select("event_id", "ts")
+        .collect()
+    )
+    assert len(batch) == 6
+    q = (
+        read_events_stream(spark, str(tmp_path))
+        .select("event_id", "ts")
+        .writeStream.format("memory")
+        .queryName("enc_dirlayout")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r.event_id, r.ts) for r in spark.table("enc_dirlayout").collect()
+    )
+    assert streamed == batch
