@@ -54,4 +54,7 @@ def test_rows_only_entries_are_the_documented_sketches():
         "ivf_ann_topk_at_rest",
         "approx_distinct_users",
         "approx_percentile_prices",
+        # SRP sub-blocked hot-label path: approximate by design, recall
+        # bounded in tests/test_similarity.py::TestHotLabelSubBlocking
+        "pairwise_topk_per_label_hot",
     }, f"unexpected rows-only set: {rows_only}"
