@@ -57,6 +57,7 @@ HEADLINE = [
     "cube_orders_status_priority",
     "json_props_extract",
     "token_frequency",
+    "pack_sequences_documents",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",

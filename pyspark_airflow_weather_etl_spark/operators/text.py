@@ -197,3 +197,79 @@ def chunk_documents(
         )
         .withColumn("n_tokens", F.array_size(F.split("chunk_text", " ")))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the training-batch
+    assembly step after :func:`chunk_documents`: documents are laid
+    end-to-end in deterministic ``id_col`` order on one global token
+    axis, and that axis is cut into fixed-``budget`` bins (context
+    windows). Output per kept document: ``(id, n_tokens,
+    start_offset, bin_start, bin_end)`` — the bin span tells the
+    materialization step which context windows the document feeds
+    (a document crossing a boundary is split across bins, GPT-style
+    pretraining semantics). Zero-token documents are dropped.
+
+    Scale design — the global running total is a DISTRIBUTED PREFIX
+    SUM, not a single-partition window (a bare
+    ``Window.orderBy(id)`` would pull 100 TB through one task):
+
+    1. ``repartitionByRange(id)`` — contiguous, ordered id ranges per
+       partition (the sort Spark would need for any global order);
+    2. per-partition running totals via a window PARTITIONED by the
+       physical partition id (parallel, no cross-partition traffic);
+    3. per-partition totals — one row per partition — prefix-summed
+       with a window over that TINY table and broadcast back.
+
+    The DuckDB oracle replays the same packing as one flat
+    ``SUM() OVER (ORDER BY id)`` — exact equality of every offset is
+    the cross-check that the distributed prefix-sum composes to the
+    sequential semantics.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    parts = partitions or spark.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(parts, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(id_col)
+    local = ranged.withColumn(
+        "__local_end", F.sum("n_tokens").over(w_local)
+    )
+    totals = local.groupBy("__pid").agg(
+        F.max("__local_end").alias("__part_total")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__part_total").over(w_off), F.lit(0))
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__offset")), "__pid"
+        )
+        .withColumn("end_offset", F.col("__local_end") + F.col("__offset"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("end_offset") - F.col("n_tokens")).alias("start_offset"),
+            F.floor(
+                (F.col("end_offset") - F.col("n_tokens"))
+                / F.lit(float(budget))
+            ).alias("bin_start"),
+            F.floor(
+                (F.col("end_offset") - 1) / F.lit(float(budget))
+            ).alias("bin_end"),
+        )
+    )

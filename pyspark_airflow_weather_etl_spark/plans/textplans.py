@@ -792,6 +792,42 @@ def chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS end_offset
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens,
+           CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+           CAST(FLOOR((end_offset - n_tokens) / 512.0) AS BIGINT)
+             AS bin_start,
+           CAST(FLOOR((end_offset - 1) / 512.0) AS BIGINT) AS bin_end
+    FROM c
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing into 512-token context bins
+    (operators.text.pack_sequences): the global token axis is a
+    distributed prefix sum — range partition on doc_id, parallel
+    per-partition running totals, tiny per-partition offset table
+    prefix-summed and broadcast back. The oracle replays the same
+    packing as one flat window cumsum; exact equality of every
+    offset/bin proves the distributed composition matches the
+    sequential semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pack_sequences(docs, "doc_id", "text", budget=512)
+
+
 def _portable_minhash_oracle() -> str:
     from ..operators.dedup import (
         PORTABLE_MINHASH_A,

@@ -1,0 +1,45 @@
+"""pack_sequences invariants: the distributed prefix-sum must lay
+documents on one contiguous token axis (no gaps, no overlaps) and be
+partition-count-invariant — the property that makes the parallel
+composition equal the sequential packing the DuckDB oracle replays."""
+
+from __future__ import annotations
+
+from pyspark_airflow_weather_etl_spark.operators.text import pack_sequences
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+BUDGET = 64
+
+
+def _packed(spark, partitions):
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    return (
+        pack_sequences(
+            docs, "doc_id", "text", budget=BUDGET, partitions=partitions
+        )
+        .orderBy("start_offset")
+        .collect()
+    )
+
+
+def test_axis_is_contiguous_and_bins_correct(spark):
+    rows = _packed(spark, partitions=8)
+    assert rows, "fixture produced no packed documents"
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos, "gap or overlap on the token axis"
+        pos += r.n_tokens
+        assert r.bin_start == r.start_offset // BUDGET
+        assert r.bin_end == (pos - 1) // BUDGET
+        assert r.bin_start <= r.bin_end
+    # at least one fixture document must cross a bin boundary for the
+    # span semantics to be exercised
+    assert any(r.bin_end > r.bin_start for r in rows)
+
+
+def test_partition_count_invariance(spark):
+    one = _packed(spark, partitions=1)
+    many = _packed(spark, partitions=13)  # odd count -> ragged ranges
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
