@@ -273,3 +273,64 @@ def pack_sequences(
             ).alias("bin_end"),
         )
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Materialize the context windows :func:`pack_sequences` plans:
+    one row per bin with the assembled ``budget``-token text (last
+    bin ragged) — the final emit step of the chunk → pack →
+    materialize pipeline. Each document contributes one slice per
+    bin it spans (computed in-plan from its global offset — pure
+    codegen arithmetic, no Python), and a bin's slices are ordered
+    by their global offset inside an ordered aggregation
+    (collect_list → array_sort on the offset-keyed struct), so the
+    output is deterministic under any partitioning. One shuffle
+    (groupBy bin_id) beyond pack_sequences' machinery; slices ship
+    to exactly one reducer each, so bin assembly is O(corpus), not
+    O(corpus × span)."""
+    packed = pack_sequences(df, id_col, text_col, budget, partitions)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+    j = packed.join(toks, id_col)
+    b = F.col("p")  # struct: bin_id for one spanned bin
+    pieces = j.select(
+        "start_offset",
+        F.explode(
+            F.transform(
+                F.sequence(F.col("bin_start"), F.col("bin_end")),
+                lambda bin_id: F.struct(
+                    bin_id.alias("bin_id"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        bin_id * budget - F.col("start_offset"),
+                    ).alias("s"),
+                    F.least(
+                        F.col("n_tokens"),
+                        (bin_id + 1) * budget - F.col("start_offset"),
+                    ).alias("e"),
+                ),
+            )
+        ).alias("p"),
+        F.col("__tk"),
+    ).select(
+        "start_offset",
+        b["bin_id"].alias("bin_id"),
+        (b["e"] - b["s"]).alias("piece_len"),
+        F.concat_ws(
+            " ", F.slice(F.col("__tk"), b["s"] + 1, b["e"] - b["s"])
+        ).alias("piece"),
+    )
+    ordered_pieces = F.transform(
+        F.array_sort(F.collect_list(F.struct("start_offset", "piece"))),
+        lambda s: s["piece"],
+    )
+    return pieces.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("piece_len").alias("n_tokens"),
+        F.concat_ws(" ", ordered_pieces).alias("bin_text"),
+    )

@@ -828,6 +828,61 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pack_sequences(docs, "doc_id", "text", budget=512)
 
 
+@register(
+    "pack_bins_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), c AS (
+      SELECT doc_id, tk, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS end_offset
+      FROM t
+    ), spans AS (
+      SELECT doc_id, tk, n_tokens,
+             CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+             CAST(FLOOR((end_offset - n_tokens) / 512.0) AS BIGINT)
+               AS bin_start,
+             CAST(FLOOR((end_offset - 1) / 512.0) AS BIGINT) AS bin_end
+      FROM c
+    ), pieces AS (
+      SELECT start_offset,
+             unnest(generate_series(bin_start, bin_end)) AS bin_id,
+             tk, n_tokens
+      FROM spans
+    ), sliced AS (
+      SELECT bin_id, start_offset,
+             LEAST(n_tokens, (bin_id + 1) * 512 - start_offset)
+               - GREATEST(0, bin_id * 512 - start_offset) AS piece_len,
+             array_to_string(
+               tk[CAST(GREATEST(0, bin_id * 512 - start_offset) + 1 AS BIGINT)
+                  : CAST(LEAST(n_tokens, (bin_id + 1) * 512 - start_offset)
+                         AS BIGINT)],
+               ' ') AS piece
+      FROM pieces
+    )
+    SELECT bin_id,
+           COUNT(*) AS n_docs,
+           SUM(piece_len) AS n_tokens,
+           string_agg(piece, ' ' ORDER BY start_offset) AS bin_text
+    FROM sliced
+    GROUP BY bin_id
+    """,
+)
+def pack_bins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized 512-token context windows
+    (operators.text.pack_bins): per-bin assembled text via in-plan
+    slice arithmetic and an ordered aggregation. The oracle rebuilds
+    every bin with DuckDB list slicing and an ORDER BY string_agg —
+    exact bin_text equality proves slice boundaries, ordering, and
+    the distributed prefix sum all compose correctly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pack_bins(docs, "doc_id", "text", budget=512)
+
+
 def _portable_minhash_oracle() -> str:
     from ..operators.dedup import (
         PORTABLE_MINHASH_A,

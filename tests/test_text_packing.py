@@ -43,3 +43,23 @@ def test_partition_count_invariance(spark):
     one = _packed(spark, partitions=1)
     many = _packed(spark, partitions=13)  # odd count -> ragged ranges
     assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_bins_are_full_except_last(spark):
+    from pyspark_airflow_weather_etl_spark.operators.text import pack_bins
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    bins = (
+        pack_bins(docs, "doc_id", "text", budget=BUDGET, partitions=8)
+        .orderBy("bin_id")
+        .collect()
+    )
+    assert len(bins) > 2
+    for r in bins[:-1]:
+        assert r.n_tokens == BUDGET
+        assert len(r.bin_text.split(" ")) == BUDGET
+    last = bins[-1]
+    assert 0 < last.n_tokens <= BUDGET
+    # bin ids are the dense range 0..n-1 (no gaps: every window of the
+    # token axis is materialized)
+    assert [r.bin_id for r in bins] == list(range(len(bins)))
