@@ -137,3 +137,81 @@ def decontaminate(
     phrases = F.array(*[F.lit(p) for p in benchmark_phrases])
     contaminated = F.arrays_overlap(ngram_phrases(text_col, n), phrases)
     return df.where(~contaminated)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.25,
+) -> DataFrame:
+    """Temperature-weighted source mixing — the pretraining data-mix
+    step where per-source sampling rates are DERIVED from the corpus
+    instead of hand-picked (contrast :func:`stratified_sample`'s
+    explicit whitelist): source s gets share ∝ n_s^alpha (alpha<1
+    upweights small sources, alpha=1 is proportional), a row quota of
+    ``share_s · target_fraction · N``, and keep fraction
+    ``min(1, quota_s / n_s)``. Rows are kept by the same
+    pure-function-of-the-data rule as stratified_sample — an
+    md5(id)-prefix threshold, here at 16-bit resolution since the
+    fractions are computed, not round numbers.
+
+    Everything is IN-PLAN: the per-source counts are a map-side-
+    combinable aggregate whose result (one row per source) takes an
+    unpartitioned window — safe on a source-cardinality-sized table —
+    and broadcasts back onto the corpus; the corpus itself never
+    shuffles. Cross-engine float parity of the thresholds, so the
+    DuckDB oracle reproduces every keep decision bit-for-bit:
+    alpha=0.5 routes through ``sqrt`` (IEEE correctly rounded in both
+    engines — ``pow(x, 0.5)`` is not guaranteed to be) and the weight
+    total is summed as DECIMAL(38,18) (order-independent), so every
+    operand of the final double arithmetic is identical on both
+    sides. Other alphas use ``pow`` and may differ from an oracle by
+    one ulp at a threshold boundary — flagged in the docstring
+    because that residual class has bitten before (see
+    similarity.pairwise_topk_per_label's contract note).
+    """
+    from pyspark.sql import Window
+
+    weight = (
+        F.sqrt(F.col("__n"))
+        if alpha == 0.5
+        else F.pow(F.col("__n"), F.lit(float(alpha)))
+    )
+    w_all = Window.partitionBy()
+    shares = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        .withColumn("__w", weight)
+        .withColumn(
+            "__sum_w",
+            F.sum(F.col("__w").cast("decimal(38,18)"))
+            .over(w_all)
+            .cast("double"),
+        )
+        .withColumn(
+            "__total", F.sum(F.col("__n").cast("decimal(38,0)")).over(w_all).cast("double")
+        )
+        .withColumn(
+            "__frac",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("__w") / F.col("__sum_w"))
+                    * F.lit(float(target_fraction))
+                    * F.col("__total")
+                    / F.col("__n"),
+                ),
+                6,
+            ),
+        )
+    )
+    j = df.join(F.broadcast(shares.select(strata_col, "__frac")), strata_col)
+    thr = F.format_string(
+        "%04x", F.floor(F.col("__frac") * 65536).cast("int")
+    )
+    keep = (F.col("__frac") >= 1.0) | (
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < thr
+    )
+    return j.where(keep).drop("__frac")

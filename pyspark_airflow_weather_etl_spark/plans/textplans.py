@@ -664,6 +664,53 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_mix_documents",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n, sqrt(n) AS w,
+             CAST(SUM(CAST(sqrt(n) AS DECIMAL(38,18))) OVER ()
+                  AS DOUBLE) AS sum_w,
+             CAST(SUM(CAST(n AS DECIMAL(38,0))) OVER () AS DOUBLE) AS total
+      FROM c
+    ), f AS (
+      SELECT source,
+             round(LEAST(1.0, (w / sum_w) * 0.25 * total / n), 6) AS frac
+      FROM s
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN f ON d.source = f.source
+    WHERE frac >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(FLOOR(frac * 65536) AS INT))
+    GROUP BY d.source
+    """,
+)
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mix (operators.governance.temperature_mix,
+    alpha=0.5, target 25% of the corpus): per-source keep fractions
+    derived in-plan from source counts — share ∝ sqrt(n_s) — then the
+    same deterministic md5-prefix keep rule as the stratified entry,
+    at 16-bit resolution. The oracle recomputes shares, fractions,
+    and every keep decision in SQL; hash equality of the per-source
+    rollup proves the cross-engine float-parity design (sqrt +
+    decimal-summed weight total) holds bit-for-bit."""
+    from ..operators.governance import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = temperature_mix(
+        docs, "source", "doc_id", alpha=0.5, target_fraction=0.25
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "doc_repetition_stats",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

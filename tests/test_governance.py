@@ -10,6 +10,9 @@ from pyspark_airflow_weather_etl_spark.operators.governance import (
     apply_takedown,
     decontaminate,
 )
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
 
 
 def _docs(spark, rows):
@@ -86,3 +89,57 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # unlisted stratum is dropped
     c = stratified_sample(docs, "source", {"s0": 0.25}, "doc_id")
     assert c.where(F.col("source") == "s1").count() == 0
+
+
+class TestTemperatureMix:
+    """temperature_mix: alpha<1 must upweight small sources, hit the
+    overall quota within md5-quantization tolerance, and stay a pure
+    function of the data (partitioning-invariant)."""
+
+    def test_upweights_small_sources_and_hits_quota(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            temperature_mix,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        total = docs.count()
+        base = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        mixed = temperature_mix(
+            docs, "source", "doc_id", alpha=0.5, target_fraction=0.25
+        )
+        kept = {
+            r["source"]: r["n"]
+            for r in mixed.groupBy("source").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        # overall quota: within quantization + md5-uniformity slack
+        total_kept = sum(kept.values())
+        assert abs(total_kept - 0.25 * total) / total < 0.05
+        # alpha=0.5 upweights: the smallest source keeps a strictly
+        # higher fraction than the largest
+        smallest = min(base, key=base.get)
+        largest = max(base, key=base.get)
+        if base[smallest] < base[largest]:  # fixture has size spread
+            f_small = kept.get(smallest, 0) / base[smallest]
+            f_large = kept.get(largest, 0) / base[largest]
+            assert f_small > f_large
+
+    def test_partitioning_invariant(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            temperature_mix,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        ids = lambda d: sorted(
+            r.doc_id
+            for r in temperature_mix(d, "source", "doc_id").select(
+                "doc_id"
+            ).collect()
+        )
+        assert ids(docs.repartition(3)) == ids(docs.repartition(17))
