@@ -242,7 +242,17 @@ def pack_sequences(
     ranged = base.repartitionByRange(parts, F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w_local = Window.partitionBy("__pid").orderBy(id_col)
+    # Explicit ROWS frame: the default frame for an ordered window is
+    # RANGE, which sums ORDER-BY PEERS together — with a duplicated
+    # id that silently diverges from the oracle's ROWS semantics.
+    # Packing requires unique ids anyway (duplicate ids have no
+    # deterministic axis order); the ROWS frame makes the plans agree
+    # instead of leaving the divergence to the data.
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = ranged.withColumn(
         "__local_end", F.sum("n_tokens").over(w_local)
     )
