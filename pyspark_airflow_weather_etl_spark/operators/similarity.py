@@ -249,6 +249,39 @@ def srp_topk_at_rest(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _srp_bucket_rows(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits_per_table: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, t, bucket) rows for multi-table SRP blocking: one packed
+    ``n_tables × bits_per_table``-plane signature per vector, sliced
+    into per-table sub-buckets and exploded. Hyperplanes derive from
+    the fixed SEED, so two corpora bucketized separately land
+    compatible buckets — the property the cross-corpus join relies
+    on."""
+    n_planes = bits_per_table * n_tables
+    sig = srp_signature(embeddings, dim, n_planes, vec_col)
+    mask = (1 << bits_per_table) - 1
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col, "tb.t", "tb.bucket"
+    )
+
+
 def embedding_near_duplicates_blocked(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -288,25 +321,11 @@ def embedding_near_duplicates_blocked(
     (functions.vectors.pair_dot_arrow — measured a wash at sf0.1,
     identical output after round-6). Contrast pairwise_topk_per_label,
     whose within-block all-pairs density makes arrow the default."""
-    n_planes = bits_per_table * n_tables
-    sig = srp_signature(embeddings, dim, n_planes, vec_col)
-    mask = (1 << bits_per_table) - 1
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
-                .bitwiseAND(F.lit(mask))
-                .alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
     caches = claim_group("embedding_near_duplicates_blocked")
     buckets = persist_into(
         caches,
-        sig.select(F.col(id_col), F.explode(tables).alias("tb")).select(
-            id_col, "tb.t", "tb.bucket"
+        _srp_bucket_rows(
+            embeddings, id_col, vec_col, dim, bits_per_table, n_tables
         ),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -357,6 +376,81 @@ def embedding_near_duplicates_blocked(
             F.round(
                 pair_dot / (F.col("nrm_a") * F.col("nrm_b")), 6
             ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cross_corpus_near_duplicates(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    bits_per_table: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "expr",
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — the train-vs-eval
+    leakage check at embedding level (the vector-space sibling of
+    ``governance.decontaminate``): which ``left`` vectors have a
+    cosine-near-duplicate in ``right``. Same blocking-then-verify
+    shape as ``embedding_near_duplicates_blocked``, but the bucket
+    equi-join runs ACROSS corpora: both sides bucketize with the same
+    seeded hyperplanes (so buckets are compatible without any shared
+    state), candidates are the (t, bucket) collisions between them,
+    and only those pairs pay the exact cosine. Neither corpus ever
+    joins itself, and the candidate volume is the cross-corpus
+    collision count, never |L|x|R|. Precision is exact (every emitted
+    pair verified >= threshold); recall is the SRP S-curve, bounded
+    empirically in tests/test_similarity.py against the exact
+    cross-join ground truth (plans.simplans.cross_corpus_near_dup_exact
+    keeps that form as the oracle)."""
+    caches = claim_group("cross_corpus_near_duplicates")
+    lb = persist_into(
+        caches,
+        _srp_bucket_rows(left, id_col, vec_col, dim, bits_per_table, n_tables),
+    )
+    rb = persist_into(
+        caches,
+        _srp_bucket_rows(right, id_col, vec_col, dim, bits_per_table, n_tables),
+    )
+    cands = (
+        lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_left"),
+            F.col(f"r.{id_col}").alias("id_right"),
+        )
+        .distinct()
+    )
+
+    def _normed(df: DataFrame, out_id: str, v: str, n: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(v),
+            l2_norm(F.col(vec_col)).alias(n),
+        )
+
+    pair_dot = (
+        pair_dot_arrow()(F.col("v_l"), F.col("v_r"))
+        if impl == "arrow"
+        else dot(F.col("v_l"), F.col("v_r"))
+    )
+    return (
+        cands.join(_normed(left, "id_left", "v_l", "n_l"), "id_left")
+        .join(_normed(right, "id_right", "v_r", "n_r"), "id_right")
+        .select(
+            "id_left",
+            "id_right",
+            F.round(pair_dot / (F.col("n_l") * F.col("n_r")), 6).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -341,6 +341,71 @@ def pairwise_topk_per_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_topk_per_label(emb, k=3, hot_label_threshold=None)
 
 
+@register(
+    "cross_corpus_near_dup_exact",
+    oracle="""
+    SELECT a.vec_id AS id_left, b.vec_id AS id_right,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.4
+    """,
+)
+def cross_corpus_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-corpus near-dup ground truth: the embeddings table
+    split into two corpora by vec_id parity (a deterministic stand-in
+    for train vs eval), all L×R pairs scored. The all-pairs product
+    is intentional — it IS the oracle definition the blocked path is
+    measured against, mirroring embedding_near_dup_pairs for the
+    self-join case."""
+    from ..functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sides = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = sides.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_left"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sides.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_right"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, F.col("id_left") != F.col("id_right"))
+        .select("id_left", "id_right", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+@register("cross_corpus_near_dup_blocked")
+def cross_corpus_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-blocked cross-corpus near-dup (the scale path of the exact
+    entry above): both parity-split corpora bucketize with the same
+    seeded hyperplanes, candidates are (t, bucket) collisions across
+    corpora, only collisions pay the exact cosine. Approximate →
+    rows-only; precision exact by construction, recall bounded in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cross_corpus_near_duplicates(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        threshold=0.4,
+    )
+
+
 @register("pairwise_topk_per_label_hot")
 def pairwise_topk_per_label_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-label SCALE path of ``pairwise_topk_per_label``: the

@@ -57,4 +57,7 @@ def test_rows_only_entries_are_the_documented_sketches():
         # SRP sub-blocked hot-label path: approximate by design, recall
         # bounded in tests/test_similarity.py::TestHotLabelSubBlocking
         "pairwise_topk_per_label_hot",
+        # SRP-blocked cross-corpus leakage check: approximate, recall
+        # bounded vs the oracle-checked cross_corpus_near_dup_exact
+        "cross_corpus_near_dup_blocked",
     }, f"unexpected rows-only set: {rows_only}"

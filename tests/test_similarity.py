@@ -367,3 +367,39 @@ class TestHotLabelSubBlocking:
             map(tuple, all_exact.where(F.col("label") == "cold").collect())
         )
         assert cold_mixed == cold_exact and len(cold_mixed) == 40 * 3
+
+
+def test_cross_corpus_blocked_precision_and_recall(spark, emb):
+    """cross_corpus_near_duplicates vs the exact cross-join ground
+    truth: every emitted pair must be a true pair (exact precision by
+    construction) and recall must clear the SRP S-curve bound that
+    the self-join blocked test holds."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        cross_corpus_near_duplicates,
+    )
+
+    left = emb.where(F.col("vec_id") % 2 == 0)
+    right = emb.where(F.col("vec_id") % 2 == 1)
+    got = {
+        (r.id_left, r.id_right)
+        for r in cross_corpus_near_duplicates(left, right, 0.4).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    truth = set()
+    for a, va in vecs.items():
+        if a % 2 != 0:
+            continue
+        for b, vb in vecs.items():
+            if b % 2 != 1:
+                continue
+            c = float(
+                np.dot(va, vb)
+                / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            if round(c, 6) >= 0.4:
+                truth.add((a, b))
+    assert got <= truth, "blocked path emitted a false pair"
+    assert truth, "fixture has no cross-corpus near-dups"
+    assert len(got) / len(truth) >= 0.9
