@@ -258,31 +258,69 @@ _VERIFIED_R6: frozenset[str] = frozenset(
 )
 
 
-# Previously-red beats oldest: these rows were red in CORRECTNESS_r05
-# (fixed in round 6) or last driver-verified on r2-era code, and the
-# r6 rotation budget missed them — so the driver's own record lags the
-# fixes. They jump the whole queue until a driver round regreens them.
-_PRIORITY_R7: frozenset[str] = frozenset(
+# CORRECTNESS_r07.json rows that came back green (or rows-only by
+# design) — all 15 _PRIORITY_R7 names regreened, so that tier retires
+# into this freshest set.
+_VERIFIED_R7: frozenset[str] = frozenset(
     {
-        # red in r5, fixed r6, never re-checked by the driver:
+        "anti_join_no_pending",
+        "array_agg_order_ids",
+        "cross_corpus_near_dup_blocked",
+        "cross_corpus_near_dup_exact",
+        "cube_orders_status_priority",
+        "date_arithmetic_shipping",
+        "distinct_customers_per_priority",
         "events_daily_rollup",
-        "pivot_daily_event_values",
-        "sliding_window_event_stats",
-        "session_window_native",
-        "sessionize_user_events",
-        "streaming_dedup_rollup",
-        "stratified_sample_documents",
-        # last driver row dates to round-2 code:
+        "from_json_typed_props",
+        "full_outer_nation_activity",
+        "json_props_extract",
         "merge_upsert_daily",
-        "q6_forecast_revenue",
-        "q9_profit_by_nation_year",
+        "null_semantics",
+        "pack_sequences_documents",
+        "pairwise_topk_per_label_hot",
+        "pivot_daily_event_values",
+        "q10_returned_revenue",
         "q14_promo_revenue",
         "q15_top_supplier",
         "q17_small_quantity_revenue",
-        "q3_bucketed_layout",
         "q18_bucketed_layout",
+        "q18_large_volume_customers",
+        "q19_disjunctive_predicates",
+        "q2_min_per_group_joinback",
+        "q3_bucketed_layout",
+        "q5_nation_revenue",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q9_profit_by_nation_year",
+        "rollup_pricing_by_flag_status",
+        "scalar_date_order_months",
+        "scalar_math_order_buckets",
+        "scalar_string_part_catalog",
+        "semi_join_big_spenders",
+        "session_window_native",
+        "sessionize_user_events",
+        "setop_cust_fulfilled_and_open",
+        "setop_cust_fulfilled_only",
+        "setop_union_segments",
+        "sliding_window_event_stats",
+        "stratified_sample_documents",
+        "streaming_dedup_rollup",
+        "temperature_mix_documents",
+        "topk_orders_by_price",
+        "unpivot_part_metrics",
+        "window_order_value_delta",
+        "window_rank_distribution",
+        "window_running_customer_total",
+        "window_top_orders_per_customer",
     }
 )
+
+
+# Previously-red beats oldest: pack_bins_documents was the one red row
+# in CORRECTNESS_r07 (oracle emitted DuckDB HUGEINT for SUM(piece_len);
+# the oracle now casts to BIGINT — textplans.py). It jumps the whole
+# queue until a driver round regreens it.
+_PRIORITY_R8: frozenset[str] = frozenset({"pack_bins_documents"})
 
 
 def _schedule_registry() -> None:
@@ -292,16 +330,21 @@ def _schedule_registry() -> None:
     its freshest row (later tiers win) — except priority, which wins
     over everything."""
     tiers = [
-        _VERIFIED_R1 - _VERIFIED_R2 - _VERIFIED_R5 - _VERIFIED_R6,
-        _VERIFIED_R2 - _VERIFIED_R5 - _VERIFIED_R6,
-        _VERIFIED_R5 - _VERIFIED_R6,
-        _VERIFIED_R6,
+        _VERIFIED_R1
+        - _VERIFIED_R2
+        - _VERIFIED_R5
+        - _VERIFIED_R6
+        - _VERIFIED_R7,
+        _VERIFIED_R2 - _VERIFIED_R5 - _VERIFIED_R6 - _VERIFIED_R7,
+        _VERIFIED_R5 - _VERIFIED_R6 - _VERIFIED_R7,
+        _VERIFIED_R6 - _VERIFIED_R7,
+        _VERIFIED_R7,
     ]
-    tiers = [tier - _PRIORITY_R7 for tier in tiers]
+    tiers = [tier - _PRIORITY_R8 for tier in tiers]
     entries = dict(REGISTRY)
     REGISTRY.clear()
-    in_any = frozenset().union(_PRIORITY_R7, *tiers)
-    REGISTRY.update({n: q for n, q in entries.items() if n in _PRIORITY_R7})
+    in_any = frozenset().union(_PRIORITY_R8, *tiers)
+    REGISTRY.update({n: q for n, q in entries.items() if n in _PRIORITY_R8})
     REGISTRY.update({n: q for n, q in entries.items() if n not in in_any})
     for tier in tiers:
         REGISTRY.update({n: q for n, q in entries.items() if n in tier})

@@ -913,7 +913,7 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bin_id,
            COUNT(*) AS n_docs,
-           SUM(piece_len) AS n_tokens,
+           CAST(SUM(piece_len) AS BIGINT) AS n_tokens,
            string_agg(piece, ' ' ORDER BY start_offset) AS bin_text
     FROM sliced
     GROUP BY bin_id
