@@ -231,8 +231,21 @@ def pack_sequences(
     ``SUM() OVER (ORDER BY id)`` — exact equality of every offset is
     the cross-check that the distributed prefix-sum composes to the
     sequential semantics.
+
+    The per-partition frame (``__pid`` + local cumsum) is consumed by
+    TWO plan branches — the tiny totals/offsets table and the row-level
+    side of the broadcast join — so it is persisted
+    (:mod:`..caching` group ``pack_sequences``): both branches read one
+    materialization and ``spark_partition_id`` is assigned exactly
+    once. Without the cache each branch would re-evaluate the range
+    partitioning independently, and a nondeterministic upstream
+    (``sample()``, round-robin ``repartition()``, task-retry input
+    reordering) could assign different ``__pid`` values per branch,
+    silently corrupting every global offset downstream.
     """
     from pyspark.sql import Window
+
+    from ..caching import claim_group, persist_into
 
     spark = df.sparkSession
     base = df.select(
@@ -253,8 +266,10 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn(
-        "__local_end", F.sum("n_tokens").over(w_local)
+    caches = claim_group("pack_sequences")
+    local = persist_into(
+        caches,
+        ranged.withColumn("__local_end", F.sum("n_tokens").over(w_local)),
     )
     totals = local.groupBy("__pid").agg(
         F.max("__local_end").alias("__part_total")

@@ -63,3 +63,29 @@ def test_bins_are_full_except_last(spark):
     # bin ids are the dense range 0..n-1 (no gaps: every window of the
     # token axis is materialized)
     assert [r.bin_id for r in bins] == list(range(len(bins)))
+
+
+def test_offsets_consistent_under_nondeterministic_upstream(spark):
+    """The per-partition cumsum frame is persisted so __pid is
+    assigned once; with a nondeterministic upstream (rand() filter,
+    different rows per evaluation) an unpersisted plan could evaluate
+    the range partitioning differently in the totals branch vs the
+    join branch and corrupt global offsets. The contiguity invariant
+    must hold regardless of what subset the upstream produced."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(400)
+        .where(F.rand() < 0.7)  # nondeterministic: re-eval != first eval
+    )
+    rows = (
+        pack_sequences(docs, "doc_id", "text", budget=BUDGET, partitions=7)
+        .orderBy("start_offset")
+        .collect()
+    )
+    assert rows, "sampled upstream produced no packed documents"
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos, "gap or overlap on the token axis"
+        pos += r.n_tokens
