@@ -24,6 +24,27 @@ from ..sources.tables import events_read_plan
 _run_ids = itertools.count()
 
 
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """Directory-vs-file probe through the Hadoop FileSystem API, so
+    the answer is correct for ANY URI scheme the session can read
+    (hdfs://, s3a://, file:). ``os.path.isdir`` silently answers
+    False for every non-local URI, which would route a directory-
+    layout ``events.parquet/`` on an object store into the filename-
+    glob branch — where the glob matches zero part-files and the
+    stream emits nothing. Falls back to ``os.path.isdir`` only if the
+    JVM gateway is unavailable (plain local paths, tests without a
+    session)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.isDirectory(jpath))
+    except Exception:
+        import os
+
+        return os.path.isdir(path)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture events parquet (explicit
     schema — streaming requires it; inference is impossible on an
@@ -38,12 +59,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — streamed from the directory itself; a filename glob would
     match zero part-files and silently stream nothing, the failure
     mode the ×8 state-pressure bench probe caught)."""
-    import os
-
     apply_runtime_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema, rebuild = events_read_plan(path, spark)
-    if os.path.isdir(path):
+    if _is_directory(spark, path):
         raw = spark.readStream.schema(schema).parquet(path)
     else:
         raw = (
