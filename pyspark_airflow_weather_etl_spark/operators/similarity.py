@@ -767,7 +767,12 @@ def pairwise_topk_per_label(
             dim=dim,
         )
         scored = scored.unionByName(hot_scored)
-    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    # Rank per (label, id) — not id alone — so ids that are only
+    # unique within a label rank inside their own label instead of
+    # mixing across labels; identical output when ids are global.
+    w = Window.partitionBy(group_col, "id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b")
+    )
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
@@ -851,7 +856,10 @@ def _hot_label_scored_pairs(
     dim: int,
 ) -> DataFrame:
     """Score hot-label SRP candidates with the same cosine expression
-    the exact path uses (vectors re-joined by id)."""
+    the exact path uses. Vectors are re-joined on (group_col, id) —
+    not id alone — so ids only unique within a label still resolve to
+    the right vector, matching how the cold exact path keys its pairs.
+    """
     cands = hot_label_candidate_pairs(
         hot,
         id_col=id_col,
@@ -863,17 +871,19 @@ def _hot_label_scored_pairs(
         dim=dim,
     )
     va = hot.select(
+        F.col(group_col),
         F.col(id_col).alias("id_a"),
         F.col("v").alias("vec_a"),
         F.col("nrm").alias("nrm_a"),
     )
     vb = hot.select(
+        F.col(group_col),
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
     )
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cands.join(va, [group_col, "id_a"])
+        .join(vb, [group_col, "id_b"])
         .select(group_col, "id_a", "id_b", cosine)
     )

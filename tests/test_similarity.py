@@ -368,6 +368,39 @@ class TestHotLabelSubBlocking:
         )
         assert cold_mixed == cold_exact and len(cold_mixed) == 40 * 3
 
+    def test_label_scoped_ids_resolve_per_label(self, spark):
+        """Ids that repeat across labels must join each label's OWN
+        vectors (re-join keys are (label, id), not id alone) and rank
+        inside their label: each label of an overlapping-id corpus
+        must produce exactly the result it produces when run alone."""
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            pairwise_topk_per_label,
+        )
+
+        rows_a = self._random_rows(150, "la", start=0, seed=5)
+        rows_b = self._random_rows(150, "lb", start=0, seed=6)  # same ids
+        kwargs = dict(
+            k=3,
+            hot_label_threshold=100,  # both labels go hot
+            hot_target_block=32,
+            hot_min_bits=2,
+            hot_max_bits=8,
+            dim=self.DIM,
+        )
+        both = pairwise_topk_per_label(
+            self._df(spark, rows_a + rows_b), **kwargs
+        )
+        for label, rows in (("la", rows_a), ("lb", rows_b)):
+            alone = sorted(
+                map(tuple, pairwise_topk_per_label(
+                    self._df(spark, rows), **kwargs
+                ).collect())
+            )
+            mixed = sorted(
+                map(tuple, both.where(F.col("label") == label).collect())
+            )
+            assert mixed == alone, f"label {label} polluted by sibling ids"
+
 
 def test_cross_corpus_blocked_precision_and_recall(spark, emb):
     """cross_corpus_near_duplicates vs the exact cross-join ground
