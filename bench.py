@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import re
 import sys
 import time
@@ -360,12 +361,30 @@ def _skew_comparison(
         .alias("k"),
         F.col("l_quantity").alias("v"),
     )
+    tmp = None
     if factor > 1:
         rep = spark.range(factor).select(F.col("id").alias("__rep"))
         big = skewed.crossJoin(F.broadcast(rep)).drop("__rep")
         tmp = tempfile.mkdtemp(prefix=f"bench_skew{factor}_")
         big.repartition(64).write.parquet(f"{tmp}/skewed")
         skewed = spark.read.parquet(f"{tmp}/skewed")
+    try:
+        return _skew_variants_timed(spark, skewed, factor, suffix)
+    finally:
+        # The replicated input is hundreds of MB per run; orphaned
+        # temp trees from repeated bench runs add up fast.
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _skew_variants_timed(
+    spark, skewed, factor: int, suffix: str
+) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.functions.exact import dsum
+    from pyspark_airflow_weather_etl_spark.operators.scale import salted_join
+
     dim = spark.range(1000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("w")
     )
@@ -477,32 +496,162 @@ def _streaming_state_pressure(spark, sf_dir: str) -> dict[str, float]:
         .drop("__rep")
     )
     tmp = tempfile.mkdtemp(prefix="bench_stream8_")
-    big.repartition(16).write.parquet(f"{tmp}/events.parquet")
+    try:
+        big.repartition(16).write.parquet(f"{tmp}/events.parquet")
 
-    batch = (
-        load_table(spark, tmp, "events")
-        .groupBy(
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
-                "day"
-            ),
-            "event_type",
+        batch = (
+            load_table(spark, tmp, "events")
+            .groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "day"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.sum(F.col("value").cast(DEC))
+                .cast("double")
+                .alias("sum_value"),
+                F.count("*").alias("n_events"),
+            )
         )
-        .agg(
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
-            F.count("*").alias("n_events"),
-        )
+        expect = sorted(map(tuple, batch.collect()))
+        samples: list[float] = []
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            got = run_streaming_dedup_rollup(spark, tmp)
+            rows = sorted(map(tuple, got.collect()))
+            samples.append(time.perf_counter() - t0)
+            assert rows == expect, (
+                "streaming dedup under 8x state pressure changed the answer"
+            )
+        return {"streaming_dedup_rollup_8x": round(_median(samples), 3)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _llm_dedup_pressure(spark, sf_dir: str) -> dict[str, float]:
+    """Memory-pressure edition of the two blocked LLM-dedup pipelines
+    (the skew triad's LSH sibling): MinHash-LSH near-dup over ×8
+    documents and SRP-blocked embedding near-dup over ×8 embeddings,
+    each replicated with shifted ids and UNCHANGED content. Identical
+    content means every bucket gets 8× denser — exactly what a near-
+    dup pass over a crawl full of mirrored pages sees, and the
+    worst case for the candidate equi-join's shuffle and the persisted
+    shingle/signature state the operators cache.
+
+    Replication with unchanged content also makes the result fully
+    predictable, so the pressure run is correctness-asserted, not just
+    timed: signatures/buckets depend only on content, so (a) the
+    pairs among rep-0 ids must equal the base-scale result exactly,
+    and (b) for MinHash the total is exactly ``64·|base| + 28·n_nz``
+    (64 cross-replica orientations per base pair; C(8,2) identical-
+    replica pairs per doc with a nonempty shingle set). Setup writes
+    are untimed, like every layout probe."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        add_hashed_shingles,
+        minhash_near_duplicates,
     )
-    expect = sorted(map(tuple, batch.collect()))
-    samples: list[float] = []
-    for _ in range(BENCH_RUNS):
-        t0 = time.perf_counter()
-        got = run_streaming_dedup_rollup(spark, tmp)
-        rows = sorted(map(tuple, got.collect()))
-        samples.append(time.perf_counter() - t0)
-        assert rows == expect, (
-            "streaming dedup under 8x state pressure changed the answer"
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        embedding_near_duplicates_blocked,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    e_shift = emb.agg(F.max("vec_id")).first()[0] + 1
+    rep = spark.range(8).select(F.col("id").alias("__rep"))
+    tmp = tempfile.mkdtemp(prefix="bench_llm8_")
+    try:
+        (
+            docs.crossJoin(F.broadcast(rep))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * d_shift)
+            .drop("__rep")
+            .repartition(32)
+            .write.parquet(f"{tmp}/documents.parquet")
         )
-    return {"streaming_dedup_rollup_8x": round(_median(samples), 3)}
+        (
+            emb.crossJoin(F.broadcast(rep))
+            .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * e_shift)
+            .drop("__rep")
+            .repartition(32)
+            .write.parquet(f"{tmp}/embeddings.parquet")
+        )
+        docs8 = load_table(spark, tmp, "documents")
+        emb8 = load_table(spark, tmp, "embeddings")
+
+        def pairs(df, id_a="id_a", id_b="id_b"):
+            return sorted(map(tuple, df.select(id_a, id_b).collect()))
+
+        mh_base = pairs(
+            minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        )
+        release_cached()
+        n_nz = (
+            add_hashed_shingles(docs, "text", 3, out_col="sh")
+            .where(F.array_size("sh") > 0)
+            .count()
+        )
+        # The ×8 runs use a density-scaled SRP width (10 bits × 6
+        # tables vs the catalog entry's 4 × 16): with every vector
+        # 8-fold duplicated, fixture-width buckets go 8× denser and
+        # candidate volume grows with the SQUARE of density —
+        # measured 86 s vs 3.4 s at sf0.1 — so the width must scale
+        # with duplication density, exactly the "more bits per
+        # table, fewer tables" rule the operator docstring gives for
+        # a 100 TB pass. The base answer for the equality assert is
+        # computed at the SAME width (bucketing depends only on
+        # content, so rep-0 equality holds per-parameterization).
+        srp_w = {"bits_per_table": 10, "n_tables": 6}
+        emb_base = pairs(
+            embedding_near_duplicates_blocked(
+                emb, threshold=0.4, dim=64, **srp_w
+            )
+        )
+        release_cached()
+
+        out: dict[str, float] = {}
+        mh_samples: list[float] = []
+        emb_samples: list[float] = []
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            mh8 = pairs(
+                minhash_near_duplicates(docs8, "doc_id", "text", threshold=0.5)
+            )
+            mh_samples.append(time.perf_counter() - t0)
+            release_cached()
+            rep0 = [
+                p for p in mh8 if p[0] < d_shift and p[1] < d_shift
+            ]
+            assert rep0 == mh_base, "minhash 8x changed the base answer"
+            assert len(mh8) == 64 * len(mh_base) + 28 * n_nz, (
+                "minhash 8x pair count off the replication arithmetic"
+            )
+
+            t0 = time.perf_counter()
+            eb8 = pairs(
+                embedding_near_duplicates_blocked(
+                    emb8, threshold=0.4, dim=64, **srp_w
+                )
+            )
+            emb_samples.append(time.perf_counter() - t0)
+            release_cached()
+            rep0 = [
+                p for p in eb8 if p[0] < e_shift and p[1] < e_shift
+            ]
+            assert rep0 == emb_base, "embedding 8x changed the base answer"
+            assert len(eb8) >= 64 * len(emb_base), (
+                "embedding 8x lost cross-replica pairs"
+            )
+        out["minhash_near_dup_pairs_8x"] = round(_median(mh_samples), 3)
+        out["embedding_near_dup_blocked_8x"] = round(_median(emb_samples), 3)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -597,6 +746,11 @@ def main() -> None:
     timings.update(_skew_comparison(spark, sf_dir, factor=32, suffix="_32x"))
     gc.collect()
     timings.update(_streaming_state_pressure(spark, sf_dir))
+    gc.collect()
+    # LSH edition of the ×-scale pressure evidence: the two blocked
+    # dedup pipelines on ×8-dense buckets, correctness-asserted
+    # against the base-scale answer (VERDICT r7 item 5).
+    timings.update(_llm_dedup_pressure(spark, sf_dir))
     gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
 

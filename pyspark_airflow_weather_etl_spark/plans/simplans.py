@@ -396,8 +396,11 @@ def cross_corpus_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     entry above): both parity-split corpora bucketize with the same
     seeded hyperplanes, candidates are (t, bucket) collisions across
     corpora, only collisions pay the exact cosine. Approximate →
-    rows-only; precision exact by construction, recall bounded in
-    tests/test_similarity.py."""
+    rows-only; the pytest bound
+    (tests/test_similarity.py::test_cross_corpus_blocked_precision_and_recall)
+    asserts precision 1.0 (every emitted pair is in the exact
+    cross-join ground truth) and recall ≥ 0.9 at threshold 0.4 —
+    the same contract shape as ``pairwise_topk_per_label_hot``."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cross_corpus_near_duplicates(
         emb.where(F.col("vec_id") % 2 == 0),
