@@ -48,6 +48,7 @@ HEADLINE = [
     "q10_returned_revenue",
     "q19_disjunctive_predicates",
     "sql_q4_late_orders",
+    "q21_waiting_suppliers",
     "window_top_orders_per_customer",
     "window_running_customer_total",
     "sessionize_user_events",

@@ -104,3 +104,34 @@ def test_bucketed_layout_joins_are_exchange_free(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q21_correlation_joins_and_topk(spark):
+    """The EXISTS/NOT-EXISTS decorrelation must stay a semi + anti
+    join pair (never a cartesian or a rewrite through aggregation),
+    the order-status filter must push to the orders scan, and the
+    top-100 must be a heap."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan, "status filter pushed"
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_q13_outer_join_preserves_zero_customers(spark):
+    """The priority exclusion is a JOIN-side predicate: pushing it
+    below the left-outer join as a filter would drop the 0-order
+    bucket. Guard the join type and that customers scan unfiltered."""
+    plan = _plan(spark, "q13_customer_order_distribution")
+    assert "LeftOuter" in plan
+    # the priority predicate pushes to the ORDERS scan (sound: the
+    # right side of a left-outer join may filter), never the customer
+    # scan, whose pushed-filter list must stay empty
+    cust_scans = [
+        seg for seg in plan.split("FileScan parquet")[1:]
+        if "customer.parquet" in seg.split("ReadSchema")[0]
+    ]
+    assert cust_scans
+    for seg in cust_scans:
+        assert "PushedFilters: []" in seg.split("ReadSchema")[0]
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
