@@ -887,3 +887,98 @@ def _hot_label_scored_pairs(
         .join(vb, [group_col, "id_b"])
         .select(group_col, "id_a", "id_b", cosine)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 512,
+    iters: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF
+    coarse quantizer (:func:`ivf_train_centroids` — driver k-means on
+    a bounded deterministic sample, the FAISS recipe), then verify
+    exact cosine ONLY within a cluster and drop every row that has a
+    lower-id near-duplicate (cosine ≥ ``threshold``) in its cell.
+    Keep-lowest is the same deterministic survivor rule as exact
+    dedup (operators.dedup); like SemDeDup itself, a cross-cluster
+    near-dup pair is out of scope by construction (the clustering IS
+    the blocking), and the keep rule is per-pair, not
+    connected-component — a chain a~b~c with a≁c keeps a and drops
+    both b and c (documented SemDeDup semantics: anything with a
+    "better" near-dup goes).
+
+    Output: the KEPT rows as ``(id, ivf_cell)`` plus a ``n_dropped``
+    corpus-level sanity column is NOT emitted — callers needing the
+    complement anti-join the input on ``id``.
+
+    Scale design: candidate volume is Σ_cell |cell|²/2, bounded by
+    the quantizer granularity — ``n_cells`` should scale ~√n (FAISS
+    practice) so cells stay ~√n rows; for heavy-tailed cluster sizes
+    route cells above a size cap through SRP sub-blocking within the
+    cell (exactly the hot-label guard of
+    :func:`pairwise_topk_per_label`; same join shape with
+    ``group_col='ivf_cell'``). The verify join is an equi-join
+    shuffle on ``ivf_cell`` — never an all-pairs product across
+    cells. Assignment is the Arrow matmul kernel
+    (:func:`ivf_assign`), one numpy matmul per batch.
+
+    Rows-only catalog entry (the k-means quantizer is not
+    SQL-expressible); bounds are pinned by
+    tests/test_similarity.py::TestSemanticDedup — drop precision is
+    1.0 by construction (every drop carries an exact verified
+    cosine), recall ≥ 0.9 on planted same-cell near-dup clusters,
+    and determinism across repeated runs.
+    """
+    caches = claim_group("semantic_dedup")
+    cents = ivf_train_centroids(
+        embeddings, n_cells, sample_rows, iters, id_col, vec_col
+    )
+    assigned = persist_into(
+        caches,
+        ivf_assign(embeddings, cents)
+        .select(
+            F.col(id_col),
+            F.col("ivf_cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        ),
+    )
+    a = assigned.alias("sa").select(
+        F.col("sa.ivf_cell").alias("cell_a"),
+        F.col(f"sa.{id_col}").alias("id_a"),
+        F.col("sa.v").alias("v_a"),
+        F.col("sa.nrm").alias("nrm_a"),
+    )
+    b = assigned.alias("sb").select(
+        F.col("sb.ivf_cell").alias("cell_b"),
+        F.col(f"sb.{id_col}").alias("id_b"),
+        F.col("sb.v").alias("v_b"),
+        F.col("sb.nrm").alias("nrm_b"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("cell_a") == F.col("cell_b")),
+        )
+        .where(
+            F.round(
+                dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "ivf_cell"
+    )

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     weatherplans,
     bucketplans,
     tpchplans,
+    curationplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

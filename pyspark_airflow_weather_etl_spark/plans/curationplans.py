@@ -1,0 +1,147 @@
+"""Corpus-curation query catalog: global shuffle, token-budget
+selection, per-source caps, and semantic dedup.
+
+North-star extensions (SURVEY.md §2.9 — the reference has no
+ordering/sampling surface; see operators/curation.py). The three
+global-order entries share the distributed prefix-sum machinery with
+pack_sequences, so their DuckDB oracles — flat single-threaded
+``ROW_NUMBER()/SUM() OVER (ORDER BY ...)`` windows — are exactly the
+sequential semantics the parallel composition must reproduce
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as C
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "global_shuffle_documents",
+    oracle="""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                           doc_id)
+                AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def global_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (operators.curation.global_shuffle,
+    seed 42): every document gets a reproducible md5 shuffle key and a
+    materialized global position in key order. The position is a
+    distributed global rank — range partition on the key, parallel
+    per-partition row_numbers, tiny per-partition offset table
+    broadcast back — never a single-task ``Window.orderBy``. The
+    oracle replays the permutation as one flat ROW_NUMBER window;
+    exact pos equality proves the parallel rank composes to the
+    sequential order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.global_shuffle(docs, "doc_id", seed=42).select(
+        "doc_id", "shuffle_key", "pos"
+    )
+
+
+@register(
+    "token_budget_select_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), c AS (
+      SELECT doc_id, n_chars, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), b AS (
+      SELECT CAST((SUM(n_tokens) * 3) // 10 AS BIGINT) AS budget FROM t
+    )
+    SELECT doc_id, n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c, b
+    WHERE cum <= budget
+    """,
+)
+def token_budget_select_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget corpus selection
+    (operators.curation.token_budget_select): keep the best documents
+    — ordered by (n_chars DESC, doc_id) — while the running token
+    total stays within 3/10 of the corpus total. Budget arithmetic is
+    integer end-to-end (``div`` in Spark, ``//`` in DuckDB), so the
+    cut point is bit-identical across engines; the running total is
+    the distributed prefix sum ordered by quality, and the grand
+    total comes from the per-partition totals table (no second corpus
+    scan). The oracle is the flat sequential window + scalar-subquery
+    budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.token_budget_select(
+        docs,
+        "doc_id",
+        "text",
+        score_col="n_chars",
+        budget_numer=3,
+        budget_denom=10,
+    )
+
+
+@register(
+    "cap_documents_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) ranked
+    WHERE rn <= 10
+    """,
+)
+def cap_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators.curation.cap_per_group):
+    keep at most 10 documents per source, longest-first with doc_id
+    tiebreak — the anti-domination guard against a handful of crawl
+    domains drowning the mixture. Pure grouped window (one hash
+    shuffle on source, no global order), linear at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.cap_per_group(
+        docs,
+        group_col="source",
+        k=10,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    ).select("doc_id", "source", "n_chars", "rank")
+
+
+@register("semantic_dedup_embeddings")  # rows-only: k-means quantizer
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup
+    (operators.similarity.semantic_dedup, arXiv:2303.09540): IVF
+    k-means clustering blocks the space, exact cosine verifies only
+    within a cell, keep-lowest-id survives. Rows-only by design — the
+    driver records a rows+schema check because the k-means quantizer
+    is not SQL-expressible; the binding bounds live in
+    tests/test_similarity.py::TestSemanticDedup (drop precision 1.0
+    by construction — every drop carries an exact verified cosine ≥
+    threshold; recall ≥ 0.9 on planted same-cell near-dup clusters;
+    repeated-run determinism). Threshold 0.4 matches the fixture's
+    planted near-dup geometry (θ≈60°, the same bar
+    embedding_near_dup_pairs verifies against), so the keep set is a
+    strict subset on fixture data. Candidate volume is Σ_cell
+    |cell|²/2 — the quantizer granularity, not the corpus, bounds the
+    quadratic term (scale contract in the operator docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_cells=16, threshold=0.4).orderBy(
+        "vec_id"
+    )

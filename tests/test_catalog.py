@@ -60,4 +60,7 @@ def test_rows_only_entries_are_the_documented_sketches():
         # SRP-blocked cross-corpus leakage check: approximate, recall
         # bounded vs the oracle-checked cross_corpus_near_dup_exact
         "cross_corpus_near_dup_blocked",
+        # SemDeDup: the k-means quantizer is not SQL-expressible;
+        # bounds in tests/test_similarity.py::TestSemanticDedup
+        "semantic_dedup_embeddings",
     }, f"unexpected rows-only set: {rows_only}"

@@ -1,0 +1,147 @@
+"""Curation-operator invariants: the distributed global rank must be
+a permutation that composes to the sequential order (partition-count
+invariant, nondeterminism-proof), the token-budget cut must be maximal
+and quality-ordered, and per-source caps must keep exactly the best k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.operators.curation import (
+    cap_per_group,
+    global_shuffle,
+    token_budget_select,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def _docs(spark, n=300):
+    return load_table(spark, SF_DIR, "documents").limit(n)
+
+
+def test_shuffle_pos_is_a_permutation(spark):
+    rows = global_shuffle(_docs(spark), "doc_id", seed=7).select(
+        "doc_id", "shuffle_key", "pos"
+    ).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    # pos order IS shuffle-key order
+    by_pos = sorted(rows, key=lambda r: r.pos)
+    keys = [(r.shuffle_key, r.doc_id) for r in by_pos]
+    assert keys == sorted(keys)
+
+
+def test_shuffle_partition_count_invariance(spark):
+    one = sorted(
+        (r.doc_id, r.pos)
+        for r in global_shuffle(
+            _docs(spark), "doc_id", seed=7, partitions=1
+        ).collect()
+    )
+    many = sorted(
+        (r.doc_id, r.pos)
+        for r in global_shuffle(
+            _docs(spark), "doc_id", seed=7, partitions=13
+        ).collect()
+    )
+    assert one == many
+
+
+def test_shuffle_seed_changes_permutation(spark):
+    a = {
+        r.doc_id: r.pos
+        for r in global_shuffle(_docs(spark), "doc_id", seed=1).collect()
+    }
+    b = {
+        r.doc_id: r.pos
+        for r in global_shuffle(_docs(spark), "doc_id", seed=2).collect()
+    }
+    assert a.keys() == b.keys()
+    assert a != b  # independent permutations
+
+
+def test_shuffle_survives_nondeterministic_upstream(spark):
+    """The ranged frame is persisted, so __pid is assigned once even
+    when the upstream re-evaluates differently (rand() filter) — pos
+    must still be the dense range 1..n over whatever subset
+    materialized."""
+    docs = _docs(spark, 400).where(F.rand() < 0.7)
+    rows = global_shuffle(docs, "doc_id", seed=7, partitions=5).collect()
+    assert rows
+    assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_budget_cut_is_maximal_and_quality_ordered(spark):
+    docs = _docs(spark)
+    kept = token_budget_select(
+        docs, "doc_id", "text", score_col="n_chars"
+    ).collect()
+    assert kept
+    total = (
+        docs.select(
+            F.array_size(F.split("text", " ")).cast("long").alias("t")
+        )
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    budget = total * 3 // 10
+    used = sum(r.n_tokens for r in kept)
+    assert used <= budget
+    assert max(r.cum_tokens for r in kept) == used
+    # maximality: the next document in quality order would not fit
+    kept_ids = {r.doc_id for r in kept}
+    ordered = sorted(
+        docs.select("doc_id", "n_chars").collect(),
+        key=lambda r: (-r.n_chars, r.doc_id),
+    )
+    # kept set is exactly a prefix of the quality order
+    prefix = [r.doc_id for r in ordered[: len(kept)]]
+    assert set(prefix) == kept_ids
+    nxt = ordered[len(kept)]
+    nxt_tokens = (
+        docs.where(F.col("doc_id") == nxt.doc_id)
+        .select(F.array_size(F.split("text", " ")).cast("long").alias("t"))
+        .first()[0]
+    )
+    assert used + nxt_tokens > budget
+
+
+def test_budget_partition_count_invariance(spark):
+    docs = _docs(spark)
+    one = sorted(
+        tuple(r)
+        for r in token_budget_select(docs, partitions=1).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in token_budget_select(docs, partitions=11).collect()
+    )
+    assert one == many
+
+
+def test_cap_per_group_keeps_best_k(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    capped = cap_per_group(docs, "source", k=5).collect()
+    by_src: dict[str, list] = {}
+    for r in capped:
+        by_src.setdefault(r.source, []).append(r)
+    assert all(len(v) <= 5 for v in by_src.values())
+    # each group's survivors are exactly its top-5 by (n_chars desc, id)
+    allrows = docs.select("doc_id", "source", "n_chars").collect()
+    want: dict[str, list] = {}
+    for r in allrows:
+        want.setdefault(r.source, []).append(r)
+    for src, rows in want.items():
+        top = [
+            r.doc_id
+            for r in sorted(rows, key=lambda r: (-r.n_chars, r.doc_id))[:5]
+        ]
+        got = [
+            r.doc_id
+            for r in sorted(by_src.get(src, []), key=lambda r: r.rank)
+        ]
+        assert got == top, f"source {src}"

@@ -436,3 +436,89 @@ def test_cross_corpus_blocked_precision_and_recall(spark, emb):
     assert got <= truth, "blocked path emitted a false pair"
     assert truth, "fixture has no cross-corpus near-dups"
     assert len(got) / len(truth) >= 0.9
+
+
+class TestSemanticDedup:
+    """SemDeDup bounds (operators.similarity.semantic_dedup): drop
+    precision is exact by construction; recall is measured on planted
+    same-cell near-dup clusters; output is deterministic."""
+
+    def test_drop_precision_exact(self, spark, emb):
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        kept = {
+            r.vec_id
+            for r in semantic_dedup(emb, n_cells=8, threshold=0.4).collect()
+        }
+        rows = emb.select("vec_id", "embedding").collect()
+        vecs = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows
+        }
+        ids = sorted(vecs)
+        dropped = set(ids) - kept
+        assert dropped, "fixture has planted near-dups; some must drop"
+        norms = {i: np.linalg.norm(vecs[i]) for i in ids}
+        for d in dropped:
+            has_lower_neighbor = any(
+                i < d
+                and round(
+                    float(np.dot(vecs[i], vecs[d]))
+                    / (norms[i] * norms[d]),
+                    6,
+                )
+                >= 0.4 - 1e-6
+                for i in ids
+            )
+            assert has_lower_neighbor, f"{d} dropped without a near-dup"
+
+    def test_recall_on_planted_clusters(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((40, 16))
+        rows, plant = [], []
+        vid = 0
+        for i, v in enumerate(base):
+            rows.append((vid, [float(x) for x in v]))
+            orig = vid
+            vid += 1
+            if i < 10:  # plant 2 near-copies of the first 10
+                for _ in range(2):
+                    c = v + rng.standard_normal(16) * 0.01
+                    rows.append((vid, [float(x) for x in c]))
+                    plant.append((orig, vid))
+                    vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        kept = {
+            r.vec_id
+            for r in semantic_dedup(
+                df, n_cells=4, threshold=0.9, sample_rows=128
+            ).collect()
+        }
+        copies = [c for _, c in plant]
+        dropped_copies = [c for c in copies if c not in kept]
+        recall = len(dropped_copies) / len(copies)
+        assert recall >= 0.9, f"recall {recall}"
+        # originals (lowest id of each cluster) all survive
+        assert all(o in kept for o, _ in plant)
+
+    def test_deterministic(self, spark, emb):
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        a = sorted(
+            tuple(r)
+            for r in semantic_dedup(emb, n_cells=8, threshold=0.4).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in semantic_dedup(emb, n_cells=8, threshold=0.4).collect()
+        )
+        assert a == b
