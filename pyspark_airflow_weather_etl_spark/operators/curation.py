@@ -4,26 +4,11 @@ deterministic shuffling, token-budget selection, and per-source caps.
 North-star extensions beyond the reference surface (SURVEY.md §2.9 —
 the reference, `/root/reference/spark_jobs/*.py`, has no ordering or
 sampling operators at all; its only row governor is the `limit(1)`
-at silver_openmeteo.py:28). Everything here is JVM built-ins inside
-whole-stage codegen; the one structural ingredient is the distributed
-prefix-sum / global-rank pattern shared with
-:func:`..operators.text.pack_sequences` — a bare
-``Window.orderBy(...)`` with no partitioning is a single-task global
-sort that cannot survive 100 TB, so every global order here is:
-
-1. ``repartitionByRange(order_keys)`` — contiguous sorted key ranges
-   per partition (the same shuffle ANY global order needs, and the
-   only full-data shuffle these operators perform);
-2. per-partition ``row_number``/cumsum via a window PARTITIONED BY the
-   physical partition id (parallel, zero cross-partition traffic);
-3. a per-partition totals table — one row per partition — prefix-
-   summed on the driver-side-tiny axis and broadcast back.
-
-The ranged frame is persisted (:mod:`..caching`) because two plan
-branches consume it (the totals table and the row-level join side);
-without the cache a nondeterministic upstream could assign different
-``__pid`` values per branch and silently corrupt every global index
-(same guard as pack_sequences, ADVICE r7 medium).
+at silver_openmeteo.py:28). Global orders ride the distributed
+prefix-sum primitive (:mod:`.prefix`): ONE full-data shuffle (the
+range partition any global order needs), a partition-LOCAL rank or
+running sum (id-decode or Arrow cumsum — never a second full-data
+exchange), and a one-row-per-partition offset table broadcast back.
 """
 
 from __future__ import annotations
@@ -32,62 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import claim_group, persist_into
+from .prefix import ranged_cumsum, ranged_rank
 from .text import token_count
-
-
-def _ranged_with_local_rank(
-    df: DataFrame,
-    order_by: list[Column],
-    partitions: int | None,
-    cache_group: str,
-    cumsum_col: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared steps 1-3 of the distributed global rank: returns
-    ``(local, offsets)`` where ``local`` carries ``__pid``,
-    ``__local_rn`` (1-based per-partition row_number) and — when
-    ``cumsum_col`` is given — ``__local_cum`` (per-partition running
-    sum of that column), and ``offsets`` maps ``__pid`` to the count
-    (``__rank_offset``) and sum (``__cum_offset``) of all EARLIER
-    partitions. ``order_by`` must be a total order (callers append a
-    unique id tiebreaker) — ties would make the rank nondeterministic
-    on any engine."""
-    spark = df.sparkSession
-    parts = partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    caches = claim_group(cache_group)
-    local = ranged.withColumn("__local_rn", F.count(F.lit(1)).over(w_local))
-    if cumsum_col is not None:
-        local = local.withColumn(
-            "__local_cum", F.sum(cumsum_col).over(w_local)
-        )
-    local = persist_into(caches, local)
-    aggs = [F.max("__local_rn").alias("__part_rows")]
-    if cumsum_col is not None:
-        aggs.append(F.max("__local_cum").alias("__part_sum"))
-    totals = local.groupBy("__pid").agg(*aggs)
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.withColumn(
-        "__rank_offset",
-        F.coalesce(F.sum("__part_rows").over(w_off), F.lit(0)).cast("long"),
-    )
-    if cumsum_col is not None:
-        offsets = offsets.withColumn(
-            "__cum_offset",
-            F.coalesce(F.sum("__part_sum").over(w_off), F.lit(0)).cast(
-                "long"
-            ),
-        )
-    return local, offsets
 
 
 def global_shuffle(
@@ -103,9 +34,10 @@ def global_shuffle(
     replay the permutation) and a materialized 1-based ``pos`` index
     in shuffle-key order.
 
-    ``pos`` is a DISTRIBUTED global rank (module docstring): the only
-    full shuffle is the ``repartitionByRange`` on the key — which
-    also leaves the output physically laid out in shuffle order, so a
+    ``pos`` is a DISTRIBUTED global rank (:func:`.prefix.ranged_rank`
+    — pure-JVM id-decode after the range shuffle): the only full
+    shuffle is the ``repartitionByRange`` on the key, which also
+    leaves the output physically laid out in shuffle order, so a
     downstream sequential reader (pack_sequences, epoch streaming)
     gets the permuted order for free without re-sorting. Changing
     ``seed`` yields an independent permutation per epoch.
@@ -115,9 +47,7 @@ def global_shuffle(
     ).alias("shuffle_key")
     base = df.withColumn("shuffle_key", key)
     order = [F.col("shuffle_key"), F.col(id_col)]
-    local, offsets = _ranged_with_local_rank(
-        base, order, partitions, "global_shuffle"
-    )
+    local, offsets = ranged_rank(base, order, partitions, "global_shuffle")
     return (
         local.join(
             F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
@@ -146,12 +76,15 @@ def token_budget_select(
     corpus's total tokens (integer arithmetic end-to-end, so the cut
     point is bit-identical across engines — no float budget).
 
-    The running total is the distributed prefix sum (module
-    docstring), ordered by quality instead of id; the grand total is
-    the sum of the per-partition totals table — one tiny aggregate,
-    broadcast back with the offsets, so the budget needs NO second
-    scan of the corpus. Output: kept rows with ``n_tokens`` and the
-    running ``cum_tokens`` (≤ budget by construction).
+    The running total is the distributed prefix sum
+    (:func:`.prefix.ranged_cumsum` — per-partition window over the
+    narrow (id, score, n_tokens) frame; only ~24 bytes/row ever
+    shuffle, never the text), ordered by quality instead of id; the grand
+    total is the sum of the per-partition totals table — one tiny
+    aggregate, broadcast back with the offsets, so the budget needs
+    NO second scan of the corpus. Output: kept rows with
+    ``n_tokens`` and the running ``cum_tokens`` (≤ budget by
+    construction).
     """
     base = df.select(
         F.col(id_col),
@@ -159,8 +92,8 @@ def token_budget_select(
         token_count(text_col).cast("long").alias("n_tokens"),
     ).where(F.col("n_tokens") > 0)
     order = [F.col(score_col).desc(), F.col(id_col)]
-    local, offsets = _ranged_with_local_rank(
-        base, order, partitions, "token_budget_select", cumsum_col="n_tokens"
+    local, offsets = ranged_cumsum(
+        base, order, partitions, "token_budget_select", value_col="n_tokens"
     )
     budget = offsets.agg(
         F.expr(
@@ -198,11 +131,11 @@ def cap_per_group(
 
     Pure grouped window (``row_number`` PARTITIONED BY the group) —
     no global order is needed, so this is one hash shuffle on the
-    group key and scales linearly; a skewed mega-source is bounded by
-    the window's per-partition stream (rank is emitted in order, but
-    Spark still sorts the group — for adversarial single-source
-    corpora pre-aggregate a per-source count and route giant sources
-    through a sampled pre-filter first)."""
+    group key and scales linearly; Catalyst additionally pushes the
+    ``rank <= k`` bound into the sort as a per-partition group limit.
+    For adversarial single-source corpora (one group ≈ the corpus)
+    pre-aggregate per-source counts and route giant sources through a
+    sampled pre-filter first."""
     order = order_by or [F.col("n_chars").desc(), F.col(id_col)]
     w = Window.partitionBy(group_col).orderBy(*order)
     return (

@@ -217,74 +217,59 @@ def pack_sequences(
     pretraining semantics). Zero-token documents are dropped.
 
     Scale design — the global running total is a DISTRIBUTED PREFIX
-    SUM, not a single-partition window (a bare
-    ``Window.orderBy(id)`` would pull 100 TB through one task):
+    SUM (:func:`.prefix.ranged_cumsum`), not a single-partition
+    window (a bare ``Window.orderBy(id)`` would pull 100 TB through
+    one task):
 
-    1. ``repartitionByRange(id)`` — contiguous, ordered id ranges per
-       partition (the sort Spark would need for any global order);
-    2. per-partition running totals via a window PARTITIONED by the
-       physical partition id (parallel, no cross-partition traffic);
+    1. project down to the NARROW (id, n_tokens) frame, then
+       ``repartitionByRange(id)`` — contiguous, ordered id ranges
+       per partition (the sort Spark would need for any global
+       order); only ~16 bytes/row ever shuffle, never the text;
+    2. per-partition running totals via a window PARTITIONED BY the
+       physical partition id (parallel, no cross-partition traffic;
+       the ``hashpartitioning(__pid)`` re-cluster this costs moves
+       only the same narrow frame — measured faster than an
+       Arrow-batched per-partition cumsum, see :mod:`.prefix`);
     3. per-partition totals — one row per partition — prefix-summed
        with a window over that TINY table and broadcast back.
 
     The DuckDB oracle replays the same packing as one flat
     ``SUM() OVER (ORDER BY id)`` — exact equality of every offset is
     the cross-check that the distributed prefix-sum composes to the
-    sequential semantics.
+    sequential semantics. (The cumsum is ROWS-frame by construction;
+    packing requires unique ids — duplicate ids have no deterministic
+    axis order.)
 
     The per-partition frame (``__pid`` + local cumsum) is consumed by
-    TWO plan branches — the tiny totals/offsets table and the row-level
-    side of the broadcast join — so it is persisted
-    (:mod:`..caching` group ``pack_sequences``): both branches read one
-    materialization and ``spark_partition_id`` is assigned exactly
+    TWO plan branches — the tiny totals/offsets table and the
+    row-level side of the broadcast join — so :mod:`.prefix` persists
+    it (:mod:`..caching` group ``pack_sequences``): both branches
+    read one materialization and the partition id is assigned exactly
     once. Without the cache each branch would re-evaluate the range
     partitioning independently, and a nondeterministic upstream
     (``sample()``, round-robin ``repartition()``, task-retry input
-    reordering) could assign different ``__pid`` values per branch,
+    reordering) could assign different partition ids per branch,
     silently corrupting every global offset downstream.
     """
-    from pyspark.sql import Window
+    from .prefix import ranged_cumsum
 
-    from ..caching import claim_group, persist_into
-
-    spark = df.sparkSession
     base = df.select(
         F.col(id_col), token_count(text_col).alias("n_tokens")
     ).where(F.col("n_tokens") > 0)
-    parts = partitions or spark.sparkContext.defaultParallelism
-    ranged = base.repartitionByRange(parts, F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    # Explicit ROWS frame: the default frame for an ordered window is
-    # RANGE, which sums ORDER-BY PEERS together — with a duplicated
-    # id that silently diverges from the oracle's ROWS semantics.
-    # Packing requires unique ids anyway (duplicate ids have no
-    # deterministic axis order); the ROWS frame makes the plans agree
-    # instead of leaving the divergence to the data.
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    caches = claim_group("pack_sequences")
-    local = persist_into(
-        caches,
-        ranged.withColumn("__local_end", F.sum("n_tokens").over(w_local)),
-    )
-    totals = local.groupBy("__pid").agg(
-        F.max("__local_end").alias("__part_total")
-    )
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.withColumn(
-        "__offset", F.coalesce(F.sum("__part_total").over(w_off), F.lit(0))
+    local, offsets = ranged_cumsum(
+        base,
+        [F.col(id_col)],
+        partitions,
+        "pack_sequences",
+        value_col="n_tokens",
     )
     return (
         local.join(
-            F.broadcast(offsets.select("__pid", "__offset")), "__pid"
+            F.broadcast(offsets.select("__pid", "__cum_offset")), "__pid"
         )
-        .withColumn("end_offset", F.col("__local_end") + F.col("__offset"))
+        .withColumn(
+            "end_offset", F.col("__local_cum") + F.col("__cum_offset")
+        )
         .select(
             F.col(id_col),
             F.col("n_tokens"),

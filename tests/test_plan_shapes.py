@@ -135,3 +135,43 @@ def test_q13_outer_join_preserves_zero_customers(spark):
     for seg in cust_scans:
         assert "PushedFilters: []" in seg.split("ReadSchema")[0]
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "global_shuffle_documents",
+        "pack_sequences_documents",
+        "token_budget_select_documents",
+    ],
+)
+def test_global_rank_never_single_partitions_the_corpus(spark, name):
+    """Distributed prefix-sum invariants: the global order comes from
+    ONE range exchange, every further exchange is keyed by the
+    physical partition id (the narrow re-cluster for the cumsum
+    window, or the tiny totals aggregate), and every window is
+    anchored on __pid — a window spec WITHOUT __pid would be a
+    global single-partition sort of the corpus, the exact
+    scale-killer this machinery exists to avoid."""
+    plan = _plan(spark, name)
+    assert "Exchange rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__pid" in line, f"{name}: data-keyed hash exchange: {line}"
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, f"{name}: global window: {line}"
+
+
+def test_global_shuffle_rank_is_jvm_decoded(spark):
+    """global_shuffle carries the FULL corpus rows (pass-through op),
+    so its local rank must come from the monotonically_increasing_id
+    decode — a per-partition window would re-shuffle the wide frame
+    on hashpartitioning(__pid). No window in the row-level plan may
+    reference the shuffle key."""
+    plan = _plan(spark, "global_shuffle_documents")
+    assert "shiftrightunsigned" in plan, "id-decode rank replaced"
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "shuffle_key" not in line, (
+                f"row-level window reintroduced: {line}"
+            )
