@@ -60,6 +60,9 @@ HEADLINE = [
     "json_props_extract",
     "token_frequency",
     "pack_sequences_documents",
+    "global_shuffle_documents",
+    "token_budget_select_documents",
+    "semantic_dedup_embeddings",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
