@@ -63,6 +63,7 @@ HEADLINE = [
     "global_shuffle_documents",
     "token_budget_select_documents",
     "semantic_dedup_embeddings",
+    "semantic_dedup_embeddings_hot",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",

@@ -897,6 +897,12 @@ def semantic_dedup(
     vec_col: str = "embedding",
     sample_rows: int = 512,
     iters: int = 5,
+    hot_cell_threshold: int | None = 4096,
+    hot_target_block: int = 512,
+    hot_tables: int = 4,
+    hot_min_bits: int = 4,
+    hot_max_bits: int = 12,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the IVF
@@ -918,14 +924,21 @@ def semantic_dedup(
 
     Scale design: candidate volume is Σ_cell |cell|²/2, bounded by
     the quantizer granularity — ``n_cells`` should scale ~√n (FAISS
-    practice) so cells stay ~√n rows; for heavy-tailed cluster sizes
-    route cells above a size cap through SRP sub-blocking within the
-    cell (exactly the hot-label guard of
-    :func:`pairwise_topk_per_label`; same join shape with
-    ``group_col='ivf_cell'``). The verify join is an equi-join
-    shuffle on ``ivf_cell`` — never an all-pairs product across
-    cells. Assignment is the Arrow matmul kernel
-    (:func:`ivf_assign`), one numpy matmul per batch.
+    practice) so cells stay ~√n rows. Heavy-tailed cluster sizes are
+    handled by the HOT-CELL GUARD: cells with ≥
+    ``hot_cell_threshold`` rows route through SRP sub-blocking
+    WITHIN the cell (the :func:`pairwise_topk_per_label` hot-label
+    machinery with ``group_col='ivf_cell'`` — per-cell bucket widths
+    derived in-plan from the cell's row count), so a degenerate
+    mega-cell contributes ~n·target_block·tables candidates instead
+    of n². Hot-cell drops are approximate (a near-dup pair sharing
+    no SRP bucket is missed — recall bounded in
+    tests/test_similarity.py); cells below the threshold stay exact,
+    so fixture-scale output is unchanged. ``hot_cell_threshold=None``
+    disables the guard (pure exact plan, no routing window). The
+    verify join is an equi-join shuffle on ``ivf_cell`` — never an
+    all-pairs product across cells. Assignment is the Arrow matmul
+    kernel (:func:`ivf_assign`), one numpy matmul per batch.
 
     Rows-only catalog entry (the k-means quantizer is not
     SQL-expressible); bounds are pinned by
@@ -934,6 +947,8 @@ def semantic_dedup(
     cosine), recall ≥ 0.9 on planted same-cell near-dup clusters,
     and determinism across repeated runs.
     """
+    from pyspark.sql import Window
+
     caches = claim_group("semantic_dedup")
     cents = ivf_train_centroids(
         embeddings, n_cells, sample_rows, iters, id_col, vec_col
@@ -950,17 +965,35 @@ def semantic_dedup(
             l2_norm(F.col(vec_col)).alias("nrm"),
         ),
     )
-    a = assigned.alias("sa").select(
+    routed = (
+        None
+        if hot_cell_threshold is None
+        else assigned.withColumn(
+            "label_n",
+            F.count(F.lit(1)).over(Window.partitionBy("ivf_cell")),
+        )
+    )
+    cold = (
+        assigned
+        if routed is None
+        else routed.where(F.col("label_n") < F.lit(hot_cell_threshold))
+    )
+    a = cold.alias("sa").select(
         F.col("sa.ivf_cell").alias("cell_a"),
         F.col(f"sa.{id_col}").alias("id_a"),
         F.col("sa.v").alias("v_a"),
         F.col("sa.nrm").alias("nrm_a"),
     )
-    b = assigned.alias("sb").select(
+    b = cold.alias("sb").select(
         F.col("sb.ivf_cell").alias("cell_b"),
         F.col(f"sb.{id_col}").alias("id_b"),
         F.col("sb.v").alias("v_b"),
         F.col("sb.nrm").alias("nrm_b"),
+    )
+    cosine = F.round(
+        dot(F.col("v_a"), F.col("v_b"))
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
     )
     dropped = (
         a.join(
@@ -968,17 +1001,35 @@ def semantic_dedup(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("cell_a") == F.col("cell_b")),
         )
-        .where(
-            F.round(
-                dot(F.col("v_a"), F.col("v_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            )
-            >= threshold
-        )
+        .where(cosine >= threshold)
         .select(F.col("id_b").alias(id_col))
-        .distinct()
     )
-    return assigned.join(dropped, id_col, "left_anti").select(
+    if routed is not None:
+        hot = routed.where(F.col("label_n") >= F.lit(hot_cell_threshold))
+        hot_cosine = F.round(
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+            6,
+        ).alias("cosine")
+        hot_scored = _hot_label_scored_pairs(
+            hot,
+            hot_cosine,
+            id_col=id_col,
+            group_col="ivf_cell",
+            target_block=hot_target_block,
+            n_tables=hot_tables,
+            min_bits=hot_min_bits,
+            max_bits=hot_max_bits,
+            dim=dim,
+        )
+        hot_dropped = (
+            hot_scored.where(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("cosine") >= threshold)
+            )
+            .select(F.col("id_b").alias(id_col))
+        )
+        dropped = dropped.unionByName(hot_dropped)
+    return assigned.join(dropped.distinct(), id_col, "left_anti").select(
         id_col, "ivf_cell"
     )

@@ -140,8 +140,34 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_near_dup_pairs verifies against), so the keep set is a
     strict subset on fixture data. Candidate volume is Σ_cell
     |cell|²/2 — the quantizer granularity, not the corpus, bounds the
-    quadratic term (scale contract in the operator docstring)."""
+    quadratic term; ``hot_cell_threshold=None`` pins the pure exact
+    plan here (every fixture cell is cold — same layering as
+    pairwise_topk_per_label: the guarded scale path is its own entry,
+    ``semantic_dedup_embeddings_hot``)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, n_cells=16, threshold=0.4).orderBy(
-        "vec_id"
-    )
+    return S.semantic_dedup(
+        emb, n_cells=16, threshold=0.4, hot_cell_threshold=None
+    ).orderBy("vec_id")
+
+
+@register("semantic_dedup_embeddings_hot")  # rows-only: scale-path probe
+def semantic_dedup_embeddings_hot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-cell scale path of semantic dedup, forced onto fixture
+    data with ``hot_cell_threshold=8`` so (nearly) every IVF cell
+    routes through per-cell SRP sub-blocking — candidate volume
+    ~n·target_block·tables per cell instead of |cell|². Rows-only by
+    design (k-means + SRP are not SQL); the binding bounds live in
+    tests/test_similarity.py::TestSemanticDedup — hot-path drop
+    precision stays exact (every drop carries a verified cosine ≥
+    threshold), recall ≥ 0.9 on planted same-cell near-dup clusters
+    under the guard, and the kept set is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb,
+        n_cells=16,
+        threshold=0.4,
+        hot_cell_threshold=8,
+        hot_target_block=64,
+    ).orderBy("vec_id")

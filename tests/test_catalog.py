@@ -63,4 +63,6 @@ def test_rows_only_entries_are_the_documented_sketches():
         # SemDeDup: the k-means quantizer is not SQL-expressible;
         # bounds in tests/test_similarity.py::TestSemanticDedup
         "semantic_dedup_embeddings",
+        # forced hot-cell SRP sub-blocking scale path of the above
+        "semantic_dedup_embeddings_hot",
     }, f"unexpected rows-only set: {rows_only}"

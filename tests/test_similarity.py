@@ -522,3 +522,82 @@ class TestSemanticDedup:
             for r in semantic_dedup(emb, n_cells=8, threshold=0.4).collect()
         )
         assert a == b
+
+    def test_hot_cell_guard_precision_stays_exact(self, spark, emb):
+        """With the guard forced on (threshold 8 → nearly every cell
+        hot), every drop must still carry a real near-dup with a
+        lower id — SRP sub-blocking may MISS pairs (recall), never
+        invent them (precision)."""
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        kept = {
+            r.vec_id
+            for r in semantic_dedup(
+                emb,
+                n_cells=8,
+                threshold=0.4,
+                hot_cell_threshold=8,
+                hot_target_block=64,
+            ).collect()
+        }
+        rows = emb.select("vec_id", "embedding").collect()
+        vecs = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows
+        }
+        ids = sorted(vecs)
+        norms = {i: np.linalg.norm(vecs[i]) for i in ids}
+        dropped = set(ids) - kept
+        assert dropped
+        for d in dropped:
+            assert any(
+                i < d
+                and round(
+                    float(np.dot(vecs[i], vecs[d])) / (norms[i] * norms[d]),
+                    6,
+                )
+                >= 0.4 - 1e-6
+                for i in ids
+            ), f"{d} dropped without a near-dup (hot path)"
+
+    def test_hot_cell_guard_recall_on_planted_clusters(self, spark):
+        """Near-identical copies share (nearly) all SRP buckets, so
+        the guarded path must still catch planted near-dups."""
+        from pyspark_airflow_weather_etl_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((40, 16))
+        rows, plant = [], []
+        vid = 0
+        for i, v in enumerate(base):
+            rows.append((vid, [float(x) for x in v]))
+            orig = vid
+            vid += 1
+            if i < 10:
+                for _ in range(2):
+                    c = v + rng.standard_normal(16) * 0.01
+                    rows.append((vid, [float(x) for x in c]))
+                    plant.append((orig, vid))
+                    vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        kept = {
+            r.vec_id
+            for r in semantic_dedup(
+                df,
+                n_cells=4,
+                threshold=0.9,
+                sample_rows=128,
+                hot_cell_threshold=4,  # every cell routes hot
+                hot_target_block=8,
+                dim=16,
+            ).collect()
+        }
+        copies = [c for _, c in plant]
+        recall = sum(c not in kept for c in copies) / len(copies)
+        assert recall >= 0.9, f"hot-path recall {recall}"
+        assert all(o in kept for o, _ in plant)
