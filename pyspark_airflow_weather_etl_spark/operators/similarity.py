@@ -1033,3 +1033,110 @@ def semantic_dedup(
     return assigned.join(dropped.distinct(), id_col, "left_anti").select(
         id_col, "ivf_cell"
     )
+
+
+def semantic_dedup_fixed_cells(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Portable-oracle twin of :func:`semantic_dedup` — the
+    cross-engine proof of the cluster→verify→keep-lowest pipeline
+    that the k-means entry (rows-only by necessity) cannot give,
+    playing the role ``minhash_lsh_portable_pairs`` plays for the
+    MinHash family.
+
+    Two substitutions make every step replayable bit-for-bit in
+    ANSI-ish SQL:
+
+    1. FIXED centroids — the corpus rows with ``id < n_centroids``
+       (no k-means training; at scale these would be any agreed
+       centroid table).
+    2. EXACT integer assignment — vectors quantize to
+       ``floor(x · scale)`` longs (floor, not round: round-half
+       semantics differ across engines) and the argmin runs on the
+       integer squared distance ``Σ (a−b)²`` with ties to the lowest
+       centroid id. No float comparison decides a cell, so the
+       blocking is deterministic on every engine — the float-argmin
+       near-tie caveat of :func:`ivf_assign` cannot leak into the
+       oracle contract.
+
+    Verification inside a cell stays the exact double cosine at 6 dp
+    (the hash-green idiom of ``cross_corpus_near_dup_exact``).
+
+    Scale shape: the centroid table broadcasts (n_centroids rows);
+    assignment is a broadcast cross join (n·n_centroids, linear) with
+    a per-id window over n_centroids rows; the verify join is the
+    same equi-join-on-cell shuffle as semantic_dedup.
+    """
+    from pyspark.sql import Window
+
+    caches = claim_group("semantic_dedup_fixed_cells")
+    base = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    cents = base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("qv").alias("cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "cent_id")
+    assigned = persist_into(
+        caches,
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("cent_id").cast("long").alias("ivf_cell"),
+            F.col("v"),
+            F.col("nrm"),
+        ),
+    )
+    a = assigned.alias("fa").select(
+        F.col("fa.ivf_cell").alias("cell_a"),
+        F.col(f"fa.{id_col}").alias("id_a"),
+        F.col("fa.v").alias("v_a"),
+        F.col("fa.nrm").alias("nrm_a"),
+    )
+    b = assigned.alias("fb").select(
+        F.col("fb.ivf_cell").alias("cell_b"),
+        F.col(f"fb.{id_col}").alias("id_b"),
+        F.col("fb.v").alias("v_b"),
+        F.col("fb.nrm").alias("nrm_b"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("cell_a") == F.col("cell_b")),
+        )
+        .where(
+            F.round(
+                dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "ivf_cell"
+    )

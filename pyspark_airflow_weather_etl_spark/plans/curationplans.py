@@ -171,3 +171,53 @@ def semantic_dedup_embeddings_hot(
         hot_cell_threshold=8,
         hot_target_block=64,
     ).orderBy("vec_id")
+
+
+@register(
+    "semantic_dedup_fixed_cells",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cent_id, qv AS cq FROM q WHERE vec_id < 8
+    ), d AS (
+      SELECT q.vec_id, c.cent_id,
+             list_sum(list_transform(list_zip(q.qv, c.cq),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      FROM q CROSS JOIN c
+    ), a AS (
+      SELECT vec_id, cent_id AS ivf_cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cent_id) AS rn
+        FROM d) r
+      WHERE rn = 1
+    ), drops AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y ON x.ivf_cell = y.ivf_cell AND x.vec_id < y.vec_id
+      JOIN q qa ON qa.vec_id = x.vec_id
+      JOIN q qb ON qb.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(qa.v, qb.v), 6) >= 0.4
+    )
+    SELECT a.vec_id, CAST(a.ivf_cell AS BIGINT) AS ivf_cell
+    FROM a ANTI JOIN drops USING (vec_id)
+    """,
+)
+def semantic_dedup_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-oracle twin of semantic dedup
+    (operators.similarity.semantic_dedup_fixed_cells): fixed centroids
+    (corpus rows vec_id < 8) + EXACT integer-arithmetic assignment
+    (floor-quantized vectors, Σ(a−b)² argmin, ties to lowest centroid)
+    + the same in-cell cosine verify and keep-lowest rule — every step
+    replayed bit-for-bit by the DuckDB oracle. This is the hash-exact
+    cross-engine proof of the cluster→verify→survivor pipeline that
+    the k-means entry (rows-only by necessity) cannot give — the same
+    role minhash_lsh_portable_pairs plays for the MinHash family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_fixed_cells(
+        emb, n_centroids=8, threshold=0.4, scale=1000
+    )
