@@ -142,3 +142,47 @@ def cap_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shard_rows: int = 1024,
+    partitions: int | None = None,
+) -> None:
+    """Materialize one training epoch at rest: deterministic global
+    shuffle (:func:`global_shuffle`, ``seed`` = epoch) cut into
+    fixed-row shards — ``shard = (pos-1) div shard_rows`` — written
+    as ``shard=<k>/`` parquet partitions. Rows keep ``pos``, so a
+    trainer streams shard k and sorts the ~``shard_rows`` rows in
+    memory to restore the exact permuted order; resumable training
+    skips consumed shards via partition PRUNING on the shard column
+    (no re-scan of finished data).
+
+    Scale notes: the shuffle's range partitioning already lays rows
+    out in pos order, so each write task emits a handful of
+    contiguous shards (no extra exchange for the partitionBy);
+    dynamic partition overwrite makes epoch re-runs idempotent
+    per-shard; file sizing stays with maxRecordsPerFile — no
+    coalesce(1) (reference anti-pattern, SURVEY.md S6/X1).
+    """
+    from ..sources.writers import write_parquet_partitioned
+
+    sharded = global_shuffle(df, id_col, seed, partitions).withColumn(
+        "shard", F.expr(f"(pos - 1) div {int(shard_rows)}")
+    )
+    write_parquet_partitioned(sharded, path, keys=("shard",))
+
+
+def read_training_shard(spark, path: str, shard: int) -> DataFrame:
+    """One shard of a :func:`write_training_shards` epoch, restored to
+    exact permuted order. The shard predicate is partition pruning
+    (only that directory lists/scans); the orderBy touches
+    ~``shard_rows`` rows."""
+    return (
+        spark.read.parquet(path)
+        .where(F.col("shard") == int(shard))
+        .orderBy("pos")
+    )

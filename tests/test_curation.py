@@ -145,3 +145,75 @@ def test_cap_per_group_keeps_best_k(spark):
             for r in sorted(by_src.get(src, []), key=lambda r: r.rank)
         ]
         assert got == top, f"source {src}"
+
+
+def test_training_shards_roundtrip(spark, tmp_path):
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    docs = _docs(spark, 300)
+    n = docs.count()
+    path = str(tmp_path / "epoch0")
+    write_training_shards(docs, path, shard_rows=64, seed=9)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    # per-shard row counts: full shards except a ragged last
+    counts = {
+        r.shard: r.cnt
+        for r in back.groupBy("shard").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_shards = (n + 63) // 64
+    assert sorted(counts) == list(range(n_shards))
+    for k in range(n_shards - 1):
+        assert counts[k] == 64
+    assert counts[n_shards - 1] == n - 64 * (n_shards - 1)
+    # reading one shard restores a contiguous pos slice in order
+    rows = read_training_shard(spark, path, 1).collect()
+    assert [r.pos for r in rows] == list(range(65, 129))
+    # whole epoch by (shard, pos) is the exact shuffle permutation
+    allrows = back.orderBy("shard", "pos").collect()
+    assert [r.pos for r in allrows] == list(range(1, n + 1))
+    keys = [(r.shuffle_key, r.doc_id) for r in allrows]
+    assert keys == sorted(keys)
+
+
+def test_training_shards_epoch_rerun_idempotent(spark, tmp_path):
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        write_training_shards,
+    )
+
+    docs = _docs(spark, 200)
+    path = str(tmp_path / "epoch1")
+    write_training_shards(docs, path, shard_rows=64, seed=5)
+    first = sorted(
+        (r.doc_id, r.pos, r.shard)
+        for r in spark.read.parquet(path).collect()
+    )
+    write_training_shards(docs, path, shard_rows=64, seed=5)
+    second = sorted(
+        (r.doc_id, r.pos, r.shard)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert first == second
+
+
+def test_training_shard_read_prunes_partitions(spark, tmp_path):
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    docs = _docs(spark, 200)
+    path = str(tmp_path / "epoch2")
+    write_training_shards(docs, path, shard_rows=64, seed=5)
+    plan = (
+        read_training_shard(spark, path, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(shard" in plan or (
+        "PartitionFilters" in plan and "shard" in plan
+    ), plan
