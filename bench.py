@@ -534,6 +534,66 @@ def _streaming_state_pressure(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _shuffle_pressure(spark, sf_dir: str) -> dict[str, float]:
+    """Wide-frame pressure probe for the single-exchange global rank:
+    ``global_shuffle`` over ×32-replicated documents — FULL text rows,
+    the frame class whose second ``hashpartitioning(__pid)`` exchange
+    the ``monotonically_increasing_id`` decode eliminates (a
+    window-by-pid formulation would shuffle all ~50 MB of text twice;
+    operators/prefix.py). The run is correctness-asserted, not just
+    timed: ``pos`` must be a TRUE permutation (countDistinct == count,
+    bounds 1..n) and a position-weighted checksum must be identical
+    across the repeated runs (the determinism the persisted ranged
+    frame guarantees)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        global_shuffle,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    rep = spark.range(32).select(F.col("id").alias("__rep"))
+    tmp = tempfile.mkdtemp(prefix="bench_shuf32_")
+    try:
+        (
+            docs.crossJoin(F.broadcast(rep))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * shift)
+            .drop("__rep")
+            .repartition(32)
+            .write.parquet(f"{tmp}/documents.parquet")
+        )
+        docs32 = load_table(spark, tmp, "documents")
+        n = docs32.count()
+        samples: list[float] = []
+        checksums: set[int] = set()
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            res = (
+                global_shuffle(docs32, "doc_id", seed=7)
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.countDistinct("pos").alias("d"),
+                    F.min("pos").alias("lo"),
+                    F.max("pos").alias("hi"),
+                    F.sum(F.col("pos") * F.col("doc_id")).alias("chk"),
+                )
+                .first()
+            )
+            samples.append(time.perf_counter() - t0)
+            release_cached()
+            assert res.c == n and res.d == n, "pos is not a permutation"
+            assert res.lo == 1 and res.hi == n, "pos bounds off"
+            checksums.add(res.chk)
+        assert len(checksums) == 1, "shuffle nondeterministic across runs"
+        return {"global_shuffle_32x": round(_median(samples), 3)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _llm_dedup_pressure(spark, sf_dir: str) -> dict[str, float]:
     """Memory-pressure edition of the two blocked LLM-dedup pipelines
     (the skew triad's LSH sibling): MinHash-LSH near-dup over ×8
@@ -756,6 +816,9 @@ def main() -> None:
     # dedup pipelines on ×8-dense buckets, correctness-asserted
     # against the base-scale answer (VERDICT r7 item 5).
     timings.update(_llm_dedup_pressure(spark, sf_dir))
+    gc.collect()
+    # Wide-frame single-exchange evidence for the curation shuffle.
+    timings.update(_shuffle_pressure(spark, sf_dir))
     gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
 
