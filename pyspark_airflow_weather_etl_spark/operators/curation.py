@@ -186,3 +186,93 @@ def read_training_shard(spark, path: str, shard: int) -> DataFrame:
         .where(F.col("shard") == int(shard))
         .orderBy("pos")
     )
+
+
+def quality_prune(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    drop_numer: int = 1,
+    drop_denom: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Quantile pruning by GLOBAL rank — "drop the worst decile", the
+    distribution-level quality cut that per-row thresholds can't
+    express (the threshold IS the data's own quantile). Rows rank
+    ascending by ``(score_col, id)``; the lowest
+    ``drop_numer/drop_denom`` fraction is dropped by INTEGER
+    arithmetic on the rank — ``keep iff rank > (n · numer) div denom``
+    — so the cut point is exact on every engine (no percentile
+    interpolation, whose float semantics differ across engines).
+
+    The rank is the distributed global rank
+    (:func:`.prefix.ranged_rank`) over the narrow (id, score) frame;
+    n comes from the per-partition totals table — no second corpus
+    scan, no single-partition window. Output keeps ``quality_rank``
+    (1 = worst kept... strictly: global ascending rank) for
+    downstream curriculum use.
+    """
+    base = df.select(F.col(id_col), F.col(score_col))
+    order = [F.col(score_col), F.col(id_col)]
+    local, offsets = ranged_rank(base, order, partitions, "quality_prune")
+    cut = offsets.agg(
+        F.expr(
+            f"(sum(__part_rows) * {int(drop_numer)}) div {int(drop_denom)}"
+        )
+        .cast("long")
+        .alias("__cut")
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
+        )
+        .crossJoin(F.broadcast(cut))
+        .withColumn(
+            "quality_rank",
+            (F.col("__local_rn") + F.col("__rank_offset")).cast("long"),
+        )
+        .where(F.col("quality_rank") > F.col("__cut"))
+        .select(id_col, score_col, "quality_rank")
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic source-interleaved training order: documents are
+    shuffled WITHIN each source (md5 key, reproducible), then sources
+    are round-robin merged — position 1 is round 1 of the first
+    source, position k cycles through every source's round-r picks
+    before any round-(r+1) pick. The guarantee a plain global shuffle
+    can't give: every training window samples every (surviving)
+    source as evenly as the corpus allows — the batch-level mixing
+    contract of a multi-source pretraining run.
+
+    Two-level plan: a GROUPED window (hash shuffle on
+    ``group_col``) assigns the within-source round ``rnd``; the
+    global order over ``(rnd, group_col, id)`` is the distributed
+    global rank (:func:`.prefix.ranged_rank` — range exchange +
+    JVM id-decode, no single-partition window). Output adds
+    ``interleave_pos`` (1-based).
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col))
+    base = df.withColumn("rnd", F.row_number().over(w))
+    order = [F.col("rnd"), F.col(group_col), F.col(id_col)]
+    local, offsets = ranged_rank(
+        base, order, partitions, "interleave_sources"
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
+        )
+        .withColumn(
+            "interleave_pos",
+            (F.col("__local_rn") + F.col("__rank_offset")).cast("long"),
+        )
+        .drop("__pid", "__local_rn", "__rank_offset")
+    )

@@ -221,3 +221,65 @@ def semantic_dedup_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_fixed_cells(
         emb, n_centroids=8, threshold=0.4, scale=1000
     )
+
+
+@register(
+    "quality_prune_documents",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                  AS BIGINT) AS quality_rank
+      FROM documents
+    ), c AS (
+      SELECT CAST((COUNT(*) * 1) // 10 AS BIGINT) AS cut FROM documents
+    )
+    SELECT doc_id, n_chars, quality_rank
+    FROM r, c
+    WHERE quality_rank > cut
+    """,
+)
+def quality_prune_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-worst-decile quantile prune
+    (operators.curation.quality_prune): ascending global quality rank
+    via the distributed rank primitive, integer-exact cut at
+    n div 10 — no percentile interpolation, so the cut is
+    bit-identical across engines. The oracle replays the rank as one
+    flat ROW_NUMBER window plus a scalar count subquery."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.quality_prune(
+        docs, "doc_id", score_col="n_chars", drop_numer=1, drop_denom=10
+    )
+
+
+@register(
+    "interleave_sources_documents",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+               AS rnd
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rnd AS INT) AS rnd,
+           CAST(ROW_NUMBER() OVER (ORDER BY rnd, source, doc_id)
+                AS BIGINT) AS interleave_pos
+    FROM r
+    """,
+)
+def interleave_sources_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-robin source interleaving
+    (operators.curation.interleave_sources): within-source md5
+    shuffle (grouped window) then a distributed global rank over
+    (round, source, id) — every training window samples every source
+    as evenly as the corpus allows. The oracle replays both levels as
+    flat windows; exact interleave_pos equality proves the grouped
+    round assignment and the parallel global rank compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.interleave_sources(docs, "doc_id", "source", seed=42).select(
+        "doc_id", "source", "rnd", "interleave_pos"
+    )

@@ -217,3 +217,68 @@ def test_training_shard_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(shard" in plan or (
         "PartitionFilters" in plan and "shard" in plan
     ), plan
+
+
+def test_quality_prune_drops_exact_worst_decile(spark):
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        quality_prune,
+    )
+
+    docs = _docs(spark)
+    n = docs.count()
+    kept = quality_prune(docs, "doc_id", score_col="n_chars").collect()
+    cut = n // 10
+    assert len(kept) == n - cut
+    # kept set is exactly the complement of the worst cut by (score, id)
+    ordered = sorted(
+        docs.select("doc_id", "n_chars").collect(),
+        key=lambda r: (r.n_chars, r.doc_id),
+    )
+    worst = {r.doc_id for r in ordered[:cut]}
+    assert {r.doc_id for r in kept} == {r.doc_id for r in ordered} - worst
+    # ranks are the dense range cut+1..n in (score, id) order
+    assert sorted(r.quality_rank for r in kept) == list(range(cut + 1, n + 1))
+
+
+def test_interleave_sources_round_robin(spark):
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        interleave_sources,
+    )
+
+    docs = _docs(spark)
+    rows = interleave_sources(docs, "doc_id", "source", seed=3).select(
+        "doc_id", "source", "rnd", "interleave_pos"
+    ).collect()
+    n = len(rows)
+    assert sorted(r.interleave_pos for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r.interleave_pos)
+    # global order is (round, source, id): no round r+1 pick may
+    # precede any round r pick
+    rounds = [r.rnd for r in by_pos]
+    assert rounds == sorted(rounds)
+    # within one round every source appears at most once, so any
+    # window spanning a full round touches every surviving source
+    seen: dict[int, set] = {}
+    for r in rows:
+        assert r.source not in seen.setdefault(r.rnd, set())
+        seen[r.rnd].add(r.source)
+    # round 1 contains every source
+    n_sources = docs.select("source").distinct().count()
+    assert len(seen[1]) == n_sources
+
+
+def test_interleave_partition_count_invariance(spark):
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        interleave_sources,
+    )
+
+    docs = _docs(spark)
+    one = sorted(
+        (r.doc_id, r.interleave_pos)
+        for r in interleave_sources(docs, partitions=1).collect()
+    )
+    many = sorted(
+        (r.doc_id, r.interleave_pos)
+        for r in interleave_sources(docs, partitions=13).collect()
+    )
+    assert one == many

@@ -138,28 +138,37 @@ def test_q13_outer_join_preserves_zero_customers(spark):
 
 
 @pytest.mark.parametrize(
-    "name",
+    "name,ok_keys",
     [
-        "global_shuffle_documents",
-        "pack_sequences_documents",
-        "token_budget_select_documents",
+        ("global_shuffle_documents", ("__pid",)),
+        ("pack_sequences_documents", ("__pid",)),
+        ("token_budget_select_documents", ("__pid",)),
+        ("quality_prune_documents", ("__pid",)),
+        # the within-source round is a legitimate GROUPED window
+        # (hash shuffle on source — linear); the global rank must
+        # still be __pid-anchored
+        ("interleave_sources_documents", ("__pid", "source")),
     ],
 )
-def test_global_rank_never_single_partitions_the_corpus(spark, name):
+def test_global_rank_never_single_partitions_the_corpus(spark, name, ok_keys):
     """Distributed prefix-sum invariants: the global order comes from
     ONE range exchange, every further exchange is keyed by the
     physical partition id (the narrow re-cluster for the cumsum
-    window, or the tiny totals aggregate), and every window is
-    anchored on __pid — a window spec WITHOUT __pid would be a
-    global single-partition sort of the corpus, the exact
-    scale-killer this machinery exists to avoid."""
+    window, or the tiny totals aggregate) or a declared group column,
+    and every window is anchored on one of those keys — a window spec
+    with NONE of them would be a global single-partition sort of the
+    corpus, the exact scale-killer this machinery exists to avoid."""
     plan = _plan(spark, name)
     assert "Exchange rangepartitioning" in plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
-            assert "__pid" in line, f"{name}: data-keyed hash exchange: {line}"
+            assert any(k in line for k in ok_keys), (
+                f"{name}: data-keyed hash exchange: {line}"
+            )
         if "windowspecdefinition" in line:
-            assert "__pid" in line, f"{name}: global window: {line}"
+            assert any(k in line for k in ok_keys), (
+                f"{name}: global window: {line}"
+            )
 
 
 def test_global_shuffle_rank_is_jvm_decoded(spark):
