@@ -520,6 +520,60 @@ PORTABLE_MINHASH_B = [
 PORTABLE_MINHASH_MOD = 1 << 61
 
 
+def _portable_hashed(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, h): distinct portable 32-bit shingle hashes, empty docs
+    dropped (an empty shingle set has no signature)."""
+    from .text import portable_shingle_hash
+
+    return (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(portable_shingle_hash(text_col, n)).alias("h"),
+        )
+        .where(F.size("h") > 0)
+    )
+
+
+def _portable_sig() -> F.Column:
+    """Portable multiply-mod MinHash signature over column ``h``."""
+
+    def _lane(a: int, b: int):
+        # single-arg lambda: PySpark infers HOF arity from the
+        # Python signature, so coefficients bind via closure
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(
+            PORTABLE_MINHASH_MOD
+        )
+
+    return F.array(
+        *[
+            F.array_min(F.transform(F.col("h"), _lane(a, b)))
+            for a, b in zip(PORTABLE_MINHASH_A, PORTABLE_MINHASH_B)
+        ]
+    )
+
+
+def _portable_band_explode(
+    sigs: DataFrame, id_col: str, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, bslice) — one row per band, key = the raw
+    signature slice (portable: array equality is a plain join key in
+    any engine)."""
+    k = len(PORTABLE_MINHASH_A)
+    n_bands = k // rows_per_band
+    band_slices = F.array(
+        *[
+            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+            for bi in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.posexplode(band_slices)).select(
+        id_col,
+        F.col("pos").alias("band_idx"),
+        F.col("col").alias("bslice"),
+    )
+
+
 def portable_minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -540,47 +594,14 @@ def portable_minhash_pairs(
     themselves: array equality is a plain shuffle key in Spark and a
     list key in SQL — at 100 TB hash the slice (one key column
     instead of four) and keep this form as the verification twin."""
-    from .text import portable_shingle_hash
-
-    k = len(PORTABLE_MINHASH_A)
-    n_bands = k // rows_per_band
     caches = claim_group("portable_minhash_pairs")
-    hashed = persist_into(
-        caches,
-        spread_small_scan(df)
-        .select(
-            F.col(id_col),
-            F.array_distinct(portable_shingle_hash(text_col, n)).alias("h"),
-        )
-        .where(F.size("h") > 0),
-    )
-    def _lane(a: int, b: int):
-        # single-arg lambda: PySpark infers HOF arity from the
-        # Python signature, so coefficients bind via closure
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(
-            PORTABLE_MINHASH_MOD
-        )
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("h"), _lane(a, b)))
-            for a, b in zip(PORTABLE_MINHASH_A, PORTABLE_MINHASH_B)
-        ]
-    )
-    band_slices = F.array(
-        *[
-            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
-            for bi in range(n_bands)
-        ]
-    )
+    hashed = persist_into(caches, _portable_hashed(df, id_col, text_col, n))
     bands = persist_into(
         caches,
-        hashed.select(F.col(id_col), sig.alias("sig"))
-        .select(F.col(id_col), F.posexplode(band_slices))
-        .select(
+        _portable_band_explode(
+            hashed.select(F.col(id_col), _portable_sig().alias("sig")),
             id_col,
-            F.col("pos").alias("band_idx"),
-            F.col("col").alias("bslice"),
+            rows_per_band,
         ),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -637,3 +658,92 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         )
         packed_expr = packed_expr.bitwiseOR(F.shiftleft(bit, i))
     return voted.select(F.col(id_col), packed_expr.alias("simhash"))
+
+
+def portable_minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Persist the corpus's portable-MinHash dedup state at rest:
+    ``(id, h, sig)`` parquet — the distinct shingle-hash set (for
+    exact verification) and the multiply-mod signature (for banding).
+    Signatures are computed ONCE here, at ingest: an incremental
+    dedup pass (:func:`portable_minhash_dedup_incremental`) then
+    reads this index instead of re-hashing the historical corpus, so
+    per-batch cost is O(batch + matched candidates), never O(corpus)
+    recompute — the same signature-at-rest economics as
+    ``similarity.srp_index_write``."""
+    hashed = _portable_hashed(df, id_col, text_col, n)
+    (
+        hashed.withColumn("sig", _portable_sig())
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def portable_minhash_dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental near-dup detection of a NEW batch against the
+    at-rest corpus index — the production crawl-dedup shape: every
+    arriving batch is checked against the full history, but history
+    is touched only through its persisted signatures/shingles (scan,
+    no recompute). Output: ``(corpus_id, new_id, jaccard)`` — one row
+    per cross near-dup pair regardless of id order.
+
+    Pipeline: the batch computes its own shingle hashes + signatures
+    (persisted once — both the band join and the verify join consume
+    them); both sides explode band slices and CROSS-side equi-join on
+    ``(band_idx, bslice)``; candidates verify with exact Jaccard on
+    the stored corpus shingle set vs the batch's. Identical portable
+    arithmetic to :func:`portable_minhash_pairs`, so the result
+    equals the full-batch pipeline restricted to (corpus, new) pairs
+    — asserted in tests/test_dedup.py and hash-checked by the
+    ``minhash_dedup_incremental`` oracle, which replays the WHOLE
+    thing (index included) in SQL."""
+    spark = new_df.sparkSession
+    idx = spark.read.parquet(index_path)
+    caches = claim_group("portable_minhash_dedup_incremental")
+    new_hashed = persist_into(
+        caches, _portable_hashed(new_df, id_col, text_col, n)
+    )
+    old_bands = _portable_band_explode(
+        idx.select(F.col(id_col), F.col("sig")), id_col, rows_per_band
+    ).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "bslice"
+    )
+    new_bands = _portable_band_explode(
+        new_hashed.select(F.col(id_col), _portable_sig().alias("sig")),
+        id_col,
+        rows_per_band,
+    ).select(F.col(id_col).alias("new_id"), "band_idx", "bslice")
+    cands = (
+        old_bands.join(new_bands, ["band_idx", "bslice"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    ha = idx.select(F.col(id_col).alias("corpus_id"), F.col("h").alias("h_a"))
+    hb = new_hashed.select(
+        F.col(id_col).alias("new_id"), F.col("h").alias("h_b")
+    )
+    inter = F.array_size(F.array_intersect("h_a", "h_b")).cast("double")
+    union = (
+        F.array_size("h_a")
+        + F.array_size("h_b")
+        - F.array_size(F.array_intersect("h_a", "h_b"))
+    )
+    return (
+        cands.join(ha, "corpus_id")
+        .join(hb, "new_id")
+        .select("corpus_id", "new_id", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -978,3 +978,79 @@ def minhash_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check can't give."""
     docs = load_table(spark, sf_dir, "documents")
     return D.portable_minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+_MINHASH_INDEX: dict[str, str] = {}
+
+
+def minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the at-rest portable-MinHash index of
+    the 'historical corpus' — the even-doc_id half of documents."""
+    if sf_dir not in _MINHASH_INDEX:
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="minhash_index_") + "/corpus"
+        D.portable_minhash_index_write(
+            docs.where(F.col("doc_id") % 2 == 0), path, "doc_id", "text"
+        )
+        _MINHASH_INDEX[sf_dir] = path
+    return _MINHASH_INDEX[sf_dir]
+
+
+def _incremental_minhash_oracle() -> str:
+    from ..operators.dedup import (
+        PORTABLE_MINHASH_A,
+        PORTABLE_MINHASH_B,
+        PORTABLE_MINHASH_MOD,
+    )
+
+    lanes = ", ".join(
+        f"list_aggregate(list_transform(h, x -> (x * {a} + {b}) % "
+        f"{PORTABLE_MINHASH_MOD}), 'min')"
+        for a, b in zip(PORTABLE_MINHASH_A, PORTABLE_MINHASH_B)
+    )
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS h FROM documents
+    ), nz AS (SELECT * FROM hs WHERE len(h) > 0),
+    sigs AS (SELECT doc_id, [{lanes}] AS sig FROM nz),
+    bands AS (
+      SELECT doc_id, t.b AS band_idx, sig[t.b*4+1 : t.b*4+4] AS bslice
+      FROM sigs, UNNEST([0, 1, 2, 3]) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bslice = b.bslice
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    )
+    SELECT c.corpus_id, c.new_id,
+           len(list_intersect(x.h, y.h)) * 1.0 /
+           (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))) AS jaccard
+    FROM cand c JOIN nz x ON x.doc_id = c.corpus_id
+                JOIN nz y ON y.doc_id = c.new_id
+    WHERE len(list_intersect(x.h, y.h)) * 1.0 /
+          (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))) >= 0.5
+    """
+
+
+@register("minhash_dedup_incremental", oracle=_incremental_minhash_oracle())
+def minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup against an AT-REST signature index
+    (operators.dedup.portable_minhash_dedup_incremental): the
+    even-doc_id half of documents plays the historical corpus —
+    shingle sets + portable MinHash signatures persisted once by
+    minhash_index_path — and the odd half arrives as the new batch,
+    which computes only its own signatures and cross-joins bands
+    against the stored ones. The oracle replays the ENTIRE pipeline
+    (index construction included) in SQL, so a hash match proves the
+    at-rest state is interchangeable with recomputation — per-batch
+    cost O(batch), never O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.portable_minhash_dedup_incremental(
+        docs.where(F.col("doc_id") % 2 == 1),
+        minhash_index_path(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )

@@ -160,3 +160,45 @@ def test_minhash_sig_chunking_invariant(spark):
     assert small == default
     assert small[1] is not None and len(small[1]) == 16
     assert small[3] is None  # empty text -> no shingles -> null signature
+
+
+def test_incremental_minhash_equals_full_batch_restriction(spark, tmp_path):
+    """The at-rest index must be interchangeable with recomputation:
+    incremental(new batch vs indexed corpus) == the full-batch
+    portable pipeline restricted to (corpus, new) pairs, orientation
+    fixed to corpus-side first."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        portable_minhash_dedup_incremental,
+        portable_minhash_index_write,
+        portable_minhash_pairs,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "corpus_index")
+    portable_minhash_index_write(old, path, "doc_id", "text")
+
+    inc = {
+        (r.corpus_id, r.new_id): round(r.jaccard, 9)
+        for r in portable_minhash_dedup_incremental(
+            new, path, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = portable_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).collect()
+    want = {}
+    for r in full:
+        a_even, b_even = r.id_a % 2 == 0, r.id_b % 2 == 0
+        if a_even and not b_even:
+            want[(r.id_a, r.id_b)] = round(r.jaccard, 9)
+        elif b_even and not a_even:
+            want[(r.id_b, r.id_a)] = round(r.jaccard, 9)
+    assert inc == want
+    assert inc, "fixture has cross near-dups; restriction must be nonempty"
