@@ -180,3 +180,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sample_frames(attach_payload(docs), frame_bytes=100, every=4)
     return out.select("asset_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+_INC_DEDUP_PAIRS: dict[str, str] = {}
+
+
+def _stage_document_batches(spark, sf_dir: str, tmp: str, n_batches: int = 5):
+    """Write documents as n_batches single-file parquet batches
+    (doc_id mod buckets) into a watch directory, mtime-ordered so the
+    file source drains them as distinct micro-batches."""
+    import glob as _glob
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    watch = f"{tmp}/in"
+    os.makedirs(watch, exist_ok=True)
+    for i in range(n_batches):
+        stage = f"{tmp}/stage_{i}"
+        docs.where(F.col("doc_id") % n_batches == i).coalesce(1).write.parquet(
+            stage
+        )
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return watch, docs.schema
+
+
+from .textplans import _portable_minhash_oracle
+
+
+@register("streaming_incremental_dedup", oracle=_portable_minhash_oracle())
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-dedup production loop at streaming latency
+    (streaming.incremental_dedup): documents arrive as five
+    micro-batches; each batch near-dups against the GROWING at-rest
+    signature index plus itself, then appends its own signatures.
+    Every unordered near-dup pair is emitted exactly once (the index
+    grows monotonically), normalized to id_a < id_b — so the union of
+    all emitted pairs must hash-match the one-shot batch pipeline's
+    DuckDB oracle (the same oracle as minhash_lsh_portable_pairs),
+    proving the streaming decomposition loses and invents nothing.
+    Arrival-order robustness is pinned separately in
+    tests/test_streaming.py (permuted batches, same pair set)."""
+    import tempfile
+
+    from ..streaming.incremental_dedup import (
+        read_emitted_pairs,
+        run_streaming_incremental_dedup,
+    )
+
+    if sf_dir not in _INC_DEDUP_PAIRS:
+        tmp = tempfile.mkdtemp(prefix="stream_inc_dedup_")
+        watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+        run_streaming_incremental_dedup(
+            spark,
+            watch,
+            f"{tmp}/index",
+            f"{tmp}/pairs",
+            schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            threshold=0.5,
+        )
+        _INC_DEDUP_PAIRS[sf_dir] = f"{tmp}/pairs"
+    return read_emitted_pairs(spark, _INC_DEDUP_PAIRS[sf_dir])

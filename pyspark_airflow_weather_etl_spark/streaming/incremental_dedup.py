@@ -1,0 +1,126 @@
+"""Streaming crawl dedup against a GROWING at-rest signature index —
+the full production loop: every arriving batch of documents is checked
+for near-duplicates (a) against everything that came before, through
+the persisted signature index, and (b) within itself; then its own
+signatures are appended to the index, becoming "history" for the next
+batch. Per-batch cost is O(batch + collisions) — the historical corpus
+is only ever touched through its at-rest signatures/shingles, never
+re-hashed (operators.dedup.portable_minhash_index economics at
+streaming latency).
+
+Exactness: every unordered near-dup pair is emitted EXACTLY ONCE — a
+within-batch pair when its batch processes, a cross-batch pair when
+the LATER member arrives (the earlier one is in the index by then;
+the index grows monotonically, so no pair can be seen twice or
+missed). Orientation is normalized to ``id_a < id_b``, which makes
+the union of all emitted pairs equal to the one-shot batch pipeline
+``portable_minhash_pairs`` over the full corpus REGARDLESS of file
+arrival order — the property the catalog entry hash-checks against
+the same DuckDB oracle as ``minhash_lsh_portable_pairs`` and
+tests/test_streaming.py asserts under a permuted arrival order.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _portable_hashed,
+    _portable_sig,
+    portable_minhash_dedup_incremental,
+    portable_minhash_pairs,
+)
+
+_run_ids = itertools.count()
+
+PAIRS_SCHEMA = "id_a long, id_b long, jaccard double"
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    # Hadoop FS, not os.path — correct for hdfs://, s3a:// URIs too
+    # (the directory-layout lesson of streaming/rollup.py).
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def run_streaming_incremental_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    pairs_path: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Tail ``docs_path`` for document files; per micro-batch emit
+    normalized near-dup pairs to ``pairs_path`` (append) and fold the
+    batch's signatures into ``index_path``. ``availableNow`` drains
+    the currently-available files batch-by-batch (respecting
+    ``maxFilesPerTrigger``); a live deployment drops the trigger and
+    the same query tails the landing path forever. With
+    ``checkpoint_dir`` set, restarts resume from committed offsets —
+    and because the index append and pairs append happen inside
+    foreachBatch, a batch replayed after a crash between the two
+    writes can double-append signatures; the pairs output stays
+    correct (re-emitted pairs are byte-identical rows a downstream
+    consumer dedups by key), the standard at-least-once foreachBatch
+    contract."""
+    from ..session import streaming_session
+
+    spark = streaming_session(spark)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        within = portable_minhash_pairs(
+            batch, "doc_id", "text", threshold
+        ).select("id_a", "id_b", "jaccard")
+        out = within
+        if _path_exists(s, index_path):
+            cross = portable_minhash_dedup_incremental(
+                batch, index_path, "doc_id", "text", threshold
+            ).select(
+                F.least("corpus_id", "new_id").alias("id_a"),
+                F.greatest("corpus_id", "new_id").alias("id_b"),
+                "jaccard",
+            )
+            out = out.unionByName(cross)
+        # Materialize pairs BEFORE the index append below rewrites
+        # nothing — but out's incremental branch READS index_path, so
+        # it must be fully written before new signatures land there.
+        out.write.mode("append").parquet(pairs_path)
+        (
+            _portable_hashed(batch, "doc_id", "text", 3)
+            .withColumn("sig", _portable_sig())
+            .write.mode("append")
+            .parquet(index_path)
+        )
+
+    name = f"inc_dedup_{next(_run_ids)}"
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_path)
+        .writeStream.foreachBatch(process)
+        .outputMode("append")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def read_emitted_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All pairs emitted so far (explicit schema: the path may hold
+    only _SUCCESS markers when nothing collided)."""
+    return spark.read.schema(PAIRS_SCHEMA).parquet(pairs_path)

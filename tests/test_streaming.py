@@ -60,3 +60,60 @@ def test_stream_stream_join_matches_batch(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_incremental_dedup_invariant_to_arrival_order(spark, tmp_path):
+    """The streaming decomposition must emit exactly the batch
+    pipeline's pair set whatever order batches land in: orientation
+    is normalized and the index grows monotonically, so each
+    unordered pair appears exactly once, arrival order be damned."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        portable_minhash_pairs,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.incremental_dedup import (
+        read_emitted_pairs,
+        run_streaming_incremental_dedup,
+    )
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    # permuted arrival: bucket 3 lands first, then 0, 4, 1, 2
+    for slot, bucket in enumerate([3, 0, 4, 1, 2]):
+        stage = str(tmp_path / f"stage_{bucket}")
+        docs.where(F.col("doc_id") % 5 == bucket).coalesce(1).write.parquet(
+            stage
+        )
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/arrival_{slot:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+    run_streaming_incremental_dedup(
+        spark,
+        watch,
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in read_emitted_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in portable_minhash_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert got, "fixture slice must contain near-dup pairs"
