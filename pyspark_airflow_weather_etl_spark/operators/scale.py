@@ -204,3 +204,70 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _tree_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total data bytes, data-file count) under ``path`` via the
+    Hadoop FileSystem API — works for hdfs://, s3a://, local alike;
+    _SUCCESS/_metadata markers and hidden files excluded."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    total, n = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        total += st.getLen()
+        n += 1
+    return total, n
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_per_partition_col: int = 1,
+) -> tuple[int, int]:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB dataset needs: streaming appends, per-batch
+    dynamic-overwrite jobs, and incremental-index writes all accrete
+    tiny files, and each one costs an open + a footer parse + a
+    listing entry on every subsequent scan (NameNode/object-store
+    pressure grows linearly with file count, not bytes).
+
+    Strategy: size the rewrite from the TREE ITSELF —
+    ``n = ceil(bytes / target_file_bytes)`` output slots — then
+    rewrite in one job:
+
+    both layouts go through the crash-safe aside swap
+    (:func:`..sources.writers.overwrite_parquet_swap` — the rewrite
+    READS its own target, so a plain overwrite would delete the input
+    mid-job; the swap keeps a complete copy live at every crash
+    point): flat tables as ``repartition(n)``, hive-partitioned
+    tables as ``repartition(n, partition_cols)`` + ``partitionBy`` —
+    each partition's rows hash to a bounded slot set, so small
+    partitions collapse to one file while the job stays one shuffle.
+
+    Returns (files_before, files_after). Compaction changes LAYOUT
+    only — row-level content is asserted identical in
+    tests/test_scale.py, and parquet min/max stats regenerate on the
+    rewritten files."""
+    import math
+
+    from ..sources.writers import overwrite_parquet_swap
+
+    total, before = _tree_bytes_and_files(spark, path)
+    n = max(min_files_per_partition_col, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if partition_cols:
+        compacted = df.repartition(n, *[F.col(c) for c in partition_cols])
+        overwrite_parquet_swap(compacted, path, partition_by=partition_cols)
+    else:
+        overwrite_parquet_swap(df.repartition(n), path)
+    _, after = _tree_bytes_and_files(spark, path)
+    return before, after

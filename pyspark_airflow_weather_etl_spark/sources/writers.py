@@ -54,9 +54,16 @@ def _hadoop_fs(spark, path: str):
     return jvm, p.getFileSystem(conf), p
 
 
-def overwrite_parquet_swap(df: DataFrame, path: str) -> None:
+def overwrite_parquet_swap(
+    df: DataFrame, path: str, partition_by: Sequence[str] = ()
+) -> None:
     """Overwrite ``path`` with ``df`` even when ``df`` READS from
-    ``path`` (the read-merge-rewrite serving pattern), flat layout.
+    ``path`` (the read-merge-rewrite serving pattern); flat layout by
+    default, hive-partitioned when ``partition_by`` is given (the
+    whole tree is replaced — full-rewrite jobs like compaction; for
+    per-partition replacement use ``write_parquet_partitioned``'s
+    dynamic overwrite instead, which must NOT read from its own
+    target).
 
     A plain ``mode('overwrite')`` on the source path is unsafe: Spark
     deletes the target before the job finishes, so any task retry or
@@ -76,7 +83,10 @@ def overwrite_parquet_swap(df: DataFrame, path: str) -> None:
     spark = df.sparkSession
     base = path.rstrip("/")
     tmp = base + ".__swap_tmp__"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
 
     jvm, fs, dest = _hadoop_fs(spark, base)
     src = jvm.org.apache.hadoop.fs.Path(tmp)

@@ -205,3 +205,74 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     n_z = spark.read.parquet(pz).where(pred).count()
     n_x = spark.read.parquet(px).where(pred).count()
     assert n_z == n_x > 0
+
+
+class TestCompaction:
+    """compact_table: layout-only rewrite — fewer files, identical
+    rows, safe while reading its own target."""
+
+    def test_flat_table_compacts(self, spark, tmp_path):
+        from pyspark_airflow_weather_etl_spark.operators.scale import (
+            _tree_bytes_and_files,
+            compact_table,
+        )
+
+        path = str(tmp_path / "flat")
+        spark.range(10_000).selectExpr(
+            "id", "id * 2 AS v"
+        ).repartition(40).write.parquet(path)
+        _, files0 = _tree_bytes_and_files(spark, path)
+        assert files0 >= 40
+        before_rows = sorted(
+            map(tuple, spark.read.parquet(path).collect())
+        )
+        b, a = compact_table(spark, path, target_file_bytes=1 << 30)
+        assert (b, a) == (files0, 1)
+        after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert after_rows == before_rows
+
+    def test_partitioned_table_compacts_and_keeps_partitions(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from pyspark_airflow_weather_etl_spark.operators.scale import (
+            _tree_bytes_and_files,
+            compact_table,
+        )
+
+        path = str(tmp_path / "part")
+        (
+            spark.range(9_000)
+            .select(
+                (F.col("id") % 3).alias("y"),
+                "id",
+                (F.col("id") * 3).alias("v"),
+            )
+            .repartition(30)
+            .write.partitionBy("y")
+            .parquet(path)
+        )
+        _, files0 = _tree_bytes_and_files(spark, path)
+        assert files0 >= 60  # ~30 files per partition value
+        before_rows = sorted(
+            map(tuple, spark.read.parquet(path).select("y", "id", "v").collect())
+        )
+        b, a = compact_table(
+            spark, path, partition_cols=("y",), target_file_bytes=1 << 30
+        )
+        assert b == files0
+        assert a <= 3  # at most one file per partition value here
+        after = spark.read.parquet(path)
+        after_rows = sorted(
+            map(tuple, after.select("y", "id", "v").collect())
+        )
+        assert after_rows == before_rows
+        # hive layout preserved: partition pruning still works
+        plan = (
+            after.where(F.col("y") == 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan and "y" in plan
