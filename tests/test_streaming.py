@@ -117,3 +117,71 @@ def test_incremental_dedup_invariant_to_arrival_order(spark, tmp_path):
     }
     assert got == want
     assert got, "fixture slice must contain near-dup pairs"
+
+
+def test_incremental_dedup_survives_index_compaction(spark, tmp_path):
+    """The at-rest signature index accretes one small append per
+    micro-batch — exactly what compact_table exists for. Compacting
+    the index between arrivals must be invisible to the dedup loop:
+    same emitted pair set as the uncompacted run."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        portable_minhash_pairs,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.scale import (
+        compact_table,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.incremental_dedup import (
+        read_emitted_pairs,
+        run_streaming_incremental_dedup,
+    )
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+
+    def stage(watch, buckets, base_ts, slot0):
+        os.makedirs(watch, exist_ok=True)
+        for slot, bucket in enumerate(buckets, start=slot0):
+            sdir = f"{watch}__stage_{bucket}"
+            docs.where(F.col("doc_id") % 4 == bucket).coalesce(
+                1
+            ).write.mode("overwrite").parquet(sdir)
+            part = glob.glob(f"{sdir}/part-*.parquet")[0]
+            dst = f"{watch}/arrival_{slot:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (base_ts + slot * 60,) * 2)
+
+    watch = str(tmp_path / "in")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    # first two batches
+    stage(watch, [0, 1], 1_700_000_000, 0)
+    run_streaming_incremental_dedup(
+        spark, watch, index, pairs, docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.5,
+    )
+    b, a = compact_table(spark, index, target_file_bytes=1 << 30)
+    assert a < b, "two appended batches should compact to fewer files"
+    # two more batches after compaction, same checkpoint resumes
+    stage(watch, [2, 3], 1_700_000_400, 2)
+    run_streaming_incremental_dedup(
+        spark, watch, index, pairs, docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.5,
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in read_emitted_pairs(spark, pairs).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in portable_minhash_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want
