@@ -344,3 +344,43 @@ def pack_bins(
         F.sum("piece_len").alias("n_tokens"),
         F.concat_ws(" ", ordered_pieces).alias("bin_text"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build a tokenizer vocabulary: corpus token counts ranked into
+    stable contiguous ids (1 = most frequent; ties break
+    lexicographically) and capped at ``max_vocab`` — the
+    frequency-table step every tokenizer training run starts from.
+
+    Scale shape: the count is one explode + partial/final hash agg
+    (corpus-sized input, vocab-sized output); the id assignment is a
+    global rank over the VOCAB — still too big to single-partition at
+    web scale (10M+ types), so it uses the distributed rank primitive
+    (:func:`.prefix.ranged_rank`), never a bare ordered window. The
+    cap filters AFTER ranking, so ids are the true global ranks.
+    """
+    from .prefix import ranged_rank
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("token")]
+    local, offsets = ranged_rank(counts, order, partitions, "build_vocab")
+    return (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
+        )
+        .withColumn(
+            "token_id",
+            (F.col("__local_rn") + F.col("__rank_offset")).cast("long"),
+        )
+        .where(F.col("token_id") <= max_vocab)
+        .select("token", "cnt", "token_id")
+    )

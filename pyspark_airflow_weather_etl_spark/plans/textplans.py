@@ -1054,3 +1054,28 @@ def minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=0.5,
     )
+
+
+@register(
+    "build_vocab_documents",
+    oracle="""
+    WITH c AS (
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      GROUP BY t
+    )
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                AS BIGINT) AS token_id
+    FROM c
+    QUALIFY token_id <= 500
+    """,
+)
+def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build (operators.text.build_vocab, top
+    500): explode → partial/final count agg → distributed global rank
+    over the vocab (frequency desc, token tiebreak) → cap. The oracle
+    replays the rank as one flat ROW_NUMBER window; exact token_id
+    equality proves the count agg and parallel rank compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.build_vocab(docs, "text", max_vocab=500)

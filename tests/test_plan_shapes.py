@@ -144,6 +144,7 @@ def test_q13_outer_join_preserves_zero_customers(spark):
         ("pack_sequences_documents", ("__pid",)),
         ("token_budget_select_documents", ("__pid",)),
         ("quality_prune_documents", ("__pid",)),
+        ("build_vocab_documents", ("__pid", "token")),
         # the within-source round is a legitimate GROUPED window
         # (hash shuffle on source — linear); the global rank must
         # still be __pid-anchored
