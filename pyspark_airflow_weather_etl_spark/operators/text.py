@@ -384,3 +384,42 @@ def build_vocab(
         .where(F.col("token_id") <= max_vocab)
         .select("token", "cnt", "token_id")
     )
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode documents to token-id sequences with a
+    :func:`build_vocab` table — the tokenize-to-ids step that turns
+    the curated corpus into trainer input (vocab → encode → chunk →
+    pack → shards). Output: ``(id, token_ids array<long>, n_tokens)``
+    with out-of-vocabulary tokens mapped to ``oov_id``.
+
+    Scale shape: posexplode (corpus-linear, no shuffle) → broadcast
+    join on token (the vocab is ``max_vocab``-bounded; past the
+    broadcast ceiling drop the hint and AQE picks a shuffle join) →
+    ONE groupBy(id) shuffle for ordered reassembly
+    (``array_sort`` on (pos, id) structs — deterministic under any
+    partitioning, the pack_bins idiom)."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col))
+    ).select(id_col, F.col("pos"), F.col("col").alias("token"))
+    enc = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).withColumn(
+        "tid", F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("long")
+    )
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s.tid,
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -1079,3 +1079,49 @@ def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality proves the count agg and parallel rank compose."""
     docs = load_table(spark, sf_dir, "documents")
     return X.build_vocab(docs, "text", max_vocab=500)
+
+
+@register(
+    "encode_documents_vocab",
+    oracle="""
+    WITH c AS (
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      GROUP BY t
+    ), v AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                  AS BIGINT) AS token_id
+      FROM c QUALIFY token_id <= 20
+    ), tk AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT tk.doc_id,
+           array_to_string(list(CAST(COALESCE(v.token_id, 0) AS VARCHAR)
+                                ORDER BY tk.pos), ' ') AS ids_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tk LEFT JOIN v ON v.token = tk.token
+    GROUP BY tk.doc_id
+    """,
+)
+def encode_documents_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids (operators.text.encode_documents) against a
+    top-20 vocab (small on purpose so the fixture exercises real OOV
+    mapping): posexplode → broadcast vocab join → one ordered-
+    reassembly shuffle. The oracle rebuilds every sequence with a
+    position-ordered list aggregation; exact ids_text equality proves
+    vocabulary ranking, OOV handling, and reassembly order all
+    compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = X.build_vocab(docs, "text", max_vocab=20)
+    enc = X.encode_documents(docs, vocab, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda t: t.cast("string")), " "
+        ).alias("ids_text"),
+        "n_tokens",
+    )
