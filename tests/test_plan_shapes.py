@@ -185,3 +185,23 @@ def test_global_shuffle_rank_is_jvm_decoded(spark):
             assert "shuffle_key" not in line, (
                 f"row-level window reintroduced: {line}"
             )
+
+
+def test_encode_vocab_join_is_broadcast_hash(spark):
+    """The vocab join must be a broadcast HASH join (vocab is
+    max_vocab-bounded) — a nested-loop or cartesian here would scan
+    vocab per token."""
+    plan = _plan(spark, "encode_documents_vocab")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fixed_cells_cross_join_is_broadcast_bounded(spark):
+    """semantic_dedup_fixed_cells scores every vector against the
+    n_centroids-row table: that cross join must be the BROADCAST
+    nested-loop form (tiny build side ships once), never a
+    CartesianProduct shuffle of the corpus."""
+    plan = _plan(spark, "semantic_dedup_fixed_cells")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -96,3 +96,48 @@ def test_upsert_laws(spark, target, batch):
     for k in batch_keys:
         vals = [v for bk, v in batch if bk == k]
         assert abs(merged[k] - sum(vals) / len(vals)) < 1e-9
+
+
+# (id, n_tokens) corpora with duplicate-free ids, adversarial sizes.
+corpus_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # id
+        st.integers(min_value=1, max_value=40),  # n_tokens
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=corpus_strategy, parts=st.integers(min_value=1, max_value=7))
+def test_ranged_cumsum_matches_sequential_reference(spark, rows, parts):
+    """The distributed prefix sum must equal the single-threaded
+    scan for ANY corpus and ANY partition count — the property the
+    per-SF oracles sample but hypothesis drives through adversarial
+    shapes (single row, all-equal values, id gaps, 1..7 partitions)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.prefix import (
+        ranged_cumsum,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    local, offsets = ranged_cumsum(
+        df, [F.col("doc_id")], parts, "prop_cumsum", value_col="n_tokens"
+    )
+    offs = {o["__pid"]: o for o in (r.asDict() for r in offsets.collect())}
+    got = {}
+    for r in (row.asDict() for row in local.collect()):
+        o = offs[r["__pid"]]
+        got[r["doc_id"]] = (
+            r["__local_rn"] + o["__rank_offset"],
+            r["__local_cum"] + o["__cum_offset"],
+        )
+    seq = sorted(rows)
+    cum = 0
+    for rank, (doc_id, n) in enumerate(seq, start=1):
+        cum += n
+        assert got[doc_id] == (rank, cum), (doc_id, got[doc_id], (rank, cum))
