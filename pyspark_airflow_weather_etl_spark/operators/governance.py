@@ -215,3 +215,37 @@ def temperature_mix(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < thr
     )
     return j.where(keep).drop("__frac")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Audit diff between two corpus snapshots — the compliance
+    question every dataset release answers ("what changed since the
+    last cut?"): rows ``added`` (id only in new), ``removed`` (id
+    only in old), ``modified`` (id in both, content fingerprint
+    differs). Unchanged rows are omitted.
+
+    One full-outer join on id over (id, md5 fingerprint) projections
+    — content never shuffles, only 32-byte digests; O(corpus) with no
+    skew hazard (ids are unique per side). The md5 fingerprint is the
+    same external-reproducible key the takedown path uses
+    (operators.text.fingerprint)."""
+    from .text import fingerprint
+
+    o = old.select(F.col(id_col), fingerprint(text_col).alias("fp_old"))
+    n = new.select(F.col(id_col), fingerprint(text_col).alias("fp_new"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") != F.col("fp_new"), F.lit("modified")),
+        )
+        .where(F.col("change").isNotNull())
+        .select(id_col, "change")
+    )

@@ -283,3 +283,54 @@ def interleave_sources_documents(
     return C.interleave_sources(docs, "doc_id", "source", seed=42).select(
         "doc_id", "source", "rnd", "interleave_pos"
     )
+
+
+@register(
+    "snapshot_diff_documents",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ), new AS (
+      SELECT doc_id, md5(upper(text)) AS fp
+      FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'modified' END AS change
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE (old.doc_id IS NULL OR new.doc_id IS NULL OR old.fp <> new.fp)
+    """,
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release audit (operators.governance.snapshot_diff): the
+    'next snapshot' is derived in-plan from documents — every 7th doc
+    removed, every remaining 5th doc's text rewritten, every 11th doc
+    re-added under a shifted id — and the diff classifies
+    added/removed/modified by md5 fingerprint over one full-outer
+    join (digests shuffle, content never does). The oracle rebuilds
+    both snapshots and the same join."""
+    from ..operators.governance import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = (
+        docs.where((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 == 0))
+        .withColumn("text", F.upper("text"))
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 != 0)
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+    )
+    return snapshot_diff(docs, new, "doc_id", "text")
