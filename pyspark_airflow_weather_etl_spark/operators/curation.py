@@ -276,3 +276,86 @@ def interleave_sources(
         )
         .drop("__pid", "__local_rn", "__rank_offset")
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    benchmark_phrases: list[str] | None = None,
+    drop_worst_numer: int = 1,
+    drop_worst_denom: int = 10,
+    per_source_cap: int | None = None,
+    budget_numer: int | None = None,
+    budget_denom: int = 10,
+    seed: int = 42,
+    shard_rows: int = 1024,
+    partitions: int | None = None,
+) -> dict[str, int]:
+    """The end-to-end training-corpus curation pipeline as ONE
+    composable call — what a training-data team actually runs per
+    release, in the order each stage is cheapest:
+
+    1. exact dedup (hash semi-join — shrink first, everything after
+       pays per surviving row);
+    2. eval-set decontamination (in-plan n-gram overlap, no shuffle);
+    3. quantile quality prune — drop the worst
+       ``drop_worst_numer/denom`` by global rank
+       (:func:`quality_prune`);
+    4. per-source anti-domination cap (:func:`cap_per_group`,
+       optional);
+    5. token-budget cut (:func:`token_budget_select`, optional);
+    6. deterministic global shuffle → fixed-row training shards at
+       rest (:func:`write_training_shards`, ``seed`` = epoch).
+
+    Every stage is the already-tested operator — this function adds
+    ordering and plumbing only (the WeatherPipeline philosophy:
+    orchestration is a parameter of the plan, not a process
+    topology). Returns per-stage surviving row counts — the counts
+    every curation run reports; the counting actions double as stage
+    barriers, so a stage's failure surfaces at its own name.
+    """
+    from .dedup import dedup_exact
+    from .governance import decontaminate
+
+    counts: dict[str, int] = {"input": df.count()}
+    cur = dedup_exact(df, id_col, text_col)
+    counts["after_exact_dedup"] = cur.count()
+    if benchmark_phrases:
+        cur = decontaminate(cur, benchmark_phrases, id_col, text_col)
+        counts["after_decontaminate"] = cur.count()
+    kept = quality_prune(
+        cur,
+        id_col,
+        score_col="n_chars",
+        drop_numer=drop_worst_numer,
+        drop_denom=drop_worst_denom,
+        partitions=partitions,
+    ).select(id_col)
+    cur = cur.join(kept, id_col, "left_semi")
+    counts["after_quality_prune"] = cur.count()
+    if per_source_cap is not None:
+        cur = cap_per_group(cur, source_col, per_source_cap, id_col=id_col).drop(
+            "rank"
+        )
+        counts["after_source_cap"] = cur.count()
+    if budget_numer is not None:
+        sel = token_budget_select(
+            cur,
+            id_col,
+            text_col,
+            score_col="n_chars",
+            budget_numer=budget_numer,
+            budget_denom=budget_denom,
+            partitions=partitions,
+        ).select(id_col)
+        cur = cur.join(sel, id_col, "left_semi")
+        counts["after_token_budget"] = cur.count()
+    write_training_shards(
+        cur, out_path, id_col, seed=seed, shard_rows=shard_rows,
+        partitions=partitions,
+    )
+    counts["sharded"] = cur.sparkSession.read.parquet(out_path).count()
+    return counts

@@ -282,3 +282,61 @@ def test_interleave_partition_count_invariance(spark):
         for r in interleave_sources(docs, partitions=13).collect()
     )
     assert one == many
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The one-call curation pipeline: stage counts monotone
+    non-increasing, every constraint verifiable on the shard output,
+    and byte-deterministic across re-runs."""
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "release")
+    counts = curate_corpus(
+        docs,
+        out,
+        per_source_cap=20,
+        budget_numer=8,
+        budget_denom=10,
+        shard_rows=64,
+        seed=11,
+    )
+    order = [
+        "input",
+        "after_exact_dedup",
+        "after_quality_prune",
+        "after_source_cap",
+        "after_token_budget",
+        "sharded",
+    ]
+    assert list(counts) == order
+    vals = [counts[k] for k in order]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+    assert counts["sharded"] == counts["after_token_budget"]
+    final = spark.read.parquet(out)
+    # constraints hold on the materialized release
+    by_src = {
+        r.source: r.cnt
+        for r in final.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(v <= 20 for v in by_src.values())
+    assert sorted(r.pos for r in final.select("pos").collect()) == list(
+        range(1, counts["sharded"] + 1)
+    )
+    # re-run: identical release
+    out2 = str(tmp_path / "release2")
+    counts2 = curate_corpus(
+        docs, out2, per_source_cap=20, budget_numer=8, budget_denom=10,
+        shard_rows=64, seed=11,
+    )
+    assert counts2 == counts
+    a = sorted(map(tuple, final.select("doc_id", "pos", "shard").collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out2).select("doc_id", "pos", "shard").collect(),
+        )
+    )
+    assert a == b
