@@ -38,6 +38,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p_list = sub.add_parser("list", help="list catalog queries")
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="dedup→decontaminate→prune→cap→budget→shuffle→shards release",
+    )
+    p_cur.add_argument("--input", required=True, help="documents parquet")
+    p_cur.add_argument("--out", required=True, help="shard output dir")
+    p_cur.add_argument("--per-source-cap", type=int, default=None)
+    p_cur.add_argument(
+        "--budget-tenths", type=int, default=None,
+        help="keep best docs up to N/10 of corpus tokens",
+    )
+    p_cur.add_argument("--seed", type=int, default=42, help="epoch seed")
+    p_cur.add_argument("--shard-rows", type=int, default=1024)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
@@ -68,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
             REGISTRY[args.name].fn(spark, args.sf_dir).show(
                 args.limit, truncate=False
             )
+        elif args.cmd == "curate":
+            from .operators.curation import curate_corpus
+
+            counts = curate_corpus(
+                spark.read.parquet(args.input),
+                args.out,
+                per_source_cap=args.per_source_cap,
+                budget_numer=args.budget_tenths,
+                budget_denom=10,
+                seed=args.seed,
+                shard_rows=args.shard_rows,
+            )
+            for stage, n in counts.items():
+                print(f"{stage}: {n}")
     finally:
         spark.stop()
     return 0
