@@ -163,17 +163,23 @@ def write_training_shards(
 
     Scale notes: the shuffle's range partitioning already lays rows
     out in pos order, so each write task emits a handful of
-    contiguous shards (no extra exchange for the partitionBy);
-    dynamic partition overwrite makes epoch re-runs idempotent
-    per-shard; file sizing stays with maxRecordsPerFile — no
-    coalesce(1) (reference anti-pattern, SURVEY.md S6/X1).
+    contiguous shards (no extra exchange for the partitionBy); file
+    sizing stays with maxRecordsPerFile — no coalesce(1) (reference
+    anti-pattern, SURVEY.md S6/X1). An epoch is a COMPLETE artifact,
+    so the write is a full-tree crash-safe swap
+    (:func:`..sources.writers.overwrite_parquet_swap`), not dynamic
+    partition overwrite — dynamic overwrite only replaces TOUCHED
+    shard values, so re-sharding a corpus that shrank would leave
+    stale high-numbered shard dirs from the previous run feeding the
+    trainer phantom data. Re-runs stay idempotent (same seed → same
+    tree) and a crash never loses the previous epoch.
     """
-    from ..sources.writers import write_parquet_partitioned
+    from ..sources.writers import overwrite_parquet_swap
 
     sharded = global_shuffle(df, id_col, seed, partitions).withColumn(
         "shard", F.expr(f"(pos - 1) div {int(shard_rows)}")
     )
-    write_parquet_partitioned(sharded, path, keys=("shard",))
+    overwrite_parquet_swap(sharded, path, partition_by=("shard",))
 
 
 def read_training_shard(spark, path: str, shard: int) -> DataFrame:

@@ -340,3 +340,21 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         )
     )
     assert a == b
+
+
+def test_training_shards_full_replace_no_stale_shards(spark, tmp_path):
+    """Re-sharding a SMALLER corpus to the same path must not leave
+    stale high-numbered shards from the previous epoch (dynamic
+    overwrite would; the full-tree swap must not)."""
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "epochs")
+    write_training_shards(_docs(spark, 300), path, shard_rows=64, seed=5)
+    big = spark.read.parquet(path)
+    assert big.select("shard").distinct().count() == (300 + 63) // 64
+    write_training_shards(_docs(spark, 100), path, shard_rows=64, seed=5)
+    small = spark.read.parquet(path)
+    assert small.count() == 100
+    assert small.select("shard").distinct().count() == (100 + 63) // 64
