@@ -423,3 +423,45 @@ def encode_documents(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+) -> DataFrame:
+    """Model-free document embeddings by PORTABLE feature hashing
+    (Weinberger et al. 2009): every token hashes to a bucket
+    (md5-derived, any engine reproduces it) with a ±1 sign from the
+    next hash bit, and the document's vector is the signed count per
+    bucket — exact INTEGER arithmetic end-to-end, so the embedding is
+    bit-identical on every engine and run. This bridges the text
+    tables into the engine's vector operators (SRP/IVF blocking,
+    cosine verify, semantic dedup) without any external model.
+
+    Output is the UNPIVOTED form ``(id, dim_idx, value)`` with zero
+    entries omitted — scalar columns only (array columns don't
+    hash-compare portably), and the long-form is what a downstream
+    ``groupBy(id).pivot`` or ``collect_list`` re-assembles. One
+    explode + one partial/final hash agg; corpus-linear, pure
+    codegen."""
+    bucket = F.expr(
+        "CAST(conv(substring(md5(__tok), 1, 8), 16, 10) AS BIGINT)"
+        f" % {int(dim)}"
+    )
+    sign = F.expr(
+        "CASE WHEN CAST(conv(substring(md5(__tok), 9, 1), 16, 10) AS INT)"
+        " % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+        .select(
+            F.col(id_col),
+            bucket.cast("int").alias("dim_idx"),
+            sign.cast("long").alias("__s"),
+        )
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("__s").alias("value"))
+        .where(F.col("value") != 0)
+    )

@@ -1125,3 +1125,37 @@ def encode_documents_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids_text"),
         "n_tokens",
     )
+
+
+@register(
+    "feature_hash_embed_documents",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                  % 32 AS INT) AS dim_idx,
+             CASE WHEN CAST(('0x' || substring(md5(tok), 9, 1)) AS INT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM tk
+    )
+    SELECT doc_id, dim_idx, CAST(SUM(s) AS BIGINT) AS value
+    FROM h
+    GROUP BY doc_id, dim_idx
+    HAVING SUM(s) <> 0
+    """,
+)
+def feature_hash_embed_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable feature-hashing embeddings
+    (operators.text.feature_hash_embed, dim 32): md5-derived bucket +
+    sign per token, signed counts per (doc, bucket) — exact integer
+    arithmetic, hash-checked against the DuckDB replay. The long-form
+    output feeds the vector operators (SRP blocking, cosine) without
+    an external model."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.feature_hash_embed(docs, "doc_id", "text", dim=32)
