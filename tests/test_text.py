@@ -25,3 +25,67 @@ def test_shingles_short_doc(spark):
     got = {r.id: r.sh for r in df.select("id", shingles("text", 3).alias("sh")).collect()}
     assert got[1] == []
     assert got[2] == ["a b c", "b c d"]
+
+
+def test_feature_hash_embeddings_drive_semantic_dedup(spark):
+    """The model-free bridge end-to-end: duplicate-ish TEXTS (one
+    token changed) must be caught by the VECTOR-space semantic dedup
+    over feature-hashed embeddings — no external model anywhere."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        feature_hash_embed,
+    )
+
+    base = [
+        " ".join(f"tok{(i * 7 + j) % 97}" for j in range(60))
+        for i in range(30)
+    ]
+    rows = []
+    vid = 0
+    plant = []
+    for i, t in enumerate(base):
+        rows.append((vid, t))
+        orig = vid
+        vid += 1
+        if i < 8:  # near-copy: one token swapped
+            toks = t.split()
+            toks[5] = "CHANGED"
+            rows.append((vid, " ".join(toks)))
+            plant.append((orig, vid))
+            vid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    DIM = 32
+    long_form = feature_hash_embed(docs, "doc_id", "text", dim=DIM)
+    # assemble the dense array<float> the vector operators expect
+    dense = (
+        long_form.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(
+                        F.map_from_entries(
+                            F.collect_list(F.struct("dim_idx", "value"))
+                        ),
+                        i.cast("int"),
+                    ),
+                    F.lit(0),
+                ).cast("float"),
+            ).alias("embedding")
+        )
+        .withColumnRenamed("doc_id", "vec_id")
+    )
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            dense, n_cells=4, threshold=0.9, sample_rows=64
+        ).collect()
+    }
+    copies = [c for _, c in plant]
+    recall = sum(c not in kept for c in copies) / len(copies)
+    assert recall >= 0.9, f"near-copy texts not caught: recall {recall}"
+    assert all(o in kept for o, _ in plant)
