@@ -465,3 +465,65 @@ def feature_hash_embed(
         .agg(F.sum("__s").alias("value"))
         .where(F.col("value") != 0)
     )
+
+
+def dedup_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 32,
+) -> DataFrame:
+    """Corpus-wide PASSAGE-level dedup (the C4/RealNews recipe —
+    Raffel et al. 2020 dedup paragraphs, Lee et al. 2021 dedup
+    substrings): documents split into fixed-token passages
+    (:func:`chunk_documents`), every repeated passage keeps only its
+    FIRST occurrence in (doc, position) order — boilerplate headers,
+    mirrored quotes, and license blocks vanish corpus-wide while the
+    first copy survives — and documents reassemble from their kept
+    passages in order. Documents reduced to nothing are dropped.
+
+    Output: ``(id, clean_text, n_kept, n_dropped)``.
+
+    Scale shape: chunking is per-row codegen; the keep-first rule is
+    ONE window over the passage fingerprint (hash shuffle on the
+    md5 — 32-byte keys, passage text never shuffles for the rank);
+    reassembly is one groupBy(id) with an ordered aggregation
+    (array_sort on chunk_idx — deterministic under any
+    partitioning). A pathological mega-duplicate passage is one hot
+    fingerprint whose window ranks in a single task — at that skew,
+    pre-aggregate fingerprint counts and route hot fingerprints
+    through a min-(doc,idx) aggregate instead of a full rank (same
+    two-path idiom as the hot-label guard)."""
+    from pyspark.sql.window import Window
+
+    chunks = chunk_documents(df, id_col, text_col, passage_tokens).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.md5("chunk_text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(id_col, "chunk_idx")
+    kept = chunks.withColumn("rn", F.row_number().over(w))
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    return per_doc.where(F.col("n_kept") > 0)

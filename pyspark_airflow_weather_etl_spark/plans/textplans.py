@@ -1159,3 +1159,46 @@ def feature_hash_embed_documents(
     an external model."""
     docs = load_table(spark, sf_dir, "documents")
     return X.feature_hash_embed(docs, "doc_id", "text", dim=32)
+
+
+@register(
+    "dedup_passages_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(
+               1, CAST(ceil(len(tk) / 32.0) AS BIGINT))) AS BIGINT)
+               AS chunk_idx,
+             unnest(list_transform(
+               generate_series(1, CAST(ceil(len(tk) / 32.0) AS BIGINT)),
+               i -> array_to_string(tk[(i-1)*32+1 : i*32], ' '))) AS chunk_text
+      FROM t),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c)
+    SELECT doc_id,
+           string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                      ORDER BY chunk_idx) AS clean_text,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM r
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def dedup_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage dedup (operators.text.dedup_passages, 32
+    tokens/passage — the C4/Lee-et-al boilerplate-removal recipe):
+    repeated passages keep only their first (doc, position)
+    occurrence, documents reassemble in order, emptied documents
+    drop. One fingerprint window + one ordered reassembly; the
+    oracle replays chunking, keep-first ranking, and ORDER BY
+    string_agg reassembly — exact clean_text equality proves all
+    three compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.dedup_passages(docs, "doc_id", "text", 32)

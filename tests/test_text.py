@@ -89,3 +89,31 @@ def test_feature_hash_embeddings_drive_semantic_dedup(spark):
     recall = sum(c not in kept for c in copies) / len(copies)
     assert recall >= 0.9, f"near-copy texts not caught: recall {recall}"
     assert all(o in kept for o, _ in plant)
+
+
+def test_dedup_passages_removes_boilerplate_corpus_wide(spark):
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        dedup_passages,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # exactly one passage
+    rows = [
+        (0, boiler + " " + " ".join(f"x{i}" for i in range(8))),
+        (1, boiler + " " + " ".join(f"y{i}" for i in range(8))),
+        (2, boiler),  # nothing but the boilerplate -> dropped entirely
+        (3, " ".join(f"z{i}" for i in range(8))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup_passages(docs, "doc_id", "text", passage_tokens=8)
+        .collect()
+    }
+    # first occurrence (doc 0) keeps the boilerplate, doc 1 loses it
+    assert out[0].clean_text.startswith(boiler)
+    assert boiler not in out[1].clean_text
+    assert out[1].n_dropped == 1
+    # doc 2 was nothing but duplicates -> removed from the corpus
+    assert 2 not in out
+    # untouched doc passes through byte-identical
+    assert out[3].clean_text == rows[3][1] and out[3].n_dropped == 0
