@@ -65,6 +65,8 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "semantic_dedup_embeddings_hot",
     "dedup_exact_documents",
+    "dedup_passages_documents",
+    "feature_hash_embed_documents",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "minhash_near_dup_pairs",
