@@ -714,8 +714,36 @@ def _llm_dedup_pressure(spark, sf_dir: str) -> dict[str, float]:
             assert len(eb8) >= 64 * len(emb_base), (
                 "embedding 8x lost cross-replica pairs"
             )
+        # Passage dedup at ×8 duplication density: every replica>0
+        # document is passage-for-passage identical to its rep-0
+        # original (shifted ids only), so keep-first MUST erase it
+        # entirely — the result is exactly the base-corpus result.
+        # Every fingerprint window group is 8× deeper; the assert is
+        # total, not statistical.
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            dedup_passages,
+        )
+
+        pd_base = sorted(
+            map(tuple, dedup_passages(docs, "doc_id", "text", 32).collect())
+        )
+        pd_samples: list[float] = []
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            pd8 = sorted(
+                map(
+                    tuple,
+                    dedup_passages(docs8, "doc_id", "text", 32).collect(),
+                )
+            )
+            pd_samples.append(time.perf_counter() - t0)
+            assert pd8 == pd_base, (
+                "passage dedup at 8x density must erase every replica "
+                "and leave the base answer untouched"
+            )
         out["minhash_near_dup_pairs_8x"] = round(_median(mh_samples), 3)
         out["embedding_near_dup_blocked_8x"] = round(_median(emb_samples), 3)
+        out["dedup_passages_8x"] = round(_median(pd_samples), 3)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
