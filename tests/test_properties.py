@@ -141,3 +141,31 @@ def test_ranged_cumsum_matches_sequential_reference(spark, rows, parts):
     for rank, (doc_id, n) in enumerate(seq, start=1):
         cum += n
         assert got[doc_id] == (rank, cum), (doc_id, got[doc_id], (rank, cum))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=corpus_strategy, parts=st.integers(min_value=1, max_value=9))
+def test_ranged_rank_matches_sequential_reference(spark, rows, parts):
+    """The id-decode global rank (the OTHER prefix path — JVM
+    monotonically_increasing_id decode, no window) must equal the
+    single-threaded sort rank for any corpus and partition count,
+    including partition counts far above the row count (empty
+    partitions contribute zero to the offsets)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.prefix import (
+        ranged_rank,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    local, offsets = ranged_rank(
+        df, [F.col("doc_id")], parts, "prop_rank"
+    )
+    offs = {o["__pid"]: o for o in (r.asDict() for r in offsets.collect())}
+    got = {
+        r["doc_id"]: r["__local_rn"] + offs[r["__pid"]]["__rank_offset"]
+        for r in (row.asDict() for row in local.collect())
+    }
+    for rank, (doc_id, _n) in enumerate(sorted(rows), start=1):
+        assert got[doc_id] == rank, (doc_id, got[doc_id], rank)
