@@ -2,12 +2,14 @@
 selection, per-source caps, and semantic dedup.
 
 North-star extensions (SURVEY.md §2.9 — the reference has no
-ordering/sampling surface; see operators/curation.py). The three
-global-order entries share the distributed prefix-sum machinery with
+ordering/sampling surface; see operators/curation.py). The
+global-order entries (shuffle, token budget, quantile prune, source
+interleave) share the distributed prefix-sum machinery with
 pack_sequences, so their DuckDB oracles — flat single-threaded
 ``ROW_NUMBER()/SUM() OVER (ORDER BY ...)`` windows — are exactly the
 sequential semantics the parallel composition must reproduce
-bit-for-bit.
+bit-for-bit. The semantic-dedup family layers exact/hot/portable the
+same way the pairwise and MinHash families do.
 """
 
 from __future__ import annotations
