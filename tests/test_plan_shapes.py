@@ -205,3 +205,11 @@ def test_fixed_cells_cross_join_is_broadcast_bounded(spark):
     plan = _plan(spark, "semantic_dedup_fixed_cells")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cap_per_group_pushes_group_limit(spark):
+    """The per-source cap's rank <= k must push a per-group limit
+    below the window sort (partial + final WindowGroupLimit) — the
+    property that keeps a skewed mega-source from fully sorting."""
+    plan = _plan(spark, "cap_documents_per_source")
+    assert plan.count("WindowGroupLimit") >= 2, plan
