@@ -489,11 +489,17 @@ def dedup_passages(
     md5 — 32-byte keys, passage text never shuffles for the rank);
     reassembly is one groupBy(id) with an ordered aggregation
     (array_sort on chunk_idx — deterministic under any
-    partitioning). A pathological mega-duplicate passage is one hot
-    fingerprint whose window ranks in a single task — at that skew,
-    pre-aggregate fingerprint counts and route hot fingerprints
-    through a min-(doc,idx) aggregate instead of a full rank (same
-    two-path idiom as the hot-label guard)."""
+    partitioning). Keep-first formulation A/B'd at ×64 duplication
+    density (320k docs, every passage 64-plicated, 32 threads): this
+    window form 1.3-1.4 s steady vs 1.6-2.0 s for a
+    min(struct(doc,idx))-aggregate + join-back rewrite — realistic
+    duplicate groups are small, so the rank sort is cheap and the
+    rewrite's extra join dominates. The aggregate form becomes the
+    right escape hatch only for MILLION-fold single-passage
+    duplication (one fingerprint ≈ one task's whole input), where
+    its map-side partial aggregation beats the single-group sort —
+    same two-path idiom as the hot-label guard, not worth its join
+    until that skew is real."""
     from pyspark.sql.window import Window
 
     chunks = chunk_documents(df, id_col, text_col, passage_tokens).select(
