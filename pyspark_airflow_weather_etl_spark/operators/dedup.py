@@ -747,3 +747,139 @@ def portable_minhash_dedup_incremental(
         .select("corpus_id", "new_id", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _band_key(rows_per_band: int) -> F.Column:
+    """Scalar join/bucket key for a band slice: xxhash64 of its
+    lanes. Bucketed tables cannot bucket on an array column; the
+    residual exact slice equality rides the join as a filter, so the
+    hash only has to be collision-rare, not perfect."""
+    return F.xxhash64(
+        *[F.col("bslice")[i] for i in range(rows_per_band)]
+    )
+
+
+def portable_minhash_index_write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    rows_per_band: int = 4,
+    n_buckets: int = 16,
+) -> None:
+    """Bucketed-at-rest dedup index for HIGH-FREQUENCY incremental
+    dedup: the band table is hash-BUCKETED (and sorted) on the band
+    join key, so every arriving batch's candidate join re-shuffles
+    ONLY the batch — the corpus-sized index side reads its buckets
+    straight into the sort-merge join with no exchange and no sort,
+    every batch, forever (the write-once shuffle amortization of
+    plans/bucketplans.py applied to the dedup loop). Layout:
+    ``<table>_bands`` bucketed on (band_idx, band_key) +
+    ``<path>/docs`` flat (id, shingle set) for verification."""
+    hashed = _portable_hashed(df, id_col, text_col, n)
+    bands = _portable_band_explode(
+        hashed.select(F.col(id_col), _portable_sig().alias("sig")),
+        id_col,
+        rows_per_band,
+    ).withColumn("bhash", _band_key(rows_per_band))
+    from .scale import write_bucketed
+
+    write_bucketed(
+        bands,
+        f"{table}_bands",
+        ["band_idx", "bhash"],
+        n_buckets,
+        f"{path}/bands",
+        sort_cols=["band_idx", "bhash"],
+    )
+    hashed.write.mode("overwrite").parquet(f"{path}/docs")
+
+
+def portable_minhash_dedup_incremental_bucketed(
+    new_df: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """:func:`portable_minhash_dedup_incremental` against the
+    BUCKETED index — identical output (the catalog entry shares the
+    flat form's oracle; tests assert result and plan), different
+    physics: the equi-join keys (band_idx, band_key) match the
+    index's bucket spec exactly, so Catalyst plans the index side
+    scan → join with NO exchange and NO sort; only the new batch
+    hashes/shuffles. Exact slice equality rides as a join residual
+    (the scalar key exists only because buckets can't key on
+    arrays)."""
+    spark = new_df.sparkSession
+    bands_t = spark.table(f"{table}_bands")
+    docs_t = spark.read.parquet(f"{path}/docs")
+    caches = claim_group("portable_minhash_dedup_incremental_bucketed")
+    new_hashed = persist_into(
+        caches, _portable_hashed(new_df, id_col, text_col, n)
+    )
+    new_bands = _portable_band_explode(
+        new_hashed.select(F.col(id_col), _portable_sig().alias("sig")),
+        id_col,
+        rows_per_band,
+    ).withColumn("bhash", _band_key(rows_per_band))
+    old = bands_t.select(
+        F.col(id_col).alias("corpus_id"),
+        "band_idx",
+        "bhash",
+        F.col("bslice").alias("bslice_old"),
+    )
+    new = new_bands.select(
+        F.col(id_col).alias("new_id"),
+        "band_idx",
+        "bhash",
+        F.col("bslice").alias("bslice_new"),
+    )
+    # The exact-slice residual is written as a zip_with fold, NOT
+    # ``bslice_old == bslice_new``: Catalyst promotes a top-level
+    # attribute equality into the equi-join keys, and keys
+    # (bslice, band_idx, bhash) no longer match the bucket spec —
+    # both sides would re-shuffle, defeating the layout. The fold is
+    # opaque to key extraction, so the join keys stay exactly the
+    # bucket columns and the index side scans straight into the SMJ.
+    slices_equal = (
+        F.aggregate(
+            F.zip_with(
+                F.col("bslice_old"),
+                F.col("bslice_new"),
+                lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        == 0
+    )
+    cands = (
+        old.join(new, ["band_idx", "bhash"])
+        .where(slices_equal)
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    ha = docs_t.select(
+        F.col(id_col).alias("corpus_id"), F.col("h").alias("h_a")
+    )
+    hb = new_hashed.select(
+        F.col(id_col).alias("new_id"), F.col("h").alias("h_b")
+    )
+    inter = F.array_size(F.array_intersect("h_a", "h_b")).cast("double")
+    union = (
+        F.array_size("h_a")
+        + F.array_size("h_b")
+        - F.array_size(F.array_intersect("h_a", "h_b"))
+    )
+    return (
+        cands.join(ha, "corpus_id")
+        .join(hb, "new_id")
+        .select("corpus_id", "new_id", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

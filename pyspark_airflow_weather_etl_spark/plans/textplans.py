@@ -1202,3 +1202,59 @@ def dedup_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     three compose."""
     docs = load_table(spark, sf_dir, "documents")
     return X.dedup_passages(docs, "doc_id", "text", 32)
+
+
+_MINHASH_BKT_INDEX: dict[str, tuple[str, str]] = {}
+
+
+def minhash_bucketed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once) the BUCKETED at-rest dedup index of the even-half
+    corpus: (table name prefix, path). Deterministic digest-tagged
+    table names; rebuild if a fresh session lost the catalog entries
+    (the bucketplans.bucketed_fixture_tables discipline)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"mh_idx_{tag}"
+    if sf_dir in _MINHASH_BKT_INDEX and spark.catalog.tableExists(
+        f"{table}_bands"
+    ):
+        return _MINHASH_BKT_INDEX[sf_dir]
+    spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="minhash_bkt_index_") + "/corpus"
+    D.portable_minhash_index_write_bucketed(
+        docs.where(F.col("doc_id") % 2 == 0), table, path, "doc_id", "text"
+    )
+    _MINHASH_BKT_INDEX[sf_dir] = (table, path)
+    return table, path
+
+
+@register(
+    "minhash_dedup_incremental_bucketed",
+    oracle=_incremental_minhash_oracle(),
+)
+def minhash_dedup_incremental_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental crawl dedup against the BUCKETED at-rest index
+    (operators.dedup.portable_minhash_dedup_incremental_bucketed):
+    identical semantics to minhash_dedup_incremental — the two
+    entries share one oracle — but the candidate join's equi-keys
+    match the index's bucket spec, so the corpus-sized index side
+    enters the sort-merge join with no exchange and no sort; only the
+    arriving batch shuffles (tests/test_dedup.py asserts both the
+    result equality and the exchange-count difference). The
+    write-once amortization story of the bucketed fact tables,
+    applied to the dedup loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    table, path = minhash_bucketed_index(spark, sf_dir)
+    return D.portable_minhash_dedup_incremental_bucketed(
+        docs.where(F.col("doc_id") % 2 == 1),
+        table,
+        path,
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )

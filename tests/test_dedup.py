@@ -202,3 +202,92 @@ def test_incremental_minhash_equals_full_batch_restriction(spark, tmp_path):
             want[(r.id_b, r.id_a)] = round(r.jaccard, 9)
     assert inc == want
     assert inc, "fixture has cross near-dups; restriction must be nonempty"
+
+
+def test_bucketed_incremental_matches_flat_and_skips_index_exchange(
+    spark, tmp_path
+):
+    """The bucketed index variant must (a) produce exactly the flat
+    variant's pairs and (b) plan the candidate join with the index
+    side exchange-free — only the arriving batch shuffles. With
+    broadcast and AQE disabled the exchange difference is visible
+    directly: the flat form exchanges BOTH candidate-join sides, the
+    bucketed form only the batch side."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        portable_minhash_dedup_incremental,
+        portable_minhash_dedup_incremental_bucketed,
+        portable_minhash_index_write,
+        portable_minhash_index_write_bucketed,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    flat_path = str(tmp_path / "flat_index")
+    portable_minhash_index_write(old, flat_path, "doc_id", "text")
+    table = "mh_test_" + hashlib.md5(str(tmp_path).encode()).hexdigest()[:8]
+    spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+    portable_minhash_index_write_bucketed(
+        old, table, str(tmp_path / "bkt_index"), "doc_id", "text"
+    )
+    try:
+        flat = portable_minhash_dedup_incremental(
+            new, flat_path, "doc_id", "text", threshold=0.5
+        )
+        bkt = portable_minhash_dedup_incremental_bucketed(
+            new, table, str(tmp_path / "bkt_index"), "doc_id", "text",
+            threshold=0.5,
+        )
+        fa = sorted(
+            (r.corpus_id, r.new_id, round(r.jaccard, 9))
+            for r in flat.collect()
+        )
+        fb = sorted(
+            (r.corpus_id, r.new_id, round(r.jaccard, 9))
+            for r in bkt.collect()
+        )
+        assert fa == fb and fa
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        }
+        olds = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            flat_plan = (
+                portable_minhash_dedup_incremental(
+                    new, flat_path, "doc_id", "text", threshold=0.5
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            bkt_plan = (
+                portable_minhash_dedup_incremental_bucketed(
+                    new, table, str(tmp_path / "bkt_index"), "doc_id",
+                    "text", threshold=0.5,
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            for k, v in olds.items():
+                spark.conf.set(k, v)
+        n_flat = flat_plan.count("Exchange hashpartitioning")
+        n_bkt = bkt_plan.count("Exchange hashpartitioning")
+        assert n_bkt == n_flat - 1, (
+            f"bucketed index should drop exactly the index-side "
+            f"candidate exchange: flat={n_flat} bucketed={n_bkt}"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
