@@ -244,3 +244,49 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _INC_DEDUP_PAIRS[sf_dir] = f"{tmp}/pairs"
     return read_emitted_pairs(spark, _INC_DEDUP_PAIRS[sf_dir])
+
+
+@register(
+    "streaming_quality_monitor",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id % 5 AS bucket, doc_id, length(text) AS n_chars_t
+      FROM documents
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS batch_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars_t) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN n_chars_t < 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           SUM(CASE WHEN n_chars_t < 200 THEN 1 ELSE 0 END) * 10
+             > COUNT(*) * 1 AS alert
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest quality gate at streaming latency
+    (streaming.quality_monitor): documents arrive as five
+    micro-batches (doc_id mod buckets); each appends one
+    integer-exact metrics row (counts + char mass + short-doc count +
+    cross-multiplied alert flag) to the audit table. The oracle
+    recomputes every batch's row with a GROUP BY over the same
+    buckets — exact equality proves per-batch aggregation and alert
+    arithmetic match the batch semantics."""
+    import tempfile
+
+    from ..streaming.quality_monitor import (
+        read_quality_metrics,
+        run_streaming_quality_monitor,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_quality_")
+    watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+    run_streaming_quality_monitor(
+        spark,
+        watch,
+        f"{tmp}/metrics",
+        schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return read_quality_metrics(spark, f"{tmp}/metrics")

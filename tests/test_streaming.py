@@ -185,3 +185,45 @@ def test_incremental_dedup_survives_index_compaction(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_quality_monitor_alerts_on_degraded_batch(spark, tmp_path):
+    """A batch of stub documents (short texts beyond the 1/10
+    fraction) must raise the alert flag; a healthy batch must not."""
+    import glob
+    import os
+
+    from pyspark_airflow_weather_etl_spark.streaming.quality_monitor import (
+        read_quality_metrics,
+        run_streaming_quality_monitor,
+    )
+
+    healthy = [(i, "tok " * 120) for i in range(100, 120)]
+    degraded = [(i, "x") for i in range(200, 210)] + [
+        (i, "tok " * 120) for i in range(210, 215)
+    ]
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    for slot, rows in enumerate([healthy, degraded]):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stage = str(tmp_path / f"stage_{slot}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/b{slot}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+    run_streaming_quality_monitor(
+        spark,
+        watch,
+        str(tmp_path / "metrics"),
+        "doc_id long, text string",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = {
+        r.batch_key: r
+        for r in read_quality_metrics(
+            spark, str(tmp_path / "metrics")
+        ).collect()
+    }
+    assert rows[100].alert is False and rows[100].n_short == 0
+    assert rows[200].alert is True and rows[200].n_short == 10
