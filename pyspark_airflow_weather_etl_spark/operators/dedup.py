@@ -686,7 +686,7 @@ def portable_minhash_index_write(
 
 def portable_minhash_dedup_incremental(
     new_df: DataFrame,
-    index_path: str,
+    index_path: str | DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
@@ -709,9 +709,17 @@ def portable_minhash_dedup_incremental(
     equals the full-batch pipeline restricted to (corpus, new) pairs
     — asserted in tests/test_dedup.py and hash-checked by the
     ``minhash_dedup_incremental`` oracle, which replays the WHOLE
-    thing (index included) in SQL."""
+    thing (index included) in SQL.
+
+    ``index_path`` also accepts an already-loaded index DataFrame —
+    the streaming loop uses this to exclude its own replayed batch
+    partition from the read (ADVICE r8 idempotency fix)."""
     spark = new_df.sparkSession
-    idx = spark.read.parquet(index_path)
+    idx = (
+        index_path
+        if isinstance(index_path, DataFrame)
+        else spark.read.parquet(index_path)
+    )
     caches = claim_group("portable_minhash_dedup_incremental")
     new_hashed = persist_into(
         caches, _portable_hashed(new_df, id_col, text_col, n)

@@ -226,6 +226,45 @@ def _tree_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
     return total, n
 
 
+def _partition_value_bytes(
+    spark: SparkSession, path: str, partition_cols: Sequence[str]
+) -> dict[tuple[str | None, ...], int]:
+    """Data bytes per hive partition VALUE tuple under ``path``, from
+    the same recursive listing ``_tree_bytes_and_files`` does — no
+    data read. Directory segments ``col=value`` are hive-unescaped
+    (%XX) and ``__HIVE_DEFAULT_PARTITION__`` maps to ``None``; files
+    not under a full ``len(partition_cols)``-deep hive tree are
+    ignored (they would not be read as that partition anyway)."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(conf)
+    base_uri = fs.makeQualified(base).toString().rstrip("/")
+    it = fs.listFiles(base, True)
+    out: dict[tuple[str | None, ...], int] = {}
+    while it.hasNext():
+        st = it.next()
+        fp = st.getPath()
+        if fp.getName().startswith(("_", ".")):
+            continue
+        rel = fp.toString()[len(base_uri) :].strip("/").split("/")[:-1]
+        vals: list[str | None] = []
+        for col, seg in zip(partition_cols, rel):
+            if not seg.startswith(col + "="):
+                break
+            raw = seg[len(col) + 1 :]
+            vals.append(
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+            )
+        if len(vals) != len(partition_cols):
+            continue
+        key = tuple(vals)
+        out[key] = out.get(key, 0) + st.getLen()
+    return out
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -248,10 +287,16 @@ def compact_table(
     (:func:`..sources.writers.overwrite_parquet_swap` — the rewrite
     READS its own target, so a plain overwrite would delete the input
     mid-job; the swap keeps a complete copy live at every crash
-    point): flat tables as ``repartition(n)``, hive-partitioned
-    tables as ``repartition(n, partition_cols)`` + ``partitionBy`` —
-    each partition's rows hash to a bounded slot set, so small
-    partitions collapse to one file while the job stays one shuffle.
+    point). Flat tables: ``repartition(n)``. Hive-partitioned tables:
+    ``repartition(Σ slots, partition_cols + salt)`` where each
+    partition VALUE gets ``slots = ceil(its bytes / target)`` output
+    slots, sized from the listing's per-directory byte totals (no
+    data read) and attached via a broadcast join on the hive-decoded
+    value strings. Small partitions keep one slot → one file; a
+    multi-GB partition (a hot date/shard) splits into target-sized
+    files instead of one serial giant — still one shuffle, and the
+    per-value salt bound means a small partition never scatters into
+    per-slot fragments the way a uniform salt would.
 
     Returns (files_before, files_after). Compaction changes LAYOUT
     only — row-level content is asserted identical in
@@ -265,7 +310,32 @@ def compact_table(
     n = max(min_files_per_partition_col, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     if partition_cols:
-        compacted = df.repartition(n, *[F.col(c) for c in partition_cols])
+        pv_bytes = _partition_value_bytes(spark, path, partition_cols)
+        slot_rows = [
+            (*vals, math.ceil(b / target_file_bytes) or 1)
+            for vals, b in pv_bytes.items()
+        ]
+        pv_cols = [f"__pv_{c}" for c in partition_cols]
+        slots_df = spark.createDataFrame(
+            slot_rows or [tuple([None] * len(pv_cols)) + (1,)],
+            schema=", ".join(f"`{c}` string" for c in pv_cols)
+            + ", __slots int",
+        )
+        cond = None
+        for c, pv in zip(partition_cols, pv_cols):
+            eq = F.col(c).cast("string").eqNullSafe(F.col(pv))
+            cond = eq if cond is None else cond & eq
+        salted = df.join(F.broadcast(slots_df), cond, "left").withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.coalesce(F.col("__slots"), F.lit(1)),
+            ).cast("int"),
+        )
+        n_slots = max(n, sum(r[-1] for r in slot_rows) or 1)
+        compacted = salted.repartition(
+            n_slots, *[F.col(c) for c in partition_cols], F.col("__salt")
+        ).drop("__salt", "__slots", *pv_cols)
         overwrite_parquet_swap(compacted, path, partition_by=partition_cols)
     else:
         overwrite_parquet_swap(df.repartition(n), path)

@@ -317,35 +317,84 @@ _VERIFIED_R7: frozenset[str] = frozenset(
 )
 
 
-# Previously-red beats oldest: pack_bins_documents was the one red row
-# in CORRECTNESS_r07 (oracle emitted DuckDB HUGEINT for SUM(piece_len);
-# the oracle now casts to BIGINT — textplans.py). It jumps the whole
-# queue until a driver round regreens it.
-_PRIORITY_R8: frozenset[str] = frozenset({"pack_bins_documents"})
+# CORRECTNESS_r08.json rows — all 50 green (43 hash-exact, 7 rows-only
+# by design), including pack_bins_documents (the r7 red row, regreened
+# first in rotation), so _PRIORITY_R8 retires into this freshest set.
+_VERIFIED_R8: frozenset[str] = frozenset(
+    {
+        "build_vocab_documents",
+        "cap_documents_per_source",
+        "chunk_documents_fixed",
+        "cosine_topk_bruteforce",
+        "decontaminate_documents",
+        "dedup_keep_best_quality",
+        "dedup_passages_documents",
+        "doc_repetition_stats",
+        "embedding_near_dup_blocked",
+        "embedding_near_dup_pairs",
+        "embedding_norms",
+        "encode_documents_vocab",
+        "feature_hash_embed_documents",
+        "global_shuffle_documents",
+        "grouped_centroids_pandas",
+        "interleave_sources_documents",
+        "ivf_ann_topk",
+        "ivf_ann_topk_at_rest",
+        "label_centroids",
+        "minhash_dedup_incremental",
+        "minhash_dedup_incremental_bucketed",
+        "minhash_lsh_portable_pairs",
+        "pack_bins_documents",
+        "pairwise_topk_per_label",
+        "profile_orders_columns",
+        "q11_part_value_concentration",
+        "q12_shipping_delay_classes",
+        "q13_customer_order_distribution",
+        "q16_supplier_count_by_part",
+        "q1_pricing_summary",
+        "q20_excess_inventory_suppliers",
+        "q21_waiting_suppliers",
+        "q22_dormant_customer_balances",
+        "q3_top_unshipped_orders",
+        "q8_nation_market_share",
+        "quality_prune_documents",
+        "semantic_dedup_embeddings",
+        "semantic_dedup_embeddings_hot",
+        "semantic_dedup_fixed_cells",
+        "snapshot_diff_documents",
+        "sql_above_nation_avg",
+        "sql_grouping_sets_orders",
+        "sql_q4_late_orders",
+        "srp_ann_topk",
+        "srp_ann_topk_at_rest",
+        "stream_static_enrichment",
+        "streaming_incremental_dedup",
+        "streaming_quality_monitor",
+        "takedown_documents",
+        "token_budget_select_documents",
+    }
+)
 
 
 def _schedule_registry() -> None:
-    """Reorder REGISTRY: priority names (previously-red / known-stale)
-    first, then never-verified, then stalest round's names, then the
-    freshest round's. A name in several rounds' sets is scheduled by
-    its freshest row (later tiers win) — except priority, which wins
-    over everything."""
-    tiers = [
-        _VERIFIED_R1
-        - _VERIFIED_R2
-        - _VERIFIED_R5
-        - _VERIFIED_R6
-        - _VERIFIED_R7,
-        _VERIFIED_R2 - _VERIFIED_R5 - _VERIFIED_R6 - _VERIFIED_R7,
-        _VERIFIED_R5 - _VERIFIED_R6 - _VERIFIED_R7,
-        _VERIFIED_R6 - _VERIFIED_R7,
+    """Reorder REGISTRY: never-verified names first, then the stalest
+    round's names, then the freshest round's. A name in several rounds'
+    sets is scheduled by its freshest row (later tiers win)."""
+    rounds = [
+        _VERIFIED_R1,
+        _VERIFIED_R2,
+        _VERIFIED_R5,
+        _VERIFIED_R6,
         _VERIFIED_R7,
+        _VERIFIED_R8,
     ]
-    tiers = [tier - _PRIORITY_R8 for tier in tiers]
+    tiers = [
+        rounds[i] - frozenset().union(*rounds[i + 1 :])
+        for i in range(len(rounds) - 1)
+    ] + [rounds[-1]]
     entries = dict(REGISTRY)
     REGISTRY.clear()
-    in_any = frozenset().union(_PRIORITY_R8, *tiers)
-    REGISTRY.update({n: q for n, q in entries.items() if n in _PRIORITY_R8})
+    in_any = frozenset().union(*tiers)
     REGISTRY.update({n: q for n, q in entries.items() if n not in in_any})
     for tier in tiers:
         REGISTRY.update({n: q for n, q in entries.items() if n in tier})

@@ -64,13 +64,23 @@ def run_streaming_incremental_dedup(
     the currently-available files batch-by-batch (respecting
     ``maxFilesPerTrigger``); a live deployment drops the trigger and
     the same query tails the landing path forever. With
-    ``checkpoint_dir`` set, restarts resume from committed offsets —
-    and because the index append and pairs append happen inside
-    foreachBatch, a batch replayed after a crash between the two
-    writes can double-append signatures; the pairs output stays
-    correct (re-emitted pairs are byte-identical rows a downstream
-    consumer dedups by key), the standard at-least-once foreachBatch
-    contract."""
+    ``checkpoint_dir`` set, restarts resume from committed offsets.
+
+    Crash-replay idempotency (ADVICE r8): the index append is
+    batch-keyed — each batch's signatures land in
+    ``index_path/batch=<batch_id>`` with ``mode('overwrite')``, so a
+    batch replayed after a crash between the pairs write and the
+    checkpoint commit OVERWRITES its own partition instead of
+    double-appending (duplicated index rows would otherwise make
+    every FUTURE batch's verify join emit duplicated pairs forever).
+    The replaying batch's own partition is also EXCLUDED from the
+    cross-batch index read (partition-pruned ``batch != batch_id``
+    filter) — otherwise a replay would find its own crashed-attempt
+    signatures as "history" and emit self/mirrored pairs. Pairs
+    replay stays at-least-once (re-emitted rows are byte-identical;
+    downstream dedups by key), the standard foreachBatch contract —
+    tests/test_streaming.py asserts a replayed batch leaves the
+    index and all future batches' pairs unchanged."""
     from ..session import streaming_session
 
     spark = streaming_session(spark)
@@ -82,23 +92,26 @@ def run_streaming_incremental_dedup(
         ).select("id_a", "id_b", "jaccard")
         out = within
         if _path_exists(s, index_path):
+            idx = s.read.parquet(index_path)
+            if "batch" in idx.columns:  # batch-keyed layout
+                idx = idx.where(F.col("batch") != batch_id)
             cross = portable_minhash_dedup_incremental(
-                batch, index_path, "doc_id", "text", threshold
+                batch, idx, "doc_id", "text", threshold
             ).select(
                 F.least("corpus_id", "new_id").alias("id_a"),
                 F.greatest("corpus_id", "new_id").alias("id_b"),
                 "jaccard",
             )
             out = out.unionByName(cross)
-        # Materialize pairs BEFORE the index append below rewrites
-        # nothing — but out's incremental branch READS index_path, so
-        # it must be fully written before new signatures land there.
+        # Materialize pairs BEFORE the index write below — out's
+        # incremental branch READS index_path, so it must be fully
+        # written before this batch's signatures land there.
         out.write.mode("append").parquet(pairs_path)
         (
             _portable_hashed(batch, "doc_id", "text", 3)
             .withColumn("sig", _portable_sig())
-            .write.mode("append")
-            .parquet(index_path)
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/batch={batch_id}")
         )
 
     name = f"inc_dedup_{next(_run_ids)}"

@@ -276,3 +276,59 @@ class TestCompaction:
             .toString()
         )
         assert "PartitionFilters" in plan and "y" in plan
+
+    def test_oversized_partition_splits_into_target_files(
+        self, spark, tmp_path
+    ):
+        """ADVICE r8 (medium): a multi-GB hive partition must not be
+        rewritten as one serial giant file. One partition value (y=0)
+        carries ~50x the bytes of the others; with a target under its
+        size, compaction must emit MULTIPLE files for y=0 and exactly
+        one for each small value — and identical rows."""
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from pyspark_airflow_weather_etl_spark.operators.scale import (
+            _partition_value_bytes,
+            compact_table,
+        )
+
+        path = str(tmp_path / "skewpart")
+        big = spark.range(200_000).select(
+            F.lit(0).alias("y"), "id", F.sha2(F.conv("id", 10, 16), 256).alias("v")
+        )
+        small = spark.range(2_000).select(
+            (F.col("id") % 2 + 1).cast("int").alias("y"),
+            "id",
+            F.sha2(F.conv("id", 10, 16), 256).alias("v"),
+        )
+        big.unionByName(small).repartition(20).write.partitionBy("y").parquet(
+            path
+        )
+        pv = _partition_value_bytes(spark, path, ("y",))
+        assert set(pv) == {("0",), ("1",), ("2",)}
+        # target sized so y=0 needs >=3 slots but y=1/y=2 need 1
+        target = pv[("0",)] // 3
+        assert target > max(pv[("1",)], pv[("2",)])
+        before_rows = sorted(
+            map(tuple, spark.read.parquet(path).select("y", "id", "v").collect())
+        )
+        compact_table(
+            spark, path, partition_cols=("y",), target_file_bytes=target
+        )
+        files_by_y = {
+            y: [
+                f
+                for f in glob.glob(os.path.join(path, f"y={y}", "*"))
+                if not os.path.basename(f).startswith(("_", "."))
+            ]
+            for y in (0, 1, 2)
+        }
+        assert len(files_by_y[0]) >= 2, "giant partition stayed one file"
+        assert len(files_by_y[1]) == 1 and len(files_by_y[2]) == 1
+        after_rows = sorted(
+            map(tuple, spark.read.parquet(path).select("y", "id", "v").collect())
+        )
+        assert after_rows == before_rows

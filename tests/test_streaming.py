@@ -119,6 +119,110 @@ def test_incremental_dedup_invariant_to_arrival_order(spark, tmp_path):
     assert got, "fixture slice must contain near-dup pairs"
 
 
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r8: a crash between the pairs write and the checkpoint
+    commit replays the batch. The batch-keyed index overwrite must
+    leave the index EXACTLY as before (no double-appended signature
+    rows), the replay must not emit self/mirrored pairs against its
+    own crashed-attempt signatures, and future batches must emit each
+    cross pair exactly once. Simulated by deleting the last commit
+    marker from the checkpoint (keeping its offsets entry) — the
+    precise crash point the at-least-once contract covers."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        portable_minhash_pairs,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.incremental_dedup import (
+        read_emitted_pairs,
+        run_streaming_incremental_dedup,
+    )
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    watch = str(tmp_path / "in")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    def stage(buckets, slot0):
+        for slot, bucket in enumerate(buckets, start=slot0):
+            sdir = f"{watch}__stage_{bucket}"
+            docs.where(F.col("doc_id") % 3 == bucket).coalesce(
+                1
+            ).write.mode("overwrite").parquet(sdir)
+            part = glob.glob(f"{sdir}/part-*.parquet")[0]
+            dst = f"{watch}/arrival_{slot:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+
+    stage([0, 1], 0)
+    run_streaming_incremental_dedup(
+        spark, watch, index, pairs, docs.schema,
+        checkpoint_dir=ckpt, threshold=0.5,
+    )
+    index_before = sorted(
+        (r.doc_id, r.batch, tuple(r.sig))
+        for r in spark.read.parquet(index).collect()
+    )
+    emitted_before = read_emitted_pairs(spark, pairs).count()
+    # crash simulation: batch 1's work is on disk but uncommitted
+    # (the local FS keeps a .crc sidecar that must go with it, or the
+    # commit rewrite's rename fails)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_incremental_dedup(
+        spark, watch, index, pairs, docs.schema,
+        checkpoint_dir=ckpt, threshold=0.5,
+    )
+    index_after = sorted(
+        (r.doc_id, r.batch, tuple(r.sig))
+        for r in spark.read.parquet(index).collect()
+    )
+    assert index_after == index_before, "replay duplicated index rows"
+    replayed = read_emitted_pairs(spark, pairs)
+    assert replayed.where(F.col("id_a") >= F.col("id_b")).count() == 0, (
+        "replay emitted self/mirrored pairs against its own signatures"
+    )
+    assert replayed.count() >= emitted_before  # at-least-once re-emit
+    # a future batch against the replayed index: each pair exactly once
+    stage([2], 2)
+    run_streaming_incremental_dedup(
+        spark, watch, index, pairs, docs.schema,
+        checkpoint_dir=ckpt, threshold=0.5,
+    )
+    final = read_emitted_pairs(spark, pairs)
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in portable_minhash_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9) for r in final.collect()
+    }
+    assert got == want and got
+    # rows from the post-replay batch (docs in bucket 2) are unique —
+    # duplicated index rows would have duplicated every one of them
+    b2 = {r.doc_id for r in docs.where(F.col("doc_id") % 3 == 2).collect()}
+    from collections import Counter
+
+    cnt = Counter(
+        (r.id_a, r.id_b)
+        for r in final.collect()
+        if r.id_a in b2 or r.id_b in b2
+    )
+    assert cnt and all(v == 1 for v in cnt.values()), cnt.most_common(3)
+
+
 def test_incremental_dedup_survives_index_compaction(spark, tmp_path):
     """The at-rest signature index accretes one small append per
     micro-batch — exactly what compact_table exists for. Compacting
@@ -166,7 +270,11 @@ def test_incremental_dedup_survives_index_compaction(spark, tmp_path):
         spark, watch, index, pairs, docs.schema,
         checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.5,
     )
-    b, a = compact_table(spark, index, target_file_bytes=1 << 30)
+    # the index is hive-partitioned by batch id (replay idempotency);
+    # compact it as the partitioned table it is
+    b, a = compact_table(
+        spark, index, partition_cols=("batch",), target_file_bytes=1 << 30
+    )
     assert a < b, "two appended batches should compact to fewer files"
     # two more batches after compaction, same checkpoint resumes
     stage(watch, [2, 3], 1_700_000_400, 2)
