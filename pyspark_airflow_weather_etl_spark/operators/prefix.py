@@ -60,10 +60,51 @@ _LOW33 = (1 << 33) - 1
 
 
 def _offsets(local: DataFrame, with_cum: bool) -> DataFrame:
-    aggs = [F.max("__local_rn").alias("__part_rows")]
+    """Per-partition totals + prefix offsets, with a loud-failure
+    invariant (ADVICE r8): ``max(__local_rn)`` must equal
+    ``count(*)`` in every partition. The id-decode path derives
+    ``__local_rn`` from ``monotonically_increasing_id``'s bit layout;
+    a partition beyond 2^33 rows or a future Catalyst reordering of
+    the nondeterministic projection would corrupt ranks SILENTLY
+    (offsets built from max() stay self-consistent with the corrupt
+    values). Dense 1..count ranks are the one property every failure
+    mode breaks, so the equality check — riding the same tiny
+    aggregate, asserted in-plan so laziness is preserved — turns
+    silent corruption into a job failure for ~zero cost."""
+    aggs = [
+        F.max("__local_rn").alias("__part_rows"),
+        F.count(F.lit(1)).alias("__part_cnt"),
+    ]
     if with_cum:
         aggs.append(F.max("__local_cum").alias("__part_sum"))
-    totals = local.groupBy("__pid").agg(*aggs)
+    totals = (
+        local.groupBy("__pid")
+        .agg(*aggs)
+        .withColumn(
+            "__part_rows",
+            F.when(
+                F.col("__part_rows") == F.col("__part_cnt"),
+                F.col("__part_rows"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit(
+                            "ranged rank decode corrupted: partition"
+                        ),
+                        F.col("__pid"),
+                        F.lit("max(__local_rn)"),
+                        F.col("__part_rows"),
+                        F.lit("!= count(*)"),
+                        F.col("__part_cnt"),
+                    )
+                )
+            )
+            .cast("long"),
+        )
+        .drop("__part_cnt")
+    )
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -342,6 +342,74 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert a == b
 
 
+def test_curate_corpus_stages_read_cached_frames(spark, tmp_path):
+    """VERDICT r8 'What's wrong #1': each stage barrier and the final
+    write must read the PREVIOUS stage's persisted frame, not re-run
+    the whole chain from the scan. Asserted structurally: every
+    post-dedup stage frame's executed plan scans an in-memory
+    relation, and the cache group holds one frame per stage."""
+    from pyspark_airflow_weather_etl_spark import caching
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "rel")
+    counts = curate_corpus(
+        docs, out, per_source_cap=20, budget_numer=8, budget_denom=10,
+        shard_rows=64, seed=11,
+    )
+    frames = caching._groups.get("curate_corpus", [])
+    # one persisted frame per counted stage (input/sharded aside)
+    staged = [k for k in counts if k.startswith("after_")]
+    assert len(frames) == len(staged), (len(frames), staged)
+    for f in frames[1:]:
+        plan = f._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:2000]
+    caching.release_cached("curate_corpus")
+
+
+def test_curate_corpus_score_col_contract(spark, tmp_path):
+    """ADVICE r8: an input without n_chars must work (derived
+    length(text) score), and an explicitly named missing score_col
+    must fail up front with a readable error."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bare = docs.drop("n_chars")
+    out = str(tmp_path / "bare_rel")
+    counts = curate_corpus(
+        bare, out, per_source_cap=20, budget_numer=8, budget_denom=10,
+        shard_rows=64, seed=11,
+    )
+    assert counts["sharded"] > 0
+    final = spark.read.parquet(out)
+    assert "__curate_score" not in final.columns
+    # derived length(text) == fixture n_chars, so the release is
+    # IDENTICAL to the n_chars-scored one
+    out2 = str(tmp_path / "full_rel")
+    curate_corpus(
+        docs, out2, per_source_cap=20, budget_numer=8, budget_denom=10,
+        shard_rows=64, seed=11,
+    )
+    a = sorted(map(tuple, final.select("doc_id", "pos", "shard").collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out2)
+            .select("doc_id", "pos", "shard")
+            .collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="score_col 'nope' not in"):
+        curate_corpus(docs, str(tmp_path / "x"), score_col="nope")
+
+
 def test_training_shards_full_replace_no_stale_shards(spark, tmp_path):
     """Re-sharding a SMALLER corpus to the same path must not leave
     stale high-numbered shards from the previous epoch (dynamic

@@ -169,3 +169,28 @@ def test_ranged_rank_matches_sequential_reference(spark, rows, parts):
     }
     for rank, (doc_id, _n) in enumerate(sorted(rows), start=1):
         assert got[doc_id] == rank, (doc_id, got[doc_id], rank)
+
+
+def test_offsets_raise_loudly_on_corrupt_local_rank(spark):
+    """ADVICE r8: a broken id-decode (partition >2^33 rows, or a
+    Catalyst reordering of the nondeterministic projection) makes
+    max(__local_rn) diverge from count(*) — dense 1..count ranks are
+    the property every failure mode breaks. _offsets must fail the
+    job, not build self-consistent offsets from the corrupt max."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.prefix import _offsets
+
+    # healthy: ranks dense 1..count per partition
+    ok = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 1)], "__pid int, __local_rn long"
+    )
+    offs = {r["__pid"]: r["__rank_offset"] for r in _offsets(ok, False).collect()}
+    assert offs == {0: 0, 1: 2}
+
+    # corrupt: partition 0 claims max rank 5 with only 2 rows
+    bad = spark.createDataFrame(
+        [(0, 1), (0, 5), (1, 1)], "__pid int, __local_rn long"
+    )
+    with pytest.raises(Exception, match="ranged rank decode corrupted"):
+        _offsets(bad, False).collect()
