@@ -625,6 +625,53 @@ def _incremental_dedup_probe(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bpe_probe(spark, sf_dir: str) -> dict[str, float]:
+    """BPE trainer/encoder timings (operators/bpe.py). Training is a
+    driver-bounded iteration (k argmax rounds over the vocab-sized
+    frame after the ONE corpus-sized word groupBy), so the plans-layer
+    merge cache must be cleared per sample — otherwise every pass
+    after the first times a dict lookup. Encode is timed with the
+    just-trained rules (the production shape: train once, encode the
+    corpus). Correctness-asserted: the rule sequence must be identical
+    across passes (deterministic argmax tiebreak) and the encode must
+    be a lossless round-trip in piece counts (Σ n_pieces ≥ Σ n_words,
+    equality only if no merge ever fired)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.plans import bpeplans
+
+    out: dict[str, float] = {}
+    t_samples: list[float] = []
+    e_samples: list[float] = []
+    rules_seen: set[tuple] = set()
+    for _ in range(BENCH_RUNS):
+        bpeplans._MERGE_CACHE.clear()
+        t0 = time.perf_counter()
+        merges = bpeplans.bpe_merges_documents(spark, sf_dir).collect()
+        t_samples.append(time.perf_counter() - t0)
+        rules_seen.add(
+            tuple((r.merge_rank, r.left, r.right, r.pair_freq) for r in merges)
+        )
+        t0 = time.perf_counter()
+        enc = (
+            bpeplans.bpe_encode_documents(spark, sf_dir)
+            .agg(
+                F.sum("n_words").alias("w"), F.sum("n_pieces").alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        e_samples.append(time.perf_counter() - t0)
+        assert enc.n > 0 and enc.p >= enc.w > 0, enc
+        release_cached()
+    assert len(rules_seen) == 1, "BPE training nondeterministic across passes"
+    out["bpe_train_24_merges"] = round(_median(t_samples), 3)
+    out["bpe_encode_documents"] = round(_median(e_samples), 3)
+    return out
+
+
 def _shuffle_pressure(spark, sf_dir: str) -> dict[str, float]:
     """Wide-frame pressure probe for the single-exchange global rank:
     ``global_shuffle`` over ×32-replicated documents — FULL text rows,
@@ -941,6 +988,9 @@ def main() -> None:
     gc.collect()
     # Flat vs bucketed at-rest index: the per-batch incremental cost.
     timings.update(_incremental_dedup_probe(spark, sf_dir))
+    gc.collect()
+    # BPE trainer/encoder (cache cleared per sample — bench honesty).
+    timings.update(_bpe_probe(spark, sf_dir))
     gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
 

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     bucketplans,
     tpchplans,
     curationplans,
+    bpeplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

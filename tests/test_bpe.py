@@ -1,0 +1,188 @@
+"""BPE trainer/encoder vs a pure-Python reference implementation of
+the same semantics (Sennrich et al. 2016 without end-of-word marker:
+whitespace pre-tokenization, character alphabet, greedy leftmost
+non-overlapping merge application, argmax tiebreak (freq DESC, left,
+right), min_freq stop). The catalog entries are rows-only for the
+driver — an iterative argmax loop is not one SQL query — so THIS file
+is the correctness evidence for the loop: exact merge-sequence and
+piece-level equality on the fixture corpus, plus the lossless
+round-trip property."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.operators.bpe import (
+    bpe_encode,
+    bpe_pair_counts,
+    bpe_train,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+# --- pure-Python reference -------------------------------------------------
+
+def ref_word_freqs(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            c[w] += 1
+    return c
+
+
+def ref_train(
+    texts: list[str], num_merges: int, min_freq: int = 2
+) -> list[tuple[str, str, int]]:
+    vocab = {w: tuple(w) for w in ref_word_freqs(texts)}
+    freqs = ref_word_freqs(texts)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += f
+        best = None
+        for pair, n in pc.items():
+            if n < min_freq:
+                continue
+            key = (-n, pair[0], pair[1])
+            if best is None or key < best[0]:
+                best = (key, pair, n)
+        if best is None:
+            break
+        (_, (l, r), n) = best
+        merges.append((l, r, n))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges
+
+
+def ref_encode_word(
+    word: str, merges: list[tuple[str, str, int]]
+) -> list[str]:
+    # sequential exhaustive application in rank order — deliberately
+    # the OTHER algorithm than the UDF's min-rank loop, so equality
+    # also cross-checks the two formulations' equivalence
+    syms = list(word)
+    for l, r, _n in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+# --- tests -----------------------------------------------------------------
+
+def _texts(spark, n=300):
+    return [
+        r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .limit(n)
+        .select("text")
+        .collect()
+    ]
+
+
+def test_merge_sequence_matches_python_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    got = [
+        (m.left, m.right, m.freq)
+        for m in bpe_train(docs, num_merges=20, min_freq=2)
+    ]
+    want = ref_train(_texts(spark, 300), 20, 2)
+    assert got == want and len(got) == 20
+
+
+def test_merge_sequence_greedy_overlap_semantics(spark):
+    """'aaa' under merge (a,a) must emit [aa, a] — greedy leftmost
+    non-overlapping, the fold's contract."""
+    df = spark.createDataFrame(
+        [(1, "aaa aaa aa"), (2, "aaa b b b")], "doc_id long, text string"
+    )
+    got = [
+        (m.left, m.right, m.freq)
+        for m in bpe_train(df, num_merges=3, min_freq=2)
+    ]
+    want = ref_train(["aaa aaa aa", "aaa b b b"], 3, 2)
+    assert got == want
+    # iteration 0 counts 'aaa' as TWO (a,a) occurrences, 'aa' as one:
+    # 3 docs-worth -> (a,a) freq = 2+2+1+2 = 7 over both docs
+    assert got[0] == ("a", "a", 7)
+
+
+def test_encode_matches_reference_and_roundtrips(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    merges = bpe_train(docs, num_merges=20, min_freq=2)
+    ref_rules = [(m.left, m.right, m.freq) for m in merges]
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.pieces)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        words = row.text.split()
+        pieces: list[str] = []
+        for w in words:
+            pieces.extend(ref_encode_word(w, ref_rules))
+        assert got[row.doc_id] == (
+            len(words),
+            len(pieces),
+            " ".join(pieces),
+        ), row.doc_id
+        # lossless: concatenating each word's pieces restores the word
+        # (checked via the reference split — piece joins are per-word)
+    assert len(got) == docs.count()
+
+
+def test_encode_roundtrip_lossless(spark):
+    """Pieces concatenate back to the exact word sequence: encode
+    drops nothing and invents nothing."""
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    merges = bpe_train(docs, num_merges=12, min_freq=2)
+    enc = {r.doc_id: r.pieces for r in bpe_encode(docs, merges).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        assert enc[row.doc_id].replace(" ", "") == "".join(row.text.split())
+
+
+def test_pair_counts_kernel_matches_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    got = {
+        (r.left, r.right): r.pair_freq
+        for r in bpe_pair_counts(docs).collect()
+    }
+    pc: Counter = Counter()
+    for w, f in ref_word_freqs(_texts(spark, 200)).items():
+        for pair in zip(w, w[1:]):
+            pc[pair] += f
+    assert got == dict(pc)
+
+
+def test_train_stops_when_no_pair_reaches_min_freq(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id long, text string"
+    )
+    assert bpe_train(df, num_merges=5, min_freq=2) == []
+    one = bpe_train(df, num_merges=50, min_freq=1)
+    # every pair is unique (freq 1): merges until words are single
+    # symbols; 3 words x 1 merge each
+    assert len(one) == 3 and all(m.freq == 1 for m in one)
