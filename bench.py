@@ -64,8 +64,10 @@ HEADLINE = [
     "token_budget_select_documents",
     "semantic_dedup_embeddings",
     "semantic_dedup_embeddings_hot",
+    "semantic_dedup_embeddings_nprobe",
     "dedup_exact_documents",
     "dedup_passages_documents",
+    "dedup_substrings_documents",
     "feature_hash_embed_documents",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",

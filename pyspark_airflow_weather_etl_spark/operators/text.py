@@ -533,3 +533,116 @@ def dedup_passages(
         .alias("n_dropped"),
     )
     return per_doc.where(F.col("n_kept") > 0)
+
+
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """STRIDED-window substring dedup — the overlapping-window
+    refinement of :func:`dedup_passages` (closer to Lee et al. 2021's
+    suffix-array substring dedup, arXiv:2107.06499): fingerprint every
+    ``window_tokens``-token window starting at token positions
+    1, 1+stride, 1+2·stride, … (full windows only — a doc shorter
+    than one window passes through untouched), keep each repeated
+    window's FIRST occurrence in (doc, start) order, and remove the
+    TOKEN RANGES of every later occurrence. Because windows overlap
+    (stride < window), a duplicated span that straddles a fixed
+    passage boundary — invisible to ``dedup_passages``, whose
+    disjoint chunks hash differently on each side of the cut — still
+    contains a fully-duplicated window at the same token alignment
+    and is caught (the boundary-straddling pytest in
+    tests/test_text.py is exactly the case the passage entry misses).
+
+    Removal is conservative at token granularity: a token inside ANY
+    non-first duplicated window is removed, even if it also belongs
+    to a first-occurrence window (Lee et al. likewise cut every later
+    copy of a duplicated span). Output:
+    ``(id, clean_text, n_kept_tokens, n_dropped_tokens)``; documents
+    reduced to nothing are dropped.
+
+    Scale shape — three linear passes, no quadratic term anywhere:
+    (1) window fingerprints are per-row codegen (token slice + md5)
+    exploded ~n_tokens/stride per doc; the keep-first rule shuffles
+    ONLY 32-byte fingerprints + (doc, start) — window text never
+    shuffles (it is re-derivable and not carried); (2) dropped token
+    positions explode from non-first windows only (duplication-
+    proportional, not corpus-proportional); (3) reassembly explodes
+    the token axis once (~n_tokens rows of small ints — the same
+    order of work as Lee et al.'s suffix array construction), anti-
+    joins the dropped (doc, pos) set, and re-aggregates in position
+    order. At 100 TB: stride is the cost dial (windows per token =
+    1/stride), and the token-axis explode is the dominant term —
+    partition by doc id and it stays embarrassingly parallel."""
+    from pyspark.sql.window import Window
+
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.when(
+        n >= window_tokens,
+        F.sequence(
+            F.lit(1),
+            n - F.lit(window_tokens) + 1,
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(starts).alias("start"),
+    ).select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("start"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(tokens(text_col), F.col("start"), window_tokens)
+            )
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(id_col, "start")
+    dup_wins = (
+        wins.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(id_col, "start")
+    )
+    dropped_pos = dup_wins.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("start"), F.col("start") + F.lit(window_tokens - 1)
+            )
+        ).alias("pos"),
+    ).distinct()
+    tok = df.select(
+        F.col(id_col), F.posexplode(t).alias("pos0", "tok")
+    ).select(
+        F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+    kept_tok = tok.join(dropped_pos, [id_col, "pos"], "left_anti")
+    n_tok = df.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+    per_doc = (
+        kept_tok.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept_tokens"),
+        )
+        .join(n_tok, id_col)
+        .select(
+            F.col(id_col),
+            "clean_text",
+            "n_kept_tokens",
+            (F.col("n_tokens") - F.col("n_kept_tokens")).alias(
+                "n_dropped_tokens"
+            ),
+        )
+    )
+    return per_doc.where(F.col("n_kept_tokens") > 0)

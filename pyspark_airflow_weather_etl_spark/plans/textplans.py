@@ -1258,3 +1258,64 @@ def minhash_dedup_incremental_bucketed(
         "text",
         threshold=0.5,
     )
+
+
+@register(
+    "dedup_substrings_documents",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), wins AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS start,
+             md5(array_to_string(list_slice(toks, s, s + 31), ' ')) AS fp
+      FROM tk,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - 31, 16))
+                    AS s) g
+      WHERE len(toks) >= 32
+    ), dup AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY doc_id, start) AS rn
+        FROM wins) r
+      WHERE rn > 1
+    ), droppos AS (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      FROM dup,
+           LATERAL (SELECT unnest(generate_series(start, start + 31))
+                    AS p) g
+    ), tokpos AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             CAST(generate_subscripts(string_split(text, ' '), 1)
+                  AS BIGINT) AS pos
+      FROM documents
+    ), kept AS (
+      SELECT t.doc_id, t.tok, t.pos
+      FROM tokpos t
+      ANTI JOIN droppos d ON d.doc_id = t.doc_id AND d.pos = t.pos
+    )
+    SELECT k.doc_id,
+           array_to_string(list(k.tok ORDER BY k.pos), ' ') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+           CAST(len(tk.toks) - COUNT(*) AS BIGINT) AS n_dropped_tokens
+    FROM kept k JOIN tk ON tk.doc_id = k.doc_id
+    GROUP BY k.doc_id, len(tk.toks)
+    """,
+)
+def dedup_substrings_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided-window substring dedup (operators.text.dedup_substrings,
+    window 32 / stride 16 — the Lee et al. 2021 recipe's overlapping-
+    window approximation): repeated 32-token windows keep their first
+    (doc, start) occurrence and every later occurrence's token range
+    is removed — including duplicated spans that STRADDLE the fixed
+    32-token passage boundary, which ``dedup_passages_documents``
+    cannot see (its disjoint chunks hash differently on each side of
+    the cut; the boundary-straddle pytest in tests/test_text.py is
+    the differential witness). Fingerprints shuffle, window text
+    never does; the token-axis explode is the linear dominant term.
+    The oracle replays windows, keep-first rank, dropped positions,
+    and position-ordered reassembly in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.dedup_substrings(
+        docs, "doc_id", "text", window_tokens=32, stride=16
+    )

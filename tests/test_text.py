@@ -117,3 +117,82 @@ def test_dedup_passages_removes_boilerplate_corpus_wide(spark):
     assert 2 not in out
     # untouched doc passes through byte-identical
     assert out[3].clean_text == rows[3][1] and out[3].n_dropped == 0
+
+
+class TestSubstringDedup:
+    """dedup_substrings: the overlapping-window refinement whose
+    reason to exist is the duplicate dedup_passages cannot see."""
+
+    def test_boundary_straddling_duplicate_caught(self, spark):
+        """A 32-token span duplicated across two docs, sitting at
+        tokens 17..48 — straddling the 32-token passage boundary so
+        each disjoint passage contains only HALF of it (different
+        neighbours on each side -> different passage hashes ->
+        dedup_passages keeps both copies). The strided windows (start
+        17 = 1 + 16) cover the span exactly, so dedup_substrings
+        removes the second copy."""
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            dedup_passages,
+            dedup_substrings,
+        )
+
+        dup = " ".join(f"d{i}" for i in range(32))
+        doc1 = (
+            " ".join(f"a{i}" for i in range(16))
+            + " " + dup + " "
+            + " ".join(f"b{i}" for i in range(16))
+        )
+        doc2 = (
+            " ".join(f"c{i}" for i in range(16))
+            + " " + dup + " "
+            + " ".join(f"e{i}" for i in range(16))
+        )
+        df = spark.createDataFrame(
+            [(1, doc1), (2, doc2)], "doc_id long, text string"
+        )
+        # passages miss it: nothing dropped
+        passages = {
+            r.doc_id: r.n_dropped
+            for r in dedup_passages(df, passage_tokens=32).collect()
+        }
+        assert passages == {1: 0, 2: 0}
+        # strided windows catch it: doc2 loses exactly the 32 tokens
+        got = {
+            r.doc_id: (r.n_kept_tokens, r.n_dropped_tokens, r.clean_text)
+            for r in dedup_substrings(
+                df, window_tokens=32, stride=16
+            ).collect()
+        }
+        assert got[1][:2] == (64, 0)
+        assert got[2][:2] == (32, 32)
+        assert "d0" not in got[2][2] and "c0" in got[2][2]
+        assert "e0" in got[2][2]
+
+    def test_short_docs_pass_through(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            dedup_substrings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_dropped_tokens)
+            for r in dedup_substrings(df, window_tokens=32).collect()
+        }
+        assert got == {1: ("tiny doc", 0), 2: ("tiny doc", 0)}
+
+    def test_within_doc_repeat_dropped(self, spark):
+        """The second occurrence of a repeated span INSIDE one doc is
+        removed too (same keep-first rule, (doc, start) order)."""
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            dedup_substrings,
+        )
+
+        span = " ".join(f"s{i}" for i in range(32))
+        df = spark.createDataFrame(
+            [(1, span + " " + span)], "doc_id long, text string"
+        )
+        r = dedup_substrings(df, window_tokens=32, stride=16).first()
+        assert (r.n_kept_tokens, r.n_dropped_tokens) == (32, 32)
+        assert r.clean_text == span
