@@ -627,6 +627,76 @@ def _incremental_dedup_probe(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _substring_pressure(spark, sf_dir: str) -> dict[str, float]:
+    """×8-duplication pressure probe for the strided-window substring
+    dedup (the passage-dedup probe's sibling): documents replicated
+    with shifted ids and UNCHANGED content, so every full window of a
+    replica duplicates its rep-0 original — the keep-first rank's
+    fingerprint groups get 8× deeper and the dropped-position explode
+    carries 7 replicas' worth of ranges. Replication makes the answer
+    fully predictable, so the run is TOTALLY asserted, not sampled:
+    (a) rep-0 rows must equal the base-scale result exactly (rep-0
+    occurrences precede every replica in (doc, start) order); (b)
+    every replica doc keeps exactly its uncovered tail — for n ≥ 32
+    tokens the strided windows cover positions 1..(last_start+31),
+    last_start = 1 + 16·⌊(n−32)/16⌋, so n_kept must equal
+    n − last_start − 31 (docs with nothing uncovered vanish)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        dedup_substrings,
+        token_count,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    rep = spark.range(8).select(F.col("id").alias("__rep"))
+    big = (
+        docs.crossJoin(F.broadcast(rep))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * shift)
+        .drop("__rep")
+    )
+    base = {
+        r.doc_id: (r.n_kept_tokens, r.n_dropped_tokens)
+        for r in dedup_substrings(docs).collect()
+    }
+    samples = []
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        rows = dedup_substrings(big).collect()
+        samples.append(time.perf_counter() - t0)
+    got0 = {
+        r.doc_id: (r.n_kept_tokens, r.n_dropped_tokens)
+        for r in rows
+        if r.doc_id < shift
+    }
+    assert got0 == base, "rep-0 diverged from base-scale result"
+    # replica docs: exactly the uncovered tail survives
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", token_count("text").alias("n")
+        ).collect()
+    }
+    kept_rep = {r.doc_id: r.n_kept_tokens for r in rows if r.doc_id >= shift}
+    for doc_id, n in n_tok.items():
+        for k in range(1, 8):
+            rid = doc_id + k * shift
+            if n < 32:
+                expect = n  # no full window: replica passes through
+            else:
+                last_start = 1 + 16 * ((n - 32) // 16)
+                expect = n - last_start - 31
+            if expect == 0:
+                assert rid not in kept_rep, rid
+            else:
+                assert kept_rep.get(rid) == expect, (rid, n, expect)
+    return {"dedup_substrings_8x": round(_median(samples), 3)}
+
+
 def _bpe_probe(spark, sf_dir: str) -> dict[str, float]:
     """BPE trainer/encoder timings (operators/bpe.py). Training is a
     driver-bounded iteration (k argmax rounds over the vocab-sized
@@ -993,6 +1063,9 @@ def main() -> None:
     gc.collect()
     # BPE trainer/encoder (cache cleared per sample — bench honesty).
     timings.update(_bpe_probe(spark, sf_dir))
+    gc.collect()
+    # ×8-duplication substring-dedup probe, totally asserted.
+    timings.update(_substring_pressure(spark, sf_dir))
     gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
 

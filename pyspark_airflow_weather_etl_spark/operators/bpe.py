@@ -334,3 +334,21 @@ def bpe_encode(
             F.concat_ws(" ", "piece_arr").alias("pieces"),
         )
     )
+
+
+def bpe_save_merges(spark, merges: list[Merge], path: str) -> None:
+    """Persist the trained rule list as the tokenizer artifact at
+    rest (one small parquet — the file that ships with a model
+    release; training is the expensive part, the artifact is a few
+    KB). Round-trips through :func:`bpe_load_merges`."""
+    merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark, path: str) -> list[Merge]:
+    """Load a persisted rule list in training order — encode jobs on
+    other sessions/clusters start here instead of retraining."""
+    rows = spark.read.parquet(path).orderBy("merge_rank").collect()
+    return [
+        Merge(int(r.merge_rank), r.left, r.right, int(r.pair_freq))
+        for r in rows
+    ]

@@ -290,3 +290,61 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{tmp}/ckpt",
     )
     return read_quality_metrics(spark, f"{tmp}/metrics")
+
+
+_STREAM_SEMANTIC: dict[str, tuple[str, str]] = {}
+
+from .curationplans import _FIXED_CELLS_ORACLE  # noqa: E402
+
+
+@register("streaming_semantic_dedup", oracle=_FIXED_CELLS_ORACLE)
+def streaming_semantic_dedup_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic dedup at streaming latency
+    (streaming.semantic_dedup): embeddings arrive as four
+    micro-batches in a PERMUTED order (vec_id%4 buckets staged
+    2,0,3,1); the centroid table is written once before the stream
+    starts, each batch verifies exact cosine within its touched cells
+    against the growing at-rest index plus itself, emits drop
+    decisions, and appends batch-keyed cell partitions. The final
+    kept corpus hash-matches the one-shot fixed-cells DuckDB oracle —
+    the monotone-drop/co-presence equality, now at streaming latency
+    (the embedding twin of ``streaming_incremental_dedup``)."""
+    from ..operators import similarity as S
+    from ..streaming.semantic_dedup import (
+        read_kept,
+        run_streaming_semantic_dedup,
+    )
+
+    if sf_dir not in _STREAM_SEMANTIC:
+        import glob as _glob
+        import os
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="stream_semantic_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        watch = f"{tmp}/in"
+        os.makedirs(watch, exist_ok=True)
+        for slot, b in enumerate([2, 0, 3, 1]):
+            stage = f"{tmp}/stage_{b}"
+            emb.where(F.col("vec_id") % 4 == b).coalesce(1).write.parquet(
+                stage
+            )
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{watch}/batch_{slot:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+        S.semantic_centroids_write_fixed(emb, f"{tmp}/idx", n_centroids=8)
+        run_streaming_semantic_dedup(
+            spark,
+            watch,
+            f"{tmp}/idx",
+            f"{tmp}/drops",
+            emb.schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            threshold=0.4,
+        )
+        _STREAM_SEMANTIC[sf_dir] = (f"{tmp}/idx", f"{tmp}/drops")
+    idx, drops = _STREAM_SEMANTIC[sf_dir]
+    return read_kept(spark, idx, drops)

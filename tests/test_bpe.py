@@ -186,3 +186,27 @@ def test_train_stops_when_no_pair_reaches_min_freq(spark):
     # every pair is unique (freq 1): merges until words are single
     # symbols; 3 words x 1 merge each
     assert len(one) == 3 and all(m.freq == 1 for m in one)
+
+
+def test_merge_artifact_roundtrip(spark, tmp_path):
+    """Save/load of the trained rule list is lossless, and encoding
+    from the loaded artifact equals encoding from the in-memory
+    rules — the cross-session tokenizer-artifact contract."""
+    from pyspark_airflow_weather_etl_spark.operators.bpe import (
+        bpe_load_merges,
+        bpe_save_merges,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    merges = bpe_train(docs, num_merges=12, min_freq=2)
+    path = str(tmp_path / "merges")
+    bpe_save_merges(spark, merges, path)
+    loaded = bpe_load_merges(spark, path)
+    assert loaded == merges
+    a = sorted(
+        map(tuple, bpe_encode(docs, merges).collect())
+    )
+    b = sorted(
+        map(tuple, bpe_encode(docs, loaded).collect())
+    )
+    assert a == b

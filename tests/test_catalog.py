@@ -65,4 +65,19 @@ def test_rows_only_entries_are_the_documented_sketches():
         "semantic_dedup_embeddings",
         # forced hot-cell SRP sub-blocking scale path of the above
         "semantic_dedup_embeddings_hot",
+        # nprobe=4 multi-probe edition (k-means): leakage + coverage
+        # bounds in tests/test_similarity.py (r9)
+        "semantic_dedup_embeddings_nprobe",
+        # k-means incremental loop: batch-restriction equality in
+        # tests/test_similarity.py::TestIncrementalSemanticDedup (its
+        # fixed-quantizer twin semantic_dedup_incremental_cells is
+        # hash-exact against the one-shot oracle)
+        "semantic_dedup_incremental_embeddings",
+        # BPE training/encode: iterative driver-side argmax is not
+        # one SQL query; the merge sequence and piece-level encode are
+        # hash-checked vs a pure-Python reference in tests/test_bpe.py
+        # (the iteration-0 kernel bpe_pair_counts_documents IS
+        # oracle-bearing)
+        "bpe_merges_documents",
+        "bpe_encode_documents",
     }, f"unexpected rows-only set: {rows_only}"

@@ -335,3 +335,69 @@ def test_quality_monitor_alerts_on_degraded_batch(spark, tmp_path):
     }
     assert rows[100].alert is False and rows[100].n_short == 0
     assert rows[200].alert is True and rows[200].n_short == 10
+
+
+def test_streaming_semantic_dedup_replay_idempotent(spark, tmp_path):
+    """The semantic twin of the minhash replay test: a crash between
+    the drops write and the checkpoint commit replays the batch. The
+    batch-keyed dynamic-overwrite append must leave the index
+    row-set identical, and the final kept corpus must equal the
+    one-shot fixed-cells run."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators import similarity as S
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.semantic_dedup import (
+        read_kept,
+        run_streaming_semantic_dedup,
+    )
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    watch = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    drops = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    for slot, b in enumerate([1, 0, 2]):
+        stage = str(tmp_path / f"st_{b}")
+        emb.where(F.col("vec_id") % 3 == b).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{slot:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+    S.semantic_centroids_write_fixed(emb, idx, n_centroids=8)
+    run_streaming_semantic_dedup(
+        spark, watch, idx, drops, emb.schema,
+        checkpoint_dir=ckpt, threshold=0.4,
+    )
+    index_before = sorted(
+        (r.vec_id, r.batch, r.ivf_cell)
+        for r in spark.read.parquet(f"{idx}/rows").collect()
+    )
+    # crash simulation: replay the LAST batch
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    crc = os.path.join(ckpt, "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_semantic_dedup(
+        spark, watch, idx, drops, emb.schema,
+        checkpoint_dir=ckpt, threshold=0.4,
+    )
+    index_after = sorted(
+        (r.vec_id, r.batch, r.ivf_cell)
+        for r in spark.read.parquet(f"{idx}/rows").collect()
+    )
+    assert index_after == index_before, "replay changed the index"
+    kept = {r.vec_id for r in read_kept(spark, idx, drops).collect()}
+    want = {
+        r.vec_id
+        for r in S.semantic_dedup_fixed_cells(
+            emb, n_centroids=8, threshold=0.4
+        ).collect()
+    }
+    assert kept == want and kept
