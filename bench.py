@@ -77,6 +77,8 @@ HEADLINE = [
     "srp_ann_topk_at_rest",
     "ivf_ann_topk",
     "ivf_ann_topk_at_rest",
+    "pq_ann_topk_adc",
+    "ivfpq_ann_topk_at_rest",
     "embedding_near_dup_blocked",
     "pairwise_topk_per_label",
     "pairwise_topk_per_label_hot",

@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     tpchplans,
     curationplans,
     bpeplans,
+    pqplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

@@ -80,4 +80,11 @@ def test_rows_only_entries_are_the_documented_sketches():
         # oracle-bearing)
         "bpe_merges_documents",
         "bpe_encode_documents",
+        # PQ with trained codebooks: quantized ranking is approximate
+        # by design; encode/LUT exactness + recall bounds in
+        # tests/test_pq.py (the fixed-codebook twins
+        # pq_encode_fixed_embeddings / pq_adc_topk_fixed ARE
+        # oracle-bearing — the hash-exact proof of the same pipeline)
+        "pq_ann_topk_adc",
+        "ivfpq_ann_topk_at_rest",
     }, f"unexpected rows-only set: {rows_only}"

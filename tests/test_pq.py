@@ -1,0 +1,212 @@
+"""Product-quantization family: encode exactness vs a numpy reference,
+ADC LUT/scoring exactness, recall bounds (fixture floor + planted
+clusters where PQ should genuinely shine), IVF-PQ at-rest partition
+pruning and re-rank exactness, and the fixed-twin DuckDB oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.operators.pq import (
+    adc_lut,
+    ivfpq_index_write,
+    ivfpq_topk_at_rest,
+    pq_encode,
+    pq_topk_adc,
+    pq_train_codebooks,
+)
+from pyspark_airflow_weather_etl_spark.operators.similarity import (
+    ivf_train_centroids,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def xmat(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+@pytest.fixture(scope="module")
+def qvec(xmat):
+    ids, X = xmat
+    return [float(x) for x in X[list(ids).index(0)]]
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train_codebooks(emb, m=8, n_codes=16)
+
+
+def _numpy_codes(X, books):
+    m, n_codes, dsub = books.shape
+    codes = np.empty((X.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        stat = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = stat.argmin(axis=1)
+    return codes
+
+
+def test_encode_matches_numpy(emb, xmat, books):
+    """Distributed Arrow encode == per-row numpy argmin, every row."""
+    ids, X = xmat
+    want = {int(i): c.tolist() for i, c in zip(ids, _numpy_codes(X, books))}
+    got = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    }
+    assert got == want
+
+
+def test_adc_lut_and_score_exact(emb, xmat, qvec, books):
+    """The JVM literal-lookup score equals the numpy LUT sum (6 dp) —
+    the ADC scan is exact given the codes; all approximation lives in
+    the quantization itself."""
+    ids, X = xmat
+    lut = adc_lut(qvec, books)
+    codes = _numpy_codes(X, books)
+    want_all = {
+        int(i): round(float(lut[np.arange(books.shape[0]), c].sum()), 6)
+        for i, c in zip(ids, codes)
+    }
+    got = pq_topk_adc(emb, qvec, books, k=500).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        assert abs(r.adc_d2 - want_all[r.vec_id]) <= 1e-6
+
+
+def test_fixture_recall_floor(emb, xmat, qvec, books):
+    """Fixture embeddings are near-uniform-distance (the ANN worst
+    case); the deterministic floor guards the plumbing. ADC alone
+    lands 0.4 recall@10 here; all of its top-10 sit inside the exact
+    top-50 — quantized ranking is coarse, not wrong."""
+    ids, X = xmat
+    q = np.asarray(qvec)
+    d2 = ((X - q[None, :]) ** 2).sum(axis=1)
+    order = np.argsort(d2, kind="stable")
+    top10 = set(int(i) for i in ids[order[:10]])
+    top50 = set(int(i) for i in ids[order[:50]])
+    approx = {r.vec_id for r in pq_topk_adc(emb, qvec, books, k=10).collect()}
+    assert len(approx & top10) / 10 >= 0.3
+    assert len(approx & top50) / 10 >= 0.6
+
+
+def test_planted_cluster_recall(spark):
+    """Where the data has cluster structure (the real-corpus case), a
+    16-dim m=4 PQ separates clusters cleanly: the query's planted
+    near-copies must dominate the ADC top-k."""
+    rng = np.random.default_rng(7)
+    dim, n_base, n_copies = 16, 60, 9
+    base = rng.standard_normal((n_base, dim)) * 3.0
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant near-copies of base[0] with ids ≥ 1000
+    for c in range(n_copies):
+        v = base[0] + 0.05 * rng.standard_normal(dim)
+        rows.append((1000 + c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train_codebooks(df, m=4, n_codes=16, sample_rows=128)
+    got = {
+        r.vec_id
+        for r in pq_topk_adc(
+            df, [float(x) for x in base[0]], books, k=n_copies + 1
+        ).collect()
+    }
+    planted = {0} | {1000 + c for c in range(n_copies)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted recall {recall}"
+
+
+def test_encode_tie_breaks_to_lowest_code(spark):
+    """Two identical codebook rows ⇒ exact tie ⇒ the lower code wins
+    (matching numpy argmin's first-hit rule the reference uses)."""
+    books = np.zeros((1, 4, 2))
+    books[0, 1] = [1.0, 1.0]
+    books[0, 2] = [1.0, 1.0]  # identical to code 1
+    books[0, 3] = [9.0, 9.0]
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [0.1, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.pq_code) for r in pq_encode(df, books).collect()
+    }
+    assert got == {0: [1], 1: [0]}
+
+
+class TestIvfPqAtRest:
+    @pytest.fixture(scope="class")
+    def index(self, emb, books, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("ivfpq") / "embeddings")
+        cents = ivf_train_centroids(emb, n_cells=16)
+        ivfpq_index_write(emb, cents, books, path)
+        return path, cents
+
+    def test_partition_pruning_and_rerank_exact(
+        self, spark, emb, xmat, qvec, books, index
+    ):
+        """The probe plan must prune to the nprobe cells (PartitionFilters
+        on ivf_cell), and the returned l2_d2 must equal the true squared
+        distance computed by numpy — re-ranking is exact."""
+        path, cents = index
+        got = ivfpq_topk_at_rest(
+            spark, path, qvec, cents, books, k=10, nprobe=4, rerank=64
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "ivf_cell" in plan  # pruned scan, not a full read
+        ids, X = xmat
+        q = np.asarray(qvec)
+        d2 = {int(i): float(((x - q) ** 2).sum()) for i, x in zip(ids, X)}
+        rows = got.collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert abs(r.l2_d2 - round(d2[r.vec_id], 6)) <= 1e-6
+
+    def test_recall_beats_adc_alone(self, spark, emb, xmat, qvec, books, index):
+        """Exact re-ranking of the ADC top-64 within probed cells must
+        reach the 0.5 recall@10 the raw ADC ranking cannot (measured
+        0.7 vs 0.4 on the fixture)."""
+        path, cents = index
+        ids, X = xmat
+        q = np.asarray(qvec)
+        d2 = ((X - q[None, :]) ** 2).sum(axis=1)
+        top10 = set(int(i) for i in ids[np.argsort(d2, kind="stable")[:10]])
+        got = {
+            r.vec_id
+            for r in ivfpq_topk_at_rest(
+                spark, path, qvec, cents, books, k=10, nprobe=4, rerank=64
+            ).collect()
+        }
+        assert len(got & top10) / 10 >= 0.5
+
+
+def test_fixed_twin_matches_duckdb(spark, emb, duck):
+    """The portable twin replays bit-for-bit in DuckDB — the same
+    check the correctness driver runs, kept here so a refactor can't
+    silently break the oracle contract between rounds."""
+    from pyspark_airflow_weather_etl_spark.plans import REGISTRY
+
+    for name in ["pq_encode_fixed_embeddings", "pq_adc_topk_fixed"]:
+        q = REGISTRY[name]
+        got = q.fn(spark, SF_DIR).toPandas()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True
+        )
+        want = duck.execute(q.oracle).fetchdf()
+        want = want[sorted(want.columns)].sort_values(
+            by=sorted(want.columns), ignore_index=True
+        )
+        assert got.equals(want), name
