@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     curationplans,
     bpeplans,
     pqplans,
+    kmeansplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 
