@@ -65,6 +65,7 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "semantic_dedup_embeddings_hot",
     "semantic_dedup_embeddings_nprobe",
+    "lm_bigram_score_documents",
     "dedup_exact_documents",
     "dedup_passages_documents",
     "dedup_substrings_documents",

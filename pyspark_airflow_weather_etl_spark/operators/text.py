@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import claim_group, persist_into
+
 #: Minimal per-language stopword lists for the language-ID heuristic.
 #: Real-language lists (the fixture corpus is synthetic, so the
 #: heuristic honestly returns 'und' there — tests/test_text.py checks
@@ -646,3 +648,94 @@ def dedup_substrings(
         )
     )
     return per_doc.where(F.col("n_kept_tokens") > 0)
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-statistics language-model quality score per document —
+    the CCNet-style "how surprising is this document under a model of
+    the corpus" signal, with the corpus itself as the model (no
+    external LM artifact; north-star extension, no reference file).
+
+    The model is the maximum-likelihood bigram LM over the whole
+    input: P(w2|w1) = c(w1,w2) / c(w1·) where c(w1·) counts w1 as a
+    bigram left-context. Per document:
+
+    - ``n_bigrams``: adjacent token pairs (docs under 2 tokens: 0);
+    - ``sum_bigram_freq``: Σ corpus frequency of the doc's bigrams —
+      high = boilerplate-like, every phrase is common;
+    - ``n_hapax_bigrams``: bigrams whose corpus frequency is 1, i.e.
+      they occur nowhere outside this document — high = novel or
+      noisy text (both ends of the quality spectrum are filter
+      candidates; the two integer signals separate them);
+    - ``avg_neg_logprob``: mean −ln P(w2|w1), the per-token surprisal
+      (monotone with perplexity), rounded to 6 dp (a float-derived
+      mean, the ``label_centroids`` idiom). Counts include the doc
+      itself, so every probability is well-defined — no smoothing
+      constant to pick, no zero-prob edge.
+
+    Scale shape: one bigram explode of the corpus (the linear
+    dominant term, persisted and reused for both the count aggregation
+    and the per-doc join), count tables vocab²-bounded with map-side
+    partial aggregation, then one shuffle join of the exploded frame
+    back to its counts. The join keys are the (w1, w2) strings — at
+    web scale, hash them to a 16-byte digest first (the
+    ``decontaminate`` fingerprint idiom) to shuffle digests instead of
+    text; kept as strings here for oracle portability."""
+    caches = claim_group("lm_bigram_score")
+    t = tokens(text_col)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = persist_into(
+        caches,
+        df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+            id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        ),
+    )
+    b = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    u = b.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        doc_bg.join(b, ["w1", "w2"])
+        .join(u, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c2").alias("sum_bigram_freq"),
+            F.sum(F.when(F.col("c2") == 1, 1).otherwise(0)).alias(
+                "n_hapax_bigrams"
+            ),
+            F.round(
+                F.avg(
+                    F.log(F.col("c1").cast("double"))
+                    - F.log(F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_bigram_freq", F.lit(0))
+            .cast("long")
+            .alias("sum_bigram_freq"),
+            F.coalesce("n_hapax_bigrams", F.lit(0))
+            .cast("long")
+            .alias("n_hapax_bigrams"),
+            F.col("avg_neg_logprob"),
+        )
+    )

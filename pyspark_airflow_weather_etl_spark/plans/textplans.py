@@ -1319,3 +1319,49 @@ def dedup_substrings_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.dedup_substrings(
         docs, "doc_id", "text", window_tokens=32, stride=16
     )
+
+
+@register(
+    "lm_bigram_score_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ), b AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+    ), u AS (
+      SELECT w1, SUM(c2) AS c1 FROM b GROUP BY w1
+    ), s AS (
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(b.c2) AS sum_bigram_freq,
+             SUM(CASE WHEN b.c2 = 1 THEN 1 ELSE 0 END) AS n_hapax,
+             round(AVG(ln(CAST(u.c1 AS DOUBLE))
+                       - ln(CAST(b.c2 AS DOUBLE))), 6) AS avg_neg_logprob
+      FROM bg JOIN b USING (w1, w2) JOIN u USING (w1)
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.sum_bigram_freq, 0) AS BIGINT)
+             AS sum_bigram_freq,
+           CAST(COALESCE(s.n_hapax, 0) AS BIGINT) AS n_hapax_bigrams,
+           s.avg_neg_logprob
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def lm_bigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (operators.text.lm_bigram_score):
+    per-document surprisal under the corpus's own maximum-likelihood
+    bigram model — integer phrase-commonness signals (sum of corpus
+    bigram frequencies, hapax-bigram count) plus the mean −ln P(w2|w1)
+    perplexity proxy at 6 dp. The CCNet-style quality signal with the
+    corpus as its own model: no external LM artifact, no smoothing
+    constant (counts include the doc, so every probability is
+    defined). Hash-exact vs the DuckDB lateral-bigram replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.lm_bigram_score(docs)

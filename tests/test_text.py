@@ -196,3 +196,60 @@ class TestSubstringDedup:
         r = dedup_substrings(df, window_tokens=32, stride=16).first()
         assert (r.n_kept_tokens, r.n_dropped_tokens) == (32, 32)
         assert r.clean_text == span
+
+
+class TestLmBigramScore:
+    """Corpus-LM surprisal scoring: hand-checkable micro-corpus."""
+
+    def _score(self, spark, rows):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            lm_bigram_score,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in lm_bigram_score(df).collect()}
+
+    def test_counts_and_hapax(self, spark):
+        import math
+
+        got = self._score(
+            spark,
+            [
+                (1, "a b c"),      # bigrams: (a,b) (b,c)
+                (2, "a b d"),      # bigrams: (a,b) (b,d)
+                (3, "x"),          # <2 tokens: all-zero row
+            ],
+        )
+        # c(a,b)=2, c(b,c)=1, c(b,d)=1; c1(a·)=2, c1(b·)=2
+        r1 = got[1]
+        assert (r1.n_bigrams, r1.sum_bigram_freq, r1.n_hapax_bigrams) == (
+            2,
+            3,
+            1,
+        )
+        # doc1 surprisal: (−ln(2/2) − ln(1/2))/2 = ln2/2
+        assert abs(r1.avg_neg_logprob - round(math.log(2) / 2, 6)) < 1e-9
+        r3 = got[3]
+        assert (r3.n_bigrams, r3.sum_bigram_freq, r3.n_hapax_bigrams) == (
+            0,
+            0,
+            0,
+        )
+        assert r3.avg_neg_logprob is None
+
+    def test_boilerplate_scores_less_surprising(self, spark):
+        """A document made of the corpus's most repeated phrase must
+        score lower surprisal than a rare continuation of the SAME
+        contexts. (Note the MLE-self-counting property: a bigram whose
+        left context occurs nowhere else has P=1 — novelty registers
+        in n_hapax_bigrams, while avg_neg_logprob measures how
+        unpredictable each continuation is GIVEN a context the corpus
+        knows; the salad doc here reuses 'the'/'quick' as contexts so
+        its continuations compete with the common ones.)"""
+        common = "the quick brown fox"
+        rows = [(i, common) for i in range(10)]
+        rows.append((100, "the zq quick vx"))
+        got = self._score(spark, rows)
+        assert got[0].avg_neg_logprob < got[100].avg_neg_logprob
+        # the salad doc's bigrams occur nowhere else in the corpus
+        assert got[100].n_hapax_bigrams == got[100].n_bigrams
