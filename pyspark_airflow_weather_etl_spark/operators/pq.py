@@ -156,7 +156,16 @@ def adc_lut(query_vec: list[float], codebooks: np.ndarray) -> np.ndarray:
 def _adc_score(lut: np.ndarray, code_col: str) -> F.Column:
     """Σ_j lut[j][code_j] as a pure-JVM codegen expression: m literal
     array lookups and a sum — the per-row ADC cost is independent of
-    the vector dimension, which is the entire point of PQ."""
+    the vector dimension, which is the entire point of PQ.
+
+    The explicit isNotNull guard is load-bearing, not defensive
+    paranoia: measured on this Spark build (ANSI codegen),
+    ``element_at(lit_array, element_at(null_code, j) + 1)`` returns a
+    garbage element instead of NULL — the inner null index fails to
+    propagate through the arithmetic into the outer lookup. A null
+    code row would otherwise score a plausible-looking finite distance
+    and could silently claim a top-k slot (regression:
+    tests/test_pq.py::test_null_embedding_sinks_not_ranks_first)."""
     m = lut.shape[0]
     terms = [
         F.element_at(
@@ -168,7 +177,7 @@ def _adc_score(lut: np.ndarray, code_col: str) -> F.Column:
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    return total
+    return F.when(F.col(code_col).isNotNull(), total)
 
 
 def pq_topk_adc(
@@ -189,7 +198,11 @@ def pq_topk_adc(
     scored = coded.select(
         F.col(id_col), F.round(_adc_score(lut, "pq_code"), 6).alias("adc_d2")
     )
-    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(k)
+    # asc_nulls_last: a null embedding encodes to a null score and must
+    # sink, not float to rank 1 (Spark's asc default is NULLS FIRST)
+    return scored.orderBy(
+        F.col("adc_d2").asc_nulls_last(), F.col(id_col)
+    ).limit(k)
 
 
 def ivfpq_index_write(
@@ -259,7 +272,7 @@ def ivfpq_topk_at_rest(
     )
     cand = (
         idx.select(F.col(id_col), _adc_score(lut, "pq_code").alias("adc_d2"))
-        .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+        .orderBy(F.col("adc_d2").asc_nulls_last(), F.col(id_col))
         .limit(rerank)
     )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -279,7 +292,9 @@ def ivfpq_topk_at_rest(
             6,
         ).alias("l2_d2"),
     )
-    return exact.orderBy(F.col("l2_d2").asc(), F.col(id_col)).limit(k)
+    return exact.orderBy(
+        F.col("l2_d2").asc_nulls_last(), F.col(id_col)
+    ).limit(k)
 
 
 # --- portable fixed-codebook twins (hash-exact oracle path) ----------------

@@ -210,3 +210,12 @@ def test_fixed_twin_matches_duckdb(spark, emb, duck):
             by=sorted(want.columns), ignore_index=True
         )
         assert got.equals(want), name
+
+
+def test_null_embedding_sinks_not_ranks_first(spark, books):
+    """A null embedding encodes to a null ADC score and must not
+    occupy rank 1 (Spark's asc default is NULLS FIRST)."""
+    rows = [(0, [0.0] * 64), (1, None), (2, [0.1] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r.vec_id for r in pq_topk_adc(df, [0.0] * 64, books, k=2).collect()]
+    assert 1 not in got
