@@ -66,6 +66,8 @@ HEADLINE = [
     "semantic_dedup_embeddings_hot",
     "semantic_dedup_embeddings_nprobe",
     "lm_bigram_score_documents",
+    "unigram_seed_vocab_documents",
+    "unigram_encode_documents",
     "dedup_exact_documents",
     "dedup_passages_documents",
     "dedup_substrings_documents",

@@ -1,0 +1,290 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer training.
+
+North-star extension beyond the reference surface (the reference,
+`/root/reference/spark_jobs/*.py`, has no tokenization): the second
+learned tokenizer family next to :mod:`.bpe` — Kudo 2018
+(arXiv:1804.10959) subword regularization's unigram language model,
+in its deterministic hard-EM (Viterbi) variant:
+
+1. **Seed inventory**: every substring of length 1..L of every word,
+   weighted by word frequency; keep substrings above ``min_freq``
+   ranked (freq DESC, piece) and capped, plus ALL single characters
+   (the closure property — every word stays segmentable). This
+   iteration-0 kernel is SQL-expressible and ships as the hash-exact
+   oracle entry ``unigram_seed_vocab_documents`` (the
+   ``bpe_pair_counts_documents`` role).
+2. **EM rounds** (driver-bounded iteration, the BPE/label-propagation
+   precedent): E-step segments each DISTINCT word by Viterbi under
+   the current piece log-probs (Arrow-batched UDF — the sanctioned
+   Python path; the piece table rides the closure like BPE's rank
+   dict) and counts the pieces used, weighted by word freq; M-step
+   re-estimates probs from the integer counts with Laplace-1
+   smoothing (p = (c+1)/(total+V): no −∞ for kept-but-unused pieces,
+   no smoothing hyper-parameter search). Pieces with count 0 are
+   dropped each round EXCEPT single characters.
+3. **Final prune**: top ``vocab_size`` pieces by (count DESC, piece),
+   plus all single characters.
+
+Scale design — the same word-frequency collapse as BPE: ONE
+corpus-sized shuffle (the word groupBy) reduces the input to the
+distinct-word frame; every EM round is one Arrow pass + one
+vocab-sized aggregation over that frame, never the corpus. Encoding
+reuses the collapse: Viterbi once per distinct word, equi-join back,
+one doc_id shuffle for in-order reassembly.
+
+Viterbi determinism contract (what tests/test_unigram.py's
+independent reference replays): positions scanned left to right;
+``best[i] = max over piece lengths l`` of ``best[i-l] + logp``;
+strict-greater updates, with equal scores broken toward the LARGER
+``l`` at the current boundary (greedy-longest among ties). Scores are
+float64 sums of float64 logs in a fixed order — deterministic on any
+worker.
+
+Catalog entries are rows-only for the trained artifacts (an EM loop
+is not one SQL query); the full piece inventory and encode output are
+hash-checked against an independently-written pure-Python reference
+in tests/test_unigram.py, and the seed kernel is oracle-bearing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import word_freqs
+
+
+def seed_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_freq: int = 2,
+    max_seed: int = 200,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seed piece inventory: (piece, piece_freq) — substring counts
+    over the word-frequency table, capped to the ``max_seed`` most
+    frequent (ties → lexicographic) above ``min_freq``, UNION all
+    single characters at any frequency. The rank uses the distributed
+    rank primitive (:func:`.prefix.ranged_rank`) — at web scale the
+    substring inventory is far beyond single-partition windows."""
+    from .prefix import ranged_rank
+
+    wf = word_freqs(df, text_col)
+    n = F.length("word")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)
+                ),
+                lambda l: F.col("word").substr(i, l),
+            ),
+        )
+    )
+    counts = (
+        wf.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("piece_freq"))
+    )
+    eligible = counts.where(F.col("piece_freq") >= min_freq)
+    order = [F.col("piece_freq").desc(), F.col("piece")]
+    local, offsets = ranged_rank(
+        eligible, order, partitions, "unigram_seed_vocab"
+    )
+    capped = (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
+        )
+        .where(
+            (F.col("__local_rn") + F.col("__rank_offset")) <= max_seed
+        )
+        .select("piece", "piece_freq")
+    )
+    chars = counts.where(F.length("piece") == 1).select(
+        "piece", "piece_freq"
+    )
+    return capped.union(chars).distinct()
+
+
+def _viterbi_factory(logp: dict[str, float], max_piece_len: int):
+    """Shared Viterbi segmenter (module docstring's determinism
+    contract). Returns a plain ``word -> list[piece]`` function; the
+    piece table is captured driver state, shipped once per executor."""
+
+    def segment(word: str) -> list[str] | None:
+        n = len(word)
+        NEG = -math.inf
+        best = [NEG] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0.0
+        for i in range(1, n + 1):
+            for l in range(1, min(max_piece_len, i) + 1):
+                piece = word[i - l : i]
+                lp = logp.get(piece)
+                if lp is None or best[i - l] == NEG:
+                    continue
+                cand = best[i - l] + lp
+                if cand > best[i] or (cand == best[i] and l > back[i]):
+                    best[i] = cand
+                    back[i] = l
+        if best[n] == NEG:
+            return None  # unsegmentable (a char fell out of vocab)
+        out: list[str] = []
+        i = n
+        while i > 0:
+            l = back[i]
+            out.append(word[i - l : i])
+            i -= l
+        out.reverse()
+        return out
+
+    return segment
+
+
+def _smoothed_logp(counts: dict[str, int]) -> dict[str, float]:
+    """Laplace-1: p(piece) = (c+1)/(total+V) — defined for every kept
+    piece, no zero-prob edge, no hyper-parameter."""
+    total = sum(counts.values())
+    v = len(counts)
+    return {
+        p: math.log((c + 1.0) / (total + v)) for p, c in counts.items()
+    }
+
+
+def _segment_udf(logp: dict[str, float], max_piece_len: int):
+    seg = _viterbi_factory(logp, max_piece_len)
+
+    # no type annotations: `from __future__ import annotations`
+    # stringifies them and pandas_udf's inference rejects the strings
+    def seg_batch(words):
+        return words.map(seg)
+
+    return F.pandas_udf(seg_batch, "array<string>")
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_freq: int = 2,
+    max_seed: int = 200,
+    vocab_size: int = 120,
+    em_iters: int = 3,
+) -> dict[str, int]:
+    """Train the unigram piece inventory (module docstring). Returns
+    the final ``piece -> count`` table in driver space — the tokenizer
+    artifact, like BPE's rule list (vocab-sized by construction; the
+    corpus never leaves the cluster)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    wf = (
+        word_freqs(df, text_col).repartition(par).localCheckpoint()
+    )
+    counts = {
+        r.piece: int(r.piece_freq)
+        for r in seed_vocab(
+            df, text_col, max_piece_len, min_freq, max_seed
+        ).collect()
+    }
+    for _ in range(em_iters):
+        seg = _segment_udf(_smoothed_logp(counts), max_piece_len)
+        used = (
+            wf.withColumn("pieces", seg(F.col("word")))
+            .select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        )
+        new = {r.piece: int(r.cnt) for r in used}
+        # closure: single chars survive at count 0; longer unused
+        # pieces are pruned
+        for p in counts:
+            if len(p) == 1 and p not in new:
+                new[p] = 0
+        counts = new
+    # final prune: top vocab_size by (count DESC, piece), chars always
+    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    final = dict(kept[:vocab_size])
+    for p, c in counts.items():
+        if len(p) == 1:
+            final[p] = c
+    wf.unpersist(blocking=False)
+    return final
+
+
+def vocab_df(spark, counts: dict[str, int]) -> DataFrame:
+    """The trained inventory as a frame — the catalog/bench surface:
+    (piece, cnt), deterministic content."""
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(p, c) for p, c in rows], "piece string, cnt long"
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    counts: dict[str, int],
+    max_piece_len: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents with a trained inventory: (id, n_words,
+    n_pieces, pieces), ``pieces`` the space-joined Viterbi piece
+    sequence (word-internal, word order preserved). Same
+    distinct-word collapse and single-reassembly-shuffle shape as
+    :func:`.bpe.bpe_encode`. Words containing characters outside the
+    inventory keep a null pieces slot and are dropped from the piece
+    stream (counted in ``n_oov_words``)."""
+    seg = _segment_udf(_smoothed_logp(counts), max_piece_len)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
+    ).where(F.length("word") > 0)
+    distinct_words = words.select("word").distinct()
+    pieces = distinct_words.withColumn("pieces", seg(F.col("word")))
+    encoded = words.join(pieces, "word")
+    return (
+        encoded.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "pieces"))
+                        ),
+                        lambda x: x.getField("pieces").isNotNull(),
+                    ),
+                    lambda x: x.getField("pieces"),
+                )
+            ).alias("piece_arr"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.when(F.col("pieces").isNull(), 1).otherwise(0)
+            ).alias("n_oov_words"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.col("n_oov_words"),
+            F.size("piece_arr").alias("n_pieces"),
+            F.concat_ws(" ", "piece_arr").alias("pieces"),
+        )
+    )
+
+
+def unigram_save_vocab(spark, counts: dict[str, int], path: str) -> None:
+    """Persist the trained inventory as the tokenizer artifact at
+    rest (the few-KB file that ships with a model release);
+    round-trips through :func:`unigram_load_vocab`."""
+    vocab_df(spark, counts).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def unigram_load_vocab(spark, path: str) -> dict[str, int]:
+    rows = spark.read.parquet(path).collect()
+    return {r.piece: int(r.cnt) for r in rows}

@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     bpeplans,
     pqplans,
     kmeansplans,
+    unigramplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

@@ -87,4 +87,11 @@ def test_rows_only_entries_are_the_documented_sketches():
         # oracle-bearing — the hash-exact proof of the same pipeline)
         "pq_ann_topk_adc",
         "ivfpq_ann_topk_at_rest",
+        # unigram-LM tokenizer: the EM loop is driver-bounded
+        # iteration, not one SQL query; the trained inventory and the
+        # encode output are hash-checked against an independent
+        # pure-Python reference in tests/test_unigram.py (the seed
+        # kernel unigram_seed_vocab_documents IS oracle-bearing)
+        "unigram_vocab_documents",
+        "unigram_encode_documents",
     }, f"unexpected rows-only set: {rows_only}"
