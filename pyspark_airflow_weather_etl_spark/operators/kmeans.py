@@ -189,3 +189,48 @@ def kmeans_train_distributed(
             new[r.ivf_cell][r.pos] = r.m
         cents = new
     return cents
+
+
+def diversity_sample_fixed(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    per_cell: int = 40,
+    seed: int = 42,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: cap the corpus at
+    ``per_cell`` rows per k-means cell, sampled by a reproducible md5
+    shuffle within each cell — the cluster-based selection recipe
+    (cap the over-represented modes instead of sampling uniformly,
+    so the kept set spans the embedding space). Composes the portable
+    integer Lloyd (:func:`kmeans_cluster_fixed`) with the md5
+    within-group shuffle idiom of ``curation.interleave_sources``, so
+    the WHOLE pipeline — 3 training iterations, assignment, in-cell
+    sampling rank — replays bit-for-bit in the DuckDB oracle.
+
+    Output: (id, cell, cell_rank) for the kept rows, cell_rank the
+    1-based md5 sampling rank within the cell.
+
+    Scale shape: clustering is iters corpus scans (see
+    :func:`kmeans_cluster_fixed`); the cap is one grouped window over
+    (cell) — group-limit pushdown applies, the same shape as
+    ``cap_per_group``."""
+    from pyspark.sql import Window
+
+    cells = kmeans_cluster_fixed(
+        embeddings, k, iters, scale, id_col, vec_col
+    )
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    w = Window.partitionBy("cell").orderBy(key, F.col(id_col))
+    return (
+        cells.withColumn(
+            "cell_rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("cell_rank") <= per_cell)
+        .select(id_col, "cell", "cell_rank")
+    )

@@ -58,21 +58,28 @@ def _unrolled_oracle(k: int, iters: int, dim: int, scale: int) -> str:
         SELECT cell, list(val ORDER BY pos) AS cv2
         FROM m{i} GROUP BY cell) l USING (cell)
     )""")
-    tail = f"""
-    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
-      SELECT q.vec_id, c.cell,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-               list_sum(list_transform(list_zip(q.qv, c.cv),
-                 z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cell) AS rn
-      FROM q CROSS JOIN c{iters} c) r
-    WHERE rn = 1
-    """
-    return head + "".join(body) + tail
+    final = f""", afin AS (
+      SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+        SELECT q.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qv, c.cv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cell) AS rn
+        FROM q CROSS JOIN c{iters} c) r
+      WHERE rn = 1
+    )"""
+    return head + "".join(body) + final
+
+
+def _unrolled_oracle_select(k: int, iters: int, dim: int, scale: int) -> str:
+    return (
+        _unrolled_oracle(k, iters, dim, scale)
+        + "\n    SELECT vec_id, cell FROM afin\n    "
+    )
 
 
 @register(
     "kmeans_cluster_fixed_embeddings",
-    oracle=_unrolled_oracle(k=8, iters=3, dim=64, scale=1000),
+    oracle=_unrolled_oracle_select(k=8, iters=3, dim=64, scale=1000),
 )
 def kmeans_cluster_fixed_embeddings(
     spark: SparkSession, sf_dir: str
@@ -86,3 +93,32 @@ def kmeans_cluster_fixed_embeddings(
     bit-for-bit — hash-exact evidence for an iterative trainer."""
     emb = load_table(spark, sf_dir, "embeddings")
     return KM.kmeans_cluster_fixed(emb, k=8, iters=3, scale=1000)
+
+
+@register(
+    "diversity_sample_embeddings",
+    oracle=_unrolled_oracle(k=8, iters=3, dim=64, scale=1000)
+    + """
+    SELECT vec_id, cell, cell_rank FROM (
+      SELECT vec_id, cell,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+               md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id)
+               AS BIGINT) AS cell_rank
+      FROM afin) r
+    WHERE cell_rank <= 40
+    """,
+)
+def diversity_sample_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (operators.kmeans.diversity_sample_fixed): cap the corpus at 40
+    rows per k-means cell, chosen by a reproducible md5 shuffle within
+    each cell — over-represented modes are capped instead of dominating
+    a uniform sample, so the kept set spans the embedding space. The
+    oracle replays clustering (the full unrolled 3-iteration integer
+    Lloyd) AND the in-cell sampling rank bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return KM.diversity_sample_fixed(
+        emb, k=8, iters=3, per_cell=40, seed=42, scale=1000
+    )

@@ -151,3 +151,33 @@ def test_distributed_trainer_recovers_planted_clusters(spark):
     for ci in range(4):
         cells = {got[v] for v, t in truth.items() if t == ci}
         assert len(cells) == 1, f"cluster {ci} split across {cells}"
+
+
+def test_diversity_sample_caps_and_spans_cells(emb):
+    """Every cell contributes min(|cell|, per_cell) rows — dominant
+    modes are capped, small clusters survive whole — and the sample is
+    reproducible (same seed ⇒ same rows)."""
+    from pyspark_airflow_weather_etl_spark.operators.kmeans import (
+        diversity_sample_fixed,
+        kmeans_cluster_fixed,
+    )
+
+    per_cell = 10
+    cells = kmeans_cluster_fixed(emb, k=8, iters=3).groupBy("cell").count()
+    sizes = {r.cell: r["count"] for r in cells.collect()}
+    got = diversity_sample_fixed(emb, k=8, iters=3, per_cell=per_cell)
+    rows = got.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r.cell_rank)
+    assert set(by_cell) == {c for c, n in sizes.items() if n > 0}
+    for c, ranks in by_cell.items():
+        assert len(ranks) == min(sizes[c], per_cell)
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = {
+        (r.vec_id, r.cell, r.cell_rank)
+        for r in diversity_sample_fixed(
+            emb, k=8, iters=3, per_cell=per_cell
+        ).collect()
+    }
+    assert again == {(r.vec_id, r.cell, r.cell_rank) for r in rows}
