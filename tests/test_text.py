@@ -253,3 +253,41 @@ class TestLmBigramScore:
         assert got[0].avg_neg_logprob < got[100].avg_neg_logprob
         # the salad doc's bigrams occur nowhere else in the corpus
         assert got[100].n_hapax_bigrams == got[100].n_bigrams
+
+    def test_feeds_quality_prune(self, spark):
+        """Composition proof: the surprisal score drives the existing
+        distribution-level quantile cut — drop the most-surprising
+        decile by pruning on negated surprisal (quality_prune drops
+        the LOWEST score fraction)."""
+        from pyspark.sql import functions as F
+
+        from pyspark_airflow_weather_etl_spark.operators.curation import (
+            quality_prune,
+        )
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            lm_bigram_score,
+        )
+        from pyspark_airflow_weather_etl_spark.sources.tables import (
+            load_table,
+        )
+        from conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents")
+        scored = (
+            lm_bigram_score(docs)
+            .where(F.col("n_bigrams") > 0)
+            .withColumn("neg_surprisal", -F.col("avg_neg_logprob"))
+        )
+        rows = {
+            r.doc_id: r.avg_neg_logprob
+            for r in scored.select("doc_id", "avg_neg_logprob").collect()
+        }
+        kept = {
+            r.doc_id
+            for r in quality_prune(
+                scored, score_col="neg_surprisal"
+            ).collect()
+        }
+        n_drop = len(rows) // 10
+        worst = sorted(rows, key=lambda d: (-rows[d], -d))[:n_drop]
+        assert kept == set(rows) - set(worst)
