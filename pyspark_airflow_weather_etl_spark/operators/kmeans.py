@@ -115,27 +115,33 @@ def kmeans_cluster_fixed(
     ]
     if len(cents) < k:
         raise ValueError(f"need {k} init rows with {id_col} < {k}")
+    dim = len(cents[0])
     for _ in range(iters):
         assigned = base.withColumn("cell", _int_argmin_cell(cents))
+        # per-dimension column aggregates, NOT posexplode: the explode
+        # form multiplies the aggregate's input rows by dim (64× the
+        # corpus through the partial agg); dim sum columns keep the
+        # scan at corpus width and the partial-agg output at k rows
         sums = (
-            assigned.select(
-                "cell", F.posexplode(F.col("qv")).alias("pos", "val")
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("qv"), p + 1)).alias(f"s{p}")
+                    for p in range(dim)
+                ],
             )
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
             .collect()
         )
-        new = {r.cell: dict() for r in sums}
-        for r in sums:
-            new[r.cell][r.pos] = int(
-                np.floor(float(r.s) / float(r.n))
-            )
-        cents = [
-            [new[c][p] for p in range(len(cents[c]))]
-            if c in new
-            else cents[c]
-            for c in range(k)
-        ]
+        new = {
+            r.cell: [
+                int(np.floor(float(r[f"s{p}"]) / float(r.n)))
+                for p in range(dim)
+            ]
+            for r in sums
+            if r.cell is not None
+        }
+        cents = [new.get(c, cents[c]) for c in range(k)]
     return base.select(
         F.col(id_col), _int_argmin_cell(cents).alias("cell")
     )
@@ -171,22 +177,25 @@ def kmeans_train_distributed(
     cents = np.asarray(
         [[float(x) for x in r[vec_col]] for r in init], dtype=np.float64
     )
+    dim = cents.shape[1]
     for _ in range(iters):
         rows = (
             ivf_assign(base, cents, vec_col)
-            .select(
-                "ivf_cell",
-                F.posexplode(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                ).alias("pos", "val"),
+            .groupBy("ivf_cell")
+            .agg(
+                *[
+                    F.avg(
+                        F.element_at(F.col(vec_col), p + 1).cast("double")
+                    ).alias(f"m{p}")
+                    for p in range(dim)
+                ]
             )
-            .groupBy("ivf_cell", "pos")
-            .agg(F.avg("val").alias("m"))
             .collect()
         )
         new = cents.copy()
         for r in rows:
-            new[r.ivf_cell][r.pos] = r.m
+            if r.ivf_cell is not None:
+                new[r.ivf_cell] = [r[f"m{p}"] for p in range(dim)]
         cents = new
     return cents
 

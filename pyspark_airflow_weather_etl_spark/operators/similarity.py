@@ -1058,32 +1058,76 @@ def semantic_dedup(
         if routed is None
         else routed.where(F.col("label_n") < F.lit(hot_cell_threshold))
     )
-    a = cold.alias("sa").select(
-        F.col("sa.ivf_cell").alias("cell_a"),
-        F.col(f"sa.{id_col}").alias("id_a"),
-        F.col("sa.v").alias("v_a"),
-        F.col("sa.nrm").alias("nrm_a"),
-    )
-    b = cold.alias("sb").select(
-        F.col("sb.ivf_cell").alias("cell_b"),
-        F.col(f"sb.{id_col}").alias("id_b"),
-        F.col("sb.v").alias("v_b"),
-        F.col("sb.nrm").alias("nrm_b"),
-    )
-    cosine = F.round(
-        dot(F.col("v_a"), F.col("v_b"))
-        / (F.col("nrm_a") * F.col("nrm_b")),
-        6,
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("cell_a") == F.col("cell_b")),
+    if nprobe <= 1:
+        a = cold.alias("sa").select(
+            F.col("sa.ivf_cell").alias("cell_a"),
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col("sa.v").alias("v_a"),
+            F.col("sa.nrm").alias("nrm_a"),
         )
-        .where(cosine >= threshold)
-        .select(F.col("id_b").alias(id_col))
-    )
+        b = cold.alias("sb").select(
+            F.col("sb.ivf_cell").alias("cell_b"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+            F.col("sb.v").alias("v_b"),
+            F.col("sb.nrm").alias("nrm_b"),
+        )
+        cosine = F.round(
+            dot(F.col("v_a"), F.col("v_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+            6,
+        )
+        dropped = (
+            a.join(
+                b,
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("cell_a") == F.col("cell_b")),
+            )
+            .where(cosine >= threshold)
+            .select(F.col("id_b").alias(id_col))
+        )
+    else:
+        # Multi-probe verify, candidate-volume-aware: at nprobe=p of
+        # n_cells the blocking is structurally COARSE (p=4 of 16 makes
+        # ~73% of all pairs candidates — birthday over probe sets), so
+        # (a) candidates generate through NARROW (id, cell) frames and
+        # a pair sharing several probe cells collapses to ONE verify
+        # via distinct, and (b) the cosine runs in the Arrow pair-dot
+        # kernel, the pairwise_topk_per_label precedent for dense
+        # pair-verify (measured here: 23 s → ~4 s at sf0.1 vs the
+        # one-fold-per-pair-per-shared-cell join). Vectors attach by
+        # id equi-join AFTER the distinct — the vector table never
+        # rides the cell join.
+        narrow = cold.select(F.col(id_col), F.col("ivf_cell"))
+        ca = narrow.select(F.col(id_col).alias("id_a"), "ivf_cell")
+        cb = narrow.select(F.col(id_col).alias("id_b"), "ivf_cell")
+        cand = (
+            ca.join(cb, "ivf_cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = assigned.select(
+            F.col(id_col).alias("id_a"),
+            F.col("v").alias("v_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        vb = assigned.select(
+            F.col(id_col).alias("id_b"),
+            F.col("v").alias("v_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        pdot = pair_dot_arrow()
+        cos_np = F.round(
+            pdot(F.col("v_a"), F.col("v_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+            6,
+        )
+        dropped = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .where(cos_np >= threshold)
+            .select(F.col("id_b").alias(id_col))
+        )
     if routed is not None:
         hot = routed.where(F.col("label_n") >= F.lit(hot_cell_threshold))
         hot_cosine = F.round(
