@@ -348,3 +348,46 @@ def streaming_semantic_dedup_entry(
         _STREAM_SEMANTIC[sf_dir] = (f"{tmp}/idx", f"{tmp}/drops")
     idx, drops = _STREAM_SEMANTIC[sf_dir]
     return read_kept(spark, idx, drops)
+
+
+from .textplans import _ENCODE_VOCAB_ORACLE  # noqa: E402
+
+
+@register("streaming_encode_documents", oracle=_ENCODE_VOCAB_ORACLE)
+def streaming_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids at streaming latency (streaming.encode):
+    documents arrive as five micro-batches and every batch encodes
+    against the SAME at-rest vocabulary artifact (build_vocab top-20,
+    written once at bootstrap — the tokenizer-artifact contract).
+    Encoding is a stateless per-document map given a fixed vocab, so
+    the union of per-batch outputs hash-matches the SAME DuckDB
+    oracle as the batch entry encode_documents_vocab for any batch
+    decomposition — the streaming twin shares the one-shot oracle,
+    proving the decomposition loses and invents nothing. Crash-replay
+    idempotency (batch-keyed dynamic overwrite) is pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..operators.text import build_vocab
+    from ..streaming.encode import read_encoded, run_streaming_encode
+
+    tmp = tempfile.mkdtemp(prefix="stream_encode_")
+    watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+    docs = load_table(spark, sf_dir, "documents")
+    build_vocab(docs, "text", max_vocab=20).write.parquet(f"{tmp}/vocab")
+    run_streaming_encode(
+        spark,
+        watch,
+        f"{tmp}/vocab",
+        f"{tmp}/encoded",
+        schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    enc = read_encoded(spark, f"{tmp}/encoded")
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda t: t.cast("string")), " "
+        ).alias("ids_text"),
+        "n_tokens",
+    )

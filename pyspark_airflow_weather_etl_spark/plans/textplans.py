@@ -1081,9 +1081,7 @@ def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.build_vocab(docs, "text", max_vocab=500)
 
 
-@register(
-    "encode_documents_vocab",
-    oracle="""
+_ENCODE_VOCAB_ORACLE = """
     WITH c AS (
       SELECT t AS token, COUNT(*) AS cnt
       FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
@@ -1105,8 +1103,10 @@ def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_tokens
     FROM tk LEFT JOIN v ON v.token = tk.token
     GROUP BY tk.doc_id
-    """,
-)
+    """
+
+
+@register("encode_documents_vocab", oracle=_ENCODE_VOCAB_ORACLE)
 def encode_documents_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-to-ids (operators.text.encode_documents) against a
     top-20 vocab (small on purpose so the fixture exercises real OOV

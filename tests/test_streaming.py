@@ -401,3 +401,84 @@ def test_streaming_semantic_dedup_replay_idempotent(spark, tmp_path):
         ).collect()
     }
     assert kept == want and kept
+
+
+def test_streaming_encode_replay_and_batch_parity(spark, tmp_path):
+    """Streaming tokenize-to-ids (streaming.encode): (a) the union of
+    per-batch encodes equals the one-shot batch encode EXACTLY (fixed
+    at-rest vocab ⇒ stateless map ⇒ decomposition-invariant), and
+    (b) a crash-replay (commit marker deleted, offsets kept)
+    overwrites its own batch partition instead of double-appending —
+    the reader needs no distinct."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        build_vocab,
+        encode_documents,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.encode import (
+        read_encoded,
+        run_streaming_encode,
+    )
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    watch = str(tmp_path / "in")
+    vocab_path = str(tmp_path / "vocab")
+    out = str(tmp_path / "encoded")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    vocab = build_vocab(docs, "text", max_vocab=20)
+    vocab.write.parquet(vocab_path)
+
+    def stage(buckets, slot0):
+        for slot, bucket in enumerate(buckets, start=slot0):
+            sdir = f"{watch}__stage_{bucket}"
+            docs.where(F.col("doc_id") % 3 == bucket).coalesce(
+                1
+            ).write.mode("overwrite").parquet(sdir)
+            part = glob.glob(f"{sdir}/part-*.parquet")[0]
+            dst = f"{watch}/arrival_{slot:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+
+    stage([0, 1], 0)
+    run_streaming_encode(
+        spark, watch, vocab_path, out, docs.schema, checkpoint_dir=ckpt
+    )
+    before = sorted(
+        (r.doc_id, tuple(r.token_ids), r.n_tokens)
+        for r in read_encoded(spark, out).collect()
+    )
+    # crash: batch 1's output is on disk but the commit is gone
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_encode(
+        spark, watch, vocab_path, out, docs.schema, checkpoint_dir=ckpt
+    )
+    after = sorted(
+        (r.doc_id, tuple(r.token_ids), r.n_tokens)
+        for r in read_encoded(spark, out).collect()
+    )
+    assert after == before, "replay duplicated or altered encoded rows"
+    # a later batch, then full-corpus parity with the one-shot encode
+    stage([2], 2)
+    run_streaming_encode(
+        spark, watch, vocab_path, out, docs.schema, checkpoint_dir=ckpt
+    )
+    got = sorted(
+        (r.doc_id, tuple(r.token_ids), r.n_tokens)
+        for r in read_encoded(spark, out).collect()
+    )
+    want = sorted(
+        (r.doc_id, tuple(r.token_ids), r.n_tokens)
+        for r in encode_documents(docs, vocab).collect()
+    )
+    assert got == want and got
