@@ -81,6 +81,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "ivf_ann_topk_at_rest",
     "pq_ann_topk_adc",
+    "opq_ann_topk_adc",
     "ivfpq_ann_topk_at_rest",
     "embedding_near_dup_blocked",
     "pairwise_topk_per_label",

@@ -431,3 +431,143 @@ def pq_adc_topk_fixed(
         .agg(F.sum("lut_d2").alias("adc_d2"))
     )
     return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(k)
+
+
+# --- OPQ: optimized product quantization (learned rotation) ---------------
+
+
+def opq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 512,
+    opq_iters: int = 8,
+    kmeans_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train an OPQ rotation + codebooks (Ge et al., "Optimized
+    Product Quantization", CVPR 2013): alternate between (a) fitting
+    PQ codebooks to the rotated sample and (b) solving the orthogonal
+    Procrustes problem ``min_R ||XR − Y||`` for the rotation that
+    best aligns the data with its quantized reconstruction Y
+    (R = UVᵀ from the SVD of XᵀY). Plain PQ quantizes axis-aligned
+    sub-vectors, which wastes codebook capacity when variance is
+    unevenly spread or correlated across the sub-vector cut points;
+    the learned rotation redistributes it. Returns ``(R, codebooks)``
+    — both driver-space artifacts (dim×dim + m·n_codes·dsub doubles),
+    trained on the same bounded deterministic sample as
+    :func:`pq_train_codebooks`. tests/test_pq.py pins that OPQ's
+    sample reconstruction error is ≤ plain PQ's."""
+    sample = np.asarray(
+        [
+            [float(x) for x in r[0]]
+            for r in embeddings.select(vec_col)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(SEED)
+    R = np.eye(dim)
+    books = None
+    for _ in range(opq_iters):
+        X = sample @ R
+        books = np.empty((m, n_codes, dsub), dtype=np.float64)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            cents = sub[rng.choice(len(sub), n_codes, replace=False)].copy()
+            for _ in range(kmeans_iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                assign = d2.argmin(axis=1)
+                for c in range(n_codes):
+                    members = sub[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            books[j] = cents
+        # quantized reconstruction under the current rotation
+        Y = np.empty_like(X)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            stat = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[
+                None, :
+            ]
+            Y[:, j * dsub : (j + 1) * dsub] = books[j][
+                stat.argmin(axis=1)
+            ]
+        # orthogonal Procrustes: R aligning the ORIGINAL sample to Y
+        U, _, Vt = np.linalg.svd(sample.T @ Y)
+        R = U @ Vt
+    return R, books
+
+
+def _rotated(df: DataFrame, R: np.ndarray, vec_col: str) -> DataFrame:
+    """Apply the OPQ rotation as one Arrow matmul per batch, emitting
+    a rotated double vector column ``__rot`` (encode-time only — the
+    ADC scan never touches vectors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    Rm = np.asarray(R, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _rot(v: pd.Series) -> pd.Series:
+        mask = v.notna().to_numpy()
+        out = [None] * len(v)
+        if mask.any():
+            x = np.vstack(v[mask].to_numpy()).astype(np.float64)
+            y = x @ Rm
+            for row, i in enumerate(np.flatnonzero(mask)):
+                out[i] = [float(z) for z in y[row]]
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn("__rot", _rot(F.col(vec_col)))
+
+
+def opq_encode(
+    df: DataFrame,
+    R: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """PQ-encode under the learned rotation: rotate (Arrow matmul),
+    then the standard sub-vector argmin. Same output contract as
+    :func:`pq_encode`; the rotation lives entirely at index-build
+    time — scans and LUTs are unchanged."""
+    return pq_encode(
+        _rotated(df, R, vec_col), codebooks, "__rot", out_col
+    ).drop("__rot")
+
+
+def opq_topk_adc(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    R: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k under OPQ: the query rotates driver-side (rotation
+    is orthogonal, so L2 distances in rotated space equal those in
+    the original space) and the scan is byte-for-byte the PQ ADC
+    scan over the rotated codes."""
+    q = (
+        np.asarray(query_vec, dtype=np.float64)
+        @ np.asarray(R, dtype=np.float64)
+    )
+    lut = adc_lut([float(x) for x in q], codebooks)
+    coded = opq_encode(embeddings, R, codebooks, vec_col)
+    scored = coded.select(
+        F.col(id_col), F.round(_adc_score(lut, "pq_code"), 6).alias("adc_d2")
+    )
+    return scored.orderBy(
+        F.col("adc_d2").asc_nulls_last(), F.col(id_col)
+    ).limit(k)

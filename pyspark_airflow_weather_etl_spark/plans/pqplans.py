@@ -149,3 +149,19 @@ def ivfpq_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivfpq_topk_at_rest(
         spark, path, q, centroids, books, k=10, nprobe=4, rerank=64
     )
+
+
+@register("opq_ann_topk_adc")  # learned rotation + codebooks: no SQL form
+def opq_ann_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 under OPQ (Ge et al. 2013): a learned orthogonal
+    rotation redistributes variance across the sub-vector cut points
+    before quantization (alternating codebook fit / orthogonal
+    Procrustes on the training sample), then the scan is byte-for-byte
+    the PQ ADC scan — rotation cost lives only at index build and in
+    the driver-side query prep. Rows-only; tests/test_pq.py pins that
+    OPQ's reconstruction error ≤ plain PQ's on the training sample and
+    encode parity with a numpy reference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    R, books = PQ.opq_train(emb, m=8, n_codes=16)
+    return PQ.opq_topk_adc(emb, q, R, books, k=10)

@@ -87,6 +87,10 @@ def test_rows_only_entries_are_the_documented_sketches():
         # oracle-bearing — the hash-exact proof of the same pipeline)
         "pq_ann_topk_adc",
         "ivfpq_ann_topk_at_rest",
+        # OPQ: learned rotation (SVD Procrustes) + trained codebooks;
+        # orthogonality, error-reduction vs plain PQ, and encode
+        # parity pinned in tests/test_pq.py::TestOpq
+        "opq_ann_topk_adc",
         # unigram-LM tokenizer: the EM loop is driver-bounded
         # iteration, not one SQL query; the trained inventory and the
         # encode output are hash-checked against an independent

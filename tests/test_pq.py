@@ -219,3 +219,72 @@ def test_null_embedding_sinks_not_ranks_first(spark, books):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = [r.vec_id for r in pq_topk_adc(df, [0.0] * 64, books, k=2).collect()]
     assert 1 not in got
+
+
+class TestOpq:
+    def test_rotation_is_orthogonal_and_reduces_error(self, emb, xmat):
+        """The trained R must be orthogonal (distances preserved), and
+        OPQ's quantized-reconstruction error on the training sample
+        must not exceed plain PQ's — the entire point of the learned
+        rotation (Ge et al. 2013)."""
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            opq_train,
+            pq_train_codebooks,
+        )
+
+        ids, X = xmat
+        m, n_codes = 8, 16
+        R, books_opq = opq_train(emb, m=m, n_codes=n_codes)
+        assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+        books_pq = pq_train_codebooks(emb, m=m, n_codes=n_codes)
+        sample = X[np.argsort(ids, kind="stable")][:512].astype(np.float64)
+        dsub = sample.shape[1] // m
+
+        def recon_err(S, books):
+            err = 0.0
+            for j in range(m):
+                sub = S[:, j * dsub : (j + 1) * dsub]
+                stat = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(
+                    axis=1
+                )[None, :]
+                err += (
+                    (sub - books[j][stat.argmin(axis=1)]) ** 2
+                ).sum()
+            return err
+
+        err_pq = recon_err(sample, books_pq)
+        err_opq = recon_err(sample @ R, books_opq)
+        assert err_opq <= err_pq, (err_opq, err_pq)
+
+    def test_opq_encode_matches_numpy(self, spark, emb, xmat):
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            opq_encode,
+            opq_train,
+        )
+
+        ids, X = xmat
+        R, books = opq_train(emb, m=8, n_codes=16)
+        want = {
+            int(i): c.tolist()
+            for i, c in zip(ids, _numpy_codes(X @ R, books))
+        }
+        got = {
+            r.vec_id: list(r.pq_code)
+            for r in opq_encode(emb, R, books)
+            .select("vec_id", "pq_code")
+            .collect()
+        }
+        assert got == want
+
+    def test_opq_topk_runs_and_respects_metric(self, emb, xmat, qvec):
+        """Rotation is orthogonal ⇒ rotated-space ADC approximates the
+        SAME L2 metric; the self-query must rank itself first."""
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            opq_topk_adc,
+            opq_train,
+        )
+
+        R, books = opq_train(emb, m=8, n_codes=16)
+        rows = opq_topk_adc(emb, qvec, R, books, k=10).collect()
+        assert len(rows) == 10
+        assert rows[0].vec_id == 0  # the query row itself
