@@ -288,3 +288,144 @@ def unigram_save_vocab(spark, counts: dict[str, int], path: str) -> None:
 def unigram_load_vocab(spark, path: str) -> dict[str, int]:
     rows = spark.read.parquet(path).collect()
     return {r.piece: int(r.cnt) for r in rows}
+
+
+# --- full EM (forward-backward expected counts) ----------------------------
+#
+# The hard-EM trainer above counts pieces along the single Viterbi
+# path; SentencePiece's actual E-step credits EVERY segmentation,
+# weighted by posterior probability (forward-backward over the word
+# lattice). Expected counts are floats — and a float SUM across a
+# cluster is partition-order dependent — so determinism is engineered
+# back in two steps: (1) the per-word forward-backward runs in plain
+# Python floats with a SPEC-PINNED operation order (positions
+# ascending, piece lengths ascending — any conforming implementation
+# reproduces it bit-for-bit, which tests/test_unigram.py's independent
+# reference does), and (2) each word's contribution quantizes to
+# integer micro-counts (round(c · 10⁶)) BEFORE aggregation, so the
+# cluster-wide sum is exact integer arithmetic — the dsum/DECIMAL
+# idiom applied to EM statistics. The trained table is therefore
+# bit-identical on any partitioning.
+
+EM_SCALE = 1_000_000
+
+
+def _expected_piece_counts(
+    word: str, probs: dict[str, float], max_piece_len: int
+) -> list[tuple[str, float]] | None:
+    """Forward-backward posteriors over the segmentation lattice of
+    one word. Returns (piece, expected_count) pairs in first-seen
+    order, or None if the word is unsegmentable. Operation order is
+    part of the spec (module comment): alpha by position ascending /
+    length ascending; beta by position descending / length ascending;
+    posterior accumulation by position ascending / length ascending."""
+    n = len(word)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        for l in range(1, min(max_piece_len, i) + 1):
+            p = probs.get(word[i - l : i])
+            if p is not None and alpha[i - l] > 0.0:
+                alpha[i] += alpha[i - l] * p
+    z = alpha[n]
+    if z == 0.0:
+        return None
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        for l in range(1, min(max_piece_len, n - i) + 1):
+            p = probs.get(word[i : i + l])
+            if p is not None and beta[i + l] > 0.0:
+                beta[i] += p * beta[i + l]
+    counts: dict[str, float] = {}
+    for i in range(1, n + 1):
+        for l in range(1, min(max_piece_len, i) + 1):
+            piece = word[i - l : i]
+            p = probs.get(piece)
+            if p is not None and alpha[i - l] > 0.0 and beta[i] > 0.0:
+                counts[piece] = (
+                    counts.get(piece, 0.0) + alpha[i - l] * p * beta[i] / z
+                )
+    return list(counts.items())
+
+
+def _em_probs(scaled: dict[str, int]) -> dict[str, float]:
+    """Laplace smoothing in scaled units: p = (c + S)/(total + V·S)
+    with S = EM_SCALE — one pseudo-occurrence per piece, expressed in
+    micro-counts."""
+    total = sum(scaled.values())
+    v = len(scaled)
+    return {
+        p: (c + EM_SCALE) / (total + v * EM_SCALE)
+        for p, c in scaled.items()
+    }
+
+
+def _em_count_udf(probs: dict[str, float], max_piece_len: int):
+    def em_batch(words):
+        def one(word):
+            got = _expected_piece_counts(word, probs, max_piece_len)
+            if got is None:
+                return None
+            return [
+                {"piece": p, "c": int(round(c * EM_SCALE))}
+                for p, c in got
+            ]
+
+        return words.map(one)
+
+    return F.pandas_udf(em_batch, "array<struct<piece:string,c:long>>")
+
+
+def unigram_train_em(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_freq: int = 2,
+    max_seed: int = 200,
+    vocab_size: int = 120,
+    em_iters: int = 3,
+) -> dict[str, int]:
+    """Full-EM unigram training (module comment above): per-round, an
+    Arrow pass computes each DISTINCT word's expected piece counts
+    (forward-backward, spec-pinned float order), quantized to integer
+    micro-counts; the cluster aggregates ``Σ word_freq · micro(c)``
+    exactly; the M-step renormalizes. Returns ``piece → scaled
+    micro-count`` (drop-in for :func:`unigram_encode` — the smoothed
+    probabilities only need relative magnitudes). The same
+    word-frequency collapse and driver-bounded iteration as the
+    hard-EM trainer; each round touches the vocab-sized frame only."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    wf = word_freqs(df, text_col).repartition(par).localCheckpoint()
+    scaled = {
+        r.piece: int(r.piece_freq) * EM_SCALE
+        for r in seed_vocab(
+            df, text_col, max_piece_len, min_freq, max_seed
+        ).collect()
+    }
+    for _ in range(em_iters):
+        em = _em_count_udf(_em_probs(scaled), max_piece_len)
+        used = (
+            wf.withColumn("pc", em(F.col("word")))
+            .select("freq", F.explode("pc").alias("e"))
+            .select(
+                F.col("e.piece").alias("piece"),
+                (F.col("freq") * F.col("e.c")).alias("wc"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("wc").alias("c"))
+            .collect()
+        )
+        new = {r.piece: int(r.c) for r in used}
+        for p in scaled:
+            if len(p) == 1 and p not in new:
+                new[p] = 0
+        scaled = new
+    kept = sorted(scaled.items(), key=lambda kv: (-kv[1], kv[0]))
+    final = dict(kept[:vocab_size])
+    for p, c in scaled.items():
+        if len(p) == 1:
+            final[p] = c
+    wf.unpersist(blocking=False)
+    return final

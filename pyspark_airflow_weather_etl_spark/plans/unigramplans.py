@@ -109,3 +109,36 @@ def unigram_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return U.unigram_encode(
         docs, _trained(spark, sf_dir), max_piece_len=_MAX_PIECE_LEN
     )
+
+
+@register("unigram_vocab_em_documents")
+def unigram_vocab_em_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-EM unigram inventory (operators.unigram.unigram_train_em):
+    forward-backward EXPECTED piece counts instead of hard Viterbi
+    counts — SentencePiece's actual E-step. Determinism is engineered
+    back in: per-word posteriors run in spec-pinned float order and
+    quantize to integer micro-counts BEFORE aggregation, so the
+    cluster-wide sum is exact integer arithmetic and the trained table
+    is bit-identical on any partitioning. (piece, cnt) with cnt in
+    micro-counts. Rows-only; equality with an independent pure-Python
+    full-EM reference in tests/test_unigram.py."""
+    return U.vocab_df(spark, _trained_em(spark, sf_dir))
+
+
+_EM_CACHE: dict[str, dict[str, int]] = {}
+
+
+def _trained_em(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    if sf_dir not in _EM_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _EM_CACHE[sf_dir] = U.unigram_train_em(
+            docs,
+            max_piece_len=_MAX_PIECE_LEN,
+            min_freq=_MIN_FREQ,
+            max_seed=_MAX_SEED,
+            vocab_size=_VOCAB_SIZE,
+            em_iters=_EM_ITERS,
+        )
+    return _EM_CACHE[sf_dir]

@@ -98,4 +98,9 @@ def test_rows_only_entries_are_the_documented_sketches():
         # kernel unigram_seed_vocab_documents IS oracle-bearing)
         "unigram_vocab_documents",
         "unigram_encode_documents",
+        # full-EM edition: forward-backward expected counts quantized
+        # to integer micro-counts before aggregation; exact equality
+        # with an independent Python reference in
+        # tests/test_unigram.py::TestFullEm
+        "unigram_vocab_em_documents",
     }, f"unexpected rows-only set: {rows_only}"

@@ -186,3 +186,135 @@ def test_vocab_artifact_roundtrip(spark, engine_vocab, tmp_path):
     path = str(tmp_path / "unigram_vocab")
     unigram_save_vocab(spark, engine_vocab, path)
     assert unigram_load_vocab(spark, path) == engine_vocab
+
+
+class TestFullEm:
+    """Full-EM trainer: engine == independent reference (spec-pinned
+    float order + integer micro-count aggregation makes this an EXACT
+    equality), posterior mass conservation, and hard-vs-soft
+    difference is real."""
+
+    def _ref_em(self, texts):
+        from pyspark_airflow_weather_etl_spark.operators.unigram import (
+            EM_SCALE,
+        )
+
+        wf = Counter()
+        for t in texts:
+            for w in t.split():
+                if w:
+                    wf[w] += 1
+        subs = Counter()
+        for w, f in wf.items():
+            for i in range(len(w)):
+                for l in range(1, min(L, len(w) - i) + 1):
+                    subs[w[i : i + l]] += f
+        eligible = sorted(
+            ((p, c) for p, c in subs.items() if c >= MIN_FREQ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        scaled = {p: c * EM_SCALE for p, c in dict(eligible[:MAX_SEED]).items()}
+        for p, c in subs.items():
+            if len(p) == 1:
+                scaled[p] = c * EM_SCALE
+        for _ in range(ITERS):
+            total, v = sum(scaled.values()), len(scaled)
+            probs = {
+                p: (c + EM_SCALE) / (total + v * EM_SCALE)
+                for p, c in scaled.items()
+            }
+            agg = {}
+            for w, f in wf.items():
+                n = len(w)
+                alpha = [0.0] * (n + 1)
+                alpha[0] = 1.0
+                for i in range(1, n + 1):
+                    for l in range(1, min(L, i) + 1):
+                        p = probs.get(w[i - l : i])
+                        if p is not None and alpha[i - l] > 0.0:
+                            alpha[i] += alpha[i - l] * p
+                z = alpha[n]
+                if z == 0.0:
+                    continue
+                beta = [0.0] * (n + 1)
+                beta[n] = 1.0
+                for i in range(n - 1, -1, -1):
+                    for l in range(1, min(L, n - i) + 1):
+                        p = probs.get(w[i : i + l])
+                        if p is not None and beta[i + l] > 0.0:
+                            beta[i] += p * beta[i + l]
+                per_word = {}
+                for i in range(1, n + 1):
+                    for l in range(1, min(L, i) + 1):
+                        piece = w[i - l : i]
+                        p = probs.get(piece)
+                        if p is not None and alpha[i - l] > 0.0 and beta[i] > 0.0:
+                            per_word[piece] = (
+                                per_word.get(piece, 0.0)
+                                + alpha[i - l] * p * beta[i] / z
+                            )
+                for piece, c in per_word.items():
+                    agg[piece] = agg.get(piece, 0) + f * int(
+                        round(c * EM_SCALE)
+                    )
+            for p in scaled:
+                if len(p) == 1 and p not in agg:
+                    agg[p] = 0
+            scaled = agg
+        kept = sorted(scaled.items(), key=lambda kv: (-kv[1], kv[0]))
+        final = dict(kept[:VOCAB])
+        for p, c in scaled.items():
+            if len(p) == 1:
+                final[p] = c
+        return final
+
+    def test_em_matches_reference(self, spark, docs, texts):
+        from pyspark_airflow_weather_etl_spark.operators.unigram import (
+            unigram_train_em,
+        )
+
+        got = unigram_train_em(
+            docs,
+            max_piece_len=L,
+            min_freq=MIN_FREQ,
+            max_seed=MAX_SEED,
+            vocab_size=VOCAB,
+            em_iters=ITERS,
+        )
+        want = self._ref_em(texts)
+        assert got == want
+
+    def test_posterior_mass_conserved(self):
+        """For any word, expected piece counts weighted by piece
+        length must sum to the word length (every character is covered
+        by exactly one piece in every segmentation)."""
+        from pyspark_airflow_weather_etl_spark.operators.unigram import (
+            _expected_piece_counts,
+        )
+
+        probs = {"a": 0.3, "b": 0.2, "ab": 0.1, "ba": 0.05, "abb": 0.02}
+        for word in ["abba", "ab", "bab", "aaaa"]:
+            got = _expected_piece_counts(word, probs, 3)
+            assert got is not None
+            mass = sum(len(p) * c for p, c in got)
+            assert abs(mass - len(word)) < 1e-9, (word, mass)
+
+    def test_soft_differs_from_hard(self, spark, docs, engine_vocab):
+        """The expected-count table must differ from the Viterbi-count
+        table (if they were equal the full-EM path wouldn't be
+        exercising anything)."""
+        from pyspark_airflow_weather_etl_spark.operators.unigram import (
+            EM_SCALE,
+            unigram_train_em,
+        )
+
+        em = unigram_train_em(
+            docs,
+            max_piece_len=L,
+            min_freq=MIN_FREQ,
+            max_seed=MAX_SEED,
+            vocab_size=VOCAB,
+            em_iters=ITERS,
+        )
+        hard_scaled = {p: c * EM_SCALE for p, c in engine_vocab.items()}
+        assert em != hard_scaled
