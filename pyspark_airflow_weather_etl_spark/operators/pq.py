@@ -276,7 +276,9 @@ def ivfpq_topk_at_rest(
         .limit(rerank)
     )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    exact = idx.join(cand.select(id_col), id_col).select(
+    # the survivor set is rerank rows by construction — broadcast it
+    # so the re-rank join never shuffles the probed partitions
+    exact = idx.join(F.broadcast(cand.select(id_col)), id_col).select(
         F.col(id_col),
         F.round(
             F.aggregate(
