@@ -739,3 +739,85 @@ def lm_bigram_score(
             F.col("avg_neg_logprob"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame, text_col: str = "text", max_n: int = 3
+) -> DataFrame:
+    """Corpus n-gram diversity audit: for n = 1..max_n, the number of
+    DISTINCT n-grams vs total n-gram occurrences — the distinct-n
+    ratio (downstream divides) that quantifies corpus repetitiveness
+    and template saturation (the corpus-level cousin of the per-doc
+    Gopher repetition stats). One explode per n over the token-slice
+    expression; exact integer output, one row per n.
+
+    Scale: COUNT(DISTINCT) is the one heavy aggregate — Spark plans
+    it as a two-stage expand/agg (partial distinct per partition),
+    linear in occurrences; the approximate twin for quick audits is
+    ``approx_count_distinct`` (not used here — the oracle contract is
+    exact)."""
+    t = tokens(text_col)
+
+    # closure factory, NOT `lambda i, n=n`: a two-parameter lambda is
+    # Spark's (element, index) transform form, so the defaulted n
+    # would silently receive the array INDEX instead of the gram size
+    def _gram_maker(n: int):
+        def make(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(t, i, F.lit(n))).alias("gram"),
+            )
+
+        return make
+
+    grams = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - n + 1),
+                        _gram_maker(n),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<n:int,gram:string>>")
+                )
+                for n in range(1, max_n + 1)
+            ]
+        )
+    )
+    return (
+        df.select(F.explode(grams).alias("g"))
+        .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("n")
+        .agg(
+            F.countDistinct("gram").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )
+
+
+def token_freq_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token frequency-of-frequencies (the Zipf audit): how many
+    distinct tokens occur exactly ``freq`` times. The corpus-health
+    fingerprint that surfaces boilerplate floods (mass at high freq)
+    and OCR/noise floods (mass at freq 1) in one vocab-sized table.
+    Two chained aggregations, both partial-aggregated; exact
+    integers."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy("freq")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            F.col("freq").cast("long").alias("freq"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -1365,3 +1365,52 @@ def lm_bigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined). Hash-exact vs the DuckDB lateral-bigram replay."""
     docs = load_table(spark, sf_dir, "documents")
     return X.lm_bigram_score(docs)
+
+
+@register(
+    "corpus_ngram_diversity",
+    oracle="""
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT n.n AS n,
+             array_to_string(list_slice(t, g.i, g.i + n.n - 1), ' ')
+               AS gram
+      FROM tok
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS n) n,
+      LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+      WHERE g.i + n.n - 1 <= len(t)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM grams GROUP BY n
+    """,
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity audit (operators.text.ngram_diversity):
+    distinct vs total n-grams for n=1..3 — the distinct-n
+    repetitiveness fingerprint. Hash-exact vs the DuckDB
+    lateral-slice replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.ngram_diversity(docs, max_n=3)
+
+
+@register(
+    "token_freq_spectrum",
+    oracle="""
+    WITH c AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) > 0 GROUP BY w
+    )
+    SELECT CAST(freq AS BIGINT) AS freq,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM c GROUP BY freq
+    """,
+)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf audit (operators.text.token_freq_spectrum): token
+    frequency-of-frequencies — boilerplate floods show as mass at
+    high freq, noise floods as mass at freq 1. Hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.token_freq_spectrum(docs)
