@@ -91,3 +91,53 @@ def upsert(
     )
     keep = target.join(collapsed, list(keys), "left_anti")
     return keep.unionByName(collapsed)
+
+
+def scd2_compact(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """SCD type-2 history compaction from a change stream — the CDC
+    counterpart of :func:`upsert` (which keeps only the latest state):
+    per key, order observations by (ts, tiebreak), collapse
+    consecutive runs of the same state, and emit one VERSIONED
+    validity interval per run — ``(key, state, valid_from_us,
+    valid_to_us, version)``, ``valid_to_us`` null for the current
+    state. This is the standard warehouse history table built from a
+    raw event/CDC feed (Kimball SCD2), and the inverse question
+    "state as of time T" becomes one range predicate on the output.
+
+    Null-safe run detection (``IS DISTINCT FROM``): a run of null
+    states collapses like any other; epoch-microsecond interval
+    bounds (integer) keep the output engine-portable.
+
+    Scale shape: two windows over the SAME (key → ts, tiebreak)
+    ordering — one shuffle, the second window reuses the
+    partitioning; no joins, no state bigger than a partition's run
+    boundaries."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    marked = df.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.lag(state_col).over(w).alias("__prev"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    starts = marked.where(
+        (F.col("__rn") == 1)
+        | ~F.col(state_col).eqNullSafe(F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return starts.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.unix_micros(F.col(ts_col)).alias("valid_from_us"),
+        F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import merge as M
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 from .registry import register
@@ -100,3 +101,36 @@ def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_id", "user_id")
         .agg(F.count("v_event_id").alias("n_views_prior_hour"))
     )
+
+
+@register(
+    "scd2_event_state_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w2) AS valid_to_us,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+    FROM s
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_event_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history compaction (operators.merge.scd2_compact):
+    the per-user event_type change stream collapsed into versioned
+    validity intervals — consecutive repeats merge, each state change
+    opens a new interval, the current state stays open (null
+    valid_to). The Kimball SCD2 history table built from a raw CDC
+    feed with two same-ordering windows and one shuffle; hash-exact
+    vs the DuckDB window replay (epoch-microsecond bounds)."""
+    ev = load_table(spark, sf_dir, "events")
+    return M.scd2_compact(ev, "user_id", "event_type", "ts", "event_id")

@@ -7,6 +7,7 @@ Postgres ON CONFLICT upsert (weather_daily_etl.py:186-209).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_airflow_weather_etl_spark.operators.merge import (
     collapse_duplicates,
@@ -88,3 +89,91 @@ def test_upsert_preserves_target_schema_dtypes(spark):
     )
     merged = upsert(target, updates, KEYS)
     assert merged.schema == target.schema
+
+
+class TestScd2Compact:
+    def test_runs_collapse_and_intervals_tile(self, spark):
+        """Hand-checkable stream: consecutive repeats collapse, each
+        interval's valid_to equals the next version's valid_from, and
+        the current state stays open."""
+        from pyspark_airflow_weather_etl_spark.operators.merge import (
+            scd2_compact,
+        )
+
+        rows = [
+            (1, "a", 100, 1),
+            (1, "a", 200, 2),   # repeat: same run
+            (1, "b", 300, 3),   # change
+            (1, "b", 400, 4),
+            (1, "a", 500, 5),   # back to a: NEW version, not merged
+            (2, None, 100, 6),  # null state run
+            (2, None, 150, 7),
+            (2, "x", 200, 8),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, s string, t long, e long"
+        ).select(
+            "k",
+            "s",
+            F.timestamp_micros(F.col("t")).alias("t"),
+            "e",
+        )
+        got = {
+            (r.k, r.version): (r.s, r.valid_from_us, r.valid_to_us)
+            for r in scd2_compact(df, "k", "s", "t", "e").collect()
+        }
+        assert got == {
+            (1, 1): ("a", 100, 300),
+            (1, 2): ("b", 300, 500),
+            (1, 3): ("a", 500, None),
+            (2, 1): (None, 100, 200),
+            (2, 2): ("x", 200, None),
+        }
+
+    def test_asof_reconstruction(self, spark):
+        """The history table answers 'state as of T' correctly: for
+        sampled (user, T), the interval containing T carries the same
+        event_type as the latest raw event at or before T."""
+        from pyspark_airflow_weather_etl_spark.operators.merge import (
+            scd2_compact,
+        )
+        from pyspark_airflow_weather_etl_spark.sources.tables import (
+            load_table,
+        )
+        from conftest import SF_DIR
+
+        ev = load_table(spark, SF_DIR, "events")
+        hist = scd2_compact(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).cache()
+        raw = (
+            ev.select(
+                "user_id", "event_type", F.unix_micros("ts").alias("us"),
+                "event_id",
+            )
+            .collect()
+        )
+        by_user = {}
+        for r in raw:
+            by_user.setdefault(r.user_id, []).append(r)
+        h = hist.collect()
+        intervals = {}
+        for r in h:
+            intervals.setdefault(r.user_id, []).append(r)
+        import random
+
+        rng = random.Random(0)
+        users = sorted(by_user)[:10]
+        for u in users:
+            evs = sorted(by_user[u], key=lambda r: (r.us, r.event_id))
+            t = evs[rng.randrange(len(evs))].us
+            latest = [r for r in evs if r.us <= t][-1]
+            live = [
+                r
+                for r in intervals[u]
+                if r.valid_from_us <= t
+                and (r.valid_to_us is None or t < r.valid_to_us)
+            ]
+            assert len(live) == 1, (u, t, live)
+            assert live[0].event_type == latest.event_type
+        hist.unpersist()
