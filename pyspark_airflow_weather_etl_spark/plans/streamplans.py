@@ -391,3 +391,58 @@ def streaming_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids_text"),
         "n_tokens",
     )
+
+
+def _stage_event_batches(spark, sf_dir: str, tmp: str, n_batches: int = 4):
+    """Write events as n_batches single-file parquet batches
+    (event_id mod buckets — ARRIVAL ORDER DELIBERATELY CUTS ACROSS
+    event time, so incremental consumers must handle late/interleaved
+    state changes), mtime-ordered for the file source."""
+    import glob as _glob
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    watch = f"{tmp}/in"
+    os.makedirs(watch, exist_ok=True)
+    for i in range(n_batches):
+        stage = f"{tmp}/stage_{i}"
+        ev.where(F.col("event_id") % n_batches == i).coalesce(
+            1
+        ).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return watch, ev.schema
+
+
+from .temporal import _SCD2_ORACLE  # noqa: E402
+
+
+@register("streaming_scd2_history", oracle=_SCD2_ORACLE)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintained at streaming latency (streaming.scd2):
+    events arrive as four micro-batches whose arrival order cuts
+    across event time; each batch lands its raw events batch-keyed and
+    recompacts ONLY the key-buckets it touched, purely from the
+    at-rest raw store (bucket-granular incremental materialized-view
+    maintenance — replay-idempotent by construction). The maintained
+    table hash-matches the SAME DuckDB oracle as the one-shot batch
+    entry scd2_event_state_history, proving the incremental
+    decomposition loses and invents nothing. Crash-replay and
+    untouched-bucket-stability pytests in tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.scd2 import read_history, run_streaming_scd2
+
+    tmp = tempfile.mkdtemp(prefix="stream_scd2_")
+    watch, schema = _stage_event_batches(spark, sf_dir, tmp)
+    run_streaming_scd2(
+        spark,
+        watch,
+        f"{tmp}/raw",
+        f"{tmp}/history",
+        schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return read_history(spark, f"{tmp}/history")

@@ -103,9 +103,7 @@ def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register(
-    "scd2_event_state_history",
-    oracle="""
+_SCD2_ORACLE = """
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER w AS prev,
@@ -122,8 +120,10 @@ def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
            CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
     FROM s
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
+    """
+
+
+@register("scd2_event_state_history", oracle=_SCD2_ORACLE)
 def scd2_event_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history compaction (operators.merge.scd2_compact):
     the per-user event_type change stream collapsed into versioned

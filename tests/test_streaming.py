@@ -482,3 +482,115 @@ def test_streaming_encode_replay_and_batch_parity(spark, tmp_path):
         for r in encode_documents(docs, vocab).collect()
     )
     assert got == want and got
+
+
+def test_streaming_scd2_replay_and_bucket_stability(spark, tmp_path):
+    """Streaming SCD2 maintenance (streaming.scd2): (a) the maintained
+    table equals the one-shot batch compaction after every batch, (b)
+    a crash-replay (commit marker deleted) converges to the same table
+    — the refresh is a pure function of the at-rest raw store — and
+    (c) a batch touching only some key-buckets leaves the other
+    buckets' files unmodified (bucket-granular refresh, not a full
+    rewrite)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.merge import (
+        scd2_compact,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.scd2 import (
+        read_history,
+        run_streaming_scd2,
+    )
+
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").limit(400).cache()
+    watch = str(tmp_path / "in")
+    raw = str(tmp_path / "raw")
+    hist = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    def stage(buckets, slot0, mod=3):
+        for slot, bucket in enumerate(buckets, start=slot0):
+            sdir = f"{watch}__stage_{bucket}"
+            ev.where(F.col("event_id") % mod == bucket).coalesce(
+                1
+            ).write.mode("overwrite").parquet(sdir)
+            part = glob.glob(f"{sdir}/part-*.parquet")[0]
+            dst = f"{watch}/arrival_{slot:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+
+    def snap(df):
+        return sorted(
+            (r.user_id, r.event_type, r.valid_from_us, r.valid_to_us,
+             r.version)
+            for r in df.collect()
+        )
+
+    stage([0, 1], 0)
+    run_streaming_scd2(
+        spark, watch, raw, hist, ev.schema, checkpoint_dir=ckpt
+    )
+    seen = ev.where(F.col("event_id") % 3 != 2)
+    assert snap(read_history(spark, hist)) == snap(
+        scd2_compact(seen, "user_id", "event_type", "ts", "event_id")
+    )
+    before = snap(read_history(spark, hist))
+    # crash: batch 1 committed its writes but not the checkpoint
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_scd2(
+        spark, watch, raw, hist, ev.schema, checkpoint_dir=ckpt
+    )
+    assert snap(read_history(spark, hist)) == before
+    # bucket stability: a single-user batch touches ONE bucket; every
+    # other bucket's files keep their mtimes
+    some_user = ev.select("user_id").first()[0]
+    one = ev.where(
+        (F.col("event_id") % 3 == 2) & (F.col("user_id") == some_user)
+    )
+    assert one.count() > 0
+    sdir = f"{watch}__stage_one"
+    one.coalesce(1).write.mode("overwrite").parquet(sdir)
+    part = glob.glob(f"{sdir}/part-*.parquet")[0]
+    dst = f"{watch}/arrival_100.parquet"
+    os.rename(part, dst)
+    os.utime(dst, (1_700_009_000,) * 2)
+    mtimes_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{hist}/kb=*/*.parquet")
+    }
+    run_streaming_scd2(
+        spark, watch, raw, hist, ev.schema, checkpoint_dir=ckpt
+    )
+    from pyspark_airflow_weather_etl_spark.streaming.scd2 import (
+        _with_bucket,
+    )
+
+    touched_kb = (
+        _with_bucket(one, "user_id", 8).select("kb").first()[0]
+    )
+    untouched = {
+        p: m
+        for p, m in mtimes_before.items()
+        if f"kb={touched_kb}/" not in p
+    }
+    after = {p: os.path.getmtime(p) for p in untouched}
+    assert after == untouched, "untouched buckets were rewritten"
+    # and the table still equals the full batch compaction of all seen
+    seen2 = ev.where(
+        (F.col("event_id") % 3 != 2)
+        | (F.col("user_id") == some_user)
+    )
+    assert snap(read_history(spark, hist)) == snap(
+        scd2_compact(seen2, "user_id", "event_type", "ts", "event_id")
+    )
+    ev.unpersist()
