@@ -68,11 +68,19 @@ def run_streaming_scd2(
     spark = streaming_session(spark)
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch runs on a CLONED session with isolated conf —
+        # the overwrite-mode switch MUST target batch.sparkSession,
+        # not the outer session, or a vanilla-session deployment keeps
+        # STATIC overwrite in the clone and every raw write truncates
+        # the store to the current batch (caught by the driver's
+        # vanilla-session contract run; the engine session masked it
+        # because its clones inherit dynamic as the session default)
+        bs = batch.sparkSession
         keyed = _with_bucket(batch, key_col, n_buckets)
-        old = spark.conf.get(
+        old = bs.conf.get(
             "spark.sql.sources.partitionOverwriteMode", None
         )
-        spark.conf.set(
+        bs.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         try:
@@ -85,7 +93,7 @@ def run_streaming_scd2(
             touched = sorted(
                 r.kb for r in keyed.select("kb").distinct().collect()
             )
-            raw = spark.read.parquet(raw_path).where(
+            raw = bs.read.parquet(raw_path).where(
                 F.col("kb").isin(touched)
             )
             hist = scd2_compact(
@@ -99,7 +107,7 @@ def run_streaming_scd2(
             )
         finally:
             if old is not None:
-                spark.conf.set(
+                bs.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
 
