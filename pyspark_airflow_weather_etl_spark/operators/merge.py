@@ -141,3 +141,43 @@ def scd2_compact(
         F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to_us"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 history
+    (:func:`scd2_compact` output): each fact row joins the ONE
+    validity interval active at its timestamp —
+    ``valid_from_us ≤ ts < valid_to_us`` with the open (null
+    ``valid_to_us``) interval catching everything current. The
+    standard PIT join that makes the history table useful downstream
+    (feature stores, "dimension as of the order date" joins) — and
+    the reason SCD2 materializes intervals at all: the as-of question
+    becomes one range predicate instead of a per-row window scan of
+    the raw feed.
+
+    Scale shape: an equi-join on the key (shuffle both sides on it)
+    with the interval predicate evaluated as the join residual — per
+    key the history is its version count (small), so the fan-out is
+    bounded and the matched row is unique by the interval-tiling
+    invariant (tests assert exactly-one-match)."""
+    fa = facts.alias("f")
+    ha = history.alias("h")
+    cond = (
+        (F.col(f"f.{key_col}") == F.col(f"h.{key_col}"))
+        & (F.unix_micros(F.col(f"f.{ts_col}")) >= F.col("h.valid_from_us"))
+        & (
+            F.col("h.valid_to_us").isNull()
+            | (F.unix_micros(F.col(f"f.{ts_col}")) < F.col("h.valid_to_us"))
+        )
+    )
+    return fa.join(ha, cond).select(
+        F.col(f"f.{key_col}").alias(key_col),
+        F.unix_micros(F.col(f"f.{ts_col}")).alias("ts_us"),
+        F.col("h.version").alias("version"),
+        F.col("h.valid_from_us").alias("valid_from_us"),
+    )

@@ -134,3 +134,39 @@ def scd2_event_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the DuckDB window replay (epoch-microsecond bounds)."""
     ev = load_table(spark, sf_dir, "events")
     return M.scd2_compact(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle=_SCD2_ORACLE.replace(
+        """
+    SELECT user_id, event_type,""",
+        """
+    , hist AS (
+    SELECT user_id, event_type,""",
+        1,
+    )
+    + """
+    )
+    SELECT e.user_id,
+           epoch_us(e.ts) AS ts_us,
+           h.version,
+           h.valid_from_us
+    FROM events e JOIN hist h
+      ON e.user_id = h.user_id
+     AND epoch_us(e.ts) >= h.valid_from_us
+     AND (h.valid_to_us IS NULL OR epoch_us(e.ts) < h.valid_to_us)
+    """,
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators.merge.scd2_point_in_time): every
+    event looks up the ONE SCD2 validity interval active at its
+    timestamp — the feature-store / "dimension as of the fact date"
+    join that is the reason SCD2 materializes intervals. Equi-join on
+    the key with the interval predicate as join residual; exactly one
+    match per fact by the interval-tiling invariant (pinned in
+    tests/test_merge.py). Hash-exact vs the DuckDB replay of history
+    construction + the same interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = M.scd2_compact(ev, "user_id", "event_type", "ts", "event_id")
+    return M.scd2_point_in_time(ev, hist, "user_id", "ts")

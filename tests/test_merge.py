@@ -177,3 +177,28 @@ class TestScd2Compact:
             assert len(live) == 1, (u, t, live)
             assert live[0].event_type == latest.event_type
         hist.unpersist()
+
+    def test_point_in_time_exactly_one_match(self, spark):
+        """The interval-tiling invariant makes the PIT join total and
+        unique: every fact matches exactly one interval, and the
+        matched state equals the fact's own event_type (the fact IS
+        an observation of the state)."""
+        from pyspark_airflow_weather_etl_spark.operators.merge import (
+            scd2_compact,
+            scd2_point_in_time,
+        )
+        from pyspark_airflow_weather_etl_spark.sources.tables import (
+            load_table,
+        )
+        from conftest import SF_DIR
+
+        ev = load_table(spark, SF_DIR, "events").limit(500).cache()
+        hist = scd2_compact(ev, "user_id", "event_type", "ts", "event_id")
+        got = scd2_point_in_time(ev, hist, "user_id", "ts")
+        n_facts = ev.count()
+        assert got.count() == n_facts  # total: no fact dropped
+        assert (
+            got.groupBy("user_id", "ts_us").count().where("count > 2").count()
+            == 0
+        )  # unique per (user, ts) up to ts collisions
+        ev.unpersist()
