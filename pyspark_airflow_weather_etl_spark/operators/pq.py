@@ -212,6 +212,7 @@ def ivfpq_index_write(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> None:
     """Persist the IVF-PQ layout: rows partitioned by coarse cell
     (``ivf_cell=<n>`` directories), carrying (id, pq_code, vector).
@@ -219,11 +220,21 @@ def ivfpq_index_write(
     read nprobe partitions of codes and touch raw vectors only for the
     re-rank survivors. Keeping the raw vector beside the code costs
     storage but buys exact re-ranking without a second table — at
-    scale, parquet column pruning means ADC scans never read it."""
+    scale, parquet column pruning means ADC scans never read it.
+
+    Pass ``rotation`` (an :func:`opq_train` R, trained together with
+    ``codebooks``) for the OPQ layout: codes quantize the ROTATED
+    vectors while the stored raw vector — and therefore the re-rank —
+    stays in the original space (R is orthogonal, so L2 is identical
+    in both). The coarse quantizer also stays in the original space:
+    cell geometry and rotation are independent concerns."""
     from .similarity import ivf_assign
 
-    coded = pq_encode(
-        ivf_assign(embeddings, centroids, vec_col), codebooks, vec_col
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    coded = (
+        pq_encode(assigned, codebooks, vec_col)
+        if rotation is None
+        else opq_encode(assigned, rotation, codebooks, vec_col)
     )
     (
         coded.select(id_col, "pq_code", vec_col, "ivf_cell")
@@ -244,9 +255,13 @@ def ivfpq_topk_at_rest(
     rerank: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Two-stage IVFADC search against a persisted
-    :func:`ivfpq_index_write` layout:
+    :func:`ivfpq_index_write` layout (pass the index's ``rotation``
+    for an OPQ layout — the LUT is then built from the ROTATED query,
+    while coarse-cell ranking and the exact re-rank stay in the
+    original space, where L2 is identical under the orthogonal R):
 
     1. rank the query's ``nprobe`` nearest coarse cells driver-side
        (O(n_cells)); scan ONLY those partitions (partition pruning —
@@ -266,7 +281,15 @@ def ivfpq_topk_at_rest(
         axis=1
     )
     probes = [int(i) for i in d2.argsort()[:nprobe]]
-    lut = adc_lut(query_vec, codebooks)
+    lut_q = (
+        query_vec
+        if rotation is None
+        else [
+            float(x)
+            for x in q @ np.asarray(rotation, dtype=np.float64)
+        ]
+    )
+    lut = adc_lut(lut_q, codebooks)
     idx = spark.read.parquet(index_path).where(
         F.col("ivf_cell").isin(probes)
     )

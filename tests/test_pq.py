@@ -288,3 +288,37 @@ class TestOpq:
         rows = opq_topk_adc(emb, qvec, R, books, k=10).collect()
         assert len(rows) == 10
         assert rows[0].vec_id == 0  # the query row itself
+
+
+def test_opq_at_rest_layout(spark, emb, xmat, qvec, tmp_path):
+    """OPQ inside the at-rest IVF-PQ layout: codes quantize rotated
+    vectors, coarse cells and the exact re-rank stay in the original
+    space (orthogonal R preserves L2). Re-ranked distances must be
+    exact, and recall@10 at least matches the plain-PQ layout's 0.5
+    floor."""
+    from pyspark_airflow_weather_etl_spark.operators.pq import (
+        ivfpq_index_write,
+        ivfpq_topk_at_rest,
+        opq_train,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+
+    R, books = opq_train(emb, m=8, n_codes=16)
+    cents = ivf_train_centroids(emb, n_cells=16)
+    path = str(tmp_path / "opq_index")
+    ivfpq_index_write(emb, cents, books, path, rotation=R)
+    got = ivfpq_topk_at_rest(
+        spark, path, qvec, cents, books, k=10, nprobe=4, rerank=64,
+        rotation=R,
+    ).collect()
+    ids, X = xmat
+    q = np.asarray(qvec)
+    d2 = {int(i): float(((x - q) ** 2).sum()) for i, x in zip(ids, X)}
+    assert len(got) == 10
+    for r in got:
+        assert abs(r.l2_d2 - round(d2[r.vec_id], 6)) <= 1e-6
+    full = ((X - q[None, :]) ** 2).sum(axis=1)
+    top10 = set(int(i) for i in ids[np.argsort(full, kind="stable")[:10]])
+    assert len({r.vec_id for r in got} & top10) / 10 >= 0.5
