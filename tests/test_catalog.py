@@ -24,8 +24,11 @@ def test_contract_exports_match_registry():
     import re
 
     for name, sql in oracles.items():
-        tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql,
-                                re.IGNORECASE))
+        # negative lookbehind: SQL's `IS [NOT] DISTINCT FROM x`
+        # comparisons are not table references
+        tables = set(re.findall(
+            r"(?:(?<!DISTINCT )FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql,
+            re.IGNORECASE))
         cte_names = set(re.findall(r"(?:WITH(?:\s+RECURSIVE)?\s+|,\s*)"
                                    r"([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?"
                                    r"\s+AS\s*\(", sql,
