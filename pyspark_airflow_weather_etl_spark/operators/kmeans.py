@@ -7,7 +7,9 @@ own quantizer). The existing ``similarity.ivf_train_centroids`` trains
 on a bounded driver-side sample (the FAISS recipe); this module adds
 the FULL-CORPUS Lloyd iteration in its standard distributed shape
 (Spark MLlib's): each round is ONE corpus scan (assignment, no
-shuffle of the vectors themselves) + a tiny (k·dim)-row aggregate,
+shuffle of the vectors themselves) + a tiny k-row aggregate of dim
+sum/avg columns (per-dimension aggregates, NOT a posexplode — the
+explode form multiplies the aggregate's input by dim),
 with the k×dim centroid frame round-tripping through the driver —
 a driver-bounded iteration exactly like ``graph.dedup_clusters``'s
 label propagation and ``bpe.bpe_train``'s merge loop.
@@ -31,10 +33,10 @@ Two forms:
   replay.
 
 Scale: per iteration the corpus is scanned once; the only shuffle is
-the partial-aggregated groupBy over (cell, dim) — k·dim rows after
-map-side combine, bytes not gigabytes. Centroids (k·dim doubles)
-broadcast as plan literals. 100 TB cost = iters × one scan, the
-floor for any exact Lloyd."""
+the partial-aggregated groupBy over cell — k rows × dim aggregate
+columns after map-side combine, bytes not gigabytes. Centroids
+(k·dim doubles) broadcast as plan literals. 100 TB cost = iters ×
+one scan, the floor for any exact Lloyd."""
 
 from __future__ import annotations
 
