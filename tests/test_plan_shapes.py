@@ -213,3 +213,30 @@ def test_cap_per_group_pushes_group_limit(spark):
     property that keeps a skewed mega-source from fully sorting."""
     plan = _plan(spark, "cap_documents_per_source")
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_nprobe_dedup_vectors_never_ride_the_cell_join(spark):
+    """semantic_dedup(nprobe>1): candidates generate through NARROW
+    (id, cell) frames — the 64-double vector column must attach by id
+    join AFTER the pair distinct, never ride the (near-all-pairs at
+    nprobe=4/16) cell join — and scoring must be the Arrow pair-dot
+    kernel, not a per-pair interpreted fold (the 23.8 s → 3.7 s r9
+    fix; BASELINE.md round-9 second-wave note)."""
+    import re
+
+    plan = _plan(spark, "semantic_dedup_embeddings_nprobe")
+    assert "ArrowEvalPython" in plan  # the pair-dot kernel runs
+    # find the cell equi-join (any physical flavor — broadcast at
+    # fixture scale, SMJ at corpus scale) and check the join block's
+    # next lines (its key lists and child projections) carry no
+    # vector column
+    m = re.search(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) "
+        r"\[ivf_cell[^\n]*\n((?:.*\n){1,10})",
+        plan,
+    )
+    assert m is not None, "expected the cell equi-join in the plan"
+    joined_block = m.group(0)
+    assert "v_a" not in joined_block and "v_b" not in joined_block, (
+        "vector columns must not ride the cell join"
+    )
