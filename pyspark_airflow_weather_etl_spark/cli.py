@@ -57,6 +57,27 @@ def main(argv: list[str] | None = None) -> int:
         "(default: n_chars if present, else derived length(text))",
     )
 
+    p_tok = sub.add_parser(
+        "tokenize",
+        help="train a tokenizer artifact, or encode documents with one",
+    )
+    p_tok.add_argument(
+        "action", choices=["train", "encode"],
+        help="train: corpus -> artifact; encode: corpus + artifact -> ids",
+    )
+    p_tok.add_argument("--input", required=True, help="documents parquet")
+    p_tok.add_argument("--artifact", required=True, help="artifact path")
+    p_tok.add_argument(
+        "--family", choices=["bpe", "unigram", "unigram-em"], default="bpe"
+    )
+    p_tok.add_argument("--out", help="encode output parquet (encode only)")
+    p_tok.add_argument("--text-col", default="text")
+    p_tok.add_argument("--id-col", default="doc_id")
+    p_tok.add_argument("--num-merges", type=int, default=1024)
+    p_tok.add_argument("--vocab-size", type=int, default=8192)
+    p_tok.add_argument("--max-piece-len", type=int, default=8)
+    p_tok.add_argument("--em-iters", type=int, default=3)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
@@ -102,6 +123,69 @@ def main(argv: list[str] | None = None) -> int:
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")
+        elif args.cmd == "tokenize":
+            docs = spark.read.parquet(args.input)
+            if args.text_col not in docs.columns:
+                print(
+                    f"input has no column {args.text_col!r}; columns: "
+                    f"{docs.columns}",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.action == "train":
+                if args.family == "bpe":
+                    from .operators import bpe as B
+
+                    merges = B.bpe_train(
+                        docs, args.text_col, num_merges=args.num_merges
+                    )
+                    B.bpe_save_merges(spark, merges, args.artifact)
+                    print(f"bpe: {len(merges)} merges -> {args.artifact}")
+                else:
+                    from .operators import unigram as U
+
+                    train = (
+                        U.unigram_train_em
+                        if args.family == "unigram-em"
+                        else U.unigram_train
+                    )
+                    counts = train(
+                        docs,
+                        args.text_col,
+                        max_piece_len=args.max_piece_len,
+                        vocab_size=args.vocab_size,
+                        em_iters=args.em_iters,
+                    )
+                    U.unigram_save_vocab(spark, counts, args.artifact)
+                    print(
+                        f"{args.family}: {len(counts)} pieces -> "
+                        f"{args.artifact}"
+                    )
+            else:
+                if not args.out:
+                    print("encode requires --out", file=sys.stderr)
+                    return 2
+                if args.family == "bpe":
+                    from .operators import bpe as B
+
+                    enc = B.bpe_encode(
+                        docs,
+                        B.bpe_load_merges(spark, args.artifact),
+                        args.id_col,
+                        args.text_col,
+                    )
+                else:
+                    from .operators import unigram as U
+
+                    enc = U.unigram_encode(
+                        docs,
+                        U.unigram_load_vocab(spark, args.artifact),
+                        max_piece_len=args.max_piece_len,
+                        id_col=args.id_col,
+                        text_col=args.text_col,
+                    )
+                enc.write.mode("overwrite").parquet(args.out)
+                print(f"encoded -> {args.out}")
     finally:
         spark.stop()
     return 0
