@@ -54,6 +54,8 @@ HEADLINE = [
     "sessionize_user_events",
     "asof_purchase_prior_view",
     "range_join_views_before_purchase",
+    "scd2_event_state_history",
+    "scd2_point_in_time_lookup",
     "events_daily_rollup",
     "topk_orders_by_price",
     "cube_orders_status_priority",
