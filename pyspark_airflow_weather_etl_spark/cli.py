@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--seed", type=int, default=42, help="epoch seed")
     p_cur.add_argument("--shard-rows", type=int, default=1024)
     p_cur.add_argument(
+        "--near-dup-threshold", type=float, default=None,
+        help="enable MinHash fuzzy dedup at this Jaccard threshold",
+    )
+    p_cur.add_argument(
         "--score-col", default=None,
         help="quality-score column for prune/budget stages "
         "(default: n_chars if present, else derived length(text))",
@@ -120,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
                 shard_rows=args.shard_rows,
                 score_col=args.score_col,
+                near_dup_threshold=args.near_dup_threshold,
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")

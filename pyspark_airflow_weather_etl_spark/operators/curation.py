@@ -300,6 +300,7 @@ def curate_corpus(
     shard_rows: int = 1024,
     partitions: int | None = None,
     score_col: str | None = None,
+    near_dup_threshold: float | None = None,
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
@@ -307,6 +308,12 @@ def curate_corpus(
 
     1. exact dedup (hash semi-join — shrink first, everything after
        pays per surviving row);
+    1b. OPTIONAL fuzzy dedup (``near_dup_threshold``): MinHash-LSH
+       near-dup pairs (:func:`.dedup.minhash_near_duplicates`) with
+       the keep-lowest-id survivor rule — exact dedup runs first so
+       the LSH never pays for byte-identical copies; recall is the
+       LSH S-curve (the operator's own tested contract), precision is
+       exact (every drop carries a verified Jaccard ≥ threshold);
     2. eval-set decontamination (in-plan n-gram overlap, no shuffle);
     3. quantile quality prune — drop the worst
        ``drop_worst_numer/denom`` by global rank
@@ -372,6 +379,19 @@ def curate_corpus(
 
     counts: dict[str, int] = {"input": df.count()}
     cur = barrier(dedup_exact(df, id_col, text_col), "after_exact_dedup")
+    if near_dup_threshold is not None:
+        from .dedup import minhash_near_duplicates
+
+        drops = (
+            minhash_near_duplicates(
+                cur, id_col, text_col, threshold=near_dup_threshold
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        cur = barrier(
+            cur.join(drops, id_col, "left_anti"), "after_near_dedup"
+        )
     if benchmark_phrases:
         cur = barrier(
             decontaminate(cur, benchmark_phrases, id_col, text_col),

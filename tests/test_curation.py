@@ -426,3 +426,60 @@ def test_training_shards_full_replace_no_stale_shards(spark, tmp_path):
     small = spark.read.parquet(path)
     assert small.count() == 100
     assert small.select("shard").distinct().count() == (100 + 63) // 64
+
+
+def test_curate_corpus_fuzzy_dedup_stage(spark, tmp_path):
+    """near_dup_threshold enables the MinHash stage: a planted
+    near-copy (one token changed — exact dedup blind to it) is
+    dropped while its lower-id original survives; the stage count
+    lands between exact dedup and decontamination; disabling the
+    knob keeps both copies."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    base = load_table(spark, SF_DIR, "documents").limit(100)
+    victim = base.orderBy("doc_id").first()
+    toks = victim.text.split()
+    toks[3] = "MUTATED"
+    near = spark.createDataFrame(
+        [(900001, " ".join(toks), victim.lang, victim.source,
+          len(" ".join(toks)))],
+        base.schema,
+    )
+    docs = base.unionByName(near)
+    out = str(tmp_path / "rel_fuzzy")
+    counts = curate_corpus(
+        docs, out, shard_rows=64, near_dup_threshold=0.5
+    )
+    assert "after_near_dedup" in counts
+    # drops = planted near-copy + the fixture's own planted near-dup
+    # pairs; assert exact agreement with the operator's own pair set
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    expected_drops = (
+        minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        .select("id_b")
+        .distinct()
+        .count()
+    )
+    assert (
+        counts["after_near_dedup"]
+        == counts["after_exact_dedup"] - expected_drops
+    )
+    assert expected_drops >= 1  # at least the planted copy
+    final = spark.read.parquet(out)
+    kept = {r.doc_id for r in final.select("doc_id").collect()}
+    assert victim.doc_id in kept and 900001 not in kept
+    out2 = str(tmp_path / "rel_plain")
+    counts2 = curate_corpus(docs, out2, shard_rows=64)
+    assert "after_near_dedup" not in counts2
+    kept2 = {
+        r.doc_id
+        for r in spark.read.parquet(out2).select("doc_id").collect()
+    }
+    assert 900001 in kept2  # exact dedup alone keeps the near-copy
