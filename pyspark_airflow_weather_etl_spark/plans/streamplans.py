@@ -446,3 +446,52 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{tmp}/ckpt",
     )
     return read_history(spark, f"{tmp}/history")
+
+
+@register("streaming_scd2_sealed_store", oracle=_SCD2_ORACLE)
+def streaming_scd2_sealed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_scd2_history with RAW-STORE MAINTENANCE mid-stream
+    (sources.rawstore): after the first wave of micro-batches, the
+    seal pass compacts the older batch-keyed raw partitions into the
+    versioned sealed prefix (batch-id ledger, pointer publish) and
+    deletes their live directories; the later batches' bucket
+    refreshes then read history through the sealed ∪ unsealed-live
+    union. The final table hash-matches the SAME DuckDB oracle as the
+    batch entry scd2_event_state_history — sealing changes layout and
+    file economics, never semantics. Replay/garbage exclusion and
+    keep_last protection are pinned in tests/test_rawstore.py."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..sources.rawstore import seal_batches
+    from ..streaming.scd2 import read_history, run_streaming_scd2
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_scd2_seal_")
+    watch = f"{tmp}/in"
+    os.makedirs(watch, exist_ok=True)
+
+    def stage(buckets, slot0):
+        for slot, i in enumerate(buckets, start=slot0):
+            stage_dir = f"{tmp}/stage_{i}"
+            ev.where(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
+                stage_dir
+            )
+            part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
+            dst = f"{watch}/batch_{slot:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+
+    stage((0, 1), 0)
+    run_streaming_scd2(
+        spark, watch, f"{tmp}/raw", f"{tmp}/history", ev.schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    seal_batches(spark, f"{tmp}/raw", keep_last=1)
+    stage((2, 3), 2)
+    run_streaming_scd2(
+        spark, watch, f"{tmp}/raw", f"{tmp}/history", ev.schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return read_history(spark, f"{tmp}/history")

@@ -151,13 +151,33 @@ def write_serving_version(df: DataFrame, path: str) -> str:
     the fully-committed new one. The reference gets the equivalent
     guarantee from Postgres ``ON CONFLICT`` in one statement
     (/root/reference/dags/weather_daily_etl.py:197-206)."""
-    spark = df.sparkSession
+    return publish_version(
+        df.sparkSession,
+        path,
+        lambda vdir: df.write.mode("overwrite").parquet(vdir),
+    )
+
+
+def publish_version(spark, path: str, build) -> str:
+    """Generalized versioned publish: allocate ``path/v-<n+1>``, call
+    ``build(version_dir)`` to materialize ANY layout inside it (a
+    single parquet write, or several sub-directories — e.g. a
+    compacted data tree plus a ledger), then mark the version complete
+    (top-level ``_SUCCESS``), flip the ``_current`` pointer, and prune
+    all but the previous version. Same crash contract as
+    :func:`write_serving_version` (which is now a thin wrapper): the
+    completeness marker is written only after ``build`` returns, so a
+    crash mid-build leaves an ignored, marker-less directory and the
+    pointer still naming the old complete version."""
     base = path.rstrip("/")
     jvm, fs, root = _hadoop_fs(spark, base)
     versions = _list_complete_versions(fs, jvm, root)
     nxt = (versions[-1][0] + 1) if versions else 1
     vname = f"v-{nxt:06d}"
-    df.write.mode("overwrite").parquet(f"{base}/{vname}")
+    build(f"{base}/{vname}")
+    marker = jvm.org.apache.hadoop.fs.Path(root, f"{vname}/_SUCCESS")
+    if not fs.exists(marker):
+        fs.create(marker, True).close()
 
     ptr = jvm.org.apache.hadoop.fs.Path(root, _PTR)
     ptr_tmp = jvm.org.apache.hadoop.fs.Path(root, _PTR + ".tmp")

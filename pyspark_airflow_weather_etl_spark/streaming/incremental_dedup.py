@@ -33,6 +33,7 @@ from ..operators.dedup import (
     portable_minhash_dedup_incremental,
     portable_minhash_pairs,
 )
+from ..sources import rawstore
 
 _run_ids = itertools.count()
 
@@ -91,8 +92,15 @@ def run_streaming_incremental_dedup(
             batch, "doc_id", "text", threshold
         ).select("id_a", "id_b", "jaccard")
         out = within
-        if _path_exists(s, index_path):
-            idx = s.read.parquet(index_path)
+        if _path_exists(s, index_path) or _path_exists(
+            s, rawstore.sealed_root(index_path)
+        ):
+            # sealed ∪ unsealed-live view of the signature index —
+            # identical to a plain read until rawstore.seal_batches
+            # compacts old batch= partitions; the ledger keeps a
+            # crash-replay's re-created live copy of a sealed batch
+            # from double-counting.
+            idx = rawstore.read_raw_store(s, index_path)
             if "batch" in idx.columns:  # batch-keyed layout
                 idx = idx.where(F.col("batch") != batch_id)
             cross = portable_minhash_dedup_incremental(

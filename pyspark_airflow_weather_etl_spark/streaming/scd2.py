@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import scd2_compact
+from ..sources.rawstore import read_raw_store
 
 _run_ids = itertools.count()
 
@@ -93,7 +94,12 @@ def run_streaming_scd2(
             touched = sorted(
                 r.kb for r in keyed.select("kb").distinct().collect()
             )
-            raw = bs.read.parquet(raw_path).where(
+            # sealed ∪ unsealed-live view: identical to a plain read
+            # until sources.rawstore.seal_batches has run on raw_path,
+            # after which old batches come from the compacted sealed
+            # snapshot (still kb-partition-pruned) and replay garbage
+            # is ledger-excluded.
+            raw = read_raw_store(bs, raw_path).where(
                 F.col("kb").isin(touched)
             )
             hist = scd2_compact(
