@@ -64,6 +64,7 @@ HEADLINE = [
     "pack_sequences_documents",
     "global_shuffle_documents",
     "token_budget_select_documents",
+    "dsir_select_documents",
     "semantic_dedup_embeddings",
     "semantic_dedup_embeddings_hot",
     "semantic_dedup_embeddings_nprobe",

@@ -60,6 +60,19 @@ def main(argv: list[str] | None = None) -> int:
         help="quality-score column for prune/budget stages "
         "(default: n_chars if present, else derived length(text))",
     )
+    p_cur.add_argument(
+        "--dsir-target", default=None,
+        help="target-corpus parquet: enable DSIR importance "
+        "resampling toward this distribution",
+    )
+    p_cur.add_argument(
+        "--dsir-keep-tenths", type=int, default=5,
+        help="DSIR keeps N/10 of the pool (default 5)",
+    )
+    p_cur.add_argument(
+        "--dsir-gumbel-seed", type=int, default=None,
+        help="Gumbel-resample instead of hard top-fraction",
+    )
 
     p_tok = sub.add_parser(
         "tokenize",
@@ -125,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
                 shard_rows=args.shard_rows,
                 score_col=args.score_col,
                 near_dup_threshold=args.near_dup_threshold,
+                dsir_target=(
+                    spark.read.parquet(args.dsir_target)
+                    if args.dsir_target
+                    else None
+                ),
+                dsir_keep_numer=args.dsir_keep_tenths,
+                dsir_keep_denom=10,
+                dsir_gumbel_seed=args.dsir_gumbel_seed,
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")

@@ -301,6 +301,11 @@ def curate_corpus(
     partitions: int | None = None,
     score_col: str | None = None,
     near_dup_threshold: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep_numer: int = 1,
+    dsir_keep_denom: int = 2,
+    dsir_gumbel_seed: int | None = None,
+    dsir_buckets: int = 4096,
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
@@ -315,6 +320,12 @@ def curate_corpus(
        LSH S-curve (the operator's own tested contract), precision is
        exact (every drop carries a verified Jaccard ≥ threshold);
     2. eval-set decontamination (in-plan n-gram overlap, no shuffle);
+    2b. OPTIONAL target-matched selection (``dsir_target``): DSIR
+       importance resampling (:mod:`.dsir`, arXiv:2302.03169) keeps
+       the ``dsir_keep_numer/denom`` fraction most like the target
+       corpus — deterministic top-fraction, or Gumbel resampling when
+       ``dsir_gumbel_seed`` is set; runs after dedup/decontamination
+       so weights are fit on the cleaned pool;
     3. quantile quality prune — drop the worst
        ``drop_worst_numer/denom`` by global rank
        (:func:`quality_prune`);
@@ -397,6 +408,21 @@ def curate_corpus(
             decontaminate(cur, benchmark_phrases, id_col, text_col),
             "after_decontaminate",
         )
+    if dsir_target is not None:
+        from .dsir import dsir_select
+
+        sel = dsir_select(
+            cur,
+            dsir_target,
+            id_col,
+            text_col,
+            n_buckets=dsir_buckets,
+            keep_numer=dsir_keep_numer,
+            keep_denom=dsir_keep_denom,
+            gumbel_seed=dsir_gumbel_seed,
+            partitions=partitions,
+        ).select(id_col)
+        cur = barrier(cur.join(sel, id_col, "left_semi"), "after_dsir")
     kept = quality_prune(
         cur,
         id_col,

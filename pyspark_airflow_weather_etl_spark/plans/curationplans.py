@@ -488,3 +488,186 @@ def semantic_dedup_embeddings_nprobe(
     return S.semantic_dedup(
         emb, n_cells=16, threshold=0.4, hot_cell_threshold=None, nprobe=4
     ).orderBy("vec_id")
+
+
+def _dsir_weight_cte(n_buckets: int = 64) -> str:
+    """Shared DuckDB replay of operators.dsir.dsir_log_weights on the
+    fixture split (target = doc_id % 7 == 0, raw pool = the rest):
+    hashed unigram+bigram features, Laplace bucket LMs, per-bucket
+    log-ratio rounded to 6 dp into DECIMAL(18,6), exact
+    integer×decimal accumulation per document. Ends with the CTE
+    ``w(doc_id, n_feats, log_weight, avg_log_ratio)`` covering every
+    raw-pool doc (feature-less docs at 0)."""
+    B = int(n_buckets)
+    return f"""
+    WITH rawtk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE doc_id % 7 <> 0
+    ), tgttk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE doc_id % 7 = 0
+    ), rfeat AS (
+      SELECT doc_id, f FROM (
+        SELECT doc_id, unnest(tk) AS f FROM rawtk
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i + 1])) AS f
+        FROM rawtk
+      )
+    ), tfeat AS (
+      SELECT doc_id, f FROM (
+        SELECT doc_id, unnest(tk) AS f FROM tgttk
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i + 1])) AS f
+        FROM tgttk
+      )
+    ), rb AS (
+      SELECT CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % {B} AS b,
+             COUNT(*) AS rc
+      FROM rfeat GROUP BY 1
+    ), tb AS (
+      SELECT CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % {B} AS b,
+             COUNT(*) AS tc
+      FROM tfeat GROUP BY 1
+    ), lam AS (
+      SELECT rb.b,
+             CAST(round(
+               ln(COALESCE(tb.tc, 0) + 1.0)
+               - ln((SELECT SUM(tc) FROM tb) + {B}.0)
+               - ln(rb.rc + 1.0)
+               + ln((SELECT SUM(rc) FROM rb) + {B}.0), 6)
+               AS DECIMAL(18,6)) AS lam
+      FROM rb LEFT JOIN tb USING (b)
+    ), docb AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % {B} AS b,
+             COUNT(*) AS c
+      FROM rfeat GROUP BY 1, 2
+    ), w0 AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.c) AS BIGINT) AS n_feats,
+             CAST(SUM(d.c * l.lam) AS DOUBLE) AS log_weight,
+             round(CAST(SUM(d.c * l.lam) AS DOUBLE) / SUM(d.c), 6)
+               AS avg_log_ratio
+      FROM docb d JOIN lam l USING (b)
+      GROUP BY d.doc_id
+    ), w AS (
+      SELECT r.doc_id,
+             COALESCE(w0.n_feats, 0) AS n_feats,
+             COALESCE(w0.log_weight, 0.0) AS log_weight,
+             COALESCE(w0.avg_log_ratio, 0.0) AS avg_log_ratio
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) r
+      LEFT JOIN w0 USING (doc_id)
+    )
+    """
+
+
+def _dsir_split(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+    )
+
+
+@register(
+    "dsir_logweights_documents",
+    oracle=_dsir_weight_cte()
+    + "SELECT doc_id, n_feats, log_weight, avg_log_ratio FROM w",
+)
+def dsir_logweights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights (operators.dsir.dsir_log_weights,
+    arXiv:2302.03169): hashed unigram+bigram bucket LMs fit on the
+    target split (doc_id % 7 == 0) vs the raw pool, per-raw-doc
+    log w(x) = Σ c_b·λ_b. λ_b is one rounded float per bucket cast to
+    DECIMAL(18,6); accumulation is integer×decimal — exact and
+    partition-order-independent — so the DuckDB replay hash-matches
+    bit for bit. The selection entries build on these weights."""
+    from ..operators import dsir as D
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return D.dsir_log_weights(raw, target, "doc_id", "text", n_buckets=64)
+
+
+@register(
+    "dsir_select_documents",
+    oracle=_dsir_weight_cte()
+    + """
+    , ranked AS (
+      SELECT doc_id, n_feats, log_weight,
+             round(log_weight, 6) AS sel_key,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY round(log_weight, 6) DESC, doc_id)
+                  AS BIGINT) AS sel_rank
+      FROM w
+    )
+    SELECT doc_id, n_feats, log_weight, sel_key, sel_rank
+    FROM ranked
+    WHERE sel_rank <= (SELECT (COUNT(*) * 1) // 4 FROM w)
+    """,
+)
+def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR top-fraction selection
+    (operators.dsir.dsir_select, gumbel_seed=None): keep the quarter
+    of the raw pool most target-like by (rounded log weight DESC, id).
+    The rank is the distributed prefix-sum rank (one range exchange of
+    a narrow frame — corpus text never shuffles); the integer cut
+    count makes the boundary bit-identical. Oracle replays as one flat
+    ROW_NUMBER window."""
+    from ..operators import dsir as D
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return D.dsir_select(
+        raw, target, "doc_id", "text", n_buckets=64,
+        keep_numer=1, keep_denom=4,
+    )
+
+
+@register(
+    "dsir_gumbel_sample_documents",
+    oracle=_dsir_weight_cte()
+    + """
+    , keyed AS (
+      SELECT doc_id, n_feats, log_weight,
+             round(log_weight
+                   + (-ln(-ln(
+                       (CAST(('0x' || substring(
+                          md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
+                          AS BIGINT) + 1) / 4294967297.0))), 6)
+               AS sel_key
+      FROM w
+    ), ranked AS (
+      SELECT doc_id, n_feats, log_weight, sel_key,
+             CAST(ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id)
+                  AS BIGINT) AS sel_rank
+      FROM keyed
+    )
+    SELECT doc_id, n_feats, log_weight, sel_key, sel_rank
+    FROM ranked
+    WHERE sel_rank <= (SELECT (COUNT(*) * 1) // 4 FROM w)
+    """,
+)
+def dsir_gumbel_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR Gumbel-top-k importance RESAMPLING
+    (operators.dsir.dsir_select, gumbel_seed=7) — the paper's
+    estimator: adding a standard-Gumbel draw to each log weight and
+    taking the top k samples WITHOUT replacement ∝ softmax weights,
+    avoiding hard top-k's concentration on near-duplicate
+    extreme-weight docs. The Gumbel draw derives from an md5 prefix
+    (u = (h+1)/(2^32+1), g = −ln(−ln u)) so the sample is a pure
+    function of (id, seed) — reproducible on any engine, and the
+    DuckDB replay hash-matches."""
+    from ..operators import dsir as D
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return D.dsir_select(
+        raw, target, "doc_id", "text", n_buckets=64,
+        keep_numer=1, keep_denom=4, gumbel_seed=7,
+    )

@@ -483,3 +483,53 @@ def test_curate_corpus_fuzzy_dedup_stage(spark, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id").collect()
     }
     assert 900001 in kept2  # exact dedup alone keeps the near-copy
+
+
+def test_curate_corpus_dsir_stage(spark, tmp_path):
+    """dsir_target enables the target-matched selection stage: with a
+    target speaking the alpha dialect and a half-alpha/half-zeta pool,
+    the post-DSIR corpus keeps exactly the alpha half (hard
+    top-fraction at 1/2); the stage count sits between dedup and the
+    quality prune; omitting the knob skips the stage."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    rows = []
+    for i in range(40):
+        text = (
+            "alpha beta gamma delta alpha beta"
+            if i % 2 == 0
+            else "zeta eta theta iota zeta eta"
+        ) + f" uniq{i}"
+        rows.append((i, text, "en", "src0", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta beta alpha") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "rel_dsir")
+    counts = curate_corpus(
+        docs, out, shard_rows=16,
+        dsir_target=target, dsir_keep_numer=1, dsir_keep_denom=2,
+        dsir_buckets=32,
+    )
+    assert "after_dsir" in counts
+    assert counts["after_dsir"] == 20
+    final = spark.read.parquet(out)
+    kept = {r.doc_id for r in final.select("doc_id").collect()}
+    assert kept <= set(range(0, 40, 2)), "a zeta-dialect doc survived"
+    # stage order: dsir between dedup and quality prune, counts monotone
+    names = list(counts)
+    assert names.index("after_exact_dedup") < names.index("after_dsir")
+    assert names.index("after_dsir") < names.index("after_quality_prune")
+    vals = [counts[n] for n in names if n != "sharded"]
+    assert vals == sorted(vals, reverse=True)
+    # knob off: no stage
+    counts2 = curate_corpus(docs, str(tmp_path / "rel_plain"), shard_rows=16)
+    assert "after_dsir" not in counts2
