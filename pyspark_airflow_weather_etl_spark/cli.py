@@ -73,6 +73,13 @@ def main(argv: list[str] | None = None) -> int:
         "--dsir-gumbel-seed", type=int, default=None,
         help="Gumbel-resample instead of hard top-fraction",
     )
+    p_cur.add_argument(
+        "--benchmark", default=None,
+        help="eval-suite parquet: drop docs whose distinct n-gram "
+        "overlap with the suite exceeds --decontam-tenths/10",
+    )
+    p_cur.add_argument("--decontam-tenths", type=int, default=1)
+    p_cur.add_argument("--decontam-n", type=int, default=5)
 
     p_tok = sub.add_parser(
         "tokenize",
@@ -146,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
                 dsir_keep_numer=args.dsir_keep_tenths,
                 dsir_keep_denom=10,
                 dsir_gumbel_seed=args.dsir_gumbel_seed,
+                benchmark_df=(
+                    spark.read.parquet(args.benchmark)
+                    if args.benchmark
+                    else None
+                ),
+                decontam_frac_numer=args.decontam_tenths,
+                decontam_frac_denom=10,
+                decontam_n=args.decontam_n,
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")

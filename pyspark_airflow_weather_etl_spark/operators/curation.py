@@ -306,6 +306,10 @@ def curate_corpus(
     dsir_keep_denom: int = 2,
     dsir_gumbel_seed: int | None = None,
     dsir_buckets: int = 4096,
+    benchmark_df: DataFrame | None = None,
+    decontam_frac_numer: int = 1,
+    decontam_frac_denom: int = 10,
+    decontam_n: int = 5,
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
@@ -319,7 +323,13 @@ def curate_corpus(
        the LSH never pays for byte-identical copies; recall is the
        LSH S-curve (the operator's own tested contract), precision is
        exact (every drop carries a verified Jaccard ≥ threshold);
-    2. eval-set decontamination (in-plan n-gram overlap, no shuffle);
+    2. eval-set decontamination — phrase-list form
+       (``benchmark_phrases``: in-plan n-gram overlap, no shuffle)
+       and/or corpus form (``benchmark_df``: fractional n-gram
+       overlap vs the eval SUITE, :func:`..governance.
+       decontaminate_against` — drop when more than
+       ``decontam_frac_numer/denom`` of a doc's distinct
+       ``decontam_n``-grams appear anywhere in the suite);
     2b. OPTIONAL target-matched selection (``dsir_target``): DSIR
        importance resampling (:mod:`.dsir`, arXiv:2302.03169) keeps
        the ``dsir_keep_numer/denom`` fraction most like the target
@@ -407,6 +417,21 @@ def curate_corpus(
         cur = barrier(
             decontaminate(cur, benchmark_phrases, id_col, text_col),
             "after_decontaminate",
+        )
+    if benchmark_df is not None:
+        from .governance import decontaminate_against
+
+        cur = barrier(
+            decontaminate_against(
+                cur,
+                benchmark_df,
+                id_col,
+                text_col,
+                n=decontam_n,
+                max_frac_numer=decontam_frac_numer,
+                max_frac_denom=decontam_frac_denom,
+            ).drop("n_ngrams", "n_contaminated"),
+            "after_decontaminate_fraction",
         )
     if dsir_target is not None:
         from .dsir import dsir_select

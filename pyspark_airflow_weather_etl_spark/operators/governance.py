@@ -139,6 +139,83 @@ def decontaminate(
     return df.where(~contaminated)
 
 
+def decontaminate_against(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    max_frac_numer: int = 1,
+    max_frac_denom: int = 10,
+) -> DataFrame:
+    """Fractional n-gram decontamination against a benchmark CORPUS —
+    the PaLM/GPT-3-family recipe (north-star surface; the reference
+    has no governance operators): a training document is dropped when
+    MORE THAN ``max_frac_numer/max_frac_denom`` of its distinct token
+    ``n``-grams also appear anywhere in the benchmark suite. Unlike
+    :func:`decontaminate` (any-hit whole-doc drop on a small literal
+    phrase list), this takes the eval sets as a DataFrame, tolerates
+    incidental single-phrase collisions, and catches paraphrase-level
+    contamination where no single configured phrase is an exact hit
+    but a large share of the document is.
+
+    The threshold is an integer cross-multiplication
+    (``n_contaminated · denom > numer · n_ngrams``) — no float
+    boundary, bit-identical on any engine. Documents with fewer than
+    ``n`` tokens have zero n-grams and are always kept. Output: the
+    KEPT rows of ``df`` plus audit columns ``n_ngrams`` /
+    ``n_contaminated`` (the release-report numbers).
+
+    Scale shape: both sides explode to DISTINCT n-grams once
+    (corpus-linear); the join key is the md5 DIGEST of the gram —
+    16 bytes shuffle, never phrase text (the ``snapshot_diff``
+    economics). Benchmark suites are eval-set-sized, so the distinct
+    benchmark digest table takes a broadcast left join (flag, count);
+    past the broadcast ceiling drop the hint and AQE picks the
+    shuffle join. One id exchange aggregates the per-doc counts
+    (map-side partials), one broadcast-able semi join keeps rows —
+    the corpus text itself never shuffles."""
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(ngram_phrases(text_col, n)).alias("__g"),
+        )
+        .select(id_col, F.md5("__g").alias("__fp"))
+    )
+    bench_fps = (
+        benchmark.select(
+            F.explode(ngram_phrases(bench_text_col, n)).alias("__g")
+        )
+        .select(F.md5("__g").alias("__fp"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        grams.join(F.broadcast(bench_fps), "__fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    flagged = df.join(per_doc, id_col, "left").select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce("n_contaminated", F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+    # integer cross-multiplication; a doc with zero n-grams (shorter
+    # than n tokens) trivially satisfies 0 <= 0 and is kept
+    return flagged.where(
+        F.col("n_contaminated") * F.lit(int(max_frac_denom))
+        <= F.lit(int(max_frac_numer)) * F.col("n_ngrams")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str,

@@ -1414,3 +1414,68 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     high freq, noise floods as mass at freq 1. Hash-exact."""
     docs = load_table(spark, sf_dir, "documents")
     return X.token_freq_spectrum(docs)
+
+
+@register(
+    "decontaminate_fraction_documents",
+    oracle="""
+    WITH pool AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE doc_id % 13 <> 0
+    ), bencht AS (
+      SELECT string_split(text, ' ') AS tk
+      FROM documents WHERE doc_id % 13 = 0
+    ), pg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 4, 0)),
+               i -> array_to_string(list_slice(tk, i, i + 4), ' '))))
+               AS g
+      FROM pool
+    ), bfp AS (
+      SELECT DISTINCT md5(g) AS fp FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(tk) - 4, 0)),
+                 i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+                 AS g
+        FROM bencht)
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams,
+             SUM(CASE WHEN md5(g) IN (SELECT fp FROM bfp)
+                 THEN 1 ELSE 0 END) AS n_contaminated
+      FROM pg GROUP BY doc_id
+    ), flagged AS (
+      SELECT p.doc_id,
+             CAST(COALESCE(c.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+             CAST(COALESCE(c.n_contaminated, 0) AS BIGINT)
+               AS n_contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) p
+      LEFT JOIN cnt c USING (doc_id)
+    )
+    SELECT doc_id, n_ngrams, n_contaminated
+    FROM flagged
+    WHERE n_contaminated * 10 <= 1 * n_ngrams
+    """,
+)
+def decontaminate_fraction_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fractional n-gram decontamination against a benchmark CORPUS
+    (operators.governance.decontaminate_against — the PaLM/GPT-3
+    recipe): with every 13th document standing in as the eval suite,
+    a pool document is dropped when more than 1/10 of its distinct
+    5-grams appear anywhere in the suite (integer cross-multiplied
+    threshold — no float boundary). Near-copies of benchmark docs
+    (the fixture's planted dups) die; incidental single-phrase
+    collisions survive. Join keys are md5 digests — phrase text never
+    shuffles. Output is the kept audit table (id + the two counts the
+    release report quotes)."""
+    from ..operators.governance import decontaminate_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.where(F.col("doc_id") % 13 != 0)
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    return decontaminate_against(
+        pool, bench, "doc_id", "text", "text",
+        n=5, max_frac_numer=1, max_frac_denom=10,
+    ).select("doc_id", "n_ngrams", "n_contaminated")

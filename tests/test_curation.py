@@ -533,3 +533,39 @@ def test_curate_corpus_dsir_stage(spark, tmp_path):
     # knob off: no stage
     counts2 = curate_corpus(docs, str(tmp_path / "rel_plain"), shard_rows=16)
     assert "after_dsir" not in counts2
+
+
+def test_curate_corpus_benchmark_df_stage(spark, tmp_path):
+    """benchmark_df enables the fractional decontamination stage: a
+    verbatim copy of an eval doc is dropped, disjoint docs survive,
+    and the stage count lands between dedup and the quality prune."""
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog today")]
+    for i in range(1, 30):
+        rows.append((i, f"document number {i} talks about topic{i} "
+                        f"and subject{i} in its own distinct words"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(500, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "rel_bench")
+    counts = curate_corpus(
+        docs, out, shard_rows=16, benchmark_df=bench,
+        decontam_frac_numer=1, decontam_frac_denom=10, decontam_n=5,
+    )
+    assert counts["after_decontaminate_fraction"] == 29
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert 0 not in kept
+    names = list(counts)
+    assert (
+        names.index("after_exact_dedup")
+        < names.index("after_decontaminate_fraction")
+        < names.index("after_quality_prune")
+    )

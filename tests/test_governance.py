@@ -143,3 +143,96 @@ class TestTemperatureMix:
             ).collect()
         )
         assert ids(docs.repartition(3)) == ids(docs.repartition(17))
+
+
+class TestDecontaminateAgainst:
+    """Fractional n-gram decontamination vs a benchmark corpus
+    (governance.decontaminate_against): verbatim/near-copies of
+    benchmark docs die, incidental single-phrase overlap survives,
+    short docs pass, and the integer threshold boundary is exact."""
+
+    def _dfs(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        pool = spark.createDataFrame(
+            [
+                # verbatim benchmark copy: 100% overlap -> dropped
+                (0, "the quick brown fox jumps over the lazy dog today"),
+                # one shared 5-gram out of many: kept at 3/10
+                (1, "the quick brown fox jumps high above every plain "
+                    "ridge valley summit creek meadow forest tundra"),
+                # disjoint text: kept, zero contaminated
+                (2, "completely different words about trains planes "
+                    "boats and automobiles rolling onward"),
+                # shorter than n tokens: zero n-grams -> kept
+                (3, "tiny doc here"),
+            ],
+            "doc_id long, text string",
+        )
+        return pool, bench
+
+    def test_drop_keep_and_short(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            decontaminate_against,
+        )
+
+        pool, bench = self._dfs(spark)
+        kept = {
+            r.doc_id: r
+            for r in decontaminate_against(
+                pool, bench, n=5, max_frac_numer=3, max_frac_denom=10
+            ).collect()
+        }
+        assert set(kept) == {1, 2, 3}
+        assert kept[1].n_contaminated >= 1
+        assert kept[2].n_contaminated == 0
+        assert kept[3].n_ngrams == 0 and kept[3].n_contaminated == 0
+
+    def test_threshold_boundary_is_inclusive(self, spark):
+        """n_contaminated·denom == numer·n_ngrams keeps the doc (the
+        rule is 'MORE than the fraction drops') — exact integers, no
+        float boundary."""
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            decontaminate_against,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "a b c d e")], "doc_id long, text string"
+        )
+        # doc with exactly 2 distinct 5-grams, 1 contaminated
+        pool = spark.createDataFrame(
+            [(0, "a b c d e f")], "doc_id long, text string"
+        )
+        at = decontaminate_against(
+            pool, bench, n=5, max_frac_numer=1, max_frac_denom=2
+        ).collect()
+        assert [r.doc_id for r in at] == [0]  # 1/2 == 1/2 -> kept
+        below = decontaminate_against(
+            pool, bench, n=5, max_frac_numer=1, max_frac_denom=3
+        ).collect()
+        assert below == []  # 1/2 > 1/3 -> dropped
+
+    def test_distinct_grams_not_occurrences(self, spark):
+        """A doc repeating one contaminated phrase many times is
+        judged on DISTINCT grams — repetition cannot push a doc over
+        (or under) the threshold."""
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            decontaminate_against,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "p q r s t")], "doc_id long, text string"
+        )
+        pool = spark.createDataFrame(
+            [(0, "p q r s t " * 8 + "u v w x y z aa bb cc dd ee ff "
+                 "gg hh ii jj kk ll mm nn oo pp qq rr")],
+            "doc_id long, text string",
+        )
+        row = decontaminate_against(
+            pool, bench, n=5, max_frac_numer=5, max_frac_denom=10
+        ).collect()
+        # distinct-gram accounting keeps n_contaminated bounded by the
+        # distinct contaminated phrases, not the 8 repetitions
+        assert row and row[0].n_contaminated < 8
