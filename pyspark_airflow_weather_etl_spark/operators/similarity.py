@@ -1445,12 +1445,22 @@ def semantic_dedup_incremental_fixed(
             _fixed_base(new_df, id_col, vec_col, scale), cents, id_col
         ),
     )
-    if not _fs_exists(spark, f"{index_path}/rows"):
+    from ..sources import rawstore
+
+    if not (
+        _fs_exists(spark, f"{index_path}/rows")
+        or _fs_exists(spark, rawstore.sealed_root(f"{index_path}/rows"))
+    ):
         idx_rows = new_assigned.where(F.lit(False)).select(
             id_col, "ivf_cell", "v", "nrm"
         )
     else:
-        idx_rows = spark.read.parquet(f"{index_path}/rows")
+        # sealed ∪ unsealed-live view (sources.rawstore): identical to
+        # a plain read until seal_batches compacts old batch=
+        # partitions; cell pruning holds on both sides (the sealed
+        # snapshot is hive-partitioned by ivf_cell) and the ledger
+        # excludes a crash-replay's re-created copy of a sealed batch
+        idx_rows = rawstore.read_raw_store(spark, f"{index_path}/rows")
         if before_batch is not None and "batch" in idx_rows.columns:
             idx_rows = idx_rows.where(F.col("batch") < before_batch)
         # bounded collect: ≤ n_centroids values (quantizer-sized, not

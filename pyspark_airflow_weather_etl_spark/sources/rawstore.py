@@ -330,10 +330,12 @@ def read_raw_store(
         )
     if vname is None:
         if live is None:
-            raise FileNotFoundError(
-                f"raw store empty: no live batches under {live_path} and "
-                f"no sealed version under {sealed}"
-            )
+            # not a batch-keyed store (no batch=<id> dirs) and nothing
+            # sealed: behave exactly like the plain read the caller
+            # would otherwise do — non-batch-keyed layouts (e.g. a
+            # one-shot index write) stay readable through this API,
+            # and a truly empty tree surfaces Spark's own error
+            return spark.read.parquet(live_path.rstrip("/"))
         return live
     sealed_df = spark.read.parquet(
         f"{sealed.rstrip('/')}/{vname}/data"

@@ -96,7 +96,9 @@ def read_kept(spark: SparkSession, index_path: str, drops_path: str) -> DataFram
     emitted drop (distinct by id — drops replay at-least-once).
     Explicit drops schema: the path may hold only _SUCCESS markers
     when nothing collided."""
-    rows = spark.read.parquet(f"{index_path}/rows").select(
+    from ..sources.rawstore import read_raw_store
+
+    rows = read_raw_store(spark, f"{index_path}/rows").select(
         "vec_id", F.col("ivf_cell").cast("long").alias("ivf_cell")
     )
     drops = (

@@ -264,3 +264,60 @@ def test_keep_last_protects_uncommitted_tail(spark, tmp_path):
     assert st["sealed_now"] == []
     st = rawstore.seal_batches(spark, live, keep_last=1)
     assert st["sealed_now"] == [0]
+
+
+def test_streaming_semantic_dedup_with_midstream_seal(spark, tmp_path):
+    """Sealing the semantic index's rows tree (bucket column
+    ivf_cell) between batch waves is layout-only: the surviving
+    corpus equals the unsealed run's."""
+    from pyspark_airflow_weather_etl_spark.operators import (
+        similarity as S,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.semantic_dedup import (
+        read_kept,
+        run_streaming_semantic_dedup,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200).cache()
+
+    def run(root, seal_between):
+        watch = f"{root}/in"
+        os.makedirs(watch)
+        S.semantic_centroids_write_fixed(emb, f"{root}/idx", n_centroids=8)
+        for wave, buckets in enumerate([(0, 1), (2, 3)]):
+            for slot, b in enumerate(buckets, start=wave * 2):
+                sdir = f"{root}/stage_{slot}"
+                emb.where(F.col("vec_id") % 4 == b).coalesce(
+                    1
+                ).write.parquet(sdir)
+                part = glob.glob(f"{sdir}/part-*.parquet")[0]
+                dst = f"{watch}/batch_{slot:03d}.parquet"
+                os.rename(part, dst)
+                os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+            run_streaming_semantic_dedup(
+                spark,
+                watch,
+                f"{root}/idx",
+                f"{root}/drops",
+                emb.schema,
+                checkpoint_dir=f"{root}/ckpt",
+                threshold=0.4,
+            )
+            if seal_between and wave == 0:
+                st = rawstore.seal_batches(
+                    spark, f"{root}/idx/rows", keep_last=1,
+                    bucket_col="ivf_cell",
+                )
+                assert st["sealed_now"], "nothing sealed"
+        return sorted(
+            (r.vec_id, r.ivf_cell)
+            for r in read_kept(
+                spark, f"{root}/idx", f"{root}/drops"
+            ).collect()
+        )
+
+    plain = run(str(tmp_path / "plain"), seal_between=False)
+    sealed = run(str(tmp_path / "sealed"), seal_between=True)
+    assert sealed == plain and plain
+    emb.unpersist()
