@@ -194,6 +194,90 @@ def read_training_shard(spark, path: str, shard: int) -> DataFrame:
     )
 
 
+def _manifest_digest(id_col: str) -> Column:
+    """Order-independent per-shard content digest: each row
+    contributes a 60-bit integer derived from md5 of ``pos:id`` (the
+    portable conv idiom), summed EXACTLY as DECIMAL(38,0) — any
+    engine, any partitioning, same digits. Emitted as a string so the
+    value survives engines without 128-bit integers."""
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat(CAST(pos AS STRING), ':', "
+        f"CAST(`{id_col}` AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return F.sum(h.cast("decimal(38,0)")).cast("string")
+
+
+def write_shard_manifest(
+    spark, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Compute and persist the epoch MANIFEST from the shard tree as
+    written: one row per shard with ``n_rows``, the ``[min_pos,
+    max_pos]`` range, and an order-independent content digest
+    (:func:`_manifest_digest`). Lands at ``path/_manifest`` — the
+    underscore prefix keeps it invisible to shard-reading parquet
+    scans — and returns the manifest frame.
+
+    This is the trainer/release contract artifact: a resuming trainer
+    checks counts before trusting a shard; a release audit compares
+    two epochs' digests without reading data; and
+    :func:`verify_epoch` recomputes it to catch lost files or a
+    half-swapped tree. Cost: one column-pruned scan of
+    ``(shard, pos, id)`` with map-side partial aggregation — no text
+    column is read (ReadSchema shows the three columns only)."""
+    m = (
+        spark.read.parquet(path)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("pos").cast("long").alias("min_pos"),
+            F.max("pos").cast("long").alias("max_pos"),
+            _manifest_digest(id_col).alias("ids_digest"),
+        )
+    )
+    m.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def read_shard_manifest(spark, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def verify_epoch(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Epoch integrity check: recompute the manifest from the tree and
+    return every shard whose stored and recomputed rows DISAGREE
+    (missing shard, lost part-file, stale dir from a crashed swap,
+    duplicated rows). Empty result == intact epoch. Columns:
+    ``shard`` plus stored_*/actual_* pairs; a shard present on only
+    one side reports nulls on the other."""
+    stored = read_shard_manifest(spark, path)
+    actual = (
+        spark.read.parquet(path)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("pos").cast("long").alias("min_pos"),
+            F.max("pos").cast("long").alias("max_pos"),
+            _manifest_digest(id_col).alias("ids_digest"),
+        )
+    )
+    s = stored.select(
+        "shard",
+        *[F.col(c).alias(f"stored_{c}") for c in
+          ("n_rows", "min_pos", "max_pos", "ids_digest")],
+    )
+    a = actual.select(
+        "shard",
+        *[F.col(c).alias(f"actual_{c}") for c in
+          ("n_rows", "min_pos", "max_pos", "ids_digest")],
+    )
+    joined = s.join(a, "shard", "full_outer")
+    mismatch = None
+    for c in ("n_rows", "min_pos", "max_pos", "ids_digest"):
+        ne = ~F.col(f"stored_{c}").eqNullSafe(F.col(f"actual_{c}"))
+        mismatch = ne if mismatch is None else (mismatch | ne)
+    return joined.where(mismatch)
+
+
 def quality_prune(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -492,5 +576,11 @@ def curate_corpus(
         cur, out_path, id_col, seed=seed, shard_rows=shard_rows,
         partitions=partitions,
     )
-    counts["sharded"] = cur.sparkSession.read.parquet(out_path).count()
+    # the release contract artifact: per-shard counts/ranges/digests
+    # at path/_manifest (invisible to shard scans); the sharded count
+    # rides the same manifest aggregate instead of a second tree scan
+    manifest = write_shard_manifest(cur.sparkSession, out_path, id_col)
+    counts["sharded"] = (
+        manifest.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).first()[0]
+    )
     return counts

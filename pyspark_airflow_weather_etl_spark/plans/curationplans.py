@@ -671,3 +671,51 @@ def dsir_gumbel_sample_documents(
         raw, target, "doc_id", "text", n_buckets=64,
         keep_numer=1, keep_denom=4, gumbel_seed=7,
     )
+
+
+@register(
+    "training_shard_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                             doc_id)
+                  AS BIGINT) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, pos, (pos - 1) // 256 AS shard FROM s
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+           CAST(SUM(CAST(('0x' || substring(
+                 md5(CAST(pos AS VARCHAR) || ':'
+                     || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))
+                AS VARCHAR) AS ids_digest
+    FROM sh GROUP BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch manifest of a training-shard tree
+    (operators.curation.write_shard_manifest): documents sharded at
+    seed 42 / 256 rows, then one column-pruned scan computes per-shard
+    row counts, pos ranges, and an order-independent md5-derived
+    content digest (exact DECIMAL sum — any engine, any partitioning,
+    same digits). The oracle replays shuffle→shard→aggregate from the
+    raw table, so equality proves the WHOLE chain: the shard write
+    put exactly the right rows in the right shards and the digest
+    algebra is portable. verify_epoch (lost-file detection) is pinned
+    in tests/test_curation.py."""
+    import tempfile
+
+    from ..operators.curation import (
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="shard_manifest_")
+    write_training_shards(docs, f"{tmp}/epoch", "doc_id", seed=42,
+                          shard_rows=256)
+    return write_shard_manifest(spark, f"{tmp}/epoch", "doc_id")

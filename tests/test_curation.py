@@ -569,3 +569,87 @@ def test_curate_corpus_benchmark_df_stage(spark, tmp_path):
         < names.index("after_decontaminate_fraction")
         < names.index("after_quality_prune")
     )
+
+
+class TestShardManifest:
+    """Epoch manifest + integrity verification
+    (curation.write_shard_manifest / verify_epoch)."""
+
+    def _epoch(self, spark, tmp_path):
+        from pyspark_airflow_weather_etl_spark.operators.curation import (
+            write_shard_manifest,
+            write_training_shards,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").limit(200)
+        path = str(tmp_path / "epoch")
+        write_training_shards(docs, path, "doc_id", seed=7, shard_rows=32)
+        write_shard_manifest(spark, path, "doc_id")
+        return path
+
+    def test_intact_epoch_verifies_clean(self, spark, tmp_path):
+        from pyspark_airflow_weather_etl_spark.operators.curation import (
+            read_shard_manifest,
+            verify_epoch,
+        )
+
+        path = self._epoch(spark, tmp_path)
+        assert verify_epoch(spark, path, "doc_id").count() == 0
+        m = {r.shard: r for r in read_shard_manifest(spark, path).collect()}
+        # contiguous pos tiling across shards, 32 rows except the tail
+        assert sum(r.n_rows for r in m.values()) == 200
+        for k, r in m.items():
+            assert r.min_pos == k * 32 + 1
+            assert r.max_pos == r.min_pos + r.n_rows - 1
+
+    def test_manifest_invisible_to_shard_reads(self, spark, tmp_path):
+        from pyspark_airflow_weather_etl_spark.operators.curation import (
+            read_training_shard,
+        )
+
+        path = self._epoch(spark, tmp_path)
+        df = spark.read.parquet(path)
+        assert "ids_digest" not in df.columns  # _manifest not unioned
+        assert df.count() == 200
+        assert read_training_shard(spark, path, 0).count() == 32
+
+    def test_lost_file_detected(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pyspark_airflow_weather_etl_spark.operators.curation import (
+            verify_epoch,
+        )
+
+        path = self._epoch(spark, tmp_path)
+        victim = glob.glob(f"{path}/shard=3/part-*.parquet")[0]
+        os.remove(victim)
+        bad = verify_epoch(spark, path, "doc_id").collect()
+        assert [r.shard for r in bad] == [3]
+        r = bad[0]
+        assert (r.actual_n_rows or 0) < r.stored_n_rows
+        assert r.actual_ids_digest != r.stored_ids_digest
+
+    def test_stale_extra_shard_detected(self, spark, tmp_path):
+        """A stale directory from a crashed tree swap (a shard the
+        manifest never recorded) is reported with stored_* nulls."""
+        from pyspark.sql import functions as F
+
+        from pyspark_airflow_weather_etl_spark.operators.curation import (
+            verify_epoch,
+        )
+
+        path = self._epoch(spark, tmp_path)
+        spark.range(5).select(
+            F.col("id").alias("doc_id"),
+            F.lit("x").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.lit(1).cast("long").alias("n_chars"),
+            F.md5(F.col("id").cast("string")).alias("shuffle_key"),
+            (F.col("id") + 100000).alias("pos"),
+        ).write.parquet(f"{path}/shard=99")
+        bad = {r.shard: r for r in verify_epoch(spark, path, "doc_id").collect()}
+        assert set(bad) == {99}
+        assert bad[99].stored_n_rows is None
+        assert bad[99].actual_n_rows == 5
