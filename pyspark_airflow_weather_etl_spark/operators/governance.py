@@ -326,3 +326,141 @@ def snapshot_diff(
         .where(F.col("change").isNotNull())
         .select(id_col, "change")
     )
+
+
+def build_identity_vault(
+    df: DataFrame, key_col: str, partitions: int | None = None
+) -> DataFrame:
+    """Identity vault bootstrap — the GDPR/CCPA pseudonymization
+    pattern (north-star surface; the reference ships raw user ids
+    straight to its serving table): every distinct natural key gets a
+    DENSE, STABLE surrogate id ``1..n``, assigned by global rank in
+    key order (deterministic: same key set → same mapping on any
+    engine/partitioning). Downstream analytics join on the surrogate;
+    the vault itself is the only artifact linking back, so deleting or
+    restricting IT is the privacy control (takedown of a person =
+    drop one vault row + the surrogate's rows, not a corpus rewrite).
+
+    Output: ``(key_col, surrogate_id)``. Scale: distinct keys can be
+    billions — the rank is the distributed prefix-sum rank (one range
+    exchange of the key column only, :func:`..prefix.ranged_rank`),
+    never a single-partition window."""
+    from .prefix import ranged_rank
+
+    keys = df.select(F.col(key_col)).distinct()
+    order = [F.col(key_col)]
+    local, offsets = ranged_rank(
+        keys, order, partitions, "identity_vault"
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
+        )
+        .select(
+            key_col,
+            (F.col("__local_rn") + F.col("__rank_offset"))
+            .cast("long")
+            .alias("surrogate_id"),
+        )
+    )
+
+
+def pseudonymize(
+    df: DataFrame,
+    vault: DataFrame,
+    key_col: str,
+    surrogate_col: str = "surrogate_id",
+) -> DataFrame:
+    """Replace the natural key column with its vault surrogate. Rows
+    whose key is missing from the vault are DROPPED (inner join): an
+    unmapped key leaking through as null would silently merge all
+    unknown identities downstream — extend the vault first
+    (:func:`vault_extend`). Join strategy is left to AQE: the vault
+    is key-cardinality-sized and usually broadcastable; at
+    billion-key scale it shuffles on the key both sides."""
+    out_cols = [
+        F.col(c) for c in df.columns if c != key_col
+    ]
+    return df.join(vault, key_col).select(
+        F.col(surrogate_col), *out_cols
+    )
+
+
+def vault_write(vault: DataFrame, path: str) -> str:
+    """Persist the vault with the versioned-pointer publish
+    (:func:`..sources.writers.write_serving_version`): readers resolve
+    a complete snapshot at every instant, and a crashed update leaves
+    the previous mapping live — a half-visible vault would fork
+    identities. Returns the version name."""
+    from ..sources.writers import write_serving_version
+
+    return write_serving_version(vault, path)
+
+
+def vault_read(spark, path: str) -> DataFrame:
+    from ..sources.writers import read_serving_table
+
+    return read_serving_table(spark, path)
+
+
+def vault_extend(
+    spark,
+    path: str,
+    df: DataFrame,
+    key_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fold a batch's NEW keys into the persisted vault, keeping every
+    existing surrogate UNCHANGED (the stability contract — a surrogate
+    that ever re-mapped would corrupt every table already keyed by
+    it). New keys rank after the current maximum, in key order —
+    deterministic given (existing vault, new key set). Publishes the
+    extended vault as the next version and returns it.
+
+    Scale: the anti-join and the new-key rank touch only the batch's
+    distinct keys; the existing vault is re-WRITTEN per update
+    (snapshot consistency beats append bookkeeping for a mapping
+    that must never fork) — at billion-key scale, swap the write for
+    the batch-keyed append + seal pattern (:mod:`..sources.rawstore`)
+    and read through its union view."""
+    from .prefix import ranged_rank
+
+    try:
+        vault = vault_read(spark, path)
+    except FileNotFoundError:
+        vault = None
+    new_keys = df.select(F.col(key_col)).distinct()
+    if vault is not None:
+        new_keys = new_keys.join(
+            vault.select(key_col), key_col, "left_anti"
+        )
+        base = vault.agg(
+            F.coalesce(F.max("surrogate_id"), F.lit(0)).alias("__base")
+        )
+    else:
+        base = new_keys.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("__base")
+        )
+    order = [F.col(key_col)]
+    local, offsets = ranged_rank(
+        new_keys, order, partitions, "identity_vault_extend"
+    )
+    fresh = (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            key_col,
+            (
+                F.col("__local_rn")
+                + F.col("__rank_offset")
+                + F.col("__base")
+            )
+            .cast("long")
+            .alias("surrogate_id"),
+        )
+    )
+    out = fresh if vault is None else vault.unionByName(fresh)
+    vault_write(out, path)
+    return vault_read(spark, path)

@@ -1479,3 +1479,36 @@ def decontaminate_fraction_documents(
         pool, bench, "doc_id", "text", "text",
         n=5, max_frac_numer=1, max_frac_denom=10,
     ).select("doc_id", "n_ngrams", "n_contaminated")
+
+
+@register(
+    "pseudonymize_events",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY user_id) AS BIGINT)
+               AS surrogate_id
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT e.event_id, v.surrogate_id, e.event_type
+    FROM events e JOIN v USING (user_id)
+    """,
+)
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-vault pseudonymization
+    (operators.governance.build_identity_vault / pseudonymize): every
+    distinct user_id gets a dense stable surrogate by distributed
+    global rank in key order, and the fact table re-keys onto the
+    surrogate — the GDPR pattern where the vault is the only artifact
+    linking back to the natural key. The oracle replays the rank and
+    the join; exact equality proves the parallel rank assigns the
+    sequential mapping. Vault persistence (versioned pointer) and the
+    extend-without-remap stability contract are pinned in
+    tests/test_governance.py."""
+    from ..operators.governance import build_identity_vault, pseudonymize
+
+    ev = load_table(spark, sf_dir, "events")
+    vault = build_identity_vault(ev, "user_id")
+    return pseudonymize(ev, vault, "user_id").select(
+        "event_id", "surrogate_id", "event_type"
+    )

@@ -236,3 +236,84 @@ class TestDecontaminateAgainst:
         # distinct-gram accounting keeps n_contaminated bounded by the
         # distinct contaminated phrases, not the 8 repetitions
         assert row and row[0].n_contaminated < 8
+
+
+class TestIdentityVault:
+    """Pseudonymization vault (governance.build_identity_vault /
+    vault_extend / pseudonymize): dense deterministic surrogates,
+    the never-remap stability contract, versioned persistence."""
+
+    def test_dense_and_partitioning_invariant(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            build_identity_vault,
+        )
+
+        ev = load_table(spark, SF_DIR, "events")
+        m = {
+            r.user_id: r.surrogate_id
+            for r in build_identity_vault(ev, "user_id").collect()
+        }
+        n = len(m)
+        assert sorted(m.values()) == list(range(1, n + 1))
+        # key order -> surrogate order
+        assert [m[k] for k in sorted(m)] == list(range(1, n + 1))
+        m2 = {
+            r.user_id: r.surrogate_id
+            for r in build_identity_vault(
+                ev.repartition(13), "user_id"
+            ).collect()
+        }
+        assert m2 == m
+
+    def test_extend_never_remaps(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            vault_extend,
+            vault_read,
+        )
+
+        path = str(tmp_path / "vault")
+        first = spark.createDataFrame(
+            [(10,), (30,), (20,)], "user_id long"
+        )
+        v1 = {
+            r.user_id: r.surrogate_id
+            for r in vault_extend(spark, path, first, "user_id").collect()
+        }
+        assert v1 == {10: 1, 20: 2, 30: 3}
+        # second batch: one known key, two new — known keeps its id,
+        # new ones continue past the max
+        second = spark.createDataFrame(
+            [(20,), (5,), (40,)], "user_id long"
+        )
+        v2 = {
+            r.user_id: r.surrogate_id
+            for r in vault_extend(spark, path, second, "user_id").collect()
+        }
+        assert v2[10] == 1 and v2[20] == 2 and v2[30] == 3
+        assert sorted(v2.values()) == [1, 2, 3, 4, 5]
+        assert v2[5] == 4 and v2[40] == 5  # key order among the new
+        # persisted: a fresh read sees the same mapping
+        v3 = {
+            r.user_id: r.surrogate_id
+            for r in vault_read(spark, path).collect()
+        }
+        assert v3 == v2
+
+    def test_pseudonymize_drops_unmapped(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            build_identity_vault,
+            pseudonymize,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "user_id long, x string"
+        )
+        vault = build_identity_vault(df.where("user_id < 3"), "user_id")
+        out = pseudonymize(df, vault, "user_id").collect()
+        assert sorted((r.surrogate_id, r.x) for r in out) == [
+            (1, "a"),
+            (2, "b"),
+        ]
+        assert "user_id" not in pseudonymize(df, vault, "user_id").columns
