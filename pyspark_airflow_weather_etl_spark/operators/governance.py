@@ -441,6 +441,12 @@ def vault_extend(
         base = new_keys.sparkSession.range(1).select(
             F.lit(0).cast("long").alias("__base")
         )
+    if vault is not None and not new_keys.take(1):
+        # nothing new: the extend is a fixpoint — skip the republish
+        # (a streaming loop would otherwise churn a vault version per
+        # micro-batch); the take(1) touches only the batch's distinct
+        # keys anti-joined against the vault
+        return vault
     order = [F.col(key_col)]
     local, offsets = ranged_rank(
         new_keys, order, partitions, "identity_vault_extend"

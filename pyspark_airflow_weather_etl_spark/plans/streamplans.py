@@ -495,3 +495,53 @@ def streaming_scd2_sealed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{tmp}/ckpt",
     )
     return read_history(spark, f"{tmp}/history")
+
+
+@register(
+    "streaming_pseudonymize_events",
+    oracle="""
+    WITH fb AS (
+      SELECT user_id, MIN(event_id % 4) AS first_batch
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY first_batch, user_id)
+                  AS BIGINT) AS surrogate_id
+      FROM fb
+    )
+    SELECT e.event_id, v.surrogate_id, e.event_type
+    FROM events e JOIN v USING (user_id)
+    """,
+)
+def streaming_pseudonymize_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pseudonymization at ingest latency (streaming.pseudonymize):
+    events arrive as four micro-batches; each batch folds its
+    never-seen user_ids into the persisted identity vault (new keys
+    rank past the current max — existing surrogates never remap) and
+    lands batch-keyed re-keyed rows. Surrogates are a pure function of
+    (first-seen batch, key), so the DuckDB oracle replays the
+    assignment as ROW_NUMBER over (first_batch, user_id) and the union
+    of all batch outputs hash-matches it. Crash-replay fixpoint and
+    no-op-version economics are pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.pseudonymize import (
+        read_pseudonymized,
+        run_streaming_pseudonymize,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pseudo_")
+    watch, schema = _stage_event_batches(spark, sf_dir, tmp)
+    run_streaming_pseudonymize(
+        spark,
+        watch,
+        f"{tmp}/vault",
+        f"{tmp}/out",
+        schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return read_pseudonymized(spark, f"{tmp}/out").select(
+        "event_id", "surrogate_id", "event_type"
+    )

@@ -594,3 +594,93 @@ def test_streaming_scd2_replay_and_bucket_stability(spark, tmp_path):
         scd2_compact(seen2, "user_id", "event_type", "ts", "event_id")
     )
     ev.unpersist()
+
+
+def test_streaming_pseudonymize_replay_and_vault_stability(spark, tmp_path):
+    """Streaming pseudonymization (streaming.pseudonymize): (a) the
+    vault assigns first-seen-batch-then-key surrogates and never
+    remaps across waves, (b) a crash-replay (commit marker deleted)
+    converges to the same vault AND the same output rows, (c) a batch
+    with no new keys does not publish a new vault version."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        vault_read,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.pseudonymize import (
+        read_pseudonymized,
+        run_streaming_pseudonymize,
+    )
+
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").limit(400).cache()
+    watch = str(tmp_path / "in")
+    vault = str(tmp_path / "vault")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    def stage(bucket, slot, mod=3):
+        sdir = str(tmp_path / f"stage_{slot}")
+        ev.where(F.col("event_id") % mod == bucket).coalesce(
+            1
+        ).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(f"{sdir}/part-*.parquet")[0]
+        dst = f"{watch}/arrival_{slot:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+
+    def vsnap():
+        return sorted(
+            (r.user_id, r.surrogate_id)
+            for r in vault_read(spark, vault).collect()
+        )
+
+    def osnap():
+        return sorted(
+            (r.event_id, r.surrogate_id, r.batch)
+            for r in read_pseudonymized(spark, out).collect()
+        )
+
+    stage(0, 0)
+    stage(1, 1)
+    run_streaming_pseudonymize(
+        spark, watch, vault, out, ev.schema, checkpoint_dir=ckpt
+    )
+    v1, o1 = vsnap(), osnap()
+    # surrogates dense in first-seen order
+    assert sorted(s for _, s in v1) == list(range(1, len(v1) + 1))
+    # crash-replay: batch 1 wrote but did not commit
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_pseudonymize(
+        spark, watch, vault, out, ev.schema, checkpoint_dir=ckpt
+    )
+    assert vsnap() == v1 and osnap() == o1
+    # third wave: mostly-seen users -> existing surrogates unchanged
+    stage(2, 2)
+    run_streaming_pseudonymize(
+        spark, watch, vault, out, ev.schema, checkpoint_dir=ckpt
+    )
+    v2 = dict(vsnap())
+    for u, s in v1:
+        assert v2[u] == s, "an existing surrogate remapped"
+    # every event of the full set is present exactly once
+    assert len(osnap()) == ev.count()
+    # no-new-keys wave: re-deliver bucket 0's events as a new file —
+    # vault version must NOT churn
+    versions_before = sorted(glob.glob(f"{vault}/v-*"))
+    stage(0, 3)
+    run_streaming_pseudonymize(
+        spark, watch, vault, out, ev.schema, checkpoint_dir=ckpt
+    )
+    assert sorted(glob.glob(f"{vault}/v-*")) == versions_before
+    assert dict(vsnap()) == v2
+    ev.unpersist()
