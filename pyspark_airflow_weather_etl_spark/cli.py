@@ -81,6 +81,37 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--decontam-tenths", type=int, default=1)
     p_cur.add_argument("--decontam-n", type=int, default=5)
 
+    p_mnt = sub.add_parser(
+        "maintain",
+        help="table maintenance: seal batch-keyed raw stores, compact "
+        "small files, verify a shard epoch",
+    )
+    p_mnt.add_argument(
+        "action", choices=["seal", "compact", "verify-epoch"],
+    )
+    p_mnt.add_argument("--path", required=True, help="store/table root")
+    p_mnt.add_argument(
+        "--keep-last", type=int, default=1,
+        help="seal: protect the N highest batch ids (1 = safe while "
+        "the stream is paused between triggers; 0 = quiesced full seal)",
+    )
+    p_mnt.add_argument(
+        "--bucket-col", default="kb",
+        help="seal: hive bucket column of the store (e.g. kb, "
+        "ivf_cell); ignored for flat stores",
+    )
+    p_mnt.add_argument(
+        "--target-file-mb", type=int, default=128,
+        help="seal/compact: output file sizing",
+    )
+    p_mnt.add_argument(
+        "--partition-cols", default="",
+        help="compact: comma-separated hive partition columns",
+    )
+    p_mnt.add_argument(
+        "--id-col", default="doc_id", help="verify-epoch: id column"
+    )
+
     p_tok = sub.add_parser(
         "tokenize",
         help="train a tokenizer artifact, or encode documents with one",
@@ -164,6 +195,47 @@ def main(argv: list[str] | None = None) -> int:
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")
+        elif args.cmd == "maintain":
+            if args.action == "seal":
+                from .sources.rawstore import seal_batches
+
+                st = seal_batches(
+                    spark,
+                    args.path,
+                    keep_last=args.keep_last,
+                    target_file_bytes=args.target_file_mb * 1024 * 1024,
+                    bucket_col=args.bucket_col or None,
+                )
+                for k, v in st.items():
+                    print(f"{k}: {v}")
+            elif args.action == "compact":
+                from .operators.scale import compact_table
+
+                cols = tuple(
+                    c for c in args.partition_cols.split(",") if c
+                )
+                before, after = compact_table(
+                    spark,
+                    args.path,
+                    partition_cols=cols,
+                    target_file_bytes=args.target_file_mb * 1024 * 1024,
+                )
+                print(f"files: {before} -> {after}")
+            else:
+                from .operators.curation import verify_epoch
+
+                bad = verify_epoch(spark, args.path, args.id_col)
+                rows = bad.collect()
+                if not rows:
+                    print("epoch OK")
+                else:
+                    for r in rows:
+                        print(
+                            f"shard {r.shard}: stored n={r.stored_n_rows} "
+                            f"digest={r.stored_ids_digest} vs actual "
+                            f"n={r.actual_n_rows} digest={r.actual_ids_digest}"
+                        )
+                    return 1
         elif args.cmd == "tokenize":
             docs = spark.read.parquet(args.input)
             if args.text_col not in docs.columns:

@@ -321,3 +321,31 @@ def test_streaming_semantic_dedup_with_midstream_seal(spark, tmp_path):
     sealed = run(str(tmp_path / "sealed"), seal_between=True)
     assert sealed == plain and plain
     emb.unpersist()
+
+
+def test_repeated_seal_cycles_with_growth(spark, tmp_path):
+    """The steady-state maintenance loop: write → seal → write → seal
+    …; every cycle folds the previous cycle's batches into the next
+    sealed version, content stays exactly-once throughout, and
+    version pruning keeps at most current + previous on disk."""
+    live = str(tmp_path / "store")
+    expected = []
+    bid = 0
+    for cycle in range(3):
+        for _ in range(2):
+            _write_batch(spark, live, bid, bid * 10, bid * 10 + 10)
+            expected += [(i, bid) for i in range(bid * 10, bid * 10 + 10)]
+            bid += 1
+        st = rawstore.seal_batches(spark, live, keep_last=1)
+        assert _snap(rawstore.read_raw_store(spark, live)) == sorted(
+            expected
+        )
+        if cycle > 0:
+            assert st["sealed_now"], f"cycle {cycle} sealed nothing"
+    versions = glob.glob(f"{rawstore.sealed_root(live)}/v-*")
+    assert len(versions) <= 2, versions
+    # the ledger names every batch except the protected tail
+    ledger, vname = rawstore._read_ledger(
+        spark, rawstore.sealed_root(live)
+    )
+    assert ledger == set(range(bid - 1))
