@@ -729,6 +729,104 @@ def _incremental_dedup_probe(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _rawstore_pressure(spark, sf_dir: str) -> dict[str, float]:
+    """File-count economics of raw-store sealing
+    (sources.rawstore): a streaming writer accretes one ``batch=``
+    directory per trigger forever, and every downstream read pays
+    listing + footer-parse + task-scheduling per file. Build TWO
+    byte-identical 96-batch kb-bucketed stores of the sf events
+    (~770 part-files each; setup untimed — it is the stream's ingest
+    cost), seal ONE down to its compacted prefix, then time the same
+    aggregate over ``read_raw_store`` on each, interleaved. The delta
+    is pure layout — the seal pass neither drops nor duplicates a row
+    (aggregate equality asserted every sample, and the sealing
+    semantics are oracle-checked in the catalog). At a month of 30 s
+    triggers (~86 k dirs) the unsealed term dominates scans; the
+    probe shows the same effect at 96 batches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.sources import rawstore
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    n_batches = 96
+    tmp = tempfile.mkdtemp(prefix="bench_rawstore_")
+    try:
+        staged = ev.withColumn(
+            "batch", (F.col("event_id") % n_batches).cast("int")
+        ).withColumn(
+            "kb", F.pmod(F.hash("user_id"), F.lit(8)).cast("int")
+        ).repartition("batch", "kb").persist()
+        old = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            for store in ("plain", "sealed"):
+                # one write per batch id — the streaming accretion
+                # pattern (a single partitionBy write would produce
+                # one commit, which is not how the files arrive)
+                for b in range(n_batches):
+                    (
+                        staged.where(F.col("batch") == b)
+                        .write.mode("overwrite")
+                        .partitionBy("kb", "batch")
+                        .parquet(f"{tmp}/{store}")
+                    )
+        finally:
+            if old is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old
+                )
+        staged.unpersist()
+        t0 = time.perf_counter()
+        st = rawstore.seal_batches(
+            spark, f"{tmp}/sealed", keep_last=1
+        )
+        seal_secs = time.perf_counter() - t0
+        assert st["sealed_now"] and st["live_files_after"] < 16, st
+
+        def probe(store: str):
+            row = (
+                rawstore.read_raw_store(spark, f"{tmp}/{store}")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("event_id").alias("s"),
+                )
+                .first()
+            )
+            return (row.n, row.s)
+
+        out: dict[str, float] = {}
+        plain_s: list[float] = []
+        sealed_s: list[float] = []
+        base = None
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            a = probe("plain")
+            plain_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            b = probe("sealed")
+            sealed_s.append(time.perf_counter() - t0)
+            assert a == b, "sealing changed the store contents"
+            if base is None:
+                base = a
+            assert a == base
+        out["rawstore_read_unsealed_96b"] = round(_median(plain_s), 3)
+        out["rawstore_read_sealed_96b"] = round(_median(sealed_s), 3)
+        # one-time maintenance cost, amortized over every later read
+        out["rawstore_seal_pass_96b"] = round(seal_secs, 3)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _substring_pressure(spark, sf_dir: str) -> dict[str, float]:
     """×8-duplication pressure probe for the strided-window substring
     dedup (the passage-dedup probe's sibling): documents replicated
@@ -1168,6 +1266,9 @@ def main() -> None:
     gc.collect()
     # ×8-duplication substring-dedup probe, totally asserted.
     timings.update(_substring_pressure(spark, sf_dir))
+    gc.collect()
+    # Raw-store sealing: file-count economics, equality-asserted.
+    timings.update(_rawstore_pressure(spark, sf_dir))
     gc.collect()
     # PQ compression evidence: exact scan vs two-stage IVF-PQ probe.
     timings.update(_pq_pressure(spark, sf_dir))
