@@ -80,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cur.add_argument("--decontam-tenths", type=int, default=1)
     p_cur.add_argument("--decontam-n", type=int, default=5)
+    p_cur.add_argument(
+        "--gopher", action="store_true",
+        help="open with the Gopher rule gate (published defaults)",
+    )
+    p_cur.add_argument(
+        "--gopher-min-stopwords", type=int, default=2,
+        help="stopword tripwire threshold for --gopher",
+    )
 
     p_mnt = sub.add_parser(
         "maintain",
@@ -192,6 +200,11 @@ def main(argv: list[str] | None = None) -> int:
                 decontam_frac_numer=args.decontam_tenths,
                 decontam_frac_denom=10,
                 decontam_n=args.decontam_n,
+                gopher_rules=(
+                    {"min_stopwords": args.gopher_min_stopwords}
+                    if args.gopher
+                    else None
+                ),
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")

@@ -394,11 +394,17 @@ def curate_corpus(
     decontam_frac_numer: int = 1,
     decontam_frac_denom: int = 10,
     decontam_n: int = 5,
+    gopher_rules: dict | None = None,
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
     release, in the order each stage is cheapest:
 
+    0. OPTIONAL Gopher rule gate (``gopher_rules``: a kwargs dict for
+       :func:`..text.gopher_filter`, ``{}`` for the published
+       defaults): the cheapest stage there is — pure per-row codegen,
+       no shuffle — so it runs FIRST and every later stage pays only
+       per surviving row;
     1. exact dedup (hash semi-join — shrink first, everything after
        pays per surviving row);
     1b. OPTIONAL fuzzy dedup (``near_dup_threshold``): MinHash-LSH
@@ -483,7 +489,22 @@ def curate_corpus(
         return frame
 
     counts: dict[str, int] = {"input": df.count()}
-    cur = barrier(dedup_exact(df, id_col, text_col), "after_exact_dedup")
+    cur = df
+    if gopher_rules is not None:
+        from .text import gopher_filter
+
+        flag_cols = [
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_alpha_words", "ok_stopwords", "ok_dup_trigrams",
+            "passes",
+        ]
+        cur = barrier(
+            gopher_filter(cur, id_col, text_col, **gopher_rules)
+            .where(F.col("passes"))
+            .drop(*flag_cols),
+            "after_gopher_rules",
+        )
+    cur = barrier(dedup_exact(cur, id_col, text_col), "after_exact_dedup")
     if near_dup_threshold is not None:
         from .dedup import minhash_near_duplicates
 

@@ -821,3 +821,107 @@ def token_freq_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_per_10_words: int = 1,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 2,
+    max_dup_trigram_pct: int = 30,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, table A1) as ONE
+    in-plan composite filter — the classic hand-tuned web-text gate
+    that removes boilerplate, spam, and machine-generated sludge
+    before any learned scoring. Every rule is an INTEGER
+    cross-multiplication over per-row token statistics (no float
+    thresholds, so the keep set is bit-identical on any engine):
+
+    - ``ok_word_count``: ``min_words ≤ n_words ≤ max_words``;
+    - ``ok_mean_word_len``: mean token length in
+      ``[min_mean_word_len, max_mean_word_len]`` —
+      ``min·n ≤ Σlen ≤ max·n``;
+    - ``ok_symbol_ratio``: hash/ellipsis count per 10 words ≤
+      ``max_symbol_per_10_words`` (the symbol-to-word rule);
+    - ``ok_alpha_words``: ≥ ``min_alpha_word_pct``% of words contain
+      an alphabetic character — ``100·n_alpha ≥ pct·n_words``;
+    - ``ok_stopwords``: ≥ ``min_stopwords`` DISTINCT members of the
+      canonical 8-stopword list appear (the "is this running
+      English prose" tripwire);
+    - ``ok_dup_trigrams``: duplicate-trigram fraction ≤
+      ``max_dup_trigram_pct``% — ``100·(nt−nd) ≤ pct·nt`` (the
+      within-doc repetition rule; corpus-wide dedup is a separate
+      stage).
+
+    Output: every input row with the six boolean flags plus
+    ``passes`` (AND of all). Callers filter on ``passes`` but keep
+    the flags for the release report (WHY a document died matters as
+    much as that it died). Pure per-row codegen — no shuffle, no
+    Python; at 100 TB this runs at scan speed."""
+    t = tokens(text_col)
+    n_words = F.array_size(t)
+    sum_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+    stop_words = ("the", "be", "to", "of", "and", "that", "have", "with")
+    # distinct-stopword count via explicit filter+distinct (NOT
+    # array_intersect — its dedup semantics aren't guaranteed
+    # identical across engines, and the oracle must replay exactly)
+    n_stop = F.size(
+        F.array_distinct(F.filter(t, lambda x: x.isin(*stop_words)))
+    )
+    n_symbol = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ) + (
+        (
+            F.length(text_col)
+            - F.length(
+                F.replace(F.col(text_col), F.lit("..."), F.lit(""))
+            )
+        )
+        / F.lit(3)
+    ).cast("long")
+    grams = F.when(
+        n_words >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nt = F.array_size(grams)
+    nd = F.array_size(F.array_distinct(grams))
+    flags = {
+        "ok_word_count": (n_words >= min_words)
+        & (n_words <= max_words),
+        "ok_mean_word_len": (
+            sum_len >= F.lit(int(min_mean_word_len)) * n_words
+        )
+        & (sum_len <= F.lit(int(max_mean_word_len)) * n_words),
+        "ok_symbol_ratio": n_symbol * 10
+        <= F.lit(int(max_symbol_per_10_words)) * n_words,
+        "ok_alpha_words": n_alpha * 100
+        >= F.lit(int(min_alpha_word_pct)) * n_words,
+        "ok_stopwords": n_stop >= F.lit(int(min_stopwords)),
+        "ok_dup_trigrams": (nt - nd) * 100
+        <= F.lit(int(max_dup_trigram_pct)) * nt,
+    }
+    out = df
+    for name, c in flags.items():
+        out = out.withColumn(name, c)
+    passes = None
+    for name in flags:
+        passes = (
+            F.col(name) if passes is None else passes & F.col(name)
+        )
+    return out.withColumn("passes", passes)

@@ -1512,3 +1512,73 @@ def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudonymize(ev, vault, "user_id").select(
         "event_id", "surrogate_id", "event_type"
     )
+
+
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+          AS sum_len,
+        CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
+          AS BIGINT) AS n_alpha,
+        CAST(len(list_distinct(list_filter(tk, x -> x IN
+          ('the','be','to','of','and','that','have','with'))))
+          AS BIGINT) AS n_stop,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          + (CAST(length(text)
+               - length(replace(text, '...', '')) AS BIGINT) // 3)
+          AS n_symbol,
+        CAST(len(list_transform(
+              generate_series(1, GREATEST(len(tk) - 2, 0)),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+          AS BIGINT) AS nt,
+        CAST(len(list_distinct(list_transform(
+              generate_series(1, GREATEST(len(tk) - 2, 0)),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+          AS BIGINT) AS nd
+      FROM t
+    ), f AS (
+      SELECT doc_id,
+        (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+        (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+          AS ok_mean_word_len,
+        (n_symbol * 10 <= 1 * n_words) AS ok_symbol_ratio,
+        (n_alpha * 100 >= 80 * n_words) AS ok_alpha_words,
+        (n_stop >= 1) AS ok_stopwords,
+        ((nt - nd) * 100 <= 30 * nt) AS ok_dup_trigrams
+      FROM s
+    )
+    SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+           ok_alpha_words, ok_stopwords, ok_dup_trigrams,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+            AND ok_alpha_words AND ok_stopwords AND ok_dup_trigrams)
+             AS passes
+    FROM f
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021) as one in-plan
+    composite gate (operators.text.gopher_filter): word count, mean
+    word length, symbol ratio, alphabetic-word share, stopword
+    tripwire, duplicate-trigram fraction — every rule an integer
+    cross-multiplication, per-rule audit flags + the AND. Pure
+    per-row codegen; the oracle replays all six rules and the
+    composite bit-for-bit. Entry parameter: ``min_stopwords=1`` (not
+    the published 2) — the synthetic fixture vocabulary contains only
+    'the' from the canonical list, so the published threshold is
+    unsatisfiable here and would leave the keep direction untested;
+    every other rule runs at its published default and the fixture
+    splits non-trivially on word count."""
+    from ..operators.text import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_filter(docs, min_stopwords=1).select(
+        "doc_id", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_alpha_words", "ok_stopwords",
+        "ok_dup_trigrams", "passes",
+    )

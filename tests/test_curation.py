@@ -653,3 +653,40 @@ class TestShardManifest:
         assert set(bad) == {99}
         assert bad[99].stored_n_rows is None
         assert bad[99].actual_n_rows == 5
+
+
+def test_curate_corpus_gopher_stage(spark, tmp_path):
+    """gopher_rules opens the pipeline with the rule gate: a
+    violator (all-numeric words) dies before dedup, clean docs
+    survive; omitting the knob skips the stage."""
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "stone bridge and the quiet river while the morning light "
+        "warms the tall grass and the small birds sing to the sky "
+        "above the green field where the children play games with "
+        "a red ball and a long rope until the evening comes around"
+    )
+    rows = [(0, " ".join(["12345"] * 60))]  # fails ok_alpha_words
+    for i in range(1, 25):
+        rows.append((i, clean + f" uniq{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "rel_gopher")
+    counts = curate_corpus(
+        docs, out, shard_rows=16,
+        gopher_rules={"min_stopwords": 1},
+    )
+    assert counts["after_gopher_rules"] == 24
+    assert list(counts).index("after_gopher_rules") < list(
+        counts
+    ).index("after_exact_dedup")
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert 0 not in kept and kept
+    counts2 = curate_corpus(docs, str(tmp_path / "rel_plain"), shard_rows=16)
+    assert "after_gopher_rules" not in counts2

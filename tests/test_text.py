@@ -291,3 +291,60 @@ class TestLmBigramScore:
         n_drop = len(rows) // 10
         worst = sorted(rows, key=lambda d: (-rows[d], -d))[:n_drop]
         assert kept == set(rows) - set(worst)
+
+
+class TestGopherFilter:
+    """Gopher composite quality gate (text.gopher_filter): each rule
+    individually trips on a hand-built violator while a clean English
+    paragraph passes everything."""
+
+    def test_each_rule_trips_its_violator(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            gopher_filter,
+        )
+
+        clean = (
+            "the cat and the dog have gone to the house of friends "
+            "and that was fine with everyone because the weather "
+            "was good and the road was short and they wanted to "
+            "walk along the river with a basket of bread and fruit "
+            "so that nobody would have to cook anything at all today"
+        )
+        rows = [
+            (0, clean),                                   # passes all
+            (1, "too short to count"),                    # word count
+            (2, " ".join(["a"] * 60)),                    # mean len < 3
+            (3, " ".join(["sesquipedalianism"] * 60)),    # mean len > 10
+            (4, clean + " " + " ".join(["#"] * 40)),      # symbols
+            (5, " ".join(["123", "456"] * 30)),           # alpha words
+            (6, " ".join(["x1y", "z2w"] * 30)),           # stopwords
+            (7, " ".join(["one two three"] * 40)),        # dup trigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r for r in gopher_filter(df).collect()
+        }
+        assert out[0].passes, {
+            k: v for k, v in out[0].asDict().items() if k != "text"
+        }
+        assert not out[1].ok_word_count and not out[1].passes
+        assert not out[2].ok_mean_word_len
+        assert not out[3].ok_mean_word_len
+        assert not out[4].ok_symbol_ratio
+        assert not out[5].ok_alpha_words
+        assert not out[6].ok_stopwords
+        assert not out[7].ok_dup_trigrams and out[7].ok_word_count
+
+    def test_flags_are_independent(self, spark):
+        """A violator of one rule still reports honest values for the
+        others — the audit columns don't collapse into the AND."""
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            gopher_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "too short to count")], "doc_id long, text string"
+        )
+        r = gopher_filter(df).collect()[0]
+        assert not r.ok_word_count
+        assert r.ok_mean_word_len and r.ok_alpha_words
