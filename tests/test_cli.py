@@ -1,0 +1,132 @@
+"""CLI surface (cli.main): the subcommands a user actually types,
+driven in-process against tmp fixtures — pins argument wiring and
+exit codes so a flag rename can't silently strand the documented
+commands."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.cli import main
+
+from conftest import SF_DIR
+
+
+class _NoStop:
+    """Delegating session proxy whose stop() is a no-op — cli.main
+    stops its session on exit, and in-process tests must not take the
+    suite's shared SparkSession down with it."""
+
+    def __init__(self, s):
+        self._s = s
+
+    def __getattr__(self, name):
+        return getattr(self._s, name)
+
+    def stop(self):
+        pass
+
+
+@pytest.fixture(autouse=True)
+def _cli_shares_suite_session(spark, monkeypatch):
+    import pyspark_airflow_weather_etl_spark.cli as cli_mod
+
+    monkeypatch.setattr(
+        cli_mod, "get_spark", lambda **kw: _NoStop(spark)
+    )
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    p = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80).write.parquet(
+        p
+    )
+    return p
+
+
+def test_curate_cli_with_gopher_and_dsir(spark, tmp_path, docs_parquet, capsys):
+    target = str(tmp_path / "target")
+    spark.read.parquet(docs_parquet).limit(20).select(
+        "doc_id", "text"
+    ).write.parquet(target)
+    out = str(tmp_path / "rel")
+    rc = main([
+        "curate", "--input", docs_parquet, "--out", out,
+        "--shard-rows", "32",
+        "--gopher", "--gopher-min-stopwords", "1",
+        "--dsir-target", target, "--dsir-keep-tenths", "5",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "after_gopher_rules:" in printed and "after_dsir:" in printed
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_maintain_seal_and_verify_epoch(spark, tmp_path, docs_parquet, capsys):
+    # batch-keyed store
+    store = str(tmp_path / "store")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for b in range(3):
+        (
+            spark.range(b * 10, b * 10 + 10)
+            .select(
+                F.col("id"),
+                (F.col("id") % 2).cast("int").alias("kb"),
+                F.lit(b).alias("batch"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("kb", "batch")
+            .parquet(store)
+        )
+    rc = main(["maintain", "seal", "--path", store, "--keep-last", "1"])
+    assert rc == 0
+    assert "sealed_now: [0, 1]" in capsys.readouterr().out
+
+    # epoch + manifest, clean then tampered
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    epoch = str(tmp_path / "epoch")
+    write_training_shards(
+        spark.read.parquet(docs_parquet), epoch, "doc_id", shard_rows=16
+    )
+    write_shard_manifest(spark, epoch, "doc_id")
+    assert main(["maintain", "verify-epoch", "--path", epoch]) == 0
+    assert "epoch OK" in capsys.readouterr().out
+    os.remove(glob.glob(f"{epoch}/shard=1/part-*.parquet")[0])
+    assert main(["maintain", "verify-epoch", "--path", epoch]) == 1
+    assert "shard 1" in capsys.readouterr().out
+
+
+def test_tokenize_cli_train_and_encode(spark, tmp_path, docs_parquet, capsys):
+    art = str(tmp_path / "bpe_art")
+    rc = main([
+        "tokenize", "train", "--input", docs_parquet,
+        "--artifact", art, "--family", "bpe", "--num-merges", "8",
+    ])
+    assert rc == 0
+    enc = str(tmp_path / "encoded")
+    rc = main([
+        "tokenize", "encode", "--input", docs_parquet,
+        "--artifact", art, "--family", "bpe", "--out", enc,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(enc).count() > 0
+
+
+def test_query_and_list(capsys):
+    assert main(["list"]) == 0
+    assert "q1_pricing_summary" in capsys.readouterr().out
+    rc = main([
+        "query", "--name", "q1_pricing_summary", "--sf-dir", SF_DIR,
+        "--limit", "3",
+    ])
+    assert rc == 0
+    assert main(["query", "--name", "no_such_query", "--sf-dir", SF_DIR]) == 2
