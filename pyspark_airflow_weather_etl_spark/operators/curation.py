@@ -486,7 +486,18 @@ def curate_corpus(
     def barrier(frame: DataFrame, name: str) -> DataFrame:
         frame = persist_into(caches, frame)
         counts[name] = frame.count()
-        return frame
+        # Truncate the ANALYZED lineage before the next stage builds
+        # on this frame: several stages SELF-JOIN their input (dedup's
+        # anti-join, the decontamination counts, DSIR's rank), so the
+        # logical plan roughly DOUBLES per stage even though the
+        # persisted frame already cuts physical recompute — with the
+        # full stage stack the analyzer tree OOM'd a 6 GB driver on a
+        # 122-ROW corpus (measured; planning cost, not data).
+        # localCheckpoint collapses the plan to a leaf; the frame is
+        # materialized by the count above, so the checkpoint re-reads
+        # cached partitions, and eager=False defers that to the next
+        # stage's own action.
+        return frame.localCheckpoint(eager=False)
 
     counts: dict[str, int] = {"input": df.count()}
     cur = df

@@ -690,3 +690,73 @@ def test_curate_corpus_gopher_stage(spark, tmp_path):
     assert 0 not in kept and kept
     counts2 = curate_corpus(docs, str(tmp_path / "rel_plain"), shard_rows=16)
     assert "after_gopher_rules" not in counts2
+
+
+def test_curate_corpus_all_stages_compose(spark, tmp_path):
+    """The full release with EVERY knob on: gopher gate → exact dedup
+    → fuzzy dedup → phrase decontamination → fractional
+    decontamination → DSIR selection → quality prune → source cap →
+    token budget → shards + manifest. Stage order pinned, counts
+    monotone, the epoch verifies clean, and each planted victim dies
+    at its own stage."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+        verify_epoch,
+    )
+
+    base = load_table(spark, SF_DIR, "documents").limit(120)
+    victim = base.orderBy("doc_id").first()
+    toks = victim.text.split()
+    toks[3] = "MUTATED"
+    extra = spark.createDataFrame(
+        [
+            # near-copy (one token changed): dies at fuzzy dedup
+            (900001, " ".join(toks), victim.lang, victim.source,
+             len(" ".join(toks))),
+            # all-numeric words: dies at the gopher gate
+            (900002, " ".join(["12345"] * 60), "en", "src0", 60 * 6),
+        ],
+        base.schema,
+    )
+    docs = base.unionByName(extra)
+    target = base.limit(30).select("doc_id", "text")
+    bench = base.orderBy(F.desc("doc_id")).limit(3).select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "rel_full")
+    counts = curate_corpus(
+        docs,
+        out,
+        shard_rows=16,
+        gopher_rules={"min_stopwords": 1, "min_words": 5},
+        near_dup_threshold=0.5,
+        benchmark_phrases=None,
+        benchmark_df=bench,
+        dsir_target=target,
+        dsir_keep_numer=9,
+        dsir_keep_denom=10,
+        per_source_cap=200,
+        budget_numer=9,
+        budget_denom=10,
+    )
+    expected_order = [
+        "input", "after_gopher_rules", "after_exact_dedup",
+        "after_near_dedup", "after_decontaminate_fraction",
+        "after_dsir", "after_quality_prune", "after_source_cap",
+        "after_token_budget", "sharded",
+    ]
+    assert list(counts) == expected_order
+    vals = [counts[n] for n in expected_order]
+    assert vals == sorted(vals, reverse=True), counts
+    # the gate drops the planted numeric doc (plus fixture docs that
+    # genuinely lack the stopword — the fixture vocab is synthetic)
+    assert counts["after_gopher_rules"] <= counts["input"] - 1
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert 900001 not in kept and 900002 not in kept
+    assert verify_epoch(spark, out).count() == 0
+    assert counts["sharded"] == len(kept) > 0

@@ -240,3 +240,57 @@ def test_nprobe_dedup_vectors_never_ride_the_cell_join(spark):
     assert "v_a" not in joined_block and "v_b" not in joined_block, (
         "vector columns must not ride the cell join"
     )
+
+
+def test_dsir_weights_lambda_join_is_broadcast(spark):
+    """DSIR scoring: the per-occurrence λ join must be a broadcast
+    HASH join (λ is n_buckets-bounded); the only nested-loop joins
+    allowed are the broadcast one-row totals scalars. The selection
+    rank must ride the prefix-sum machinery (range exchange), with
+    every hash exchange keyed by the bucket, the id, or __pid —
+    an unkeyed corpus-wide window would be the single-partition
+    scale-killer."""
+    plan = _plan(spark, "dsir_select_documents")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert any(
+                k in line for k in ("__b", "doc_id", "__pid")
+            ), f"unkeyed exchange: {line}"
+        if "windowspecdefinition" in line:
+            assert any(
+                k in line for k in ("__b", "doc_id", "__pid")
+            ), f"global window: {line}"
+
+
+def test_decontaminate_fraction_joins_stay_hashed(spark):
+    """Fractional decontamination: the benchmark digest join is a
+    broadcast HASH join on the md5 fingerprint; nothing cartesian,
+    and the per-doc aggregate is partial+final."""
+    plan = _plan(spark, "decontaminate_fraction_documents")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gopher_gate_is_shuffle_free(spark):
+    """The Gopher gate is pure per-row codegen: its plan must contain
+    NO exchange of any kind — a shuffle appearing here means someone
+    rewrote a rule as an aggregate and the gate stopped running at
+    scan speed."""
+    plan = _plan(spark, "gopher_quality_filter")
+    assert "Exchange" not in plan
+    assert "*(" in plan, "whole-stage codegen markers missing"
+
+
+def test_pseudonymize_rank_is_prefix_sum(spark):
+    """Identity-vault surrogate assignment: the distinct-key rank
+    must be the distributed prefix-sum (range exchange + __pid
+    anchoring), never a single-partition window over the keys."""
+    plan = _plan(spark, "pseudonymize_events")
+    assert "Exchange rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, f"global window: {line}"
