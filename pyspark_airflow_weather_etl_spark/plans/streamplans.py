@@ -545,3 +545,65 @@ def streaming_pseudonymize_events(
     return read_pseudonymized(spark, f"{tmp}/out").select(
         "event_id", "surrogate_id", "event_type"
     )
+
+
+from .textplans import _DECONTAM_FRACTION_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_decontaminate_documents",
+    oracle=_DECONTAM_FRACTION_ORACLE,
+)
+def streaming_decontaminate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-set decontamination at INGEST latency
+    (streaming.decontaminate): the benchmark suite (every 13th doc)
+    freezes once into an at-rest n-gram digest artifact; the pool
+    documents then arrive as four micro-batches and each batch keeps
+    only rows within the 1/10 distinct-5-gram overlap budget
+    (quarantining the rest with audit counts). The keep decision is a
+    stateless pure function of (row, artifact), so the union of
+    per-batch keeps hash-matches the SAME DuckDB oracle as the batch
+    entry decontaminate_fraction_documents for any batch
+    decomposition. Crash-replay idempotency (batch-keyed dynamic
+    overwrite) and quarantine accounting are pinned in
+    tests/test_streaming.py."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..streaming.decontaminate import (
+        read_kept_documents,
+        run_streaming_decontaminate,
+        write_benchmark_digests,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.where(F.col("doc_id") % 13 != 0)
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    tmp = tempfile.mkdtemp(prefix="stream_decontam_")
+    write_benchmark_digests(bench, f"{tmp}/digests", "text", n=5)
+    watch = f"{tmp}/in"
+    os.makedirs(watch, exist_ok=True)
+    for i in range(4):
+        stage = f"{tmp}/stage_{i}"
+        pool.where(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(
+            stage
+        )
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_decontaminate(
+        spark,
+        watch,
+        f"{tmp}/digests",
+        f"{tmp}/kept",
+        f"{tmp}/quarantine",
+        pool.schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return read_kept_documents(spark, f"{tmp}/kept").select(
+        "doc_id", "n_ngrams", "n_contaminated"
+    )

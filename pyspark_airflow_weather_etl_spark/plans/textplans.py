@@ -1416,9 +1416,7 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_freq_spectrum(docs)
 
 
-@register(
-    "decontaminate_fraction_documents",
-    oracle="""
+_DECONTAM_FRACTION_ORACLE = """
     WITH pool AS (
       SELECT doc_id, string_split(text, ' ') AS tk
       FROM documents WHERE doc_id % 13 <> 0
@@ -1455,7 +1453,12 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_ngrams, n_contaminated
     FROM flagged
     WHERE n_contaminated * 10 <= 1 * n_ngrams
-    """,
+"""
+
+
+@register(
+    "decontaminate_fraction_documents",
+    oracle=_DECONTAM_FRACTION_ORACLE,
 )
 def decontaminate_fraction_documents(
     spark: SparkSession, sf_dir: str

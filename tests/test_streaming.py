@@ -684,3 +684,97 @@ def test_streaming_pseudonymize_replay_and_vault_stability(spark, tmp_path):
     assert sorted(glob.glob(f"{vault}/v-*")) == versions_before
     assert dict(vsnap()) == v2
     ev.unpersist()
+
+
+def test_streaming_decontaminate_replay_and_quarantine(spark, tmp_path):
+    """Streaming decontamination (streaming.decontaminate): (a) kept ∪
+    quarantined partitions the pool exactly, with quarantine counts
+    matching the batch operator's verdicts, (b) a crash-replay
+    (commit marker deleted) converges to the same kept set, (c) a
+    verbatim benchmark copy arriving in a later batch is quarantined."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        decontaminate_against,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.decontaminate import (
+        read_kept_documents,
+        read_quarantine,
+        run_streaming_decontaminate,
+        write_benchmark_digests,
+    )
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(150).cache()
+    bench = docs.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    pool = docs.where(F.col("doc_id") % 13 != 0)
+    dig = str(tmp_path / "digests")
+    watch = str(tmp_path / "in")
+    kept_p = str(tmp_path / "kept")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    write_benchmark_digests(bench, dig, "text", n=5)
+
+    def stage(df, slot):
+        sdir = str(tmp_path / f"stage_{slot}")
+        df.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(f"{sdir}/part-*.parquet")[0]
+        dst = f"{watch}/arrival_{slot:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+
+    stage(pool.where(F.col("doc_id") % 2 == 0), 0)
+    stage(pool.where(F.col("doc_id") % 2 == 1), 1)
+    run_streaming_decontaminate(
+        spark, watch, dig, kept_p, quar, pool.schema,
+        checkpoint_dir=ckpt,
+    )
+    kept_ids = {
+        r.doc_id for r in read_kept_documents(spark, kept_p).collect()
+    }
+    q_rows = {r.doc_id: r for r in read_quarantine(spark, quar).collect()}
+    pool_ids = {r.doc_id for r in pool.select("doc_id").collect()}
+    assert kept_ids | set(q_rows) == pool_ids
+    assert kept_ids.isdisjoint(q_rows)
+    # quarantine verdicts match the batch operator (kept side there)
+    batch_kept = {
+        r.doc_id
+        for r in decontaminate_against(pool, bench, n=5).collect()
+    }
+    assert kept_ids == batch_kept
+    before = kept_ids
+    # crash-replay: batch 1 wrote but did not commit
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_decontaminate(
+        spark, watch, dig, kept_p, quar, pool.schema,
+        checkpoint_dir=ckpt,
+    )
+    assert {
+        r.doc_id for r in read_kept_documents(spark, kept_p).collect()
+    } == before
+    # a verbatim benchmark copy in a later batch is quarantined
+    vb = bench.orderBy("doc_id").first()
+    copy = spark.createDataFrame(
+        [(900009, vb.text, "en", "src0", len(vb.text))], pool.schema
+    )
+    stage(copy, 2)
+    run_streaming_decontaminate(
+        spark, watch, dig, kept_p, quar, pool.schema,
+        checkpoint_dir=ckpt,
+    )
+    q2 = {r.doc_id: r for r in read_quarantine(spark, quar).collect()}
+    assert 900009 in q2
+    assert q2[900009].n_contaminated * 10 > q2[900009].n_ngrams
+    assert 900009 not in {
+        r.doc_id for r in read_kept_documents(spark, kept_p).collect()
+    }
+    docs.unpersist()
