@@ -138,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
     p_tok.add_argument("--id-col", default="doc_id")
     p_tok.add_argument("--num-merges", type=int, default=1024)
     p_tok.add_argument("--vocab-size", type=int, default=8192)
+    p_tok.add_argument(
+        "--max-seed", type=int, default=None,
+        help="unigram seed-inventory cap (default: 4x --vocab-size, so "
+        "the requested vocab size is always reachable)",
+    )
+    p_tok.add_argument(
+        "--min-freq", type=int, default=2,
+        help="unigram: drop seed pieces rarer than this",
+    )
     p_tok.add_argument("--max-piece-len", type=int, default=8)
     p_tok.add_argument("--em-iters", type=int, default=3)
 
@@ -275,11 +284,18 @@ def main(argv: list[str] | None = None) -> int:
                         if args.family == "unigram-em"
                         else U.unigram_train
                     )
+                    max_seed = (
+                        args.max_seed
+                        if args.max_seed is not None
+                        else max(4 * args.vocab_size, 200)
+                    )
                     counts = train(
                         docs,
                         args.text_col,
                         max_piece_len=args.max_piece_len,
                         vocab_size=args.vocab_size,
+                        min_freq=args.min_freq,
+                        max_seed=max_seed,
                         em_iters=args.em_iters,
                     )
                     U.unigram_save_vocab(spark, counts, args.artifact)

@@ -70,12 +70,13 @@ def sealed_root(live_path: str) -> str:
 
 def _list_live(spark: SparkSession, live_path: str):
     """One recursive listing of the live zone → per-batch-id stats:
-    ``{batch_id: (bytes, n_files)}`` plus per-(bucket-dir, batch) byte
-    totals keyed by the full hive prefix above ``batch=`` (used to
-    size the compacted rewrite without reading data)."""
+    ``{batch_id: (bytes, n_files)}`` plus per-(hive-prefix-above-
+    ``batch=``, batch_id) byte totals (used to size the compacted
+    rewrite without reading data — keyed by batch so the seal pass can
+    count ONLY the batches actually being sealed)."""
     jvm, fs, root = _hadoop_fs(spark, live_path.rstrip("/"))
     per_batch: dict[int, list[int]] = {}
-    per_prefix: dict[str, int] = {}
+    per_prefix: dict[tuple[str, int], int] = {}
     if not fs.exists(root):
         return per_batch, per_prefix
     base_uri = fs.makeQualified(root).toString().rstrip("/")
@@ -83,9 +84,12 @@ def _list_live(spark: SparkSession, live_path: str):
     while it.hasNext():
         st = it.next()
         fp = st.getPath()
-        if fp.getName().startswith(("_", ".")):
-            continue
         rel = fp.toString()[len(base_uri):].strip("/").split("/")
+        # hidden ANY-segment (not just leaf): files under _temporary /
+        # .spark-staging from an in-flight concurrent write must never
+        # count as live bytes or surface their batch ids to a seal
+        if any(seg.startswith(("_", ".")) for seg in rel):
+            continue
         batch_id = None
         prefix_segs: list[str] = []
         for seg in rel[:-1]:
@@ -101,7 +105,7 @@ def _list_live(spark: SparkSession, live_path: str):
         b = per_batch.setdefault(batch_id, [0, 0])
         b[0] += st.getLen()
         b[1] += 1
-        key = "/".join(prefix_segs)
+        key = ("/".join(prefix_segs), batch_id)
         per_prefix[key] = per_prefix.get(key, 0) + st.getLen()
     return per_batch, per_prefix
 
@@ -204,14 +208,15 @@ def seal_batches(
     use_bucket = bucket_col is not None and bucket_col in snapshot.columns
     if use_bucket:
         pv_bytes: dict[str, int] = {}
-        # live side: per_prefix keys are the hive prefix above batch=,
-        # e.g. "kb=3"
-        for key, nbytes in per_prefix.items():
-            if not key.startswith(f"{bucket_col}="):
+        # live side: per_prefix is keyed (hive prefix above batch=,
+        # batch id) — only batches being sealed contribute, so
+        # keep_last-protected batches never inflate the slot counts
+        for (prefix, bid), nbytes in per_prefix.items():
+            if bid not in seal_set:
                 continue
-            val = key.split("=", 1)[1]
-            # only batches being sealed contribute — approximate with
-            # the prefix total scaled by sealed share of live bytes
+            if not prefix.startswith(f"{bucket_col}="):
+                continue
+            val = prefix.split("=", 1)[1]
             pv_bytes[val] = pv_bytes.get(val, 0) + nbytes
         if vname and fs.exists(
             jvm.org.apache.hadoop.fs.Path(root, f"{vname}/data")
@@ -225,9 +230,9 @@ def seal_batches(
             while it.hasNext():
                 st = it.next()
                 fp = st.getPath()
-                if fp.getName().startswith(("_", ".")):
-                    continue
                 rel = fp.toString()[len(data_uri):].strip("/").split("/")
+                if any(seg.startswith(("_", ".")) for seg in rel):
+                    continue
                 for seg in rel[:-1]:
                     if seg.startswith(f"{bucket_col}="):
                         val = seg.split("=", 1)[1]

@@ -161,13 +161,30 @@ def read_kept_documents(spark: SparkSession, out_path: str) -> DataFrame:
     return read_raw_store(spark, out_path)
 
 
-QUARANTINE_SCHEMA = "doc_id long, n_ngrams long, n_contaminated long"
-
-
-def read_quarantine(spark: SparkSession, path: str) -> DataFrame:
+def read_quarantine(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    id_type: str = "long",
+) -> DataFrame:
     """Distinct quarantined audit rows (at-least-once appends replay
-    byte-identically). Explicit schema: the path may hold only
-    _SUCCESS markers when nothing was contaminated."""
-    return (
-        spark.read.schema(QUARANTINE_SCHEMA).parquet(path).distinct()
-    )
+    byte-identically). The schema is derived from the written files
+    when any exist — so a run with a non-default ``id_col`` or a
+    non-long id type reads back exactly what it wrote — and falls
+    back to an explicit ``(id_col id_type, n_ngrams, n_contaminated)``
+    literal only for the empty table (the path may hold only _SUCCESS
+    markers when nothing was contaminated)."""
+    try:
+        df = spark.read.parquet(path)
+        if id_col in df.columns:
+            return df.select(
+                id_col, "n_ngrams", "n_contaminated"
+            ).distinct()
+    except Exception:
+        pass  # no data files yet -> inference fails; use the literal
+    schema = f"`{id_col}` {id_type}, n_ngrams long, n_contaminated long"
+    try:
+        return spark.read.schema(schema).parquet(path).distinct()
+    except Exception:
+        # dir not created yet (nothing quarantined, no markers)
+        return spark.createDataFrame([], schema)

@@ -130,3 +130,37 @@ def test_query_and_list(capsys):
     ])
     assert rc == 0
     assert main(["query", "--name", "no_such_query", "--sf-dir", SF_DIR]) == 2
+
+
+def test_tokenize_cli_unigram_vocab_size_reachable(
+    spark, tmp_path, docs_parquet, monkeypatch
+):
+    """--vocab-size must actually be reachable: the seed-inventory cap
+    defaults to 4x the requested vocab (not a hardcoded 200), and
+    --max-seed/--min-freq pass through to the trainer."""
+    import pyspark_airflow_weather_etl_spark.operators.unigram as U
+
+    seen = {}
+
+    def fake_train(df, text_col, **kw):
+        seen.update(kw)
+        return {"a": 10, "b": 5}
+
+    monkeypatch.setattr(U, "unigram_train", fake_train)
+    art = str(tmp_path / "uni_art")
+    rc = main([
+        "tokenize", "train", "--input", docs_parquet,
+        "--artifact", art, "--family", "unigram",
+        "--vocab-size", "500",
+    ])
+    assert rc == 0
+    assert seen["vocab_size"] == 500
+    assert seen["max_seed"] == 2000  # 4x vocab, not the 200 default
+    assert seen["min_freq"] == 2
+    rc = main([
+        "tokenize", "train", "--input", docs_parquet,
+        "--artifact", art, "--family", "unigram",
+        "--vocab-size", "500", "--max-seed", "777", "--min-freq", "3",
+    ])
+    assert rc == 0
+    assert seen["max_seed"] == 777 and seen["min_freq"] == 3

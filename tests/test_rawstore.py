@@ -349,3 +349,56 @@ def test_repeated_seal_cycles_with_growth(spark, tmp_path):
         spark, rawstore.sealed_root(live)
     )
     assert ledger == set(range(bid - 1))
+
+
+def test_list_live_skips_hidden_path_segments(spark, tmp_path):
+    """In-flight concurrent writes leave _temporary/.spark-staging
+    trees; their bytes must not count as live and their batch ids must
+    never be listed (a seal pass overlapping a trigger would otherwise
+    seal a half-written batch)."""
+    live = str(tmp_path / "store")
+    _write_batch(spark, live, 0, 0, 10)
+    _write_batch(spark, live, 1, 10, 20)
+    # staging debris BELOW a batch dir
+    os.makedirs(f"{live}/kb=0/batch=99/_temporary/0", exist_ok=True)
+    with open(
+        f"{live}/kb=0/batch=99/_temporary/0/part-0.parquet", "wb"
+    ) as f:
+        f.write(b"x" * 4096)
+    # staging debris ABOVE the hive dirs
+    os.makedirs(f"{live}/.spark-staging-xyz/kb=1/batch=77", exist_ok=True)
+    with open(
+        f"{live}/.spark-staging-xyz/kb=1/batch=77/part-0.parquet", "wb"
+    ) as f:
+        f.write(b"y" * 4096)
+    per_batch, per_prefix = rawstore._list_live(spark, live)
+    assert set(per_batch) == {0, 1}
+    assert all(bid in (0, 1) for (_, bid) in per_prefix)
+    # and a seal pass over this tree never touches the phantom ids
+    st = rawstore.seal_batches(spark, live, keep_last=1)
+    assert st["sealed_now"] == [0]
+
+
+def test_seal_sizing_ignores_protected_batches(spark, tmp_path):
+    """Output-slot sizing must count ONLY the batches being sealed:
+    a huge keep_last-protected tail batch with a tiny sealable head
+    still compacts to ~one file per bucket."""
+    live = str(tmp_path / "store")
+    _write_batch(spark, live, 0, 0, 30)  # tiny, sealable
+    # huge protected tail: would force many slots if (wrongly) counted
+    df = spark.range(0, 200_000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("kb"),
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    df.withColumn("batch", F.lit(1)).write.mode("overwrite").partitionBy(
+        "kb", "batch"
+    ).parquet(live)
+    st = rawstore.seal_batches(
+        spark, live, keep_last=1, target_file_bytes=8 * 1024
+    )
+    assert st["sealed_now"] == [0]
+    # 3 buckets of ~10 tiny rows each -> one file per bucket
+    assert st["sealed_data_files"] <= 3, st

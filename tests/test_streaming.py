@@ -778,3 +778,60 @@ def test_streaming_decontaminate_replay_and_quarantine(spark, tmp_path):
         r.doc_id for r in read_kept_documents(spark, kept_p).collect()
     }
     docs.unpersist()
+
+
+def test_streaming_decontaminate_custom_id_col(spark, tmp_path):
+    """A non-default id column (string-typed) round-trips through the
+    quarantine reader: the schema is derived from the written files,
+    and the empty-table fallback honors id_col/id_type."""
+    import glob
+    import os
+
+    from pyspark_airflow_weather_etl_spark.streaming.decontaminate import (
+        read_quarantine,
+        run_streaming_decontaminate,
+        write_benchmark_digests,
+    )
+
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon zeta eta theta")],
+        "key string, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            ("d-clean", "one two three four five six seven eight nine"),
+            ("d-dirty", "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "key string, text string",
+    )
+    dig = str(tmp_path / "digests")
+    watch = str(tmp_path / "in")
+    kept_p = str(tmp_path / "kept")
+    quar = str(tmp_path / "quarantine")
+    os.makedirs(watch)
+    write_benchmark_digests(bench, dig, "text", n=5)
+    sdir = str(tmp_path / "stage")
+    pool.coalesce(1).write.mode("overwrite").parquet(sdir)
+    os.rename(
+        glob.glob(f"{sdir}/part-*.parquet")[0],
+        f"{watch}/arrival_000.parquet",
+    )
+    # empty quarantine (no files yet): fallback schema honors id_col
+    empty = read_quarantine(
+        spark, quar, id_col="key", id_type="string"
+    )
+    assert empty.schema["key"].dataType.simpleString() == "string"
+    assert empty.count() == 0
+    run_streaming_decontaminate(
+        spark, watch, dig, kept_p, quar, pool.schema,
+        id_col="key", text_col="text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = {
+        r.key: r
+        for r in read_quarantine(
+            spark, quar, id_col="key", id_type="string"
+        ).collect()
+    }
+    assert set(q) == {"d-dirty"}
+    assert q["d-dirty"].n_contaminated > 0
