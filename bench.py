@@ -65,6 +65,7 @@ HEADLINE = [
     "global_shuffle_documents",
     "token_budget_select_documents",
     "dsir_select_documents",
+    "quality_classifier_scores",
     "semantic_dedup_embeddings",
     "semantic_dedup_embeddings_hot",
     "semantic_dedup_embeddings_nprobe",

@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     pqplans,
     kmeansplans,
     unigramplans,
+    classifierplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 
@@ -380,6 +381,64 @@ _VERIFIED_R8: frozenset[str] = frozenset(
 )
 
 
+# CORRECTNESS_r09.json rows — all 50 green (38 hash-exact, 12
+# rows-only by design), so this becomes the freshest tier.
+_VERIFIED_R9: frozenset[str] = frozenset(
+    {
+        "approx_distinct_users",
+        "approx_percentile_prices",
+        "bpe_encode_documents",
+        "bpe_merges_documents",
+        "bpe_pair_counts_documents",
+        "corpus_ngram_diversity",
+        "correlation_stats",
+        "decontaminate_fraction_documents",
+        "dedup_substrings_documents",
+        "deterministic_sample_orders",
+        "diversity_sample_embeddings",
+        "dsir_gumbel_sample_documents",
+        "dsir_logweights_documents",
+        "dsir_select_documents",
+        "gopher_quality_filter",
+        "histogram_order_values",
+        "ivfpq_ann_topk_at_rest",
+        "kmeans_cluster_fixed_embeddings",
+        "linear_regression_aggs",
+        "lm_bigram_score_documents",
+        "opq_ann_topk_adc",
+        "percentile_price_quartiles",
+        "pq_adc_topk_fixed",
+        "pq_ann_topk_adc",
+        "pq_encode_fixed_embeddings",
+        "pseudonymize_events",
+        "salted_join_identity",
+        "scd2_event_state_history",
+        "scd2_point_in_time_lookup",
+        "semantic_dedup_embeddings_nprobe",
+        "semantic_dedup_incremental_cells",
+        "semantic_dedup_incremental_embeddings",
+        "sql_lateral_top_customer",
+        "sql_ntile_price_quartiles",
+        "sql_recursive_calendar",
+        "stream_stream_join_view_purchase",
+        "streaming_daily_rollup",
+        "streaming_decontaminate_documents",
+        "streaming_encode_documents",
+        "streaming_pseudonymize_events",
+        "streaming_scd2_history",
+        "streaming_scd2_sealed_store",
+        "streaming_semantic_dedup",
+        "token_freq_spectrum",
+        "training_shard_manifest",
+        "two_phase_skew_agg",
+        "unigram_encode_documents",
+        "unigram_seed_vocab_documents",
+        "unigram_vocab_documents",
+        "unigram_vocab_em_documents",
+    }
+)
+
+
 def _schedule_registry() -> None:
     """Reorder REGISTRY: never-verified names first, then the stalest
     round's names, then the freshest round's. A name in several rounds'
@@ -391,6 +450,7 @@ def _schedule_registry() -> None:
         _VERIFIED_R6,
         _VERIFIED_R7,
         _VERIFIED_R8,
+        _VERIFIED_R9,
     ]
     tiers = [
         rounds[i] - frozenset().union(*rounds[i + 1 :])

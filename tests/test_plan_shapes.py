@@ -294,3 +294,26 @@ def test_pseudonymize_rank_is_prefix_sum(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "__pid" in line, f"global window: {line}"
+
+
+def test_classifier_scoring_broadcasts_weights_arrow_only(spark):
+    """Classifier margin path: the weight table joins as a BROADCAST
+    hash join (model-sized side never shuffles the corpus), the
+    sigmoid step is Arrow-batched (ArrowEvalPython), and no
+    row-at-a-time Python (BatchEvalPython) appears anywhere."""
+    from pyspark_airflow_weather_etl_spark.operators import classifier as C
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(20)], "doc_id long, text string"
+    )
+    model = C.train_quality_classifier(df.withColumn(
+        "y", (df.doc_id % 2).cast("int")
+    ), "y", dim=8, iters=1)
+    plan = (
+        C.score_quality_classifier(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
