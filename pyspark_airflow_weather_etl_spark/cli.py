@@ -88,6 +88,43 @@ def main(argv: list[str] | None = None) -> int:
         "--gopher-min-stopwords", type=int, default=2,
         help="stopword tripwire threshold for --gopher",
     )
+    p_cur.add_argument(
+        "--classifier-artifact", default=None,
+        help="trained quality-classifier artifact dir (classify "
+        "train): enable the learned gate after the rule stages",
+    )
+    p_cur.add_argument(
+        "--classifier-min-score", type=float, default=None,
+        help="hard score threshold for the learned gate (default: "
+        "GPT-3 Pareto lottery)",
+    )
+    p_cur.add_argument(
+        "--classifier-alpha", type=int, default=9,
+        help="Pareto alpha for the learned-gate lottery",
+    )
+
+    p_cls = sub.add_parser(
+        "classify",
+        help="train a quality-classifier artifact, or score documents",
+    )
+    p_cls.add_argument(
+        "action", choices=["train", "score"],
+        help="train: labeled corpus -> artifact; score: corpus + "
+        "artifact -> scores (+ Pareto keep verdicts)",
+    )
+    p_cls.add_argument("--input", required=True, help="documents parquet")
+    p_cls.add_argument("--artifact", required=True, help="artifact path")
+    p_cls.add_argument("--out", help="score output parquet (score only)")
+    p_cls.add_argument("--text-col", default="text")
+    p_cls.add_argument("--id-col", default="doc_id")
+    p_cls.add_argument(
+        "--label-col", default="y",
+        help="train: 0/1 label column in --input",
+    )
+    p_cls.add_argument("--dim", type=int, default=64)
+    p_cls.add_argument("--iters", type=int, default=40)
+    p_cls.add_argument("--lr", type=float, default=6.0)
+    p_cls.add_argument("--alpha", type=int, default=9)
 
     p_mnt = sub.add_parser(
         "maintain",
@@ -183,6 +220,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "curate":
             from .operators.curation import curate_corpus
 
+            classifier_model = None
+            if args.classifier_artifact:
+                from .operators.classifier import load_classifier
+
+                classifier_model = load_classifier(
+                    spark, args.classifier_artifact
+                )
             counts = curate_corpus(
                 spark.read.parquet(args.input),
                 args.out,
@@ -214,9 +258,59 @@ def main(argv: list[str] | None = None) -> int:
                     if args.gopher
                     else None
                 ),
+                classifier_model=classifier_model,
+                classifier_min_score=args.classifier_min_score,
+                classifier_pareto_alpha=args.classifier_alpha,
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")
+        elif args.cmd == "classify":
+            from .operators import classifier as CL
+
+            docs = spark.read.parquet(args.input)
+            if args.text_col not in docs.columns:
+                print(
+                    f"input has no column {args.text_col!r}; columns: "
+                    f"{docs.columns}",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.action == "train":
+                if args.label_col not in docs.columns:
+                    print(
+                        f"train needs label column {args.label_col!r};"
+                        f" columns: {docs.columns}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                model = CL.train_quality_classifier(
+                    docs,
+                    args.label_col,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                    dim=args.dim,
+                    iters=args.iters,
+                    lr=args.lr,
+                )
+                CL.save_classifier(spark, model, args.artifact)
+                print(
+                    f"classifier: dim={model['dim']} bias="
+                    f"{model['bias']:.6f} -> {args.artifact}"
+                )
+            else:
+                if not args.out:
+                    print("score requires --out", file=sys.stderr)
+                    return 2
+                model = CL.load_classifier(spark, args.artifact)
+                scored = CL.pareto_flags(
+                    CL.score_quality_classifier(
+                        docs, model, args.id_col, args.text_col
+                    ),
+                    args.id_col,
+                    alpha=args.alpha,
+                )
+                scored.write.mode("overwrite").parquet(args.out)
+                print(f"scored -> {args.out}")
         elif args.cmd == "maintain":
             if args.action == "seal":
                 from .sources.rawstore import seal_batches

@@ -395,6 +395,9 @@ def curate_corpus(
     decontam_frac_denom: int = 10,
     decontam_n: int = 5,
     gopher_rules: dict | None = None,
+    classifier_model: dict | None = None,
+    classifier_min_score: float | None = None,
+    classifier_pareto_alpha: int = 9,
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
@@ -405,6 +408,14 @@ def curate_corpus(
        defaults): the cheapest stage there is — pure per-row codegen,
        no shuffle — so it runs FIRST and every later stage pays only
        per surviving row;
+    0b. OPTIONAL learned quality gate (``classifier_model``: a trained
+       :mod:`.classifier` artifact dict): score every doc with the
+       fastText-style model, then keep by GPT-3's Pareto lottery
+       (``classifier_pareto_alpha``) or a hard ``classifier_min_score``
+       threshold when one is given — the rules→labels→classifier
+       production sequel to stage 0; two narrow shuffles + one
+       broadcast weight join, so it still runs before the dedup
+       semi-joins shuffle full content hashes;
     1. exact dedup (hash semi-join — shrink first, everything after
        pays per surviving row);
     1b. OPTIONAL fuzzy dedup (``near_dup_threshold``): MinHash-LSH
@@ -514,6 +525,27 @@ def curate_corpus(
             .where(F.col("passes"))
             .drop(*flag_cols),
             "after_gopher_rules",
+        )
+    if classifier_model is not None:
+        from .classifier import (
+            pareto_select,
+            score_quality_classifier,
+        )
+
+        scored = score_quality_classifier(
+            cur, classifier_model, id_col, text_col
+        )
+        if classifier_min_score is not None:
+            keep = scored.where(
+                F.col("score") >= float(classifier_min_score)
+            )
+        else:
+            keep = pareto_select(
+                scored, id_col, alpha=classifier_pareto_alpha
+            )
+        cur = barrier(
+            cur.join(keep.select(id_col), id_col, "left_semi"),
+            "after_classifier",
         )
     cur = barrier(dedup_exact(cur, id_col, text_col), "after_exact_dedup")
     if near_dup_threshold is not None:

@@ -537,6 +537,73 @@ def dedup_passages(
     return per_doc.where(F.col("n_kept") > 0)
 
 
+def remove_frequent_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4's boilerplate SUPPRESSION rule (Raffel et al. 2020: "we
+    discarded any line that occurred in three or more documents"),
+    passage-windowed for the fixture's line-less corpus: a passage
+    whose fingerprint appears in ``min_docs`` OR MORE DISTINCT
+    documents is removed from EVERY document (unlike
+    :func:`dedup_passages`, which keeps the first copy — suppression
+    is the right rule for navigation chrome / license blocks, where
+    even one surviving copy per mirror family is noise). Documents
+    reassemble from their surviving passages in order; emptied
+    documents drop. Output matches :func:`dedup_passages`:
+    ``(id, clean_text, n_kept, n_dropped)``.
+
+    Scale shape: chunking is per-row codegen; the document-frequency
+    table aggregates 16-byte digests with partial aggregation
+    (``count(distinct id)`` per fp — two-stage expand/agg, linear in
+    passages); the suppression is a LEFT ANTI join of the chunk frame
+    against the (small — boilerplate is by definition the repeated
+    minority) frequent-fingerprint set, broadcast under AQE; then one
+    ordered reassembly aggregation. Fingerprints shuffle, passage
+    text never re-shuffles for the frequency side."""
+    chunks = chunk_documents(df, id_col, text_col, passage_tokens).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.md5("chunk_text").alias("fp"),
+    )
+    frequent = (
+        chunks.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(F.col("df") >= int(min_docs))
+        .select("fp")
+    )
+    kept = chunks.join(frequent, "fp", "left_anti")
+    n_chunks = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_total")
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        per_doc.join(n_chunks, id_col)
+        .select(
+            F.col(id_col),
+            "clean_text",
+            "n_kept",
+            (F.col("__n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .where(F.col("n_kept") > 0)
+    )
+
+
 def dedup_substrings(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -738,6 +805,71 @@ def lm_bigram_score(
             .alias("n_hapax_bigrams"),
             F.col("avg_neg_logprob"),
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document by its LM surprisal (:func:`lm_bigram_score` —
+    the corpus-as-its-own-model score) and cut the ranking into ``k``
+    equal tiles — head/middle/tail for k=3, CCNet's training-mix
+    vocabulary (head = most fluent). Downstream mixes sample by
+    bucket (keep head+middle, downweight tail) instead of a hard
+    threshold.
+
+    Documents too short to have a bigram (no defined score) are out
+    of scope, as in CCNet. Output: (id, avg_neg_logprob, ppl_rank,
+    bucket).
+
+    Scale shape: the ranking is the DISTRIBUTED global rank
+    (:func:`.prefix.ranged_rank` — one range exchange over the narrow
+    (id, score) frame + pure-JVM id decode, no single-partition
+    window); the tile boundary is exact integer arithmetic
+    ``((rank-1)·k) div n`` with n from the per-partition totals table
+    (no second corpus scan), so the cut is bit-identical on any
+    engine — the oracle replays it with ROW_NUMBER over the same
+    (score, id) total order."""
+    from .prefix import ranged_rank
+
+    scored = lm_bigram_score(df, text_col, id_col).where(
+        F.col("n_bigrams") > 0
+    )
+    base = scored.select(F.col(id_col), "avg_neg_logprob")
+    order = [F.col("avg_neg_logprob"), F.col(id_col)]
+    local, offsets = ranged_rank(base, order, None, "perplexity_buckets")
+    n = offsets.agg(
+        F.sum("__part_rows").cast("long").alias("__n")
+    )
+    names = (
+        ["head", "middle", "tail"]
+        if k == 3
+        else [f"t{i}" for i in range(int(k))]
+    )
+    name_arr = F.array(*[F.lit(x) for x in names])
+    return (
+        local.join(
+            F.broadcast(offsets.select("__pid", "__rank_offset")), "__pid"
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "ppl_rank",
+            (F.col("__local_rn") + F.col("__rank_offset")).cast("long"),
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(
+                name_arr,
+                (
+                    F.expr(f"((ppl_rank - 1) * {int(k)}) div __n") + 1
+                ).cast("int"),
+            ),
+        )
+        .select(id_col, "avg_neg_logprob", "ppl_rank", "bucket")
     )
 
 

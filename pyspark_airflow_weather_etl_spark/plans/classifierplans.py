@@ -80,3 +80,37 @@ def quality_classifier_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pareto_flags(_scores(spark, sf_dir)).select(
         "doc_id", "score", "kept"
     )
+
+
+@register("streaming_classifier_scores")  # rows-only: GD-trained model
+def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality gate at ingest latency
+    (streaming.classify): documents arrive as five micro-batches and
+    every batch scores against the SAME at-rest classifier artifact
+    (trained once at bootstrap, save_classifier/load_classifier — the
+    stored-artifact contract of the vocab/centroid streams), Pareto
+    verdicts attached, outputs batch-keyed. Scoring is stateless per
+    document given the artifact, so the union of batches equals the
+    one-shot batch scoring — pinned by the batch-parity and
+    crash-replay pytests (tests/test_streaming.py)."""
+    import tempfile
+
+    from ..operators.classifier import save_classifier
+    from ..streaming.classify import read_scored, run_streaming_classify
+    from .streamplans import _stage_document_batches
+
+    tmp = tempfile.mkdtemp(prefix="stream_classify_")
+    model = _model(spark, sf_dir)
+    save_classifier(spark, model, f"{tmp}/model")
+    watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+    run_streaming_classify(
+        spark,
+        watch,
+        f"{tmp}/model",
+        f"{tmp}/scored",
+        schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return read_scored(spark, f"{tmp}/scored").select(
+        "doc_id", "score", "kept"
+    )

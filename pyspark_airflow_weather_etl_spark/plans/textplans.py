@@ -1585,3 +1585,93 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_symbol_ratio", "ok_alpha_words", "ok_stopwords",
         "ok_dup_trigrams", "passes",
     )
+
+
+@register(
+    "perplexity_buckets_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ), b AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+    ), u AS (
+      SELECT w1, SUM(c2) AS c1 FROM b GROUP BY w1
+    ), s AS (
+      SELECT bg.doc_id,
+             round(AVG(ln(CAST(u.c1 AS DOUBLE))
+                       - ln(CAST(b.c2 AS DOUBLE))), 6) AS avg_neg_logprob
+      FROM bg JOIN b USING (w1, w2) JOIN u USING (w1)
+      GROUP BY bg.doc_id
+    ), r AS (
+      SELECT doc_id, avg_neg_logprob,
+             ROW_NUMBER() OVER (ORDER BY avg_neg_logprob, doc_id)
+               AS ppl_rank,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT doc_id, avg_neg_logprob, CAST(ppl_rank AS BIGINT) AS ppl_rank,
+           CASE ((ppl_rank - 1) * 3) // n
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM r
+    """,
+)
+def perplexity_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (operators.text.
+    perplexity_buckets, Wenzek et al. 2020): rank every document by
+    its corpus-LM surprisal and cut into head/middle/tail thirds —
+    the training-mix vocabulary CCNet samples by. Ranking is the
+    distributed global rank (one range exchange over the narrow
+    (id, score) frame, no single-partition window); the tile cut is
+    exact integer arithmetic, replayed by the oracle with ROW_NUMBER
+    over the same (score, id) total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.perplexity_buckets(docs, "doc_id", "text", 3)
+
+
+@register(
+    "remove_frequent_passages",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(
+               1, CAST(ceil(len(tk) / 32.0) AS BIGINT))) AS BIGINT)
+               AS chunk_idx,
+             unnest(list_transform(
+               generate_series(1, CAST(ceil(len(tk) / 32.0) AS BIGINT)),
+               i -> array_to_string(tk[(i-1)*32+1 : i*32], ' '))) AS chunk_text
+      FROM t),
+    f AS (
+      SELECT md5(chunk_text) AS fp
+      FROM c GROUP BY md5(chunk_text)
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    k AS (
+      SELECT c.* FROM c
+      WHERE md5(c.chunk_text) NOT IN (SELECT fp FROM f)),
+    n AS (SELECT doc_id, COUNT(*) AS n_total FROM c GROUP BY doc_id)
+    SELECT k.doc_id,
+           string_agg(k.chunk_text, ' ' ORDER BY k.chunk_idx)
+             AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(ANY_VALUE(n.n_total) - COUNT(*) AS BIGINT) AS n_dropped
+    FROM k JOIN n ON k.doc_id = n.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def remove_frequent_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's boilerplate suppression (operators.text.
+    remove_frequent_passages, Raffel et al. 2020): passages whose
+    fingerprint appears in ≥2 distinct documents are removed from
+    EVERY document (vs dedup_passages' keep-first), documents
+    reassemble in order, emptied documents drop. Digest-keyed
+    document-frequency aggregation + left-anti suppression join; the
+    oracle replays chunking, the df rule, and the ordered
+    reassembly — exact clean_text equality proves all three."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.remove_frequent_passages(docs, "doc_id", "text", 32, 2)

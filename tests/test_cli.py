@@ -164,3 +164,38 @@ def test_tokenize_cli_unigram_vocab_size_reachable(
     ])
     assert rc == 0
     assert seen["max_seed"] == 777 and seen["min_freq"] == 3
+
+
+def test_classify_cli_train_score_and_curate_gate(
+    spark, tmp_path, docs_parquet, capsys
+):
+    """classify train -> artifact; classify score -> verdict parquet;
+    curate --classifier-artifact threads the learned gate."""
+    labeled = str(tmp_path / "labeled")
+    spark.read.parquet(docs_parquet).select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("y")
+    ).write.parquet(labeled)
+    art = str(tmp_path / "clf_art")
+    rc = main([
+        "classify", "train", "--input", labeled, "--artifact", art,
+        "--dim", "16", "--iters", "2",
+    ])
+    assert rc == 0
+    assert "classifier: dim=16" in capsys.readouterr().out
+    scored = str(tmp_path / "scored")
+    rc = main([
+        "classify", "score", "--input", docs_parquet,
+        "--artifact", art, "--out", scored,
+    ])
+    assert rc == 0
+    out = spark.read.parquet(scored)
+    assert set(out.columns) == {"doc_id", "score", "kept"}
+    assert out.count() == spark.read.parquet(docs_parquet).count()
+    rel = str(tmp_path / "rel")
+    rc = main([
+        "curate", "--input", docs_parquet, "--out", rel,
+        "--shard-rows", "32", "--classifier-artifact", art,
+        "--classifier-min-score", "0.0",
+    ])
+    assert rc == 0
+    assert "after_classifier:" in capsys.readouterr().out

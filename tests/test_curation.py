@@ -760,3 +760,52 @@ def test_curate_corpus_all_stages_compose(spark, tmp_path):
     assert 900001 not in kept and 900002 not in kept
     assert verify_epoch(spark, out).count() == 0
     assert counts["sharded"] == len(kept) > 0
+
+
+def test_curate_corpus_classifier_stage(spark, tmp_path):
+    """The learned quality gate inside curate_corpus: with a trained
+    artifact, after_classifier appears between the gopher gate and
+    exact dedup, keeps exactly the Pareto/threshold survivors, and
+    threshold mode equals a manual score filter."""
+    from pyspark_airflow_weather_etl_spark.operators import (
+        classifier as C,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        gopher_filter,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200).cache()
+    labeled = gopher_filter(docs, min_stopwords=1).select(
+        "doc_id", "text", F.col("passes").cast("int").alias("y")
+    )
+    model = C.train_quality_classifier(labeled, "y", dim=32, iters=6)
+    # data-driven threshold: the median score, so both directions of
+    # the gate are exercised regardless of this run's calibration
+    scores = sorted(
+        r.score
+        for r in C.score_quality_classifier(docs, model).collect()
+    )
+    thr = scores[len(scores) // 2]
+    out = str(tmp_path / "rel")
+    counts = curate_corpus(
+        docs.select("doc_id", "text", "source", "n_chars"),
+        out,
+        classifier_model=model,
+        classifier_min_score=thr,
+        shard_rows=64,
+    )
+    assert "after_classifier" in counts
+    keys = list(counts)
+    assert keys.index("after_classifier") < keys.index("after_exact_dedup")
+    # threshold mode == manual filter on the one-shot scores
+    manual = (
+        C.score_quality_classifier(docs, model)
+        .where(F.col("score") >= thr)
+        .count()
+    )
+    assert counts["after_classifier"] == manual
+    assert counts["after_classifier"] <= counts["input"]
+    docs.unpersist()

@@ -317,3 +317,15 @@ def test_classifier_scoring_broadcasts_weights_arrow_only(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_rank_is_prefix_sum(spark):
+    """CCNet bucketing: the global perplexity rank must be the
+    distributed prefix-sum (range exchange + JVM id decode) — any
+    windowspecdefinition in the plan may only ride the tiny
+    per-partition offsets axis (__pid), never the corpus."""
+    plan = _plan(spark, "perplexity_buckets_documents")
+    assert "Exchange rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, f"global window: {line}"

@@ -835,3 +835,76 @@ def test_streaming_decontaminate_custom_id_col(spark, tmp_path):
     }
     assert set(q) == {"d-dirty"}
     assert q["d-dirty"].n_contaminated > 0
+
+
+def test_streaming_classify_parity_and_replay(spark, tmp_path):
+    """Streaming classifier scoring (streaming.classify): (a) union of
+    per-batch outputs equals the one-shot batch scoring+lottery for
+    this decomposition, (b) a crash-replay (commit marker deleted)
+    converges to the same output (batch-keyed dynamic overwrite)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators import (
+        classifier as C,
+    )
+    from pyspark_airflow_weather_etl_spark.streaming.classify import (
+        read_scored,
+        run_streaming_classify,
+    )
+
+    from conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(120)
+        .select("doc_id", "text")
+        .cache()
+    )
+    model = C.train_quality_classifier(
+        docs.withColumn("y", (F.col("doc_id") % 2).cast("int")),
+        "y",
+        dim=16,
+        iters=3,
+    )
+    C.save_classifier(spark, model, str(tmp_path / "model"))
+    watch = str(tmp_path / "in")
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    for i in range(2):
+        sdir = str(tmp_path / f"stage_{i}")
+        docs.where(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(sdir)
+        dst = f"{watch}/arrival_{i:03d}.parquet"
+        os.rename(glob.glob(f"{sdir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_classify(
+        spark, watch, str(tmp_path / "model"), out, docs.schema,
+        checkpoint_dir=ckpt,
+    )
+    got = sorted(
+        (r.doc_id, r.score, r.kept)
+        for r in read_scored(spark, out).collect()
+    )
+    batch = C.pareto_flags(C.score_quality_classifier(docs, model))
+    want = sorted(
+        (r.doc_id, r.score, r.kept) for r in batch.collect()
+    )
+    assert got == want
+    # crash-replay: drop batch 1's commit, rerun, byte-identical set
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_classify(
+        spark, watch, str(tmp_path / "model"), out, docs.schema,
+        checkpoint_dir=ckpt,
+    )
+    again = sorted(
+        (r.doc_id, r.score, r.kept)
+        for r in read_scored(spark, out).collect()
+    )
+    assert again == got
+    docs.unpersist()

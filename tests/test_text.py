@@ -348,3 +348,119 @@ class TestGopherFilter:
         r = gopher_filter(df).collect()[0]
         assert not r.ok_word_count
         assert r.ok_mean_word_len and r.ok_alpha_words
+
+
+class TestPerplexityBuckets:
+    """CCNet head/middle/tail bucketing (text.perplexity_buckets)."""
+
+    def test_tiles_are_balanced_and_ordered(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            perplexity_buckets,
+        )
+
+        from conftest import SF_DIR
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = perplexity_buckets(docs).cache()
+        sizes = {
+            r.bucket: r.n
+            for r in out.groupBy("bucket").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert set(sizes) == {"head", "middle", "tail"}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # head is the most fluent tile: every head score <= every
+        # tail score (ties broken by doc_id stay inside the rank)
+        agg = {
+            r.bucket: (r.lo, r.hi)
+            for r in out.groupBy("bucket").agg(
+                F.min("avg_neg_logprob").alias("lo"),
+                F.max("avg_neg_logprob").alias("hi"),
+            ).collect()
+        }
+        assert agg["head"][1] <= agg["middle"][0] or abs(
+            agg["head"][1] - agg["middle"][0]
+        ) == 0
+        assert agg["middle"][1] <= agg["tail"][0] or abs(
+            agg["middle"][1] - agg["tail"][0]
+        ) == 0
+        # ranks are a permutation of 1..n
+        n = out.count()
+        ranks = sorted(r.ppl_rank for r in out.collect())
+        assert ranks == list(range(1, n + 1))
+        out.unpersist()
+
+    def test_deterministic_under_repartition(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            perplexity_buckets,
+        )
+
+        from conftest import SF_DIR
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = sorted(
+            (r.doc_id, r.ppl_rank, r.bucket)
+            for r in perplexity_buckets(docs.repartition(1)).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.ppl_rank, r.bucket)
+            for r in perplexity_buckets(docs.repartition(13)).collect()
+        )
+        assert a == b
+
+
+class TestRemoveFrequentPassages:
+    """C4 boilerplate suppression (text.remove_frequent_passages)."""
+
+    def test_frequent_passage_removed_everywhere(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            dedup_passages,
+            remove_frequent_passages,
+        )
+
+        boiler = " ".join(f"b{i}" for i in range(8))
+        rows = [
+            (0, boiler + " " + " ".join(f"u0w{i}" for i in range(8))),
+            (1, boiler + " " + " ".join(f"u1w{i}" for i in range(8))),
+            (2, boiler + " " + " ".join(f"u2w{i}" for i in range(8))),
+            (3, " ".join(f"solo{i}" for i in range(8))),
+            (4, boiler),  # nothing but boilerplate -> drops
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in remove_frequent_passages(
+                df, passage_tokens=8, min_docs=2
+            ).collect()
+        }
+        # the shared passage vanished from EVERY doc, uniques survive
+        assert set(out) == {0, 1, 2, 3}
+        for d in (0, 1, 2):
+            assert "b0" not in out[d].clean_text
+            assert f"u{d}w0" in out[d].clean_text
+            assert out[d].n_dropped == 1 and out[d].n_kept == 1
+        assert out[3].n_dropped == 0
+        # contrast: keep-first dedup leaves one copy alive
+        kept_first = {
+            r.doc_id: r.clean_text
+            for r in dedup_passages(df, passage_tokens=8).collect()
+        }
+        assert any("b0" in t for t in kept_first.values())
+
+    def test_min_docs_threshold(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            remove_frequent_passages,
+        )
+
+        pair = " ".join(f"p{i}" for i in range(4))
+        rows = [(0, pair), (1, pair), (2, "only once here now")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # min_docs=3: the pair passage appears in only 2 docs -> kept
+        out = remove_frequent_passages(
+            df, passage_tokens=4, min_docs=3
+        ).collect()
+        assert sorted(r.doc_id for r in out) == [0, 1, 2]
+        assert all(r.n_dropped == 0 for r in out)
