@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
         "--classifier-alpha", type=int, default=9,
         help="Pareto alpha for the learned-gate lottery",
     )
+    p_cur.add_argument(
+        "--drop-ppl-tail", action="store_true",
+        help="CCNet perplexity gate: drop the worst surprisal third "
+        "of the surviving pool (corpus-LM ranking)",
+    )
 
     p_cls = sub.add_parser(
         "classify",
@@ -261,6 +266,9 @@ def main(argv: list[str] | None = None) -> int:
                 classifier_model=classifier_model,
                 classifier_min_score=args.classifier_min_score,
                 classifier_pareto_alpha=args.classifier_alpha,
+                ppl_drop_bucket=(
+                    "tail" if args.drop_ppl_tail else None
+                ),
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")

@@ -398,6 +398,8 @@ def curate_corpus(
     classifier_model: dict | None = None,
     classifier_min_score: float | None = None,
     classifier_pareto_alpha: int = 9,
+    ppl_drop_bucket: str | None = None,
+    ppl_k: int = 3,
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
@@ -416,6 +418,13 @@ def curate_corpus(
        production sequel to stage 0; two narrow shuffles + one
        broadcast weight join, so it still runs before the dedup
        semi-joins shuffle full content hashes;
+    0c. OPTIONAL CCNet perplexity gate (``ppl_drop_bucket``: drop the
+       named :func:`..text.perplexity_buckets` tile — ``"tail"`` is
+       the CCNet recipe; ``ppl_k`` tiles): the corpus-LM surprisal
+       ranking over the surviving pool, so "fluent" is judged against
+       what the release will actually contain; docs too short to
+       score have no bucket and are KEPT (short ≠ disfluent — the
+       length rules own that call);
     1. exact dedup (hash semi-join — shrink first, everything after
        pays per surviving row);
     1b. OPTIONAL fuzzy dedup (``near_dup_threshold``): MinHash-LSH
@@ -546,6 +555,18 @@ def curate_corpus(
         cur = barrier(
             cur.join(keep.select(id_col), id_col, "left_semi"),
             "after_classifier",
+        )
+    if ppl_drop_bucket is not None:
+        from .text import perplexity_buckets
+
+        doomed = (
+            perplexity_buckets(cur, id_col, text_col, k=ppl_k)
+            .where(F.col("bucket") == ppl_drop_bucket)
+            .select(id_col)
+        )
+        cur = barrier(
+            cur.join(doomed, id_col, "left_anti"),
+            "after_perplexity_filter",
         )
     cur = barrier(dedup_exact(cur, id_col, text_col), "after_exact_dedup")
     if near_dup_threshold is not None:

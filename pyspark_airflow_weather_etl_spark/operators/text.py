@@ -808,6 +808,139 @@ def lm_bigram_score(
     )
 
 
+def bigram_lm_train(
+    reference: DataFrame, text_col: str = "text"
+) -> dict:
+    """Train the frozen reference bigram LM — CCNet's actual design
+    (Wenzek et al. 2020 score crawl text under a WIKIPEDIA-trained
+    LM, not the corpus's own statistics): returns ``{"b": (w1, w2,
+    c2), "u": (w1, c1), "vocab": V}`` with V = the reference's
+    distinct-successor count, the Laplace denominator. The count
+    tables are vocab²-bounded DataFrames (map-side partial
+    aggregation; at web scale hash the words to digests first — kept
+    as strings here for oracle portability, the
+    :func:`lm_bigram_score` note)."""
+    t = tokens(text_col)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = reference.select(F.explode(pairs).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    b = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    u = b.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = b.select("w2").distinct().count()
+    return {"b": b, "u": u, "vocab": int(vocab)}
+
+
+def bigram_lm_save(model: dict, path: str) -> None:
+    """Persist the frozen LM artifact (count tables + one-row meta —
+    the tokenizer-artifact layout)."""
+    spark = model["b"].sparkSession
+    model["b"].write.mode("overwrite").parquet(f"{path}/bigrams")
+    model["u"].write.mode("overwrite").parquet(f"{path}/contexts")
+    spark.createDataFrame(
+        [(int(model["vocab"]),)], "vocab int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bigram_lm_load(spark, path: str) -> dict:
+    return {
+        "b": spark.read.schema("w1 string, w2 string, c2 bigint").parquet(
+            f"{path}/bigrams"
+        ),
+        "u": spark.read.schema("w1 string, c1 bigint").parquet(
+            f"{path}/contexts"
+        ),
+        "vocab": int(
+            spark.read.schema("vocab int")
+            .parquet(f"{path}/meta")
+            .collect()[0]["vocab"]
+        ),
+    }
+
+
+def lm_bigram_score_against(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a FROZEN reference bigram LM
+    (:func:`bigram_lm_train` artifact) — the CCNet deployment shape:
+    the model is trained once on a reference corpus and every pool
+    (or every arriving batch — :mod:`...streaming.lm_monitor`) scores
+    against the same artifact. Laplace-smoothed so out-of-reference
+    bigrams are defined: −ln P(w2|w1) = ln(c1+V) − ln(c2+1), all
+    integers into the logs, per-doc mean rounded to 6 dp (the
+    ``avg_neg_logprob`` idiom — exact cross-engine given the same
+    counts). Output: ``(id, n_bigrams, n_oov_bigrams,
+    avg_neg_logprob)`` with n_oov = bigrams the reference never saw
+    (the domain-shift signal); docs under 2 tokens score null.
+
+    Scale shape: one pool explode; the count-table joins are LEFT
+    joins (unseen pairs survive with c=0) keyed on the w1/w2 strings
+    with map-side partial aggregation upstream; scoring a batch
+    re-ships only the model-sized tables."""
+    t = tokens(text_col)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    V = int(model["vocab"])
+    scored = (
+        doc_bg.join(model["b"], ["w1", "w2"], "left")
+        .join(model["u"], ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c2") == 0, 1).otherwise(0)).alias(
+                "n_oov_bigrams"
+            ),
+            F.round(
+                F.avg(
+                    F.log((F.col("c1") + F.lit(V)).cast("double"))
+                    - F.log((F.col("c2") + F.lit(1)).cast("double"))
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_oov_bigrams", F.lit(0))
+            .cast("long")
+            .alias("n_oov_bigrams"),
+            F.col("avg_neg_logprob"),
+        )
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1675,3 +1675,132 @@ def remove_frequent_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly — exact clean_text equality proves all three."""
     docs = load_table(spark, sf_dir, "documents")
     return X.remove_frequent_passages(docs, "doc_id", "text", 32, 2)
+
+
+_JSONL_STAGE: dict[str, str] = {}
+
+
+@register(
+    "documents_jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange fidelity (sources.writers.write_jsonl /
+    read_jsonl — the one-object-per-line format LLM corpora exchange):
+    the documents table writes to gzip JSONL and reads back with an
+    explicit schema; hash-equality against the ORIGINAL parquet table
+    proves the encode→decode cycle loses nothing (string escaping,
+    unicode, integer width). Distributed one-file-per-partition
+    write; explicit-schema read (inference would be a second full
+    pass at 100 TB)."""
+    import tempfile
+
+    from ..sources.tables import load_table
+    from ..sources.writers import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    if sf_dir not in _JSONL_STAGE:
+        tmp = tempfile.mkdtemp(prefix="docs_jsonl_")
+        write_jsonl(docs, f"{tmp}/docs")
+        _JSONL_STAGE[sf_dir] = tmp
+    return read_jsonl(
+        spark,
+        f"{_JSONL_STAGE[sf_dir]}/docs",
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+_LM_REFERENCE_ORACLE = """
+    WITH rt AS (
+      SELECT string_split(text, ' ') AS t FROM documents WHERE lang = 'en'
+    ), rbg AS (
+      SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+      FROM rt,
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ), b AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM rbg GROUP BY w1, w2
+    ), u AS (
+      SELECT w1, SUM(c2) AS c1 FROM b GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS vv FROM b
+    ), tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ), s AS (
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             round(AVG(
+               ln(CAST(COALESCE(u.c1, 0) + (SELECT vv FROM v) AS DOUBLE))
+               - ln(CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE))), 6)
+               AS avg_neg_logprob
+      FROM bg LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1)
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov_bigrams,
+           s.avg_neg_logprob
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
+@register("lm_reference_score_documents", oracle=_LM_REFERENCE_ORACLE)
+def lm_reference_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity scoring under a FROZEN reference LM
+    (operators.text.bigram_lm_train + lm_bigram_score_against —
+    CCNet's deployment shape: the LM is trained once on the reference
+    corpus, here the lang='en' slice, and the whole pool scores
+    against that artifact). Laplace-smoothed so out-of-reference
+    bigrams are defined; n_oov_bigrams is the domain-shift audit
+    signal. Hash-exact vs the DuckDB replay of train + score."""
+    from ..operators.text import bigram_lm_train, lm_bigram_score_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = bigram_lm_train(docs.where(F.col("lang") == "en"), "text")
+    return lm_bigram_score_against(docs, model, "doc_id", "text")
+
+
+@register("streaming_lm_score_documents", oracle=_LM_REFERENCE_ORACLE)
+def streaming_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-LM perplexity scoring at ingest latency
+    (streaming.lm_monitor): the reference bigram LM (lang='en' slice)
+    trains once and persists; documents arrive as five micro-batches
+    and every batch scores against the artifact, landing batch-keyed.
+    Scoring is stateless per document given the artifact, so the
+    union of batches hash-matches the SAME DuckDB oracle as the batch
+    lm_reference_score_documents entry — the streaming decomposition
+    loses and invents nothing. Crash-replay pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..operators.text import bigram_lm_save, bigram_lm_train
+    from ..streaming.lm_monitor import read_lm_scores, run_streaming_lm_score
+    from .streamplans import _stage_document_batches
+
+    tmp = tempfile.mkdtemp(prefix="stream_lm_")
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_lm_save(
+        bigram_lm_train(docs.where(F.col("lang") == "en"), "text"),
+        f"{tmp}/model",
+    )
+    watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+    run_streaming_lm_score(
+        spark,
+        watch,
+        f"{tmp}/model",
+        f"{tmp}/scored",
+        schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return read_lm_scores(spark, f"{tmp}/scored").select(
+        "doc_id", "n_bigrams", "n_oov_bigrams", "avg_neg_logprob"
+    )

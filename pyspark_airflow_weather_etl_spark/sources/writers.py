@@ -259,3 +259,26 @@ def jdbc_writer(
 def write_jdbc(df: DataFrame, url: str, table: str, user: str, password: str,
                **kw) -> None:
     jdbc_writer(df, url, table, user, password, **kw).save()
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """JSONL corpus sink — the LLM-data interchange format (one JSON
+    object per line; what crawl dumps, tokenizer trainers, and most
+    open-data releases exchange). Distributed write, one file per
+    partition; gzip by default (JSONL compresses ~5-10x and every
+    consumer streams .jsonl.gz natively). Spark's JSON sink is
+    line-delimited by construction — no driver-side serialization."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema) -> DataFrame:
+    """JSONL corpus source with an EXPLICIT schema (the S3 discipline:
+    schema inference is a second full pass over 100 TB and silently
+    widens types; an interchange reader must pin them). Accepts a
+    DDL string or StructType; compression is sniffed per file."""
+    return spark.read.schema(schema).json(path)

@@ -106,4 +106,12 @@ def test_rows_only_entries_are_the_documented_sketches():
         # with an independent Python reference in
         # tests/test_unigram.py::TestFullEm
         "unigram_vocab_em_documents",
+        # trained quality classifier: iterative full-batch logistic GD
+        # is not one SQL query; training+scoring are bit-exact against
+        # an independent numpy reference in tests/test_classifier.py,
+        # and the streaming twin is batch-parity + replay pinned in
+        # tests/test_streaming.py
+        "quality_classifier_scores",
+        "quality_classifier_select",
+        "streaming_classifier_scores",
     }, f"unexpected rows-only set: {rows_only}"

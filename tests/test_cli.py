@@ -60,10 +60,12 @@ def test_curate_cli_with_gopher_and_dsir(spark, tmp_path, docs_parquet, capsys):
         "--shard-rows", "32",
         "--gopher", "--gopher-min-stopwords", "1",
         "--dsir-target", target, "--dsir-keep-tenths", "5",
+        "--drop-ppl-tail",
     ])
     assert rc == 0
     printed = capsys.readouterr().out
     assert "after_gopher_rules:" in printed and "after_dsir:" in printed
+    assert "after_perplexity_filter:" in printed
     assert spark.read.parquet(out).count() > 0
 
 

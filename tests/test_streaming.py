@@ -908,3 +908,63 @@ def test_streaming_classify_parity_and_replay(spark, tmp_path):
     )
     assert again == got
     docs.unpersist()
+
+
+def test_streaming_lm_score_parity_and_replay(spark, tmp_path):
+    """Streaming frozen-LM scoring (streaming.lm_monitor): union of
+    per-batch outputs equals the one-shot batch scoring, and a
+    crash-replay converges to the same output."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        bigram_lm_save,
+        bigram_lm_train,
+        lm_bigram_score_against,
+    )
+    from pyspark_airflow_weather_etl_spark.streaming.lm_monitor import (
+        read_lm_scores,
+        run_streaming_lm_score,
+    )
+
+    from conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(100)
+        .select("doc_id", "text")
+        .cache()
+    )
+    model = bigram_lm_train(docs.where(F.col("doc_id") % 3 == 0))
+    bigram_lm_save(model, str(tmp_path / "lm"))
+    watch = str(tmp_path / "in")
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    for i in range(2):
+        sdir = str(tmp_path / f"stage_{i}")
+        docs.where(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(sdir)
+        dst = f"{watch}/arrival_{i:03d}.parquet"
+        os.rename(glob.glob(f"{sdir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_lm_score(
+        spark, watch, str(tmp_path / "lm"), out, docs.schema,
+        checkpoint_dir=ckpt,
+    )
+    got = sorted(map(tuple, read_lm_scores(spark, out).collect()))
+    want = sorted(
+        map(tuple, lm_bigram_score_against(docs, model).collect())
+    )
+    assert got == want
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_lm_score(
+        spark, watch, str(tmp_path / "lm"), out, docs.schema,
+        checkpoint_dir=ckpt,
+    )
+    assert sorted(map(tuple, read_lm_scores(spark, out).collect())) == got
+    docs.unpersist()

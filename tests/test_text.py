@@ -464,3 +464,67 @@ class TestRemoveFrequentPassages:
         ).collect()
         assert sorted(r.doc_id for r in out) == [0, 1, 2]
         assert all(r.n_dropped == 0 for r in out)
+
+
+class TestLmReferenceScore:
+    """Frozen reference-LM scoring (text.bigram_lm_train /
+    lm_bigram_score_against) — the CCNet artifact deployment shape."""
+
+    def test_oov_and_smoothing(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            bigram_lm_train,
+            lm_bigram_score_against,
+        )
+
+        ref = spark.createDataFrame(
+            [(0, "a b a b a c")], "doc_id long, text string"
+        )
+        model = bigram_lm_train(ref)
+        # reference bigrams: (a,b)x2 (b,a)x2 (a,c)x1 -> V = {b,a,c} = 3
+        assert model["vocab"] == 3
+        pool = spark.createDataFrame(
+            [
+                (1, "a b"),        # seen bigram
+                (2, "z q"),        # fully OOV
+                (3, "a"),          # too short: null score
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in lm_bigram_score_against(pool, model).collect()
+        }
+        import math
+
+        # doc 1: P(b|a) = (2+1)/(3+3) -> -ln(1/2)
+        assert out[1].n_oov_bigrams == 0
+        assert out[1].avg_neg_logprob == round(math.log(2.0), 6)
+        # doc 2: unseen context AND pair: (0+3)/(0+1) -> ln(3)
+        assert out[2].n_oov_bigrams == 1
+        assert out[2].avg_neg_logprob == round(math.log(3.0), 6)
+        assert out[3].n_bigrams == 0 and out[3].avg_neg_logprob is None
+
+    def test_artifact_round_trip(self, spark, tmp_path):
+        from pyspark_airflow_weather_etl_spark.operators.text import (
+            bigram_lm_load,
+            bigram_lm_save,
+            bigram_lm_train,
+            lm_bigram_score_against,
+        )
+
+        from conftest import SF_DIR
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+        )
+        model = bigram_lm_train(docs)
+        bigram_lm_save(model, str(tmp_path / "lm"))
+        back = bigram_lm_load(spark, str(tmp_path / "lm"))
+        assert back["vocab"] == model["vocab"]
+        a = sorted(
+            map(tuple, lm_bigram_score_against(docs, model).collect())
+        )
+        b = sorted(
+            map(tuple, lm_bigram_score_against(docs, back).collect())
+        )
+        assert a == b
