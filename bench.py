@@ -70,6 +70,9 @@ HEADLINE = [
     "semantic_dedup_embeddings_hot",
     "semantic_dedup_embeddings_nprobe",
     "lm_bigram_score_documents",
+    "lm_reference_score_documents",
+    "perplexity_buckets_documents",
+    "remove_frequent_passages",
     "unigram_seed_vocab_documents",
     "unigram_encode_documents",
     "dedup_exact_documents",
