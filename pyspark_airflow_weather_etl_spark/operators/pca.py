@@ -1,0 +1,180 @@
+"""Distributed exact PCA over an embedding column — the dimension-
+reduction leg of the vector family (project 64-d → k-d before
+IVF/SRP blocking cuts candidate volume; the standard recipe in every
+large-scale ANN stack, and the unrotated cousin of the OPQ rotation
+in :mod:`.pq`). North-star extension, no reference file.
+
+Spark-first, with the repo's determinism contract:
+
+- **Moment accumulation** is the Arrow-matmul idiom: each Arrow batch
+  quantizes its vectors to integer micro-units (1e-6 — a pure
+  per-value function of the input floats) and accumulates Σx and
+  Σx·xᵀ as int64 numpy matmuls (bounded: |x_micro| ≤ ~1e6, batch
+  ≤ 10k rows ⇒ partial sums ≪ 2^63); the d + d² partials then
+  aggregate across partitions as DECIMAL(38,0) — EXACT at any corpus
+  size, no float accumulation order anywhere. One corpus pass, one
+  tiny (d²-row) shuffle.
+- **Eigendecomposition** runs on the driver over the exact integer
+  moments converted to float64 once — d×d is model-sized (the
+  k-means-centroid / BPE-artifact discipline). Component signs are
+  pinned (largest-|coefficient| entry positive) so the factorization
+  is unique, not just the subspace.
+- **Projection** is a single Arrow matmul pass, rounded to 6 dp (the
+  float-column idiom).
+
+An independent numpy reference reproduces train + project bit-for-bit
+(tests/test_pca.py) — same quantization, same float64 conversion.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _moments(df: DataFrame, vec_col: str, d: int):
+    """EXACT corpus moments from integer micro-quantized vectors:
+    returns (n, sum_micro[d], sumsq_micro2[d][d]) as Python ints."""
+    import numpy as np
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.rint(
+                np.stack(pdf[vec_col].to_numpy()) * MICRO
+            ).astype("int64")
+            s = X.sum(axis=0)
+            ss = X.T @ X
+            rows = [
+                {"i": -1, "j": -1, "v": int(len(pdf))},
+                *({"i": int(i), "j": -1, "v": int(s[i])} for i in range(d)),
+                *(
+                    {"i": int(i), "j": int(j), "v": int(ss[i, j])}
+                    for i in range(d)
+                    for j in range(i, d)
+                ),
+            ]
+            yield pd.DataFrame(rows)
+
+    parts = df.select(vec_col).mapInPandas(part, "i int, j int, v long")
+    rows = (
+        parts.groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    n = 0
+    s = [0] * d
+    ss = [[0] * d for _ in range(d)]
+    for r in rows:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            ss[i][j] = v
+            ss[j][i] = v
+    return n, s, ss
+
+
+def pca_train(df: DataFrame, vec_col: str = "embedding", k: int = 16) -> dict:
+    """Fit PCA; returns the artifact ``{d, k, n, mean, components,
+    eigvals}`` with ``components`` the k×d row-major principal axes
+    (orthonormal, variance-ordered, sign-pinned)."""
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+    n, s, ss = _moments(df, vec_col, d)
+    if n < 2:
+        raise ValueError("pca_train: need at least 2 vectors")
+    S = np.array(s, dtype="float64")
+    SS = np.array(ss, dtype="float64")
+    mean = S / n / MICRO
+    # C = E[xxT] - mean meanT, from the exact integer moments
+    C = SS / n / (MICRO * MICRO) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(C)  # ascending
+    idx = np.argsort(w)[::-1][: int(k)]
+    comps = []
+    eig = []
+    for col in idx:
+        vec = v[:, col]
+        # sign pin: the largest-|coefficient| entry is positive
+        j = int(np.argmax(np.abs(vec)))
+        if vec[j] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        eig.append(float(max(w[col], 0.0)))
+    return {
+        "d": int(d),
+        "k": int(k),
+        "n": int(n),
+        "mean": [float(x) for x in mean],
+        "components": comps,
+        "eigvals": eig,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the principal axes: ``(id,
+    pca_vec array<double>)`` with coordinates rounded to 6 dp. One
+    Arrow matmul pass; the model ships as a closure constant
+    (model-sized)."""
+    import numpy as np
+
+    mean = np.array(model["mean"], dtype="float64")
+    W = np.array(model["components"], dtype="float64")  # k x d
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Y = np.round((X - mean) @ W.T, 6)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pca_vec": list(map(list, Y))}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        part, f"{id_col} long, pca_vec array<double>"
+    )
+
+
+def pca_save(spark, model: dict, path: str) -> None:
+    """Persist the artifact (component rows + one-row meta — the
+    tokenizer-artifact layout)."""
+    rows = [
+        (int(r), model["eigvals"][r], model["components"][r])
+        for r in range(model["k"])
+    ]
+    spark.createDataFrame(
+        rows, schema="r int, eigval double, axis array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/components")
+    spark.createDataFrame(
+        [(model["d"], model["k"], model["n"], model["mean"])],
+        schema="d int, k int, n long, mean array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def pca_load(spark, path: str) -> dict:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    comp = {
+        int(r["r"]): (float(r["eigval"]), [float(x) for x in r["axis"]])
+        for r in spark.read.parquet(f"{path}/components").collect()
+    }
+    return {
+        "d": int(meta["d"]),
+        "k": int(meta["k"]),
+        "n": int(meta["n"]),
+        "mean": [float(x) for x in meta["mean"]],
+        "components": [comp[r][1] for r in range(int(meta["k"]))],
+        "eigvals": [comp[r][0] for r in range(int(meta["k"]))],
+    }

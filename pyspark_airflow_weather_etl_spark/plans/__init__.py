@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     kmeansplans,
     unigramplans,
     classifierplans,
+    pcaplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

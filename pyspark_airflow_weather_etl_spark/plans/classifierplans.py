@@ -114,3 +114,69 @@ def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_scored(spark, f"{tmp}/scored").select(
         "doc_id", "score", "kept"
     )
+
+
+_FIXED_DIM = 64
+_FIXED_WLEN = 0.8
+_FIXED_BIAS = -1.5
+
+
+def _fixed_weights() -> list[float]:
+    # deterministic spread in [-0.5, 0.5], identical arithmetic in the
+    # oracle: ((b*37) % 11 - 5) / 10
+    return [((b * 37) % 11 - 5) / 10.0 for b in range(_FIXED_DIM)]
+
+
+@register(
+    "classifier_score_fixed_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), pres AS (
+      SELECT DISTINCT doc_id,
+             CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                  % {_FIXED_DIM} AS INT) AS b
+      FROM tk
+    ), m AS (
+      SELECT doc_id,
+             SUM(((b * 37) % 11 - 5) * 100000) AS margin_micro
+      FROM pres GROUP BY doc_id
+    ), nt AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-(
+             (CAST(COALESCE(m.margin_micro, 0) AS DOUBLE) / 1000000.0
+              + {_FIXED_WLEN} * (CAST(nt.n AS DOUBLE) / 100.0))
+             + ({_FIXED_BIAS})
+           ))), 6) AS score
+    FROM documents d
+    JOIN nt USING (doc_id)
+    LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def classifier_score_fixed_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HASH-EXACT twin of the classifier scoring pipeline (the
+    pq_encode_fixed / semantic_dedup_fixed_cells discipline): scoring
+    with a FIXED deterministic weight vector is SQL-expressible, so
+    the exact same production code path — presence features, integer
+    micro margin, length feature, sigmoid at 6 dp — is proven
+    cell-for-cell against a DuckDB replay, complementing the trained
+    entries' rows-only checks. Weight b = ((b·37) mod 11 − 5)/10,
+    w_len 0.8, bias −1.5 (arbitrary but fixed; mid-range margins so
+    the sigmoid is exercised away from saturation)."""
+    model = {
+        "dim": _FIXED_DIM,
+        "bias": _FIXED_BIAS,
+        "w_len": _FIXED_WLEN,
+        "weights": _fixed_weights(),
+        "iters": 0,
+        "lr": 0.0,
+        "l2": 0.0,
+        "lr_decay": 0.0,
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.score_quality_classifier(docs, model, "doc_id", "text")

@@ -114,4 +114,7 @@ def test_rows_only_entries_are_the_documented_sketches():
         "quality_classifier_scores",
         "quality_classifier_select",
         "streaming_classifier_scores",
+        # distributed exact PCA: driver-side eigh over exact integer
+        # moments; bit-exact numpy parity in tests/test_pca.py
+        "pca_project_embeddings",
     }, f"unexpected rows-only set: {rows_only}"
