@@ -35,9 +35,13 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
-def _moments(df: DataFrame, vec_col: str, d: int):
-    """EXACT corpus moments from integer micro-quantized vectors:
-    returns (n, sum_micro[d], sumsq_micro2[d][d]) as Python ints."""
+def moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """Per-Arrow-batch EXACT moment partials as ``(i, j, v)`` int64
+    rows: row (-1,-1) carries the count, (i,-1) the Σx micro-sums,
+    (i,j≥i) the upper-triangle Σx·xᵀ micro²-sums. Integer partials
+    are EXACTLY additive, which is what makes the streaming
+    accumulation (:mod:`...streaming.pca_stream`) bit-identical to
+    the one-shot batch train."""
     import numpy as np
 
     def part(batches):
@@ -60,12 +64,24 @@ def _moments(df: DataFrame, vec_col: str, d: int):
             ]
             yield pd.DataFrame(rows)
 
-    parts = df.select(vec_col).mapInPandas(part, "i int, j int, v long")
+    return df.select(vec_col).mapInPandas(part, "i int, j int, v long")
+
+
+def _moments(df: DataFrame, vec_col: str, d: int):
+    """EXACT corpus moments from integer micro-quantized vectors:
+    returns (n, sum_micro[d], sumsq_micro2[d][d]) as Python ints."""
     rows = (
-        parts.groupBy("i", "j")
+        moment_partials(df, vec_col, d)
+        .groupBy("i", "j")
         .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
         .collect()
     )
+    return moments_from_rows(rows, d)
+
+
+def moments_from_rows(rows, d: int):
+    """Decode aggregated ``(i, j, v)`` rows (any source — one-shot
+    aggregation or the streaming store) into (n, s, ss) ints."""
     n = 0
     s = [0] * d
     ss = [[0] * d for _ in range(d)]
@@ -81,14 +97,12 @@ def _moments(df: DataFrame, vec_col: str, d: int):
     return n, s, ss
 
 
-def pca_train(df: DataFrame, vec_col: str = "embedding", k: int = 16) -> dict:
-    """Fit PCA; returns the artifact ``{d, k, n, mean, components,
-    eigvals}`` with ``components`` the k×d row-major principal axes
-    (orthonormal, variance-ordered, sign-pinned)."""
+def train_from_moments(n: int, s, ss, d: int, k: int) -> dict:
+    """Driver-side factorization over exact integer moments — shared
+    by the one-shot and streaming paths (bit-identical by
+    construction: integer moments are exactly additive)."""
     import numpy as np
 
-    d = len(df.select(vec_col).first()[0])
-    n, s, ss = _moments(df, vec_col, d)
     if n < 2:
         raise ValueError("pca_train: need at least 2 vectors")
     S = np.array(s, dtype="float64")
@@ -116,6 +130,15 @@ def pca_train(df: DataFrame, vec_col: str = "embedding", k: int = 16) -> dict:
         "components": comps,
         "eigvals": eig,
     }
+
+
+def pca_train(df: DataFrame, vec_col: str = "embedding", k: int = 16) -> dict:
+    """Fit PCA; returns the artifact ``{d, k, n, mean, components,
+    eigvals}`` with ``components`` the k×d row-major principal axes
+    (orthonormal, variance-ordered, sign-pinned)."""
+    d = len(df.select(vec_col).first()[0])
+    n, s, ss = _moments(df, vec_col, d)
+    return train_from_moments(n, s, ss, d, k)
 
 
 def pca_project(

@@ -36,3 +36,57 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("pca_text"),
     )
+
+
+@register("streaming_pca_project_embeddings")  # rows-only: driver eigh
+def streaming_pca_project_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PCA maintained at ingest latency (streaming.pca_stream):
+    embeddings arrive as five micro-batches, each folds into exact
+    integer moment rows (batch-keyed), and the artifact cut from the
+    store is BIT-IDENTICAL to the one-shot batch train — integer
+    moments are exactly additive, so the streaming decomposition
+    provably loses nothing (model-equality + crash-replay pytests in
+    tests/test_streaming.py). Output: the same projection as
+    pca_project_embeddings, driven by the streamed model."""
+    import glob
+    import os
+    import tempfile
+
+    from ..streaming.pca_stream import (
+        pca_train_from_store,
+        run_streaming_pca_moments,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pca_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    watch = f"{tmp}/in"
+    os.makedirs(watch, exist_ok=True)
+    for i in range(5):
+        stage = f"{tmp}/stage_{i}"
+        emb.where(F.col("vec_id") % 5 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_pca_moments(
+        spark,
+        watch,
+        f"{tmp}/moments",
+        emb.schema,
+        "embedding",
+        d=64,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    model = pca_train_from_store(spark, f"{tmp}/moments", d=64, k=16)
+    out = P.pca_project(emb, model, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("pca_vec"), lambda x: F.format_number(x, 6)
+            ),
+            " ",
+        ).alias("pca_text"),
+    )

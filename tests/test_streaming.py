@@ -968,3 +968,57 @@ def test_streaming_lm_score_parity_and_replay(spark, tmp_path):
     )
     assert sorted(map(tuple, read_lm_scores(spark, out).collect())) == got
     docs.unpersist()
+
+
+def test_streaming_pca_moments_bit_identical_and_replay(spark, tmp_path):
+    """Streaming PCA (streaming.pca_stream): the artifact cut from
+    the streamed moment store is BIT-IDENTICAL to the one-shot batch
+    train (integer moments are exactly additive), and a crash-replay
+    (commit marker deleted) cannot double-count a batch."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators import pca as P
+    from pyspark_airflow_weather_etl_spark.streaming.pca_stream import (
+        pca_train_from_store,
+        run_streaming_pca_moments,
+    )
+
+    from conftest import SF_DIR
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(150)
+        .cache()
+    )
+    watch = str(tmp_path / "in")
+    store = str(tmp_path / "moments")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    for i in range(3):
+        sdir = str(tmp_path / f"stage_{i}")
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(sdir)
+        dst = f"{watch}/arrival_{i:03d}.parquet"
+        os.rename(glob.glob(f"{sdir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_pca_moments(
+        spark, watch, store, emb.schema, "embedding", d=64,
+        checkpoint_dir=ckpt,
+    )
+    streamed = pca_train_from_store(spark, store, d=64, k=8)
+    batch = P.pca_train(emb, "embedding", k=8)
+    assert streamed == batch  # bit-identical artifact
+    # crash-replay: batch 1 wrote but did not commit; replay must
+    # overwrite its own partition, never double-count
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_pca_moments(
+        spark, watch, store, emb.schema, "embedding", d=64,
+        checkpoint_dir=ckpt,
+    )
+    assert pca_train_from_store(spark, store, d=64, k=8) == batch
+    emb.unpersist()
