@@ -66,6 +66,8 @@ HEADLINE = [
     "token_budget_select_documents",
     "dsir_select_documents",
     "quality_classifier_scores",
+    "classifier_score_fixed_weights",
+    "pca_project_embeddings",
     "semantic_dedup_embeddings",
     "semantic_dedup_embeddings_hot",
     "semantic_dedup_embeddings_nprobe",
