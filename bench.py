@@ -77,6 +77,9 @@ HEADLINE = [
     "remove_frequent_passages",
     "unigram_seed_vocab_documents",
     "unigram_encode_documents",
+    "bloom_decontaminate_documents",
+    "cms_heavy_hitter_tokens",
+    "corpus_split_documents",
     "dedup_exact_documents",
     "dedup_passages_documents",
     "dedup_substrings_documents",

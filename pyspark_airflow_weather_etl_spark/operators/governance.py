@@ -470,3 +470,53 @@ def vault_extend(
     out = fresh if vault is None else vault.unionByName(fresh)
     vault_write(out, path)
     return vault_read(spark, path)
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int]] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by HASH, not by
+    position (north-star surface; the reference has no corpus
+    splits): each row draws an integer in [0, 100) from the md5 of
+    its id + salt and lands in the split whose cumulative percentage
+    band covers the draw. ``splits`` is an ordered list of
+    ``(name, percent)`` summing to 100 (default 98/1/1).
+
+    Why hash, not randomSplit/position: the assignment is a PURE
+    FUNCTION of (id, salt) — stable under re-runs, re-partitioning,
+    corpus growth (a new document never moves an old one between
+    splits — the property that keeps yesterday's held-out set held
+    out), and reproducible by any engine with md5 (the catalog
+    oracle replays it in DuckDB). Zero shuffles: the label is
+    per-row codegen; downstream writers can partition by it.
+
+    The draw uses the first 8 md5 hex chars mod 100 — uniform to
+    ~2^-25 bias, the same arithmetic as every portable hash in this
+    engine (feature_hash_embed / temperature_mix)."""
+    if splits is None:
+        splits = [("train", 98), ("validation", 1), ("test", 1)]
+    pcts = [p for _, p in splits]
+    if sum(pcts) != 100 or any(p <= 0 for p in pcts):
+        raise ValueError(f"split percents must be positive and sum to 100: {splits}")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    cum = 0
+    expr = None
+    for name, pct in splits:
+        cum += pct
+        cond = draw < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)

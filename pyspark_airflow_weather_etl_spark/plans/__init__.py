@@ -27,6 +27,8 @@ from . import (  # noqa: F401
     unigramplans,
     classifierplans,
     pcaplans,
+    bloomplans,
+    sketchplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

@@ -317,3 +317,79 @@ class TestIdentityVault:
             (2, "b"),
         ]
         assert "user_id" not in pseudonymize(df, vault, "user_id").columns
+
+
+class TestSplitCorpus:
+    def test_stable_under_growth_and_repartition(self, spark):
+        """A document's split never changes when the corpus grows or
+        the partitioning changes — the held-out-stays-held-out
+        contract."""
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            split_corpus,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        small = split_corpus(docs.where(F.col("doc_id") < 100))
+        grown = split_corpus(docs.repartition(13))
+        j = small.select("doc_id", F.col("split").alias("a")).join(
+            grown.select("doc_id", F.col("split").alias("b")), "doc_id"
+        )
+        assert j.where(F.col("a") != F.col("b")).count() == 0
+
+    def test_proportions_roughly_hold(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            split_corpus,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        counts = {
+            r["split"]: r["n"]
+            for r in split_corpus(docs)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        assert counts.get("train", 0) / total > 0.9
+        assert 0 < counts.get("validation", 0) < 0.1 * total
+        assert 0 < counts.get("test", 0) < 0.1 * total
+
+    def test_salt_changes_assignment(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            split_corpus,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = split_corpus(docs, salt="v1").select(
+            "doc_id", F.col("split").alias("a")
+        )
+        b = split_corpus(docs, salt="v2").select(
+            "doc_id", F.col("split").alias("b")
+        )
+        moved = a.join(b, "doc_id").where(F.col("a") != F.col("b")).count()
+        assert moved > 0
+
+    def test_bad_percents_raise(self, spark):
+        import pytest as _pytest
+
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            split_corpus,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        with _pytest.raises(ValueError):
+            split_corpus(docs, splits=[("a", 50), ("b", 49)])
+
+    def test_no_shuffle(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            split_corpus,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = (
+            split_corpus(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
