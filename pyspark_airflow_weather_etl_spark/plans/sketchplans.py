@@ -129,3 +129,55 @@ def corpus_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return split_corpus(docs).select("doc_id", "split")
+
+
+@register("streaming_cms_token_counts", oracle=_CMS_CELLS)
+def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained at ingest latency
+    (streaming.cms_stream): documents arrive as three micro-batches,
+    each folds into at most d*w integer cells (batch-keyed dynamic
+    overwrite — crash replay rewrites its own partition, never
+    double-counts), and the sketch cut from the store is
+    BIT-IDENTICAL to the one-shot batch build — integer cells are
+    exactly additive, so the streaming decomposition provably loses
+    nothing. SHARES the batch entry's oracle (the DuckDB bit-for-bit
+    replay of cms_token_counts); crash-replay pinned in
+    tests/test_streaming.py."""
+    import glob
+    import os
+    import tempfile
+
+    from ..operators.text import tokens as _tokens
+    from ..streaming.cms_stream import (
+        cms_cells_from_store,
+        run_streaming_cms,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def key_fn(df):
+        return df.select(F.explode(_tokens("text")).alias("__key")).where(
+            F.length("__key") > 0
+        )
+
+    watch = f"{tmp}/in"
+    os.makedirs(watch, exist_ok=True)
+    for i in range(3):
+        stage = f"{tmp}/stage_{i}"
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_cms(
+        spark,
+        watch,
+        f"{tmp}/cells",
+        docs.schema,
+        key_fn,
+        w=_W,
+        d=_D,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return cms_cells_from_store(spark, f"{tmp}/cells")

@@ -1022,3 +1022,66 @@ def test_streaming_pca_moments_bit_identical_and_replay(spark, tmp_path):
     )
     assert pca_train_from_store(spark, store, d=64, k=8) == batch
     emb.unpersist()
+
+
+def test_streaming_cms_bit_identical_and_replay(spark, tmp_path):
+    """Streaming count-min sketch (streaming.cms_stream): the sketch
+    cut from the per-batch cell store is BIT-IDENTICAL to the
+    one-shot batch cms_build over the union (integer cells are
+    exactly additive), and a crash-replay (commit marker deleted)
+    cannot double-count a batch."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.sketch import cms_build
+    from pyspark_airflow_weather_etl_spark.operators.text import tokens
+    from pyspark_airflow_weather_etl_spark.streaming.cms_stream import (
+        cms_cells_from_store,
+        run_streaming_cms,
+    )
+
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+    def key_fn(df):
+        return df.select(F.explode(tokens("text")).alias("__key")).where(
+            F.length("__key") > 0
+        )
+
+    watch = str(tmp_path / "in")
+    store = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    for i in range(3):
+        sdir = str(tmp_path / f"stage_{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(sdir)
+        dst = f"{watch}/arrival_{i:03d}.parquet"
+        os.rename(glob.glob(f"{sdir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_cms(
+        spark, watch, store, docs.schema, key_fn, w=64, d=4,
+        checkpoint_dir=ckpt,
+    )
+    streamed = sorted(
+        tuple(r) for r in cms_cells_from_store(spark, store).collect()
+    )
+    one_shot = sorted(
+        tuple(r) for r in cms_build(key_fn(docs), "__key", w=64, d=4).collect()
+    )
+    assert streamed == one_shot
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_cms(
+        spark, watch, store, docs.schema, key_fn, w=64, d=4,
+        checkpoint_dir=ckpt,
+    )
+    assert (
+        sorted(tuple(r) for r in cms_cells_from_store(spark, store).collect())
+        == one_shot
+    )
+    docs.unpersist()
