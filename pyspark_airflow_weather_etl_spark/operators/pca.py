@@ -201,3 +201,59 @@ def pca_load(spark, path: str) -> dict:
         "components": [comp[r][1] for r in range(int(meta["k"]))],
         "eigvals": [comp[r][0] for r in range(int(meta["k"]))],
     }
+
+
+def pca_reduced_topk(
+    df: DataFrame,
+    model: dict,
+    query_vec: list[float],
+    k: int = 10,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN through the PCA bottleneck — the reduced-dimension scan
+    that makes a brute-force pass affordable at corpus scale: rank
+    candidates by EUCLIDEAN distance in the k'-dim PCA space (~k'/d
+    of the full scan's arithmetic and cache traffic — with k'=16 of
+    d=64, a 4x cheaper coarse pass; the complement of the PQ route,
+    which compresses codes instead of axes), keep the top
+    ``overfetch * k`` (TakeOrderedAndProject — O(candidates) memory),
+    then EXACTLY re-rank only those by full-space cosine. Recall is
+    governed by the variance the dropped axes carried; on genuinely
+    low-rank corpora the coarse pass loses almost nothing
+    (tests/test_pca.py pins recall on planted low-rank structure and
+    documents the near-isotropic-fixture caveat).
+
+    The coarse distance uses the SAME rounded 6 dp projections as
+    :func:`pca_project` (determinism contract), computed JVM-side
+    from the broadcast-literal projected query."""
+    import numpy as np
+
+    from .similarity import cosine_similarity
+
+    mean = np.array(model["mean"], dtype="float64")
+    W = np.array(model["components"], dtype="float64")
+    qr = np.round((np.array(query_vec, dtype="float64") - mean) @ W.T, 6)
+    proj = pca_project(df, model, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in qr])
+    coarse = (
+        proj.select(
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    "pca_vec", q, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__d2"),
+        )
+        .orderBy(F.col("__d2").asc(), F.col(id_col))
+        .limit(int(overfetch * k))
+    )
+    qfull = F.array(*[F.lit(float(x)) for x in query_vec])
+    rerank = coarse.join(df.select(id_col, vec_col), id_col).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qfull), 6).alias("cosine"),
+    )
+    return rerank.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

@@ -90,3 +90,20 @@ def streaming_pca_project_embeddings(
             " ",
         ).alias("pca_text"),
     )
+
+
+@register("pca_reduced_ann_topk")  # rows-only: driver-side eigh
+def pca_reduced_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the PCA bottleneck (operators.pca.pca_reduced_topk):
+    coarse Euclidean ranking in the 32-axis PCA space (~half the full
+    scan's arithmetic; the complement of the PQ route, which
+    compresses codes instead of axes), overfetched top-80 candidates,
+    then exact full-space cosine re-rank to top-10. Rows-only (the
+    model is a driver-side eigh over exact distributed moments);
+    recall vs exact brute force is pinned in tests/test_pca.py —
+    exact-recovery on planted low-rank structure, ≥0.8 on the
+    near-isotropic fixture at this operating point."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
+    model = P.pca_train(emb, "embedding", k=32)
+    return P.pca_reduced_topk(emb, model, q, k=10)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_airflow_weather_etl_spark.operators import pca as P
 
@@ -136,3 +137,62 @@ def test_reduction_preserves_neighborhoods(spark):
         hits += len(full & red)
         tot += len(full)
     assert hits / tot >= 0.9, hits / tot
+
+
+def test_reduced_topk_exact_on_low_rank(spark):
+    """pca_reduced_topk (coarse L2 in PCA space + exact full-space
+    cosine re-rank): on planted low-rank data the reduced scan plus
+    overfetch recovers the exact brute-force top-k."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    basis = np.linalg.qr(rng.normal(size=(64, 8)))[0]
+    Z = rng.normal(size=(300, 8)) * np.array([8, 7, 6, 5, 4, 3, 2, 1])
+    X = Z @ basis.T + 0.05 * rng.normal(size=(300, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    model = P.pca_train(df, "embedding", k=8)
+    hits = tot = 0
+    for qid in (3, 77, 150):
+        q = [float(x) for x in X[qid]]
+        got = {
+            r["vec_id"]
+            for r in P.pca_reduced_topk(df, model, q, k=10).collect()
+        }
+        want = {
+            r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()
+        }
+        hits += len(got & want)
+        tot += len(want)
+    assert hits / tot >= 0.9, hits / tot
+
+
+def test_reduced_topk_fixture_recall(spark):
+    """On the near-isotropic fixture embeddings, 32 of 64 axes (~70%
+    variance) with overfetch 8 still reach recall ≥ 0.8 vs exact
+    brute force — the honest operating point the catalog entry uses
+    (16 axes measured ~0.7 at overfetch 8; documented, not used)."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    model = P.pca_train(emb, "embedding", k=32)
+    hits = tot = 0
+    for qid in (7, 42):
+        q = list(emb.where(F.col("vec_id") == qid).first()["embedding"])
+        got = {
+            r["vec_id"]
+            for r in P.pca_reduced_topk(emb, model, q, k=10).collect()
+        }
+        want = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        hits += len(got & want)
+        tot += len(want)
+    emb.unpersist()
+    assert hits / tot >= 0.8, hits / tot
