@@ -167,6 +167,46 @@ def with_bloom_flag(
     ).drop("__bloom")
 
 
+def ngram_counts_against_filter(
+    df: DataFrame,
+    words: list[int],
+    m_bits: int,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Probe side only: per document, count distinct ``n``-gram
+    digests the GIVEN filter flags maybe-present (false positives
+    included). Output ``(id_col, n_grams, n_maybe)``. Used by both
+    the inline build (:func:`ngram_bloom_counts`) and the streaming
+    store cut (streaming.bloom_stream)."""
+    from .governance import ngram_phrases
+
+    grams = df.select(
+        F.col(id_col), F.explode(ngram_phrases(text_col, n)).alias("__g")
+    ).select(id_col, F.md5("__g").alias("__fp"))
+    flagged = with_bloom_flag(grams, words, "__fp", m_bits, k, "__maybe")
+    return (
+        df.select(id_col)
+        .join(
+            flagged.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(F.col("__maybe").cast("long"))
+                .cast("long")
+                .alias("n_maybe"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_maybe", F.lit(0)).cast("long").alias("n_maybe"),
+        )
+    )
+
+
 def ngram_bloom_counts(
     df: DataFrame,
     benchmark: DataFrame,
@@ -195,27 +235,8 @@ def ngram_bloom_counts(
     n_keys = bench_fps.count()
     m_bits = sized_m_bits(n_keys, bits_per_key)
     words = bloom_collect(bloom_build(bench_fps, "__fp", m_bits, k), m_bits)
-    grams = df.select(
-        F.col(id_col), F.explode(ngram_phrases(text_col, n)).alias("__g")
-    ).select(id_col, F.md5("__g").alias("__fp"))
-    flagged = with_bloom_flag(grams, words, "__fp", m_bits, k, "__maybe")
-    return (
-        df.select(id_col)
-        .join(
-            flagged.groupBy(id_col).agg(
-                F.count(F.lit(1)).cast("long").alias("n_grams"),
-                F.sum(F.col("__maybe").cast("long"))
-                .cast("long")
-                .alias("n_maybe"),
-            ),
-            id_col,
-            "left",
-        )
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_maybe", F.lit(0)).cast("long").alias("n_maybe"),
-        )
+    return ngram_counts_against_filter(
+        df, words, m_bits, k, id_col, text_col, n
     )
 
 

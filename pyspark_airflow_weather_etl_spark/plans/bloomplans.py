@@ -165,3 +165,70 @@ def bloom_decontaminate_documents(
     return B.decontaminate_bloom(
         docs.where(~_bench_pred()), docs.where(_bench_pred())
     )
+
+
+@register("streaming_bloom_membership", oracle=_BLOOM_MEMBERSHIP_ORACLE)
+def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The membership filter maintained at ingest latency
+    (streaming.bloom_stream): the benchmark slice arrives as three
+    micro-batches, each folds its 5-gram digests into filter words
+    (batch-keyed partitions), and the filter cut from the store is
+    BIT-IDENTICAL to the one-shot build — bitwise OR is commutative,
+    associative and IDEMPOTENT, so any batch split, arrival order,
+    replay, or even double-delivery yields the same filter (the
+    strongest replay algebra in the store family; duplicate-arrival
+    pytest in tests/test_streaming.py). SHARES the batch entry's
+    bit-for-bit DuckDB oracle, false positives included."""
+    import glob
+    import os
+    import tempfile
+
+    from ..operators.governance import ngram_phrases
+    from ..streaming.bloom_stream import (
+        bloom_words_from_store,
+        run_streaming_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.where(~_bench_pred())
+    bench = docs.where(_bench_pred())
+    # filter capacity fixed up front from the benchmark's key count
+    # (a bloom cannot resize mid-stream; production sizes by capacity
+    # planning) — the same sized_m_bits the one-shot build uses, so
+    # the artifact and the oracle agree
+    bench_fps = (
+        bench.select(F.explode(ngram_phrases("text", 5)).alias("__g"))
+        .select(F.md5("__g").alias("__fp"))
+        .distinct()
+    )
+    m_bits = B.sized_m_bits(bench_fps.count())
+
+    def key_fn(df):
+        return df.select(
+            F.explode(ngram_phrases("text", 5)).alias("__g")
+        ).select(F.md5("__g").alias("__key"))
+
+    tmp = tempfile.mkdtemp(prefix="stream_bloom_")
+    watch = f"{tmp}/in"
+    os.makedirs(watch, exist_ok=True)
+    for i in range(3):
+        stage = f"{tmp}/stage_{i}"
+        bench.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    run_streaming_bloom(
+        spark,
+        watch,
+        f"{tmp}/words",
+        bench.schema,
+        key_fn,
+        m_bits=m_bits,
+        k=4,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    words = B.bloom_collect(
+        bloom_words_from_store(spark, f"{tmp}/words"), m_bits
+    )
+    return B.ngram_counts_against_filter(pool, words, m_bits, k=4)

@@ -1085,3 +1085,73 @@ def test_streaming_cms_bit_identical_and_replay(spark, tmp_path):
         == one_shot
     )
     docs.unpersist()
+
+
+def test_streaming_bloom_idempotent_replay_and_duplicates(spark, tmp_path):
+    """Streaming Bloom store (streaming.bloom_stream): the filter cut
+    from the store is bit-identical to the one-shot build; bitwise OR
+    is idempotent, so BOTH a crash-replay and an outright duplicated
+    arrival file leave the filter unchanged — at-least-once delivery
+    cannot corrupt membership."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators import bloom as B
+    from pyspark_airflow_weather_etl_spark.streaming.bloom_stream import (
+        bloom_words_from_store,
+        run_streaming_bloom,
+    )
+
+    from conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") % 13 == 0)
+        .cache()
+    )
+    fps = docs.select(F.md5("text").alias("__key"))
+    m_bits = B.sized_m_bits(fps.count())
+    one_shot = B.bloom_collect(
+        B.bloom_build(fps, "__key", m_bits, 4), m_bits
+    )
+
+    def key_fn(df):
+        return df.select(F.md5("text").alias("__key"))
+
+    watch = str(tmp_path / "in")
+    store = str(tmp_path / "words")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    for i in range(3):
+        sdir = str(tmp_path / f"stage_{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(sdir)
+        dst = f"{watch}/arrival_{i:03d}.parquet"
+        os.rename(glob.glob(f"{sdir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    # a duplicated arrival: the same batch-0 file delivered twice
+    dup = f"{watch}/arrival_000_dup.parquet"
+    shutil.copy(f"{watch}/arrival_000.parquet", dup)
+    os.utime(dup, (1_700_000_000 + 200,) * 2)
+    run_streaming_bloom(
+        spark, watch, store, docs.schema, key_fn, m_bits=m_bits, k=4,
+        checkpoint_dir=ckpt,
+    )
+    streamed = B.bloom_collect(bloom_words_from_store(spark, store), m_bits)
+    assert streamed == one_shot
+    # crash-replay of batch 1
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_bloom(
+        spark, watch, store, docs.schema, key_fn, m_bits=m_bits, k=4,
+        checkpoint_dir=ckpt,
+    )
+    assert (
+        B.bloom_collect(bloom_words_from_store(spark, store), m_bits)
+        == one_shot
+    )
+    docs.unpersist()
