@@ -278,3 +278,40 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+_EXACT_QUANTILES_ORACLE = """
+    WITH c AS (
+      SELECT o_totalprice AS v, COUNT(*) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ), n AS (SELECT SUM(cnt) AS n FROM c),
+    cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM c),
+    p(p_num, p_den) AS (VALUES (1,4),(1,2),(3,4),(9,10),(99,100))
+    SELECT CAST(p_num AS BIGINT) AS p_num,
+           CAST(p_den AS BIGINT) AS p_den,
+           MIN(v) AS value
+    FROM cum, p
+    WHERE cum >= (p_num * (SELECT n FROM n) + p_den - 1) // p_den
+    GROUP BY 1, 2
+"""
+
+
+@register("exact_quantiles_orders", oracle=_EXACT_QUANTILES_ORACLE)
+def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL quantiles by distributed selection
+    (operators.quantiles.exact_quantiles): p25/p50/p75/p90/p99 of
+    o_totalprice as type-1 (lower) order statistics — min value whose
+    cumulative count reaches ceil(p*n). No global sort and no
+    single-reducer pass: the corpus collapses to a narrow
+    (value, count) frame, the count prefix-sum rides the engine's
+    one-range-exchange scaffolding, and rank targets are integer
+    ceiling divisions. Returned values are untouched input doubles,
+    so the oracle matches bit-for-bit — the exact complement of the
+    approx_percentile sketch entry (rows-only by necessity) and of
+    the per-group `percentile` aggregate (which sorts each group)."""
+    from ..operators.quantiles import exact_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders, "o_totalprice", [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    )
