@@ -84,3 +84,63 @@ def exact_quantiles(
         .groupBy("p_num", "p_den")
         .agg(F.min("__v").alias("value"))
     )
+
+
+def exact_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[tuple[int, int]],
+) -> DataFrame:
+    """Exact type-1 quantiles PER GROUP — the per-group complement of
+    :func:`exact_quantiles`, and the scale-shaped alternative to the
+    built-in ``percentile`` aggregate (which buffers and sorts every
+    group's raw values): the corpus collapses map-side to
+    ``(group, value, count)`` — the only thing that shuffles — the
+    cumulative count is a window over the NARROW count rows within
+    each group (cost ~ distinct values per group, not rows per
+    group), and each quantile is the min value whose cumulative
+    count reaches ``ceil(p * n_g)`` for that group's own ``n_g``.
+    Output ``(group_col, p_num, p_den, value)``. NULL values are
+    excluded; NULL groups are kept as their own group (they are real
+    rows with an order statistic)."""
+    from pyspark.sql.window import Window
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for num, den in probs:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile fraction out of (0,1]: {num}/{den}")
+    counts = (
+        df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn(
+        "__cum", F.sum("__cnt").over(w).cast("long")
+    ).withColumn(
+        "__n",
+        F.sum("__cnt")
+        .over(Window.partitionBy("__g"))
+        .cast("long"),
+    )
+    probs_df = df.sparkSession.createDataFrame(
+        [(int(n), int(d)) for n, d in probs], "p_num long, p_den long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(probs_df))
+        .withColumn(
+            "__target",
+            F.expr("(p_num * __n + p_den - 1) div p_den").cast("long"),
+        )
+        .where(F.col("__cum") >= F.col("__target"))
+        .groupBy("__g", "p_num", "p_den")
+        .agg(F.min("__v").alias("value"))
+        .withColumnRenamed("__g", group_col)
+    )

@@ -315,3 +315,38 @@ def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         orders, "o_totalprice", [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
     )
+
+
+_GROUP_QUANTILES_ORACLE = """
+    WITH c AS (
+      SELECT o_orderstatus AS g, o_totalprice AS v, COUNT(*) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v, SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM c
+    ), p(p_num, p_den) AS (VALUES (1,2),(9,10),(99,100))
+    SELECT g AS o_orderstatus, CAST(p_num AS BIGINT) AS p_num,
+           CAST(p_den AS BIGINT) AS p_den, MIN(v) AS value
+    FROM cum, p WHERE cum >= (p_num * n + p_den - 1) // p_den
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("exact_quantiles_by_status", oracle=_GROUP_QUANTILES_ORACLE)
+def exact_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles by selection
+    (operators.quantiles.exact_quantiles_by_group): p50/p90/p99 of
+    o_totalprice per order status, computed over the narrow
+    (group, value, count) frame — window cost scales with DISTINCT
+    values per group, not rows per group, unlike the built-in
+    `percentile` aggregate, which buffers and sorts every group's raw
+    values (the percentile_price_quartiles entry documents that
+    caveat; this is the answer to it). Min-of-untouched-values, so
+    hash-exact against the DuckDB replay."""
+    from ..operators.quantiles import exact_quantiles_by_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_quantiles_by_group(
+        orders, "o_orderstatus", "o_totalprice", [(1, 2), (9, 10), (99, 100)]
+    )

@@ -75,3 +75,43 @@ def test_no_corpus_sort_in_plan(spark):
     assert "Exchange rangepartitioning(__v" in plan
     assert "rangepartitioning(o_totalprice" not in plan
     assert "Sort [o_totalprice" not in plan
+
+
+def test_group_quantiles_match_per_group_sorted(spark):
+    from pyspark_airflow_weather_etl_spark.operators.quantiles import (
+        exact_quantiles_by_group,
+    )
+
+    rows = [("a", float(v)) for v in [5, 1, 3, 3, 2]] + [
+        ("b", float(v)) for v in [9, 7, 3]
+    ] + [(None, 4.0), (None, 6.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [(1, 2), (1, 1)]
+    got = {
+        (r["g"], r["p_num"], r["p_den"]): r["value"]
+        for r in exact_quantiles_by_group(df, "g", "x", probs).collect()
+    }
+    data = {"a": [1, 2, 3, 3, 5], "b": [3, 7, 9], None: [4, 6]}
+    for g, vals in data.items():
+        for num, den in probs:
+            target = -(-num * len(vals) // den)
+            assert got[(g, num, den)] == vals[target - 1], (g, num, den)
+
+
+def test_group_quantiles_plan_shuffles_counts_only(spark):
+    """The group windows run over the aggregated (group, value,
+    count) frame: partial aggregation collapses the corpus map-side
+    before the one hash exchange, and no corpus-row sort appears."""
+    from conftest import SF_DIR
+
+    from pyspark_airflow_weather_etl_spark.operators.quantiles import (
+        exact_quantiles_by_group,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = exact_quantiles_by_group(
+        orders, "o_orderstatus", "o_totalprice", [(1, 2)]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+    assert "rangepartitioning" not in plan
