@@ -80,6 +80,8 @@ HEADLINE = [
     "bloom_decontaminate_documents",
     "cms_heavy_hitter_tokens",
     "corpus_split_documents",
+    "exact_quantiles_orders",
+    "pca_reduced_ann_topk",
     "dedup_exact_documents",
     "dedup_passages_documents",
     "dedup_substrings_documents",

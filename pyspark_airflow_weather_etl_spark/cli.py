@@ -107,6 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         help="CCNet perplexity gate: drop the worst surprisal third "
         "of the surviving pool (corpus-LM ranking)",
     )
+    p_cur.add_argument(
+        "--split-keep", default=None,
+        help="curate only this hash-assigned split (e.g. train); "
+        "validation/test stay held out by hash",
+    )
+    p_cur.add_argument(
+        "--split-pcts", default="train:98,validation:1,test:1",
+        help="ordered name:percent list summing to 100",
+    )
+    p_cur.add_argument(
+        "--split-salt", default="split-v1",
+        help="salt for the split hash (version the holdout)",
+    )
 
     p_cls = sub.add_parser(
         "classify",
@@ -269,6 +282,18 @@ def main(argv: list[str] | None = None) -> int:
                 ppl_drop_bucket=(
                     "tail" if args.drop_ppl_tail else None
                 ),
+                split_keep=args.split_keep,
+                split_pcts=(
+                    [
+                        (n, int(p))
+                        for n, p in (
+                            kv.split(":") for kv in args.split_pcts.split(",")
+                        )
+                    ]
+                    if args.split_keep
+                    else None
+                ),
+                split_salt=args.split_salt,
             )
             for stage, n in counts.items():
                 print(f"{stage}: {n}")

@@ -400,11 +400,21 @@ def curate_corpus(
     classifier_pareto_alpha: int = 9,
     ppl_drop_bucket: str | None = None,
     ppl_k: int = 3,
+    split_keep: str | None = None,
+    split_pcts: list[tuple[str, int]] | None = None,
+    split_salt: str = "split-v1",
 ) -> dict[str, int]:
     """The end-to-end training-corpus curation pipeline as ONE
     composable call — what a training-data team actually runs per
     release, in the order each stage is cheapest:
 
+    -1. OPTIONAL split holdout (``split_keep``: keep only that
+       hash-assigned split — :func:`..governance.split_corpus` with
+       ``split_pcts``/``split_salt``): the release curates the
+       training split while validation/test stay held out BY HASH,
+       so corpus growth and re-runs never move a held-out document
+       into training. Pure per-row codegen, zero shuffles — the
+       cheapest gate, so it runs before everything;
     0. OPTIONAL Gopher rule gate (``gopher_rules``: a kwargs dict for
        :func:`..text.gopher_filter`, ``{}`` for the published
        defaults): the cheapest stage there is — pure per-row codegen,
@@ -521,6 +531,15 @@ def curate_corpus(
 
     counts: dict[str, int] = {"input": df.count()}
     cur = df
+    if split_keep is not None:
+        from .governance import split_corpus
+
+        cur = barrier(
+            split_corpus(cur, id_col, split_pcts, split_salt)
+            .where(F.col("split") == split_keep)
+            .drop("split"),
+            "after_split_holdout",
+        )
     if gopher_rules is not None:
         from .text import gopher_filter
 

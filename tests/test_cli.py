@@ -201,3 +201,18 @@ def test_classify_cli_train_score_and_curate_gate(
     ])
     assert rc == 0
     assert "after_classifier:" in capsys.readouterr().out
+
+
+def test_curate_cli_split_holdout(spark, tmp_path, docs_parquet, capsys):
+    out = str(tmp_path / "rel_split")
+    rc = main([
+        "curate", "--input", docs_parquet, "--out", out,
+        "--shard-rows", "32", "--split-keep", "train",
+        "--split-pcts", "train:90,validation:5,test:5",
+        "--split-salt", "v2",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "after_split_holdout:" in printed
+    n_in = spark.read.parquet(docs_parquet).count()
+    assert 0 < spark.read.parquet(out).count() < n_in

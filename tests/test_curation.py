@@ -846,3 +846,38 @@ def test_curate_corpus_perplexity_stage(spark, tmp_path):
     kept_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept_ids.isdisjoint(expect_dropped)
     docs.unpersist()
+
+
+def test_curate_corpus_split_holdout_stage(spark, tmp_path):
+    """--split-keep: curation operates on the hash-assigned training
+    split only; every shard doc is a train-split doc and the stage
+    count equals the standalone split filter."""
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        split_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "release")
+    counts = curate_corpus(
+        docs, out, shard_rows=64, split_keep="train"
+    )
+    want_train = (
+        split_corpus(docs).where(F.col("split") == "train").count()
+    )
+    assert counts["after_split_holdout"] == want_train
+    assert counts["input"] == docs.count() > want_train
+    shard_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    train_ids = {
+        r["doc_id"]
+        for r in split_corpus(docs)
+        .where(F.col("split") == "train")
+        .select("doc_id")
+        .collect()
+    }
+    assert shard_ids <= train_ids
