@@ -174,3 +174,127 @@ def cms_heavy_hitters(
     return est.where(
         F.col("est_count") * F.lit(int(frac_denom)) >= F.lit(int(n_total))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — the distinct-count
+# counterpart of the count-min sketch above, built on the same
+# portability discipline so the DuckDB oracle replays it bit-for-bit
+# (the engine's built-in approx_count_distinct entry stays rows-only:
+# its HLL++ sketch is engine-internal; THIS one is the
+# cross-engine-checkable twin).
+#
+# Key -> 60-bit integer from the first 15 md5 hex chars; bucket = low
+# 8 bits (m=256); rho = trailing zeros of the remaining 52 bits + 1
+# (counted via bin()/rtrim string arithmetic — pure integer/string
+# ops, no platform log2). Registers merge by MAX — idempotent,
+# commutative, associative: duplicate keys, replayed batches, any
+# arrival order all leave the registers unchanged, which is exactly
+# why the sketch counts DISTINCT.
+#
+# The estimator keeps cross-engine float parity the way the engine's
+# float contract prescribes: the harmonic sum is computed as the
+# EXACT INTEGER  sum(2^(53 - rho))  (terms are powers of two <= 2^53,
+# m=256 of them -> < 2^61, exact in BIGINT), and the only float
+# arithmetic is one literal-constant multiply chain + one division +
+# round(6) with an identical expression shape in both engines.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256
+#: 0.7213 / (1 + 1.079/256), pinned to the exact double literal used
+#: in BOTH the Spark expression and the DuckDB oracle
+HLL_ALPHA_LIT = "0.7182725932495458"
+_HLL_MAX_RHO = 53  # 52 payload bits all zero -> rho 53
+
+
+def hll_build(df: DataFrame, key_col: str | Column) -> DataFrame:
+    """Registers over a key multiset: ``(bucket int, max_rho int)``
+    — at most 256 rows; the aggregation collapses map-side to
+    register count regardless of key cardinality. NULL keys skip."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    staged = df.where(key.isNotNull()).select(h.alias("__h")).select(
+        (F.col("__h") % HLL_M).cast("int").alias("bucket"),
+        F.expr(f"CAST(__h div {HLL_M} AS BIGINT)").alias("__w"),
+    )
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(_HLL_MAX_RHO))
+        .otherwise(
+            F.length(F.bin("__w"))
+            - F.length(F.expr("rtrim('0', bin(__w))"))
+            + F.lit(1)
+        )
+        .cast("int")
+    )
+    return (
+        staged.select("bucket", rho.alias("__rho"))
+        .groupBy("bucket")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise MAX — the sketch of the key-set UNION.
+    Idempotent: overlapping or duplicated inputs cannot inflate the
+    estimate (max(x, x) = x), the property that makes the sketch a
+    DISTINCT counter and its store replay-proof."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One output row ``(n_used_buckets, int_harmonic_sum, estimate)``
+    from the register table: the raw HLL estimator, with
+    linear-counting fallback below ``2.5 m`` when empty buckets
+    remain (the published small-range correction; ln + round(6) is
+    the engine's sanctioned one-float-op shape). ``int_harmonic_sum``
+    is the exact integer ``sum(2^(53-rho))`` with every EMPTY bucket
+    contributing ``2^53`` — the float estimate derives from it by one
+    literal multiply chain + one division, identical in the DuckDB
+    oracle."""
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAX_RHO} - max_rho)")
+        )
+        .cast("long")
+        .alias("__used_sum"),
+    )
+    pow53 = 1 << _HLL_MAX_RHO
+    return (
+        agg.withColumn(
+            "int_harmonic_sum",
+            (
+                F.col("__used_sum")
+                + (F.lit(HLL_M) - F.col("n_used_buckets")) * F.lit(pow53)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__raw",
+            F.expr(
+                f"CAST('{HLL_ALPHA_LIT}' AS DOUBLE)"
+                f" * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)"
+                f" * CAST({1 << _HLL_MAX_RHO} AS DOUBLE)"
+                f" / CAST(int_harmonic_sum AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "estimate",
+            F.round(
+                F.when(
+                    (F.col("__raw") <= F.lit(2.5 * HLL_M))
+                    & (F.col("n_used_buckets") < F.lit(HLL_M)),
+                    F.expr(
+                        f"CAST({HLL_M} AS DOUBLE) * ln("
+                        f"CAST({HLL_M} AS DOUBLE) / "
+                        f"CAST({HLL_M} - n_used_buckets AS DOUBLE))"
+                    ),
+                ).otherwise(F.col("__raw")),
+                6,
+            ),
+        )
+        .select("n_used_buckets", "int_harmonic_sum", "estimate")
+    )

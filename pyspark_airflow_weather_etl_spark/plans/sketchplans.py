@@ -181,3 +181,98 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{tmp}/ckpt",
     )
     return cms_cells_from_store(spark, f"{tmp}/cells")
+
+
+_HLL_NGRAM_SOURCE = """
+    WITH g AS (
+      SELECT md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS fp
+      FROM (SELECT string_split(text, ' ') AS tk FROM documents),
+           LATERAL (SELECT unnest(
+             generate_series(1, greatest(len(tk) - 4, 0))) AS i)
+    ), h AS (
+      SELECT CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) AS h FROM g
+    ), r AS (
+      SELECT CAST(h % 256 AS INT) AS bucket, h // 256 AS w FROM h
+    ), rho AS (
+      SELECT bucket,
+             CASE WHEN w = 0 THEN 53
+                  ELSE length(bin(w)) - length(rtrim(bin(w), '0')) + 1
+             END AS rho
+      FROM r
+    ), regs AS (
+      SELECT bucket, max(rho) AS max_rho FROM rho GROUP BY bucket
+    )
+"""
+
+
+@register(
+    "hll_registers_ngrams",
+    oracle=_HLL_NGRAM_SOURCE
+    + " SELECT bucket, CAST(max_rho AS INT) AS max_rho FROM regs",
+)
+def hll_registers_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog registers over the corpus 5-gram digests
+    (operators.sketch.hll_build, m=256): 60-bit md5 hash, bucket =
+    low 8 bits, rho = trailing zeros of the payload + 1 (bin/rtrim
+    string arithmetic — no platform log2). At most 256 rows whatever
+    the key cardinality; registers merge by MAX (idempotent — the
+    property that makes it a DISTINCT counter). Hash-exact vs the
+    DuckDB bit-for-bit replay — the cross-engine-checkable twin of
+    the engine-internal approx_count_distinct entry."""
+    from ..operators.governance import ngram_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.explode(ngram_phrases("text", 5)).alias("__g")
+    ).select(F.md5("__g").alias("__fp"))
+    return S.hll_build(fps, "__fp")
+
+
+@register(
+    "hll_distinct_ngrams",
+    oracle=_HLL_NGRAM_SOURCE
+    + """
+    , agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_used_buckets,
+             CAST(SUM((1::BIGINT << CAST(53 - max_rho AS INT)))
+               AS BIGINT) AS used_sum
+      FROM regs
+    ), s AS (
+      SELECT n_used_buckets,
+             used_sum + (256 - n_used_buckets) * (1::BIGINT << 53)
+               AS int_harmonic_sum
+      FROM agg
+    ), raw AS (
+      SELECT *,
+             CAST('0.7182725932495458' AS DOUBLE) * CAST(256 AS DOUBLE)
+               * CAST(256 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+               / CAST(int_harmonic_sum AS DOUBLE) AS r
+      FROM s
+    )
+    SELECT n_used_buckets, int_harmonic_sum,
+           round(CASE WHEN r <= 640.0 AND n_used_buckets < 256
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)
+                        / CAST(256 - n_used_buckets AS DOUBLE))
+                      ELSE r END, 6) AS estimate
+    FROM raw
+    """,
+)
+def hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct-count estimate from those registers
+    (operators.sketch.hll_estimate): the harmonic sum is the EXACT
+    INTEGER sum(2^(53-rho)) (every term a power of two, 256 of them
+    — exact in a BIGINT; empty buckets contribute 2^53), and the only
+    float arithmetic is one literal-constant multiply chain + one
+    division + round(6) — same expression shape in the oracle, so
+    even the ESTIMATE hash-matches across engines. Linear-counting
+    small-range branch included (one ln — the engine's sanctioned
+    float shape); accuracy vs the true distinct count pinned in
+    tests/test_sketch.py (~4% on the fixture, sigma = 1.04/sqrt(256)
+    = 6.5%)."""
+    from ..operators.governance import ngram_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.explode(ngram_phrases("text", 5)).alias("__g")
+    ).select(F.md5("__g").alias("__fp"))
+    return S.hll_estimate(S.hll_build(fps, "__fp"))

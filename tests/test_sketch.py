@@ -96,3 +96,55 @@ def test_build_state_is_sketch_bounded(spark):
     assert sk.count() <= 8 * 4
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower()
+
+
+class TestHLL:
+    def test_accuracy_on_fixture_ngrams(self, spark):
+        from pyspark_airflow_weather_etl_spark.operators.governance import (
+            ngram_phrases,
+        )
+
+        from conftest import SF_DIR
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        fps = docs.select(
+            F.explode(ngram_phrases("text", 5)).alias("g")
+        ).select(F.md5("g").alias("fp"))
+        true = fps.distinct().count()
+        est = S.hll_estimate(S.hll_build(fps, "fp")).first()["estimate"]
+        assert abs(est - true) / true < 0.2, (est, true)
+
+    def test_merge_is_idempotent_max(self, spark):
+        """Register MAX-merge: overlapping splits (every key appears
+        in 2 of 3 parts) still merge to the one-shot registers —
+        duplicates cannot inflate a distinct counter."""
+        df = spark.createDataFrame(
+            [(f"k-{i}",) for i in range(3000)], "k string"
+        )
+        one_shot = sorted(
+            tuple(r) for r in S.hll_build(df, "k").collect()
+        )
+        parts = [
+            df.where(F.conv(F.substring(F.md5("k"), 1, 4), 16, 10) % 3 != i)
+            for i in range(3)
+        ]  # each key lands in exactly two parts
+        merged = S.hll_build(parts[0], "k")
+        for p in parts[1:]:
+            merged = S.hll_merge(merged, S.hll_build(p, "k"))
+        assert sorted(tuple(r) for r in merged.collect()) == one_shot
+
+    def test_linear_counting_small_range(self, spark):
+        """With 40 keys in 256 buckets the raw estimator is biased;
+        the small-range branch (linear counting over empty buckets)
+        must engage and land close."""
+        df = spark.createDataFrame(
+            [(f"small-{i}",) for i in range(40)], "k string"
+        )
+        row = S.hll_estimate(S.hll_build(df, "k")).first()
+        assert row["n_used_buckets"] < 256
+        assert abs(row["estimate"] - 40) / 40 < 0.15, row["estimate"]
+
+    def test_null_keys_skipped(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+        regs = S.hll_build(df, "k")
+        assert regs.count() <= 2
