@@ -1804,3 +1804,41 @@ def streaming_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_lm_scores(spark, f"{tmp}/scored").select(
         "doc_id", "n_bigrams", "n_oov_bigrams", "avg_neg_logprob"
     )
+
+
+_CSV_STAGE: dict[str, str] = {}
+
+
+@register(
+    "documents_csv_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def documents_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange fidelity (sources.writers.write_csv /
+    read_csv — the legacy-feed format): documents write to RFC-4180
+    gzip CSV and read back with an explicit schema; hash-equality
+    against the ORIGINAL parquet proves the cycle loses nothing for
+    this corpus. The fixture text is CSV-benign by construction
+    (single-line, no commas/quotes), so the HOSTILE cases — embedded
+    newlines, quotes, commas, unicode, and the NULL-vs-empty
+    collapse CSV cannot represent — are pinned separately in
+    tests/test_sources_pipeline.py; JSONL remains the corpus format
+    (documents_jsonl_roundtrip), CSV the ingestion edge."""
+    import tempfile
+
+    from ..sources.tables import load_table
+    from ..sources.writers import read_csv, write_csv
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    if sf_dir not in _CSV_STAGE:
+        tmp = tempfile.mkdtemp(prefix="docs_csv_")
+        write_csv(docs, f"{tmp}/docs")
+        _CSV_STAGE[sf_dir] = tmp
+    return read_csv(
+        spark,
+        f"{_CSV_STAGE[sf_dir]}/docs",
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).select("doc_id", "text", "lang", "source", "n_chars")

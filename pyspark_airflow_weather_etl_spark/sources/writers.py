@@ -282,3 +282,42 @@ def read_jsonl(spark, path: str, schema) -> DataFrame:
     widens types; an interchange reader must pin them). Accepts a
     DDL string or StructType; compression is sniffed per file."""
     return spark.read.schema(schema).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """CSV sink — the lowest-common-denominator ETL interchange (what
+    spreadsheets, warehouses and legacy feeds exchange). RFC-4180
+    quoting with escaped quotes and a header row; distributed write,
+    one file per partition. Multiline fields are real (a quoted text
+    column may embed newlines) — the reader must opt in, see
+    :func:`read_csv`."""
+    w = (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def read_csv(spark, path: str, schema) -> DataFrame:
+    """CSV source with an EXPLICIT schema (the read_jsonl discipline —
+    inference is a second full pass and silently widens types) and
+    RFC-4180 quote/escape settings matching :func:`write_csv`.
+    ``multiLine`` is on so quoted embedded newlines survive the
+    round-trip; at 100 TB prefer newline-free text columns (multiLine
+    CSV parsing cannot split files at arbitrary byte offsets — gzip
+    files are whole-file tasks anyway, so the fixture default is the
+    honest one)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )

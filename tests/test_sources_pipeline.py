@@ -277,3 +277,38 @@ def test_jsonl_roundtrip_fidelity(spark, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "docs" / "*.gz"))
+
+
+def test_csv_round_trip_hostile_strings(spark, tmp_path):
+    """RFC-4180 fidelity on content the fixture deliberately lacks:
+    commas, double quotes, embedded newlines, unicode, empty string,
+    NULL — all survive write_csv -> read_csv."""
+    from pyspark_airflow_weather_etl_spark.sources.writers import (
+        read_csv,
+        write_csv,
+    )
+
+    rows = [
+        (1, 'plain'),
+        (2, 'comma, separated, values'),
+        (3, 'she said "hi"'),
+        (4, 'line one\nline two'),
+        (5, 'naïve — ünïcode 🙂'),
+        (6, ''),
+        (7, None),
+        (8, '"quoted, with\nnewline" and , comma'),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, "id long, text string")
+    got = {r["id"]: r["text"] for r in back.collect()}
+    want = dict(rows)
+    # CSV cannot distinguish NULL from empty string without a marker;
+    # Spark reads empty unquoted fields as NULL — both 6 and 7 come
+    # back NULL, the documented CSV limitation (JSONL preserves the
+    # difference; that is why JSONL is the corpus format and CSV the
+    # legacy feed)
+    assert got[6] is None and got[7] is None
+    for k in (1, 2, 3, 4, 5, 8):
+        assert got[k] == want[k], (k, got[k])
