@@ -117,6 +117,7 @@ def test_rows_only_entries_are_the_documented_sketches():
         # distributed exact PCA: driver-side eigh over exact integer
         # moments; bit-exact numpy parity in tests/test_pca.py
         "pca_project_embeddings",
+        "pca_reduced_ann_topk",
         # streaming twin: bit-identical artifact from the streamed
         # moment store (integer additivity) — pinned in
         # tests/test_streaming.py
