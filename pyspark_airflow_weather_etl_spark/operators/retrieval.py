@@ -1,0 +1,308 @@
+"""BM25 lexical retrieval — batch scoring and an at-rest postings index.
+
+The retrieval counterpart of the embedding ANN family: given a small
+set of keyword queries, rank documents by Okapi BM25. Two shapes:
+
+- :func:`bm25_topk` — everything computed from the corpus in one job
+  (the ad-hoc / benchmark shape).
+- :func:`bm25_index_write` + :func:`bm25_topk_at_rest` — the serving
+  shape: postings, term statistics, and corpus scalars persist once at
+  ingest; a probe reads ONLY the partitions of the query's terms
+  (partition pruning on a token-hash prefix), never the corpus.
+
+Exactness contract (what makes the result hash-checkable across
+engines): with k1 = 1.2 and b = 0.75 the BM25 term weight
+
+    idf(t)    = ln((N + 1) / (df + 0.5))            (Robertson/Lucene)
+    tfpart(t) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+is algebraically a single ln over a ratio of exact integers times a
+ratio of exact integers: multiplying tfpart through by 20*SDL (SDL =
+total corpus tokens, avgdl = SDL/N) gives
+
+    idf    = ln((2N+2) / (2df+1))
+    tfpart = 44*tf*SDL / (20*tf*SDL + 6*SDL + 18*dl*N)
+
+All inputs to the float stage are exact BIGINTs; the float stage is a
+fixed shape (one divide + ln, one divide, two multiplies, round) that
+an external engine replays bit-for-bit; the per-term score is then
+frozen to integer micro-units (×1e6) so the per-document SUM is exact
+integer arithmetic — orderless, partitioning-independent. See the
+cross-engine float-parity note in plans/statplans.py.
+
+Reference scope: the reference repo has no retrieval operator (508 LoC
+of linear ETL — see SURVEY.md §2.9); this is north-star LLM-pipeline
+surface (hard-negative mining, eval-retrieval, corpus audit by query).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..caching import claim_group, persist_into
+from .text import token_count, tokens
+
+#: partition-prefix width of the at-rest postings layout: first byte of
+#: md5(token) → 256 partitions, enough spread for any vocabulary while
+#: keeping the probe's IN-list tiny.
+_PFX_LEN = 2
+
+
+def _query_terms(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, token) — distinct whitespace terms of each query."""
+    q = spark.createDataFrame(queries, "query_id bigint, qtext string")
+    return q.select(
+        "query_id", F.explode(tokens("qtext")).alias("token")
+    ).distinct()
+
+
+def _term_micro() -> F.Column:
+    """The frozen-shape float stage: BIGINT columns ``tf, df, dl,
+    n_docs, sum_dl`` → integer micro-units of the BM25 term weight.
+
+    Every cast/multiply/add is written out so the oracle SQL mirrors
+    the exact op sequence (same parse tree → same IEEE result)."""
+    idf = F.log(
+        (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+        / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+    )
+    num = (F.lit(44) * F.col("tf")).cast("double") * F.col("sum_dl").cast(
+        "double"
+    )
+    den = (
+        (F.lit(20) * F.col("tf")).cast("double")
+        * F.col("sum_dl").cast("double")
+        + (F.lit(6) * F.col("sum_dl")).cast("double")
+    ) + (F.lit(18) * F.col("dl")).cast("double") * F.col("n_docs").cast(
+        "double"
+    )
+    return F.round(idf * (num / den) * F.lit(1000000.0), 0).cast("bigint")
+
+
+#: the same stage as a DuckDB SQL fragment (columns tf, df, dl,
+#: n_docs, sum_dl in scope) — keep in lockstep with :func:`_term_micro`.
+SQL_TERM_MICRO = (
+    "CAST(ROUND(ln(CAST(2*n_docs+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE))"
+    " * ((CAST(44*tf AS DOUBLE) * CAST(sum_dl AS DOUBLE))"
+    "    / ((CAST(20*tf AS DOUBLE) * CAST(sum_dl AS DOUBLE)"
+    "        + CAST(6*sum_dl AS DOUBLE))"
+    "       + CAST(18*dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))"
+    " * 1000000.0, 0) AS BIGINT)"
+)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score_micro", "rnk")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k per query, computed from the corpus in one job.
+
+    Scale shape: the query-term table is tiny and BROADCASTS onto the
+    exploded token stream, so only postings of the query's terms ever
+    reach an aggregation — the corpus-wide groupBy keys a handful of
+    tokens. df is likewise aggregated only for query terms. The one
+    corpus-sized shuffle is the (doc_id, dl) join onto the matched
+    candidates (~16 B/row, never text); the at-rest index removes even
+    that by denormalizing dl into the postings at build time.
+    """
+    spark = docs.sparkSession
+    qt = F.broadcast(_query_terms(spark, queries))
+    tok = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    # corpus scalars: one-row broadcast aggregate (no driver action)
+    stats = F.broadcast(
+        tok.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.array_size("t")).alias("sum_dl"),
+        )
+    )
+    dl = tok.select("doc_id", F.array_size("t").cast("bigint").alias("dl"))
+    posted = (
+        tok.select("doc_id", F.explode("t").alias("token"))
+        .join(qt.select("token").distinct(), "token")
+    )
+    tf = posted.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = posted.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    term = (
+        tf.join(F.broadcast(df), "token")
+        .join(qt, "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select(
+            "query_id", "doc_id", _term_micro().alias("term_micro")
+        )
+    )
+    scored = term.groupBy("query_id", "doc_id").agg(
+        F.sum("term_micro").cast("bigint").alias("score_micro")
+    )
+    return _rank_topk(scored, k)
+
+
+def _write_batch_keyed(df: DataFrame, out_path: str, partition_cols) -> None:
+    """Dynamic partition overwrite — replaces exactly the partitions
+    being written, so a crashed-and-replayed (or outright duplicated)
+    append of the same batch lands the identical bytes (the
+    streaming/lm_monitor batch-keyed idiom)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(out_path)
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def bm25_index_append(
+    docs: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append one document batch to the BM25 serving index: postings
+    with the document length DENORMALIZED in
+    (``token, doc_id, tf, dl``) under ``batch=<id>/pfx=<md5 byte>``,
+    a vocabulary-sized per-batch term-stats DELTA (``token, df``), and
+    a one-row per-batch corpus-scalars delta.
+
+    The crawl-loop contract: per-batch cost is O(batch) — nothing
+    already at rest is read or rewritten (document frequency and the
+    corpus scalars are additive over disjoint batches, so they land as
+    batch-keyed deltas the probe sums at vocabulary size). Dynamic
+    partition overwrite makes a replayed batch idempotent.
+    Denormalizing dl is the classic search-engine doc-values trick: a
+    probe joins nothing corpus-sized — it reads only the partitions of
+    its query terms (partition pruning on ``pfx``), sums and
+    broadcasts the filtered term stats, and scores. Statistics are
+    computed ONCE at ingest; at 100 TB that is the difference between
+    re-aggregating a corpus per query and reading a few parquet
+    partitions."""
+    caches = claim_group("bm25_index_append")
+    tok = persist_into(
+        caches,
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+        ),
+    )
+    tf = persist_into(
+        caches,
+        tok.select(
+            "doc_id",
+            F.array_size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("token"),
+        )
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
+    )
+    batch = F.lit(batch_id).cast("bigint")
+    _write_batch_keyed(
+        tf.withColumn("batch", batch).withColumn(
+            "pfx", F.substring(F.md5("token"), 1, _PFX_LEN)
+        ),
+        f"{path}/postings",
+        ("batch", "pfx"),
+    )
+    _write_batch_keyed(
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .withColumn("batch", batch),
+        f"{path}/termstats",
+        ("batch",),
+    )
+    _write_batch_keyed(
+        tok.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.array_size("t")).cast("bigint").alias("sum_dl"),
+        ).withColumn("batch", batch),
+        f"{path}/stats",
+        ("batch",),
+    )
+    for c in caches:
+        c.unpersist()
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One-shot index build — batch 0 of :func:`bm25_index_append`."""
+    bm25_index_append(docs, path, 0, id_col, text_col)
+
+
+def bm25_topk_at_rest(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k against a persisted :func:`bm25_index_write` layout.
+
+    The probe's partition predicate is computed driver-side (md5 of
+    each query term — the same hash Spark's ``md5()`` wrote, so the
+    pruning is exact): the postings scan touches only the partitions
+    containing the query's terms, never the corpus
+    (PartitionFilters — asserted in tests/test_retrieval.py). Term
+    stats and corpus scalars are the SUM of the batch deltas
+    (vocabulary-sized and one-row-per-batch respectively — additive
+    because batches are disjoint), filtered to the query terms and
+    broadcast. Returns exactly the rows of :func:`bm25_topk` on the
+    union of all indexed batches."""
+    terms = sorted({t for _, q in queries for t in q.split(" ") if t})
+    pfxs = sorted(
+        {hashlib.md5(t.encode("utf-8")).hexdigest()[:_PFX_LEN] for t in terms}
+    )
+    qt = F.broadcast(_query_terms(spark, queries))
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .where(F.col("pfx").isin(pfxs) & F.col("token").isin(terms))
+        .select("token", "doc_id", "tf", "dl")
+    )
+    termstats = F.broadcast(
+        spark.read.parquet(f"{index_path}/termstats")
+        .where(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    stats = F.broadcast(
+        spark.read.parquet(f"{index_path}/stats").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+    term = (
+        postings.join(termstats, "token")
+        .join(qt, "token")
+        .crossJoin(stats)
+        .select("query_id", "doc_id", _term_micro().alias("term_micro"))
+    )
+    scored = term.groupBy("query_id", "doc_id").agg(
+        F.sum("term_micro").cast("bigint").alias("score_micro")
+    )
+    return _rank_topk(scored, k)

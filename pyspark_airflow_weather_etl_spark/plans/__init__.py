@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     pcaplans,
     bloomplans,
     sketchplans,
+    retrievalplans,
 )
 from .registry import REGISTRY, oracles, queries  # noqa: F401
 

@@ -1,0 +1,160 @@
+"""BM25 retrieval catalog entries (operators.retrieval).
+
+Both entries share one DuckDB oracle that replays tokenization, the
+integer-exact BM25 algebra, the micro-unit freeze, and the ranked cut
+(see operators/retrieval.py for the float-parity contract) — so the
+at-rest probe is pinned to return exactly the ad-hoc result."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import retrieval as R
+from ..sources.tables import load_table
+from .registry import register
+
+#: the benchmark query set: one all-common query, one containing the
+#: rare high-idf token ('dup', df≈25 of 500 at sf0.01), one long query
+#: — exercises idf spread, length normalization, and tie-breaks.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join table scan"),
+    (2, "dup slow merge"),
+    (3, "fast vector stream window query"),
+]
+
+_SQL_QUERIES = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+
+_BM25_ORACLE = f"""
+    WITH q(query_id, qtext) AS (VALUES {_SQL_QUERIES}),
+    qt AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+             unnest(string_split(qtext, ' ')) AS token
+      FROM q
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dlt AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), dft AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM dlt
+    ), term AS (
+      SELECT qt.query_id, tf.doc_id,
+             {R.SQL_TERM_MICRO} AS term_micro
+      FROM qt
+      JOIN tf USING (token)
+      JOIN dft ON tf.token = dft.token
+      JOIN dlt ON tf.doc_id = dlt.doc_id
+      CROSS JOIN s
+    ), sc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM term GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_micro, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+      FROM sc
+    ) WHERE rnk <= 10
+    """
+
+
+@register("bm25_topk_documents", oracle=_BM25_ORACLE)
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query, ad-hoc over the corpus
+    (operators.retrieval.bm25_topk): broadcast query terms prune the
+    posting stream before any aggregation; idf/length-normalization
+    reduced to exact-integer inputs with a frozen one-ln float stage
+    and an integer micro-unit sum, so the DuckDB replay is hash-exact
+    — estimates and ranks included."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, BM25_QUERIES, k=10)
+
+
+_BM25_STAGE: dict[str, str] = {}
+
+
+@register("bm25_topk_at_rest", oracle=_BM25_ORACLE)
+def bm25_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the persisted postings index
+    (operators.retrieval.bm25_index_write / bm25_topk_at_rest): the
+    serving shape — statistics computed once at ingest, the probe
+    reads only the query terms' token-hash partitions (partition
+    pruning asserted in tests/test_retrieval.py) and joins nothing
+    corpus-sized. Shares the ad-hoc entry's oracle: the index path
+    must return bit-identical rows."""
+    import tempfile
+
+    if sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="bm25_idx_")
+        docs = load_table(spark, sf_dir, "documents")
+        R.bm25_index_write(docs, f"{tmp}/index")
+        _BM25_STAGE[sf_dir] = tmp
+    return R.bm25_topk_at_rest(
+        spark, f"{_BM25_STAGE[sf_dir]}/index", BM25_QUERIES, k=10
+    )
+
+
+@register("bm25_topk_incremental", oracle=_BM25_ORACLE)
+def bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-loop index shape (operators.retrieval.
+    bm25_index_append): the corpus arrives as three disjoint batches,
+    each appended at O(batch) cost — batch-keyed postings, additive
+    term-stats/corpus-scalar deltas, nothing at rest re-read or
+    rewritten. The probe of the incrementally-built index shares the
+    ad-hoc entry's oracle: document frequency and length
+    normalization reflect the FULL corpus, so incremental == one-shot
+    bit-for-bit."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if "incr:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="bm25_incr_")
+        docs = load_table(spark, sf_dir, "documents")
+        for b in range(3):
+            R.bm25_index_append(
+                docs.where(F.col("doc_id") % 3 == b), f"{tmp}/index", b
+            )
+        _BM25_STAGE["incr:" + sf_dir] = tmp
+    return R.bm25_topk_at_rest(
+        spark, f"{_BM25_STAGE['incr:' + sf_dir]}/index", BM25_QUERIES, k=10
+    )
+
+
+@register("streaming_bm25_index_topk", oracle=_BM25_ORACLE)
+def streaming_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index maintenance at ingest latency (streaming.bm25_index):
+    documents arrive as five micro-batches; each appends postings and
+    additive stats deltas via foreachBatch. A probe of the streamed
+    index hash-matches the SAME oracle as the ad-hoc bm25_topk entry —
+    the streaming decomposition loses and invents nothing. Duplicate
+    delivery/crash replay pinned in tests/test_retrieval.py."""
+    import tempfile
+
+    from ..streaming.bm25_index import run_streaming_bm25_index
+    from .streamplans import _stage_document_batches
+
+    if "stream:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="bm25_stream_")
+        watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+        run_streaming_bm25_index(
+            spark,
+            watch,
+            f"{tmp}/index",
+            schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        _BM25_STAGE["stream:" + sf_dir] = tmp
+    return R.bm25_topk_at_rest(
+        spark, f"{_BM25_STAGE['stream:' + sf_dir]}/index", BM25_QUERIES, k=10
+    )

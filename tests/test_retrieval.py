@@ -1,0 +1,171 @@
+"""BM25 retrieval: independent-reference parity, at-rest equivalence,
+partition pruning, and the exactness contract's edge cases."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+    bm25_index_write,
+    bm25_topk,
+    bm25_topk_at_rest,
+)
+
+CORPUS = [
+    (0, "hash join hash join table"),
+    (1, "slow scan of the big table"),
+    (2, "merge join on the key column"),
+    (3, "hash"),
+    (4, "a very long document about nothing relevant at all here now"),
+    (5, "table table table table"),
+]
+QUERIES = [(1, "hash join"), (2, "table"), (3, "absent tokens only")]
+
+
+def py_bm25_micro(corpus, query_terms):
+    """Independent plain-Python BM25 (k1=1.2, b=0.75, Lucene idf),
+    replaying the engine's micro-unit freeze: per-term
+    round(idf * tfpart * 1e6) summed as ints."""
+    toks = {i: t.split(" ") for i, t in corpus}
+    n = len(corpus)
+    sdl = sum(len(t) for t in toks.values())
+    out = {}
+    for qid, terms in query_terms.items():
+        for term in terms:
+            df = sum(1 for t in toks.values() if term in t)
+            if df == 0:
+                continue
+            idf = math.log((2 * n + 2) / (2 * df + 1))
+            for i, t in toks.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                dl = len(t)
+                tfpart = (44 * tf * sdl) / (
+                    (20 * tf * sdl + 6 * sdl) + 18 * dl * n
+                )
+                out[(qid, i)] = out.get((qid, i), 0) + int(
+                    round(idf * tfpart * 1e6)
+                )
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+
+
+def test_bm25_matches_independent_reference(spark, docs):
+    got = {
+        (r.query_id, r.doc_id): r.score_micro
+        for r in bm25_topk(docs, QUERIES, k=10).collect()
+    }
+    want = py_bm25_micro(
+        CORPUS, {q: t.split(" ") for q, t in QUERIES}
+    )
+    assert got == want
+    # sanity on the semantics the numbers should encode: doc 0 (two
+    # 'hash join' hits, short) beats everything on query 1; the
+    # all-absent query returns nothing
+    top_q1 = bm25_topk(docs, QUERIES, k=1).where(F.col("query_id") == 1)
+    assert [r.doc_id for r in top_q1.collect()] == [0]
+    assert not [k for k in got if k[0] == 3]
+
+
+def test_bm25_rank_ties_break_by_doc_id(spark):
+    """Identical documents tie on score; rank must order by doc_id."""
+    dup = spark.createDataFrame(
+        [(7, "x y"), (3, "x y"), (5, "x y")], "doc_id bigint, text string"
+    )
+    rows = bm25_topk(dup, [(1, "x")], k=3).collect()
+    assert [r.doc_id for r in rows] == [3, 5, 7]
+    assert [r.rnk for r in rows] == [1, 2, 3]
+    assert len({r.score_micro for r in rows}) == 1
+
+
+def test_bm25_at_rest_equals_ad_hoc_and_prunes(spark, docs, tmp_path):
+    path = str(tmp_path / "bm25_index")
+    bm25_index_write(docs, path)
+    at_rest = bm25_topk_at_rest(spark, path, QUERIES, k=10)
+    adhoc = bm25_topk(docs, QUERIES, k=10)
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+    assert sorted(map(tuple, at_rest.collect()), key=lambda t: t[:2]) == (
+        sorted(map(tuple, adhoc.collect()), key=lambda t: t[:2])
+    )
+    # the postings scan must carry partition filters on pfx — the
+    # probe reads the query terms' partitions, not the corpus
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pfx" in m.group(1), f"no pfx pruning in scan:\n{plan}"
+
+
+def test_bm25_index_tolerates_new_queries(spark, docs, tmp_path):
+    """The index is query-independent: terms unseen at build time
+    simply match nothing; a fresh query set needs no rebuild."""
+    path = str(tmp_path / "bm25_index2")
+    bm25_index_write(docs, path)
+    rows = bm25_topk_at_rest(
+        spark, path, [(9, "column key nothing"), (8, "zzz")], k=5
+    ).collect()
+    assert {r.query_id for r in rows} == {9}
+    got = {(r.query_id, r.doc_id): r.score_micro for r in rows}
+    want = py_bm25_micro(CORPUS, {9: ["column", "key", "nothing"]})
+    assert got == want
+
+
+def test_bm25_incremental_append_equals_one_shot(spark, docs, tmp_path):
+    """Disjoint batches appended with bm25_index_append must be
+    probe-identical to the one-shot build — df and length
+    normalization reflect the full corpus either way."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+    )
+
+    one = str(tmp_path / "one")
+    inc = str(tmp_path / "inc")
+    bm25_index_write(docs, one)
+    for b in range(3):
+        bm25_index_append(
+            docs.where(F.col("doc_id") % 3 == b), inc, batch_id=b
+        )
+    key = lambda t: t[:2]  # noqa: E731
+    got_inc = sorted(
+        map(tuple, bm25_topk_at_rest(spark, inc, QUERIES, k=10).collect()),
+        key=key,
+    )
+    got_one = sorted(
+        map(tuple, bm25_topk_at_rest(spark, one, QUERIES, k=10).collect()),
+        key=key,
+    )
+    assert got_inc == got_one
+
+
+def test_bm25_append_duplicate_delivery_idempotent(spark, docs, tmp_path):
+    """Replaying a batch (crash recovery / at-least-once delivery)
+    must leave the index bit-identical: batch-keyed dynamic overwrite
+    replaces, never duplicates."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+    )
+
+    path = str(tmp_path / "dup")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    bm25_index_append(b0, path, batch_id=0)
+    bm25_index_append(b1, path, batch_id=1)
+    before = sorted(
+        map(tuple, bm25_topk_at_rest(spark, path, QUERIES, k=10).collect())
+    )
+    bm25_index_append(b1, path, batch_id=1)  # duplicate delivery
+    after = sorted(
+        map(tuple, bm25_topk_at_rest(spark, path, QUERIES, k=10).collect())
+    )
+    assert before == after
+    # stats deltas did not double-count either
+    stats = spark.read.parquet(f"{path}/stats")
+    total = stats.groupBy().sum("n_docs").collect()[0][0]
+    assert total == docs.count()
