@@ -103,6 +103,9 @@ HEADLINE = [
     "multimodal_features",
     "streaming_daily_rollup",
     "streaming_dedup_rollup",
+    "bm25_topk_documents",
+    "bm25_topk_at_rest",
+    "corpus_datasheet_by_source",
 ]
 
 

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import token_count, tokens
 
 
 def apply_takedown(
@@ -520,3 +520,61 @@ def split_corpus(
         cond = draw < F.lit(cum)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn("split", expr)
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source data card — the release-documentation aggregate a
+    corpus ships with (Gebru et al., "Datasheets for Datasets"):
+    volume (documents, tokens, characters), exact-duplicate pressure
+    (docs minus distinct texts), language spread, and the dominant
+    language with its share. One map-side-combinable aggregation over
+    (source) plus one over (source, lang) for the dominant-language
+    pick — no corpus-sized join, every metric an exact integer (the
+    token average is the repo's exact-decimal division). At 100 TB the
+    datasheet costs one scan; text never shuffles (token counts are
+    computed in-plan, aggregation keys are source/lang)."""
+    from ..functions.exact import avg_of
+
+    base = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.count_distinct(F.col(lang_col)).cast("bigint").alias("n_langs"),
+        avg_of(token_count(text_col), "avg_doc_tokens"),
+    )
+    from pyspark.sql import Window
+
+    per_lang = df.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("lang_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("lang_docs").desc(), F.col("lang")
+    )
+    top = (
+        per_lang.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("lang_docs").alias("top_lang_docs"),
+        )
+    )
+    return base.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_exact_dup_docs",
+        "n_langs",
+        "avg_doc_tokens",
+        "top_lang",
+        "top_lang_docs",
+    )

@@ -1842,3 +1842,79 @@ def documents_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint",
     ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+_ORC_STAGE: dict[str, str] = {}
+
+
+@register(
+    "documents_orc_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def documents_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange fidelity (sources.writers.write_orc /
+    read_orc — the Hive-ecosystem columnar format): documents write to
+    zstd ORC and read back; hash-equality against the ORIGINAL parquet
+    proves the cycle loses nothing. Unlike the CSV edge there is no
+    quoting/NULL ambiguity to pin — ORC is typed and self-describing
+    (schema in the footer), so the hostile cases that need separate
+    pytests for CSV (embedded newlines, NULL-vs-empty) ride the same
+    roundtrip here (tests/test_sources_pipeline.py)."""
+    import tempfile
+
+    from ..sources.tables import load_table
+    from ..sources.writers import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    if sf_dir not in _ORC_STAGE:
+        tmp = tempfile.mkdtemp(prefix="docs_orc_")
+        write_orc(docs, f"{tmp}/docs")
+        _ORC_STAGE[sf_dir] = tmp
+    return read_orc(spark, f"{_ORC_STAGE[sf_dir]}/docs").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "corpus_datasheet_by_source",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)
+               AS n_exact_dup_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CAST(len(string_split(text, ' '))
+                  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_doc_tokens
+      FROM documents GROUP BY source
+    ), pl AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS lang_docs
+      FROM documents GROUP BY source, lang
+    ), top AS (
+      SELECT source, lang AS top_lang, lang_docs AS top_lang_docs
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY lang_docs DESC, lang) AS rnk
+        FROM pl
+      ) WHERE rnk = 1
+    )
+    SELECT base.*, top.top_lang, top.top_lang_docs
+    FROM base JOIN top USING (source)
+    """,
+)
+def corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (operators.governance.corpus_datasheet —
+    the Datasheets-for-Datasets release aggregate): volume,
+    exact-duplicate pressure, language spread, dominant language.
+    Integer-exact except the one exact-decimal token average; the
+    DuckDB replay is hash-exact. One scan, no corpus-sized join,
+    text never shuffles."""
+    from ..operators.governance import corpus_datasheet
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_datasheet(docs)

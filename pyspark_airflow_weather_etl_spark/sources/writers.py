@@ -321,3 +321,23 @@ def read_csv(spark, path: str, schema) -> DataFrame:
         .option("multiLine", "true")
         .csv(path)
     )
+
+
+def write_orc(
+    df: DataFrame, path: str, compression: str = "zstd"
+) -> None:
+    """ORC sink — the Hive-ecosystem columnar interchange (what Hive,
+    Trino/Presto and Iceberg-on-ORC warehouses exchange). Columnar
+    with embedded statistics like parquet, so downstream engines get
+    predicate pushdown and column pruning on the exported files too;
+    zstd by default (matching the parquet sink's codec choice,
+    session.py). Distributed write, one file per partition."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC source. ORC files carry their schema in the footer (unlike
+    CSV/JSONL there is no inference pass to avoid — the reader probes
+    footers only), so no explicit schema is required; pushdown and
+    pruning work as with parquet."""
+    return spark.read.orc(path)

@@ -393,3 +393,32 @@ class TestSplitCorpus:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+def test_corpus_datasheet_counts_and_tiebreak(spark):
+    """Volume/dup/lang metrics exact on a corpus built to exercise
+    them: duplicate texts within one source, a 50/50 language tie
+    (lexicographically-first lang must win), null-free integers."""
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        corpus_datasheet,
+    )
+
+    rows = [
+        (0, "a b c", "en", "web"),
+        (1, "a b c", "en", "web"),      # exact dup of 0
+        (2, "d e", "fr", "web"),
+        (3, "x", "fr", "books"),
+        (4, "y z", "de", "books"),      # books: fr/de tie -> 'de' wins
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    got = {r.source: r for r in corpus_datasheet(df).collect()}
+    web, books = got["web"], got["books"]
+    assert (web.n_docs, web.n_tokens, web.n_exact_dup_docs, web.n_langs) == (
+        3, 8, 1, 2,
+    )
+    assert (web.top_lang, web.top_lang_docs) == ("en", 2)
+    assert (books.n_docs, books.n_exact_dup_docs) == (2, 0)
+    assert (books.top_lang, books.top_lang_docs) == ("de", 1)
+    assert books.avg_doc_tokens == 1.5

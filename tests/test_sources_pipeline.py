@@ -312,3 +312,29 @@ def test_csv_round_trip_hostile_strings(spark, tmp_path):
     assert got[6] is None and got[7] is None
     for k in (1, 2, 3, 4, 5, 8):
         assert got[k] == want[k], (k, got[k])
+
+
+def test_orc_round_trip_hostile_values(spark, tmp_path):
+    """ORC is typed and self-describing, so every case CSV degrades on
+    must survive EXACTLY: embedded newlines, quotes, unicode, and —
+    unlike CSV — the NULL vs empty-string distinction."""
+    from pyspark_airflow_weather_etl_spark.sources.writers import (
+        read_orc,
+        write_orc,
+    )
+
+    rows = [
+        (1, 'plain'),
+        (2, 'comma, separated, "quoted"'),
+        (3, 'line one\nline two'),
+        (4, 'naïve — ünïcode 🙂'),
+        (5, ''),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema.simpleString() == "struct<id:bigint,text:string>"
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
