@@ -279,19 +279,31 @@ def bm25_topk_at_rest(
         {hashlib.md5(t.encode("utf-8")).hexdigest()[:_PFX_LEN] for t in terms}
     )
     qt = F.broadcast(_query_terms(spark, queries))
+    # explicit schemas on every index read: partition-column type
+    # INFERENCE would misread an all-numeric-looking set of hex pfx
+    # directory values as DOUBLE and break the string probe (found by
+    # the positional twin's test) — and pinning the schema skips the
+    # inference pass entirely
     postings = (
-        spark.read.parquet(f"{index_path}/postings")
+        spark.read.schema(
+            "token string, doc_id bigint, tf bigint, dl bigint,"
+            " batch bigint, pfx string"
+        )
+        .parquet(f"{index_path}/postings")
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(terms))
         .select("token", "doc_id", "tf", "dl")
     )
     termstats = F.broadcast(
-        spark.read.parquet(f"{index_path}/termstats")
+        spark.read.schema("token string, df bigint, batch bigint")
+        .parquet(f"{index_path}/termstats")
         .where(F.col("token").isin(terms))
         .groupBy("token")
         .agg(F.sum("df").cast("bigint").alias("df"))
     )
     stats = F.broadcast(
-        spark.read.parquet(f"{index_path}/stats").agg(
+        spark.read.schema("n_docs bigint, sum_dl bigint, batch bigint")
+        .parquet(f"{index_path}/stats")
+        .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("sum_dl").cast("bigint").alias("sum_dl"),
         )
@@ -306,3 +318,126 @@ def bm25_topk_at_rest(
         F.sum("term_micro").cast("bigint").alias("score_micro")
     )
     return _rank_topk(scored, k)
+
+
+def phrase_counts(
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrence counts — (phrase_id, doc_id, n_matches)
+    for every document containing the phrase's tokens ADJACENT and in
+    order, overlapping occurrences included ('x x x' contains 'x x'
+    twice).
+
+    Whole-stage-codegen evaluation: the tiny phrase table broadcasts
+    onto the corpus and each document's token array is scanned with a
+    built-in higher-order filter (positions i where
+    slice(tokens, i, m) == phrase) — no Python, no explode, no
+    shuffle of text; the only aggregation is the already-tiny result.
+    The at-rest twin (:func:`phrase_match_at_rest`) answers the same
+    query from positional postings without touching the corpus."""
+    spark = docs.sparkSession
+    p = spark.createDataFrame(phrases, "phrase_id bigint, phrase string")
+    p = p.select("phrase_id", tokens("phrase").alias("p"))
+    t = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    # upper bound clamped to 1, not 0: sequence(1, 0) is DESCENDING in
+    # Spark ([1, 0]) and slice(start=0) throws. For a document shorter
+    # than the phrase the single probed slice is truncated and can
+    # never equal the phrase, so the clamp is semantics-free.
+    n_matches = F.size(
+        F.filter(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("t") - F.size("p") + 1, F.lit(1)),
+            ),
+            lambda i: F.slice("t", i, F.size("p")) == F.col("p"),
+        )
+    ).cast("bigint")
+    return (
+        t.crossJoin(F.broadcast(p))
+        .select("phrase_id", "doc_id", n_matches.alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )
+
+
+def positional_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist positional postings — one (token, doc_id, pos) row per
+    token OCCURRENCE, partitioned by the token's md5-prefix like the
+    BM25 layout. Positions are what phrase and proximity queries
+    consume; the index is written once at ingest and a probe reads
+    only its query tokens' partitions."""
+    t = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    posted = t.select(
+        "doc_id", F.posexplode("t").alias("pos", "token")
+    ).select(
+        "token",
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.substring(F.md5("token"), 1, _PFX_LEN).alias("pfx"),
+    )
+    posted.write.mode("overwrite").partitionBy("pfx").parquet(
+        f"{path}/postings_pos"
+    )
+
+
+def phrase_match_at_rest(
+    spark: SparkSession,
+    index_path: str,
+    phrases: list[tuple[int, str]],
+) -> DataFrame:
+    """Phrase counts from the positional postings index — the classic
+    inverted-index phrase evaluation: for phrase tokens w1…wm, join
+    the m posting lists on (doc_id, position offset) so a match is a
+    run of adjacent positions; count runs per document. Joins touch
+    only (doc_id, pos) narrow rows of the phrase's OWN tokens
+    (partition pruning on pfx, driver-side md5 — asserted in
+    tests/test_retrieval.py); the corpus is never read. Returns
+    exactly the rows of :func:`phrase_counts`."""
+    all_terms = sorted({t for _, q in phrases for t in q.split(" ") if t})
+    pfxs = sorted(
+        {
+            hashlib.md5(t.encode("utf-8")).hexdigest()[:_PFX_LEN]
+            for t in all_terms
+        }
+    )
+    postings = (
+        spark.read.schema("token string, doc_id bigint, pos bigint, pfx string")
+        .parquet(f"{index_path}/postings_pos")
+        .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
+        .select("token", "doc_id", "pos")
+    )
+    out = None
+    for phrase_id, q in phrases:
+        terms = [t for t in q.split(" ") if t]
+        if not terms:
+            continue
+        cur = postings.where(F.col("token") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for j, term in enumerate(terms[1:], start=1):
+            nxt = postings.where(F.col("token") == term).select(
+                F.col("doc_id").alias("d"), F.col("pos").alias("p")
+            )
+            cur = cur.join(
+                nxt,
+                (F.col("doc_id") == F.col("d"))
+                & (F.col("p") == F.col("p0") + j),
+            ).select("doc_id", "p0")
+        m = (
+            cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+            .select(
+                F.lit(phrase_id).cast("bigint").alias("phrase_id"),
+                "doc_id",
+                "n_matches",
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

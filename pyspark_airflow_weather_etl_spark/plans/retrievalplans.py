@@ -158,3 +158,64 @@ def streaming_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk_at_rest(
         spark, f"{_BM25_STAGE['stream:' + sf_dir]}/index", BM25_QUERIES, k=10
     )
+
+
+#: phrase set: two bigrams and one trigram over the fixture vocab —
+#: adjacency is much rarer than co-occurrence, so counts are sparse.
+PHRASES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "slow scan"),
+    (3, "merge batch part"),
+]
+
+_SQL_PHRASES = ", ".join(f"({i}, '{q}')" for i, q in PHRASES)
+
+_PHRASE_ORACLE = f"""
+    WITH p(phrase_id, phrase) AS (VALUES {_SQL_PHRASES}),
+    pt AS (
+      SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
+             string_split(phrase, ' ') AS pp
+      FROM p
+    ), tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT phrase_id, doc_id,
+             CAST(len(list_filter(
+               range(1, greatest(len(t) - len(pp) + 1, 0) + 1),
+               i -> t[i:i+len(pp)-1] = pp)) AS BIGINT) AS n_matches
+      FROM tok CROSS JOIN pt
+    )
+    SELECT phrase_id, doc_id, n_matches FROM m WHERE n_matches > 0
+    """
+
+
+@register("phrase_match_documents", oracle=_PHRASE_ORACLE)
+def phrase_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search, ad-hoc (operators.retrieval.phrase_counts):
+    occurrence counts of adjacent-and-in-order token runs, overlaps
+    included — whole-stage-codegen higher-order filter over the token
+    array, broadcast phrase table, no shuffle of text. Hash-exact vs
+    the DuckDB list-slice replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.phrase_counts(docs, PHRASES)
+
+
+@register("phrase_match_at_rest", oracle=_PHRASE_ORACLE)
+def phrase_match_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search from positional postings
+    (operators.retrieval.positional_index_write / phrase_match_at_rest
+    — the classic inverted-index phrase evaluation): posting lists of
+    the phrase's OWN tokens join on (doc_id, position offset); the
+    corpus is never read (partition pruning on the token md5 prefix).
+    Shares the ad-hoc entry's oracle: index evaluation must be
+    bit-identical."""
+    import tempfile
+
+    if "pos:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="pos_idx_")
+        docs = load_table(spark, sf_dir, "documents")
+        R.positional_index_write(docs, f"{tmp}/index")
+        _BM25_STAGE["pos:" + sf_dir] = tmp
+    return R.phrase_match_at_rest(
+        spark, f"{_BM25_STAGE['pos:' + sf_dir]}/index", PHRASES
+    )

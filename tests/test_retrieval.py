@@ -169,3 +169,82 @@ def test_bm25_append_duplicate_delivery_idempotent(spark, docs, tmp_path):
     stats = spark.read.parquet(f"{path}/stats")
     total = stats.groupBy().sum("n_docs").collect()[0][0]
     assert total == docs.count()
+
+
+def py_phrase_counts(corpus, phrases):
+    out = []
+    for pid, p in phrases:
+        pp = p.split(" ")
+        for i, t in corpus:
+            tt = t.split(" ")
+            n = sum(
+                1
+                for j in range(len(tt) - len(pp) + 1)
+                if tt[j : j + len(pp)] == pp
+            )
+            if n:
+                out.append((pid, i, n))
+    return sorted(out)
+
+
+def test_phrase_counts_overlaps_and_reference(spark):
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        phrase_counts,
+    )
+
+    corpus = [(0, "x x x y"), (1, "x y x x"), (2, "y y"), (3, "x")]
+    phrases = [(1, "x x"), (2, "x y"), (3, "z q"), (4, "x x x")]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = sorted(map(tuple, phrase_counts(df, phrases).collect()))
+    assert got == py_phrase_counts(corpus, phrases)
+    # overlapping runs: 'x x x' contains 'x x' twice, 'x x x' once
+    assert (1, 0, 2) in got and (4, 0, 1) in got
+
+
+def test_phrase_at_rest_equals_ad_hoc_and_prunes(spark, docs, tmp_path):
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_write,
+    )
+
+    path = str(tmp_path / "pos_idx")
+    positional_index_write(docs, path)
+    phrases = [(1, "hash join"), (2, "the big table"), (3, "nope nope")]
+    at_rest = phrase_match_at_rest(spark, path, phrases)
+    assert sorted(map(tuple, at_rest.collect())) == sorted(
+        map(tuple, phrase_counts(docs, phrases).collect())
+    )
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pfx" in m.group(1), f"no pfx pruning in scan:\n{plan}"
+
+
+def test_index_probe_survives_numeric_looking_prefixes(spark, tmp_path):
+    """Regression: every indexed token here has an ALL-DIGIT md5
+    prefix, so partition-column type inference would read pfx= as
+    DOUBLE and break the string probe — the explicit read schemas
+    must keep it a string."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_write,
+        bm25_topk,
+        bm25_topk_at_rest,
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_write,
+    )
+
+    corpus = [(0, "w2 w5 w2"), (1, "w5 w10 w14"), (2, "w14 w2")]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    queries = [(1, "w2 w14"), (2, "w5")]
+    phrases = [(1, "w2 w5"), (2, "w14 w2")]
+    b = str(tmp_path / "bm")
+    p = str(tmp_path / "pos")
+    bm25_index_write(df, b)
+    positional_index_write(df, p)
+    assert sorted(
+        map(tuple, bm25_topk_at_rest(spark, b, queries, k=5).collect())
+    ) == sorted(map(tuple, bm25_topk(df, queries, k=5).collect()))
+    assert sorted(
+        map(tuple, phrase_match_at_rest(spark, p, phrases).collect())
+    ) == sorted(map(tuple, phrase_counts(df, phrases).collect()))
