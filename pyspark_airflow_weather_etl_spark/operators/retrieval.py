@@ -114,15 +114,19 @@ def bm25_topk(
 ) -> DataFrame:
     """BM25 top-k per query, computed from the corpus in one job.
 
-    Scale shape: the query-term table is tiny and BROADCASTS onto the
-    exploded token stream, so only postings of the query's terms ever
-    reach an aggregation — the corpus-wide groupBy keys a handful of
-    tokens. df is likewise aggregated only for query terms. The one
-    corpus-sized shuffle is the (doc_id, dl) join onto the matched
-    candidates (~16 B/row, never text); the at-rest index removes even
-    that by denormalizing dl into the postings at build time.
+    Scale shape: the query's terms are known driver-side, so the
+    exploded token stream is pruned with an in-plan ``isin`` predicate
+    (pushed into the scan stage — no join, no exchange, only postings
+    of the query's terms ever reach an aggregation). tf aggregates
+    once and is PERSISTED (it is query-term-sized, tiny relative to
+    the corpus); df reuses it as a second aggregation instead of a
+    two-phase countDistinct over the postings. The one corpus-sized
+    shuffle is the (doc_id, dl) join onto the matched candidates
+    (~16 B/row, never text); the at-rest index removes even that by
+    denormalizing dl into the postings at build time.
     """
     spark = docs.sparkSession
+    terms = sorted({t for _, q in queries for t in q.split(" ") if t})
     qt = F.broadcast(_query_terms(spark, queries))
     tok = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
     # corpus scalars: one-row broadcast aggregate (no driver action)
@@ -133,15 +137,16 @@ def bm25_topk(
         )
     )
     dl = tok.select("doc_id", F.array_size("t").cast("bigint").alias("dl"))
-    posted = (
+    caches = claim_group("bm25_topk")
+    tf = persist_into(
+        caches,
         tok.select("doc_id", F.explode("t").alias("token"))
-        .join(qt.select("token").distinct(), "token")
+        .where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
     )
-    tf = posted.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    df = posted.groupBy("token").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
     term = (
         tf.join(F.broadcast(df), "token")
