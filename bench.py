@@ -105,6 +105,8 @@ HEADLINE = [
     "streaming_dedup_rollup",
     "bm25_topk_documents",
     "bm25_topk_at_rest",
+    "phrase_match_documents",
+    "phrase_match_at_rest",
     "corpus_datasheet_by_source",
 ]
 
