@@ -170,3 +170,131 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = M.scd2_compact(ev, "user_id", "event_type", "ts", "event_id")
     return M.scd2_point_in_time(ev, hist, "user_id", "ts")
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'view>click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'view>click>purchase',
+             CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    ) ORDER BY ord
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing FIRST-occurrence timestamps per user): users counted at
+    a stage only if they completed every earlier stage FIRST. Staged
+    conditional aggregations chained by user-keyed joins — each stage
+    frame is user-sized and SHRINKS monotonically, events shuffle once
+    per stage on user_id and text/props never move. (The one-pass
+    alternative — collect_list of each user's full event history and
+    scan it — builds per-user arrays that blow up on power-law users
+    at 100 TB; the staged form keeps state at one row per qualifying
+    user.) All counts exact integers; the DuckDB oracle replays the
+    same staged mins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = None
+    for ord_, stage, frame in (
+        (1, "view", s1),
+        (2, "view>click", s2),
+        (3, "view>click>purchase", s3),
+    ):
+        r = frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
+        ).select(
+            F.lit(ord_).alias("__ord"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("__ord").select("stage", "n_users")
+
+
+@register(
+    "retention_cohorts_events",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_day f ON a.user_id = f.user_id
+    WHERE datediff('day', f.cohort_day, a.day) <= 7
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted as retained on each later day they return (offsets 0–7).
+    Two narrow aggregations over (user_id, day) plus one user-keyed
+    join — the classic warehouse retention query, exact integers,
+    dates rendered as strings for cross-engine hashing. At scale the
+    distinct-(user, day) collapse happens map-side before any join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    activity = ev.distinct()
+    first_day = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        activity.join(first_day, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )

@@ -194,3 +194,41 @@ def test_offsets_raise_loudly_on_corrupt_local_rank(spark):
     )
     with pytest.raises(Exception, match="ranged rank decode corrupted"):
         _offsets(bad, False).collect()
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    """A user who clicks BEFORE their first view must not count at the
+    view>click stage; equal timestamps do not advance (strict >)."""
+    from pyspark_airflow_weather_etl_spark.plans.temporal import (
+        funnel_view_click_purchase,
+    )
+    import pyspark_airflow_weather_etl_spark.plans.temporal as T
+    from pyspark.sql import functions as F
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # u2: click precedes the first view -> stalls at 'view'
+        (2, "2024-01-01 00:30:00", "click"),
+        (2, "2024-01-01 01:00:00", "view"),
+        # u3: click at EXACTLY the view timestamp -> strict > stalls
+        (3, "2024-01-02 00:00:00", "view"),
+        (3, "2024-01-02 00:00:00", "click"),
+        # u4: purchase only -> never enters the funnel
+        (4, "2024-01-03 00:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = T.load_table
+    T.load_table = lambda s, d, n: ev
+    try:
+        got = {
+            r.stage: r.n_users
+            for r in funnel_view_click_purchase(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+    assert got == {"view": 3, "view>click": 1, "view>click>purchase": 1}
