@@ -105,14 +105,14 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     queries: list[tuple[int, str]],
-    k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """BM25 top-k per query, computed from the corpus in one job.
+    """BM25 scores (query_id, doc_id, score_micro) for every document
+    matching ≥1 query term, computed from the corpus in one job.
 
     Scale shape: the query's terms are known driver-side, so the
     exploded token stream is pruned with an in-plan ``isin`` predicate
@@ -157,10 +157,46 @@ def bm25_topk(
             "query_id", "doc_id", _term_micro().alias("term_micro")
         )
     )
-    scored = term.groupBy("query_id", "doc_id").agg(
+    return term.groupBy("query_id", "doc_id").agg(
         F.sum("term_micro").cast("bigint").alias("score_micro")
     )
-    return _rank_topk(scored, k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k per query — :func:`bm25_scores` + the ranked cut."""
+    return _rank_topk(bm25_scores(docs, queries, id_col, text_col), k)
+
+
+def bm25_hard_negatives(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR/SBERT
+    recipe): the top-k BM25-ranked documents per query AFTER removing
+    the known positives — lexically confusable non-answers, the
+    negatives that actually teach a bi-encoder.
+
+    ``positives`` is a (query_id, doc_id) DataFrame; removal is a
+    LEFT ANTI join on the scored candidates (query-term-sized, tiny
+    relative to the corpus), so ranks close up over the gap — rank 1
+    is the hardest surviving negative."""
+    scored = bm25_scores(docs, queries, id_col, text_col)
+    neg = scored.join(
+        positives.select("query_id", "doc_id"),
+        ["query_id", "doc_id"],
+        "left_anti",
+    )
+    return _rank_topk(neg, k)
 
 
 def _write_batch_keyed(df: DataFrame, out_path: str, partition_cols) -> None:

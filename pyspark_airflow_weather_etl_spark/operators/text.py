@@ -1190,3 +1190,52 @@ def gopher_filter(
             F.col(name) if passes is None else passes & F.col(name)
         )
     return out.withColumn("passes", passes)
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    classic gibberish/boilerplate quality signal (low entropy = one
+    token repeated; high = diverse vocabulary).
+
+    H = ln(L) − (Σ_types c·ln c)/L over type counts c and length L.
+    Cross-engine exactness by the retrieval-family recipe: the only
+    order-sensitive float sum (over a document's types) is FROZEN
+    per type to integer micro-units — round(c·ln(c)·1e6) — summed as
+    exact BIGINTs, then one fixed-shape float finish. Shuffles carry
+    (doc, token-type) counts, never text."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    dl = tok.select(
+        "doc_id", F.array_size("t").cast("bigint").alias("n_tokens")
+    )
+    c = F.col("c").cast("double")
+    per_type = (
+        tok.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "doc_id",
+            F.round(c * F.log(c) * F.lit(1000000.0), 0)
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    s = per_type.groupBy("doc_id").agg(
+        F.sum("term_micro").cast("bigint").alias("s_micro")
+    )
+    ent = (
+        F.log(F.col("n_tokens").cast("double"))
+        - (F.col("s_micro").cast("double") / F.lit(1000000.0))
+        / F.col("n_tokens").cast("double")
+    ) * F.lit(1000000.0)
+    return (
+        dl.join(s, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(ent, 0).cast("bigint").alias("entropy_micro"),
+        )
+    )

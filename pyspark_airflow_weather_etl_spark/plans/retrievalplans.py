@@ -24,7 +24,7 @@ BM25_QUERIES: list[tuple[int, str]] = [
 
 _SQL_QUERIES = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
 
-_BM25_ORACLE = f"""
+_BM25_SCORES_CTE = f"""
     WITH q(query_id, qtext) AS (VALUES {_SQL_QUERIES}),
     qt AS (
       SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
@@ -59,13 +59,18 @@ _BM25_ORACLE = f"""
              CAST(SUM(term_micro) AS BIGINT) AS score_micro
       FROM term GROUP BY query_id, doc_id
     )
+    """
+
+_BM25_RANK = """
     SELECT query_id, doc_id, score_micro, rnk FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (
                PARTITION BY query_id
                ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
-      FROM sc
+      FROM {src}
     ) WHERE rnk <= 10
     """
+
+_BM25_ORACLE = _BM25_SCORES_CTE + _BM25_RANK.format(src="sc")
 
 
 @register("bm25_topk_documents", oracle=_BM25_ORACLE)
@@ -219,3 +224,31 @@ def phrase_match_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.phrase_match_at_rest(
         spark, f"{_BM25_STAGE['pos:' + sf_dir]}/index", PHRASES
     )
+
+
+_BM25_NEG_ORACLE = _BM25_SCORES_CTE + """
+    , neg AS (
+      SELECT * FROM sc WHERE NOT (doc_id % 10 = query_id)
+    )
+    """ + _BM25_RANK.format(src="neg")
+
+
+@register("bm25_hard_negatives", oracle=_BM25_NEG_ORACLE)
+def bm25_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.retrieval.bm25_hard_negatives —
+    the DPR/SBERT contrastive-training recipe): top-10 BM25 candidates
+    per query after a LEFT ANTI join removes the known positives, so
+    ranks close up and rank 1 is the hardest surviving negative. The
+    fixture's positive set is the deterministic rule
+    doc_id % 10 == query_id (SF-independent); the oracle replays the
+    scores CTE with the same exclusion."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id bigint, qtext string")
+    positives = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(q.select("query_id")))
+        .where(F.col("doc_id") % 10 == F.col("query_id"))
+    )
+    return R.bm25_hard_negatives(docs, BM25_QUERIES, positives, k=10)

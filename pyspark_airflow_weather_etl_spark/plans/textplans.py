@@ -1918,3 +1918,40 @@ def corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_datasheet(docs)
+
+
+@register(
+    "token_entropy_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), ty AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token
+    ), s AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                  * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s_micro
+      FROM ty GROUP BY doc_id
+    ), dl AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT dl.doc_id, dl.n_tokens,
+           CAST(ROUND((ln(CAST(n_tokens AS DOUBLE))
+             - (CAST(s_micro AS DOUBLE) / 1000000.0)
+               / CAST(n_tokens AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+             AS entropy_micro
+    FROM dl JOIN s ON dl.doc_id = s.doc_id
+    """,
+)
+def token_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy
+    (operators.text.token_entropy) — gibberish/repetition quality
+    signal. Per-type integer micro-unit freeze makes the type sum
+    orderless, so the DuckDB replay is hash-exact, estimate
+    included."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.token_entropy(docs)

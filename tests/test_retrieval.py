@@ -248,3 +248,28 @@ def test_index_probe_survives_numeric_looking_prefixes(spark, tmp_path):
     assert sorted(
         map(tuple, phrase_match_at_rest(spark, p, phrases).collect())
     ) == sorted(map(tuple, phrase_counts(df, phrases).collect()))
+
+
+def test_hard_negatives_exclude_positives_and_close_ranks(spark, docs):
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_hard_negatives,
+    )
+
+    full = {
+        (r.query_id, r.rnk): r.doc_id
+        for r in bm25_topk(docs, QUERIES, k=10).collect()
+    }
+    # remove query 1's top doc; everything else shifts up one rank
+    positives = spark.createDataFrame(
+        [(1, full[(1, 1)])], "query_id bigint, doc_id bigint"
+    )
+    neg = {
+        (r.query_id, r.rnk): r.doc_id
+        for r in bm25_hard_negatives(docs, QUERIES, positives, k=10).collect()
+    }
+    assert (1, full[(1, 1)]) not in {
+        (q, d) for (q, _), d in neg.items() if q == 1
+    } or full[(1, 1)] != neg.get((1, 1))
+    assert neg[(1, 1)] == full[(1, 2)]
+    # untouched query unchanged
+    assert all(neg[(2, r)] == full[(2, r)] for r in range(1, 3) if (2, r) in full)

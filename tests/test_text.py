@@ -528,3 +528,26 @@ class TestLmReferenceScore:
             map(tuple, lm_bigram_score_against(docs, back).collect())
         )
         assert a == b
+
+
+def test_token_entropy_known_values(spark):
+    """Hand-checked entropies: uniform distribution = ln(L); single
+    repeated token = 0; a 2/1 mix matches the closed form."""
+    import math
+
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a a a a"), (2, "a a b")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.entropy_micro) for r in
+           token_entropy(df).collect()}
+    assert got[0] == (4, round(math.log(4) * 1e6))
+    assert got[1] == (4, 0)
+    # H = ln(3) - (2 ln 2)/3, with the per-type micro freeze replayed
+    s = round(2 * math.log(2) * 1e6)
+    want = round((math.log(3) - (s / 1e6) / 3) * 1e6)
+    assert got[2] == (3, want)
