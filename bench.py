@@ -449,6 +449,120 @@ def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _zorder_comparison(spark, sf_dir: str) -> dict[str, float]:
+    """Two-dimensional skipping evidence: the ×4 lineitem written (a)
+    linearly sorted by l_partkey and (b) Z-ordered on
+    (l_partkey, l_suppkey). Probes: a 2-D box, and a narrow predicate
+    on the NON-leading dimension (l_suppkey) — the query a linear sort
+    cannot serve (every file spans the full suppkey range). Result
+    equality asserted. HONEST SCALE NOTE: at fixture scale the timings
+    measure alike (a full 2.4 M-row × 3-int-column scan on 32 cores is
+    ~0.2 s, under the fixed per-query floor — verified at ×16 too), so
+    the published evidence is the FOOTER COUNT keys: files whose
+    min/max overlap the probed suppkey range, the unit the reader
+    prunes on. At 100 TB that count is the scan."""
+    import glob
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.scale import (
+        write_sorted,
+        write_zorder,
+    )
+
+    _, li_big = _scaled_facts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_zorder_")
+    lin_p, zor_p = f"{tmp}/li_linear", f"{tmp}/li_zorder"
+    write_sorted(li_big, lin_p, ["l_partkey"], files_per_write=64)
+    write_zorder(li_big, zor_p, "l_partkey", "l_suppkey", bits=16,
+                 files_per_write=64)
+
+    lo_p, hi_p, lo_s, hi_s = li_big.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    # ~2% slice of each dimension
+    p0 = lo_p + (hi_p - lo_p) * 40 // 100
+    p1 = lo_p + (hi_p - lo_p) * 42 // 100
+    s0 = lo_s + (hi_s - lo_s) * 40 // 100
+    s1 = lo_s + (hi_s - lo_s) * 42 // 100
+    box = (
+        (F.col("l_partkey") >= p0) & (F.col("l_partkey") < p1)
+        & (F.col("l_suppkey") >= s0) & (F.col("l_suppkey") < s1)
+    )
+    bdim = (F.col("l_suppkey") >= s0) & (F.col("l_suppkey") < s1)
+
+    def probe(path, pred):
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+            .collect()[0]
+        )
+
+    out: dict[str, float] = {}
+    answers: dict[str, tuple] = {}
+    samples: dict[str, list[float]] = {
+        "box2d_scan_linear": [], "box2d_scan_zorder": [],
+        "seconddim_scan_linear": [], "seconddim_scan_zorder": [],
+    }
+    plan = [
+        ("box2d_scan_linear", lin_p, box),
+        ("box2d_scan_zorder", zor_p, box),
+        ("seconddim_scan_linear", lin_p, bdim),
+        ("seconddim_scan_zorder", zor_p, bdim),
+    ]
+    for _ in range(BENCH_RUNS):
+        for key, path, pred in plan:
+            t0 = time.perf_counter()
+            r = probe(path, pred)
+            samples[key].append(time.perf_counter() - t0)
+            answers.setdefault(key, (r["n"], r["q"]))
+    assert answers["box2d_scan_linear"] == answers["box2d_scan_zorder"]
+    assert (
+        answers["seconddim_scan_linear"] == answers["seconddim_scan_zorder"]
+    ), "layout changed the answer"
+    for label, s in samples.items():
+        out[label] = round(_median(s), 3)
+
+    # footer truth: on the non-leading dimension the zorder layout's
+    # files must actually exclude the probed range more often
+    def matching_files(path: str) -> tuple[int, int]:
+        total = match = 0
+        for f in glob.glob(_os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["l_suppkey"]
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    fmin = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            total += 1
+            if fmin is None or (fmin < s1 and fmax >= s0):
+                match += 1
+        return match, total
+
+    m_zor, t_zor = matching_files(zor_p)
+    m_lin, t_lin = matching_files(lin_p)
+    assert m_zor < m_lin, (
+        f"zorder skipped nothing on the 2nd dim: {m_zor}/{t_zor} vs "
+        f"linear {m_lin}/{t_lin}"
+    )
+    out["seconddim_files_matched_linear"] = float(m_lin)
+    out["seconddim_files_matched_zorder"] = float(m_zor)
+    out["seconddim_files_total"] = float(t_lin)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _skew_comparison(
     spark, sf_dir: str, factor: int = 1, suffix: str = ""
 ) -> dict[str, float]:
@@ -1290,6 +1404,8 @@ def main() -> None:
     timings.update(_pq_pressure(spark, sf_dir))
     gc.collect()
     timings.update(_layout_skipping(spark, sf_dir))
+    gc.collect()
+    timings.update(_zorder_comparison(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

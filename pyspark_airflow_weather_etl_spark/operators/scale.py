@@ -341,3 +341,78 @@ def compact_table(
         overwrite_parquet_swap(df.repartition(n), path)
     _, after = _tree_bytes_and_files(spark, path)
     return before, after
+
+
+def zorder_value(
+    col_a: Column | str, col_b: Column | str, bits: int = 16
+) -> Column:
+    """Morton/Z-order curve value of two pre-binned integer columns
+    (each already in [0, 2^bits)): bit j of each input lands at output
+    bits 2j / 2j+1. Pure JVM bitwise expression — ``bits`` shift-and-
+    or terms per column, whole-stage-codegen friendly, no UDF."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(a, j).bitwiseAND(F.lit(1)), 2 * j)
+            ).bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, j).bitwiseAND(F.lit(1)), 2 * j + 1
+                )
+            )
+        )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    files_per_write: int | None = None,
+) -> None:
+    """Two-dimensional locality layout: rows sort along the Z-order
+    (Morton) curve of two columns, so files carry TIGHT min/max
+    statistics on BOTH — a predicate on either column (or a 2-D box)
+    skips files, where a linear sort serves only its leading column
+    and reads everything for the other (measured: bench.py
+    _zorder_comparison). This is Delta/Iceberg's OPTIMIZE ZORDER
+    expressed as plain Spark: bin each column to ``bits`` by its own
+    min/max (one tiny setup aggregate; the float binning affects
+    LAYOUT only, never values), interleave bits JVM-side, range-
+    partition + sort by the curve position. One write-time sort buys
+    every 2-D-selective query a data-proportional scan at 100 TB."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    span = (1 << bits) - 1
+
+    def _bin(c: str, lo, hi) -> Column:
+        if hi == lo:
+            return F.lit(0).cast("bigint")
+        return F.least(
+            F.lit(span).cast("bigint"),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                * F.lit(float(span))
+                / F.lit(float(hi - lo))
+            ).cast("bigint"),
+        )
+
+    z = zorder_value(_bin(col_a, lo_a, hi_a), _bin(col_b, lo_b, hi_b), bits)
+    zdf = df.withColumn("__z", z)
+    if files_per_write:
+        w = zdf.repartitionByRange(int(files_per_write), "__z")
+    else:
+        w = zdf.repartitionByRange("__z")
+    (
+        w.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

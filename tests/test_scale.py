@@ -332,3 +332,86 @@ class TestCompaction:
             map(tuple, spark.read.parquet(path).select("y", "id", "v").collect())
         )
         assert after_rows == before_rows
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark_airflow_weather_etl_spark.operators.scale import (
+        zorder_value,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(5, 3), (0, 0), (65535, 0)], "a long, b long")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_value("a", "b", bits=16).alias("z")
+        ).collect()
+    ]
+
+    def py_z(a, b, bits=16):
+        z = 0
+        for j in range(bits):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == [py_z(5, 3), 0, py_z(65535, 0)]
+    assert got[0] == 27
+
+
+def test_write_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """Footer truth: a zorder layout's files carry selective min/max
+    on BOTH columns — a narrow predicate on the NON-leading dimension
+    matches fewer files than under a linear sort of the other column;
+    and the layout never changes query answers."""
+    import glob
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.scale import (
+        write_sorted,
+        write_zorder,
+    )
+
+    n = 1 << 14
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 128).alias("a"),
+            (F.col("id") / 128).cast("long").alias("b"),
+            F.col("id").alias("v"),
+        )
+    )
+    lin, zor = str(tmp_path / "lin"), str(tmp_path / "zor")
+    write_sorted(df, lin, ["a"], files_per_write=16)
+    write_zorder(df, zor, "a", "b", bits=8, files_per_write=16)
+
+    def files_matching_b(path, lo, hi):
+        match = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}["b"]
+            st = md.row_group(0).column(idx).statistics
+            fmin, fmax = st.min, st.max
+            for rg in range(1, md.num_row_groups):
+                s = md.row_group(rg).column(idx).statistics
+                fmin, fmax = min(fmin, s.min), max(fmax, s.max)
+            total += 1
+            if fmin <= hi and fmax >= lo:
+                match += 1
+        return match, total
+
+    m_lin, t_lin = files_matching_b(lin, 10, 12)
+    m_zor, t_zor = files_matching_b(zor, 10, 12)
+    assert t_lin == t_zor == 16
+    assert m_zor < m_lin, (m_zor, m_lin)
+    # answers identical under both layouts
+    pred = (F.col("b") >= 10) & (F.col("b") <= 12) & (F.col("a") < 40)
+    r_lin = spark.read.parquet(lin).where(pred).agg(
+        F.count("*"), F.sum("v")
+    ).collect()
+    r_zor = spark.read.parquet(zor).where(pred).agg(
+        F.count("*"), F.sum("v")
+    ).collect()
+    assert r_lin == r_zor
