@@ -108,6 +108,11 @@ HEADLINE = [
     "phrase_match_documents",
     "phrase_match_at_rest",
     "corpus_datasheet_by_source",
+    "bm25_hard_negatives",
+    "token_entropy_documents",
+    "cdc_chunks_documents",
+    "funnel_view_click_purchase",
+    "retention_cohorts_events",
 ]
 
 

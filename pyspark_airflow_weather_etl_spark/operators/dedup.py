@@ -891,3 +891,114 @@ def portable_minhash_dedup_incremental_bucketed(
         .select("corpus_id", "new_id", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_hex: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Content-defined chunking over the token stream — the storage-
+    dedup primitive (LBFS/restic/borg family): a chunk boundary falls
+    AFTER token i whenever md5(token_i)'s last hex digit is in
+    ``boundary_hex`` (P = len/16, here 1/8 → expected ~8-token
+    chunks). Boundaries depend only on local content, so an insertion
+    reshapes chunks only near the edit and every untouched chunk keeps
+    its digest — which is exactly what makes chunk-level dedup between
+    corpus snapshots work where fixed-offset blocks would all shift.
+
+    Output: one row per chunk — (id, chunk_idx, digest, n_tokens).
+
+    Scale shape: ENTIRELY per-row — boundary positions via a
+    higher-order filter over per-token md5s, chunk texts via dynamic
+    array slices between consecutive boundaries; no explode-then-
+    window, no shuffle of text (only the digest rows leave the scan
+    stage). The boundary/starts/ends arrays are MATERIALIZED as
+    columns before the chunk transform references them: higher-order
+    lambdas are interpreted, and an element_at against an inline
+    expression re-evaluates that expression's whole tree (the md5
+    filter included) per chunk — measured 54 s vs 1.5 s at sf0.1 on
+    this exact operator. The scan is also spread across cores
+    (spread_small_scan): per-row HOF work on a one-file fixture would
+    otherwise run on a single task. md5 keeps digests replayable by
+    external engines."""
+    t = tokens(text_col)
+    last_hex = lambda x: F.substring(F.md5(x), 32, 1)  # noqa: E731
+    is_b = lambda x: last_hex(x).isin(*boundary_hex)  # noqa: E731
+    base = (
+        spread_small_scan(df)
+        .where(F.size(tokens(text_col)) > 0)
+        .select(F.col(id_col), t.alias("__t"))
+        .withColumn(
+            "__bpos",
+            F.filter(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__t") - 1, F.lit(0))
+                ),
+                lambda i: is_b(F.element_at(F.col("__t"), i)),
+            ),
+        )
+        .withColumn(
+            "__starts",
+            F.concat(
+                F.array(F.lit(1)),
+                F.transform("__bpos", lambda p: p + 1),
+            ),
+        )
+        .withColumn(
+            "__ends", F.concat(F.col("__bpos"), F.array(F.size("__t")))
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("__starts")),
+        lambda k: F.struct(
+            (k - 1).cast("bigint").alias("chunk_idx"),
+            F.array_join(
+                F.slice(
+                    F.col("__t"),
+                    F.element_at(F.col("__starts"), k),
+                    F.element_at(F.col("__ends"), k)
+                    - F.element_at(F.col("__starts"), k)
+                    + 1,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            (
+                F.element_at(F.col("__ends"), k)
+                - F.element_at(F.col("__starts"), k)
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        "c.chunk_idx",
+        F.md5("c.chunk_text").alias("digest"),
+        "c.n_tokens",
+    )
+
+
+def cdc_dedup_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Chunk-store economics of :func:`cdc_chunks` in one row: chunks
+    and tokens before/after digest-level dedup — the 'how much smaller
+    is the content-addressed store' number a snapshotting corpus
+    pipeline tracks. Exact integers: one groupBy(digest) collapse
+    (map-side combined, 16-byte keys) feeding one global aggregate."""
+    ch = cdc_chunks(df, id_col, text_col)
+    per_digest = ch.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return per_digest.agg(
+        F.sum("n_copies").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum(F.col("n_copies") * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("distinct_tokens"),
+    )

@@ -1955,3 +1955,70 @@ def token_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     included."""
     docs = load_table(spark, sf_dir, "documents")
     return X.token_entropy(docs)
+
+
+_CDC_CHUNKS_CTE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), b AS (
+      SELECT doc_id, t,
+             [1] || list_transform(
+               list_filter(range(1, len(t)),
+                           i -> substr(md5(t[i]), 32, 1) IN ('0', '1')),
+               p -> p + 1) AS starts,
+             list_filter(range(1, len(t)),
+                         i -> substr(md5(t[i]), 32, 1) IN ('0', '1'))
+               || [len(t)] AS ends
+      FROM tok
+    ), chunks AS (
+      SELECT doc_id, CAST(k.i - 1 AS BIGINT) AS chunk_idx,
+             md5(array_to_string(t[starts[k.i]:ends[k.i]], ' ')) AS digest,
+             CAST(ends[k.i] - starts[k.i] + 1 AS BIGINT) AS n_tokens
+      FROM b, LATERAL (
+        SELECT unnest(generate_series(1, len(starts))) AS i
+      ) k
+    )
+    """
+
+
+@register(
+    "cdc_chunks_documents",
+    oracle=_CDC_CHUNKS_CTE
+    + "SELECT doc_id, chunk_idx, digest, n_tokens FROM chunks",
+)
+def cdc_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators.dedup.cdc_chunks — the
+    LBFS/restic storage-dedup primitive): boundaries fall where a
+    per-token md5 digit matches, so edits reshape only nearby chunks
+    and untouched chunks keep their digests across corpus snapshots.
+    Entirely per-row codegen (HOF boundary filter + dynamic slices —
+    no explode-window, text never shuffles); hash-exact vs the DuckDB
+    list replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cdc_chunks(docs)
+
+
+@register(
+    "cdc_dedup_ratio",
+    oracle=_CDC_CHUNKS_CTE
+    + """
+    , per AS (
+      SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             ANY_VALUE(n_tokens) AS n_tokens
+      FROM chunks GROUP BY digest
+    )
+    SELECT CAST(SUM(n_copies) AS BIGINT) AS total_chunks,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+           CAST(SUM(n_copies * n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS distinct_tokens
+    FROM per
+    """,
+)
+def cdc_dedup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed-store economics of CDC chunking
+    (operators.dedup.cdc_dedup_ratio): chunk/token counts before vs
+    after digest dedup, exact integers — one 16-byte-key collapse plus
+    one global aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cdc_dedup_ratio(docs)

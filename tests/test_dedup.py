@@ -291,3 +291,47 @@ def test_bucketed_incremental_matches_flat_and_skips_index_exchange(
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+
+
+def test_cdc_chunk_locality_and_reference(spark):
+    """The CDC property that justifies the operator: inserting one
+    token reshapes only the chunk containing the edit — every other
+    chunk keeps its digest — and boundaries match an independent
+    Python replay of the md5 rule."""
+    import hashlib
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    a = "a b c d e f g h i j"
+    b = "a b c d e X f g h i j"  # one insertion mid-stream
+
+    def py_cdc(text):
+        t = text.split(" ")
+        bpos = [
+            i
+            for i in range(1, len(t))
+            if hashlib.md5(t[i - 1].encode()).hexdigest()[-1] in ("0", "1")
+        ]
+        starts = [1] + [p + 1 for p in bpos]
+        ends = bpos + [len(t)]
+        return [
+            hashlib.md5(
+                " ".join(t[s - 1 : e]).encode()
+            ).hexdigest()
+            for s, e in zip(starts, ends)
+        ]
+
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): r.digest
+        for r in cdc_chunks(df).collect()
+    }
+    da, db = py_cdc(a), py_cdc(b)
+    assert [got[(0, i)] for i in range(len(da))] == da
+    assert [got[(1, i)] for i in range(len(db))] == db
+    # locality: the two chunkings differ in exactly one digest
+    assert len(set(da) - set(db)) == 1 and len(set(db) - set(da)) == 1
