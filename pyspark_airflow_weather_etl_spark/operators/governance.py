@@ -578,3 +578,28 @@ def corpus_datasheet(
         "top_lang",
         "top_lang_docs",
     )
+
+
+def kanon_suppress(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity suppression: drop every row whose QUASI-IDENTIFIER
+    combination (the columns an adversary could link on) is shared by
+    fewer than ``k`` rows — the release gate that keeps small,
+    re-identifiable groups out of a published dataset. Complements
+    the identity vault (surrogates hide WHO; suppression hides rows
+    whose attribute combination alone is identifying).
+
+    One map-side-combinable count over the quasi columns plus a
+    broadcast-friendly semi join of the qualifying groups back onto
+    the rows — group keys shuffle, row payloads don't move until the
+    final filter. Deterministic: suppression depends only on counts."""
+    groups = (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= k)
+        .drop("__n")
+    )
+    return df.join(groups, list(quasi_cols), "left_semi")

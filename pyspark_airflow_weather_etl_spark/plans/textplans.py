@@ -2022,3 +2022,40 @@ def cdc_dedup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     one global aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return D.cdc_dedup_ratio(docs)
+
+
+@register(
+    "kanon_suppress_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id % 100 AS ubucket, event_type
+      FROM events
+    ), keep AS (
+      SELECT ubucket, event_type FROM g
+      GROUP BY ubucket, event_type HAVING COUNT(*) >= 25
+    )
+    SELECT g.ubucket AS ubucket, g.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM g JOIN keep
+      ON g.ubucket = keep.ubucket AND g.event_type = keep.event_type
+    GROUP BY g.ubucket, g.event_type
+    """,
+)
+def kanon_suppress_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (operators.governance.kanon_suppress):
+    rows whose quasi-identifier combination (user bucket × event type)
+    appears fewer than k=25 times are suppressed before publication.
+    Group-count semi-join — keys shuffle, payloads don't. The entry
+    aggregates the surviving rows per group so the oracle pins both
+    WHICH groups survive and their exact sizes."""
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("ubucket"), "event_type"
+    )
+    from ..operators.governance import kanon_suppress
+
+    kept = kanon_suppress(ev, ["ubucket", "event_type"], k=25)
+    return kept.groupBy("ubucket", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )

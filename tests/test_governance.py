@@ -422,3 +422,19 @@ def test_corpus_datasheet_counts_and_tiebreak(spark):
     assert (books.n_docs, books.n_exact_dup_docs) == (2, 0)
     assert (books.top_lang, books.top_lang_docs) == ("de", 1)
     assert books.avg_doc_tokens == 1.5
+
+
+def test_kanon_suppress_boundary(spark):
+    """Groups exactly at k survive; k-1 groups are suppressed; row
+    payloads come through untouched."""
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        kanon_suppress,
+    )
+
+    rows = [("a", "x", i) for i in range(3)] + [
+        ("b", "x", i) for i in range(2)
+    ] + [("a", "y", 9)]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, payload long")
+    kept = kanon_suppress(df, ["q1", "q2"], k=3).collect()
+    assert {(r.q1, r.q2) for r in kept} == {("a", "x")}
+    assert sorted(r.payload for r in kept) == [0, 1, 2]
