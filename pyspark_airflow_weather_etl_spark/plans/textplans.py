@@ -2059,3 +2059,42 @@ def kanon_suppress_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("ubucket", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+_CDC_STREAM_STAGE: dict[str, str] = {}
+
+
+@register(
+    "streaming_cdc_chunk_store",
+    oracle=_CDC_CHUNKS_CTE
+    + "SELECT doc_id, chunk_idx, digest, n_tokens FROM chunks",
+)
+def streaming_cdc_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk store at ingest latency
+    (streaming.cdc_store): documents arrive as five micro-batches,
+    each appends its CDC chunk rows batch-keyed. Chunking is a pure
+    per-document function, so the accumulated store hash-matches the
+    SAME oracle as the batch cdc_chunks_documents entry under any
+    arrival decomposition; same-batch crash replay absorbed by
+    batch-keyed dynamic overwrite, and a duplicated arrival FILE
+    leaves the digest set unchanged (content addressing — pinned in
+    tests/test_streaming.py)."""
+    import tempfile
+
+    from ..streaming.cdc_store import (
+        read_chunk_store,
+        run_streaming_cdc_store,
+    )
+    from .streamplans import _stage_document_batches
+
+    if sf_dir not in _CDC_STREAM_STAGE:
+        tmp = tempfile.mkdtemp(prefix="cdc_store_")
+        watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+        run_streaming_cdc_store(
+            spark, watch, f"{tmp}/chunks", schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        _CDC_STREAM_STAGE[sf_dir] = tmp
+    return read_chunk_store(
+        spark, f"{_CDC_STREAM_STAGE[sf_dir]}/chunks"
+    ).select("doc_id", "chunk_idx", "digest", "n_tokens")

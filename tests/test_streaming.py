@@ -1155,3 +1155,54 @@ def test_streaming_bloom_idempotent_replay_and_duplicates(spark, tmp_path):
         == one_shot
     )
     docs.unpersist()
+
+
+def test_streaming_cdc_store_duplicate_delivery(spark, tmp_path):
+    """A COPIED arrival file is a new micro-batch, so its (doc, chunk)
+    rows land again under a new batch id — what must hold is the
+    content-addressed contract: the DIGEST SET is unchanged and the
+    distinct (doc, chunk) view equals the one-shot batch chunking.
+    (Same-batch-id crash replay is the case batch-keyed dynamic
+    overwrite absorbs exactly.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import cdc_chunks
+    from pyspark_airflow_weather_etl_spark.streaming.cdc_store import (
+        read_chunk_store,
+        run_streaming_cdc_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g tok{i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    for b in range(2):
+        stage = str(tmp_path / f"s{b}")
+        docs.where(F.col("doc_id") % 2 == b).coalesce(1).write.parquet(stage)
+        import glob as g
+        part = g.glob(f"{stage}/part-*.parquet")[0]
+        os.rename(part, f"{watch}/b{b}.parquet")
+    # duplicate delivery: batch 1's file arrives twice under a new name
+    import shutil as sh
+    sh.copy(f"{watch}/b1.parquet", f"{watch}/b1_dup.parquet")
+    out = str(tmp_path / "chunks")
+    run_streaming_cdc_store(
+        spark, watch, out, docs.schema,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    store = read_chunk_store(spark, out)
+    got = sorted(
+        map(tuple, store
+            .select("doc_id", "chunk_idx", "digest", "n_tokens")
+            .dropDuplicates(["doc_id", "chunk_idx"]).collect())
+    )
+    want_rows = cdc_chunks(docs).collect()
+    assert got == sorted(map(tuple, want_rows))
+    # digest-level store content identical despite the duplicated file
+    assert {r.digest for r in store.collect()} == {
+        r.digest for r in want_rows
+    }
