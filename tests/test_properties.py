@@ -232,3 +232,41 @@ def test_funnel_requires_strict_stage_order(spark):
     finally:
         T.load_table = orig
     assert got == {"view": 3, "view>click": 1, "view>click>purchase": 1}
+
+
+# Random micro-corpora over a 6-word vocabulary: heavy tf/df
+# collisions, empty-ish docs, repeated tokens — the regime where a
+# BM25 implementation bug (df vs tf swap, length-norm slip, tie
+# handling) actually shows.
+_vocab = ["u", "v", "w", "x", "y", "z"]
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(_vocab), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+query_strategy = st.lists(
+    st.sampled_from(_vocab), min_size=1, max_size=3
+).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=docs_strategy, q=query_strategy)
+def test_bm25_scores_match_reference_on_random_corpora(spark, texts, q):
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from tests.test_retrieval import py_bm25_micro
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        (r.query_id, r.doc_id): r.score_micro
+        for r in bm25_topk(df, [(1, q)], k=100).collect()
+    }
+    # the engine scores DISTINCT query terms (qtf = 1, the standard
+    # practical BM25) — mirror that in the reference
+    want = py_bm25_micro(corpus, {1: sorted(set(q.split(" ")))})
+    assert got == want
