@@ -482,3 +482,64 @@ def phrase_match_at_rest(
         )
         out = m if out is None else out.unionByName(m)
     return out
+
+
+def proximity_counts(
+    docs: DataFrame,
+    pairs: list[tuple[int, str, str]],
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity (sloppy-phrase) search: for each (pair_id, term_a,
+    term_b), count position pairs with ``0 < |pos_a - pos_b| <= window``
+    per document — the NEAR operator (unordered co-occurrence within a
+    window) that sits between bag-of-words BM25 and exact phrase match.
+
+    Per-row codegen like phrase_counts: positions of each term come
+    from higher-order filters over the token array (materialized as
+    columns first — inline HOF subtrees re-evaluate per reference, the
+    cdc_chunks lesson), the pair count from a nested aggregate over the
+    two position arrays. Position arrays are doc-local; nothing
+    shuffles but the result."""
+    spark = docs.sparkSession
+    p = spark.createDataFrame(
+        pairs, "pair_id bigint, term_a string, term_b string"
+    )
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+        )
+        .crossJoin(F.broadcast(p))
+        .withColumn(
+            "__pa",
+            F.filter(
+                F.sequence(F.lit(1), F.size("__t")),
+                lambda i: F.element_at(F.col("__t"), i)
+                == F.col("term_a"),
+            ),
+        )
+        .withColumn(
+            "__pb",
+            F.filter(
+                F.sequence(F.lit(1), F.size("__t")),
+                lambda i: F.element_at(F.col("__t"), i)
+                == F.col("term_b"),
+            ),
+        )
+    )
+    w = F.lit(window)
+    n = F.aggregate(
+        "__pa",
+        F.lit(0).cast("bigint"),
+        lambda acc, a: acc
+        + F.size(
+            F.filter(
+                F.col("__pb"),
+                lambda b: (F.abs(b - a) <= w) & (b != a),
+            )
+        ).cast("bigint"),
+    )
+    return base.select(
+        "pair_id", "doc_id", n.alias("n_pairs")
+    ).where(F.col("n_pairs") > 0)

@@ -252,3 +252,42 @@ def bm25_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 10 == F.col("query_id"))
     )
     return R.bm25_hard_negatives(docs, BM25_QUERIES, positives, k=10)
+
+
+#: NEAR-operator pairs over the fixture vocab (window 3, unordered).
+PROX_PAIRS: list[tuple[int, str, str]] = [
+    (1, "hash", "join"),
+    (2, "slow", "fast"),
+    (3, "dup", "merge"),
+]
+
+_SQL_PAIRS = ", ".join(f"({i}, '{a}', '{b}')" for i, a, b in PROX_PAIRS)
+
+_PROX_ORACLE = f"""
+    WITH p(pair_id, term_a, term_b) AS (VALUES {_SQL_PAIRS}),
+    tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT CAST(p.pair_id AS BIGINT) AS pair_id, tok.doc_id,
+             CAST(COALESCE(list_sum(list_transform(
+               list_filter(range(1, len(t) + 1), i -> t[i] = term_a),
+               a -> len(list_filter(
+                 list_filter(range(1, len(t) + 1), i -> t[i] = term_b),
+                 b -> abs(b - a) <= 3 AND b <> a)))), 0) AS BIGINT)
+               AS n_pairs
+      FROM tok CROSS JOIN p
+    )
+    SELECT pair_id, doc_id, n_pairs FROM m WHERE n_pairs > 0
+    """
+
+
+@register("proximity_match_documents", oracle=_PROX_ORACLE)
+def proximity_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity / NEAR search (operators.retrieval.proximity_counts):
+    unordered term co-occurrence within a 3-token window, counted per
+    document — the slop operator between bag-of-words BM25 and exact
+    phrase match. Per-row codegen over materialized position arrays
+    (the cdc_chunks HOF lesson); hash-exact vs the DuckDB list
+    replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.proximity_counts(docs, PROX_PAIRS, window=3)

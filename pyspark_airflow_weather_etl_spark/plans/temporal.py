@@ -298,3 +298,53 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "events_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY day
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_events) AS BIGINT) AS sx,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+      FROM daily
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_events,
+           (n * n_events - sx) * (n * n_events - sx)
+             > 4 * (n * sq - sx * sx) AS is_anomaly
+    FROM daily CROSS JOIN s
+    """,
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags with an INTEGER-EXACT 2-sigma rule:
+    |x − mean| > 2·stddev cross-multiplied to
+    (n·x − S)² > 4·(n·Q − S²) so no float (mean, sqrt, division) ever
+    touches the boundary — bit-identical on any engine, no epsilon.
+    One narrow daily rollup, one one-row broadcast aggregate, one
+    codegen flag — the monitoring query a pipeline runs on every
+    ingest ledger."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    stats = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_events").cast("bigint").alias("sx"),
+            F.sum(F.col("n_events") * F.col("n_events"))
+            .cast("bigint")
+            .alias("sq"),
+        )
+    )
+    d = F.col("n") * F.col("n_events") - F.col("sx")
+    return daily.crossJoin(stats).select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        (d * d > 4 * (F.col("n") * F.col("sq") - F.col("sx") * F.col("sx")))
+        .alias("is_anomaly"),
+    )

@@ -270,3 +270,36 @@ def test_bm25_scores_match_reference_on_random_corpora(spark, texts, q):
     # practical BM25) — mirror that in the reference
     want = py_bm25_micro(corpus, {1: sorted(set(q.split(" ")))})
     assert got == want
+
+
+def test_daily_anomaly_rule_matches_float_two_sigma(spark):
+    """The integer cross-multiplied rule equals |x-mean| > 2*stddev
+    (population) on a hand-built series with one clear spike."""
+    import statistics
+
+    from pyspark_airflow_weather_etl_spark.plans import temporal as T
+    from pyspark.sql import functions as F
+
+    counts = [100, 102, 98, 101, 99, 100, 240, 97, 103, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, f"2024-02-{d:02d} 12:00:00")); eid += 1
+    ev = spark.createDataFrame(rows, "event_id bigint, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    orig = T.load_table
+    T.load_table = lambda s, dd, n: ev
+    try:
+        got = {
+            r.day: r.is_anomaly
+            for r in T.events_daily_anomalies(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+    mu = statistics.mean(counts)
+    sd = statistics.pstdev(counts)
+    for d, c in enumerate(counts, start=1):
+        assert got[f"2024-02-{d:02d}"] == (abs(c - mu) > 2 * sd), (d, c)
+    assert got["2024-02-07"] is True

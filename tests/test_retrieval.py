@@ -273,3 +273,27 @@ def test_hard_negatives_exclude_positives_and_close_ranks(spark, docs):
     assert neg[(1, 1)] == full[(1, 2)]
     # untouched query unchanged
     assert all(neg[(2, r)] == full[(2, r)] for r in range(1, 3) if (2, r) in full)
+
+
+def test_proximity_counts_window_semantics(spark):
+    """Window boundary inclusive, self-position excluded, symmetric
+    (unordered), multiplicity counted per position pair."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        proximity_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "x a a y"),       # |1-4| = 3 -> inside w=3
+            (1, "x b b b y"),     # |1-5| = 4 -> outside
+            (2, "y x"),           # reversed order still counts
+            (3, "x x y"),         # two x's near one y -> 2 pairs
+            (4, "x"),             # no partner
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.n_pairs
+        for r in proximity_counts(df, [(1, "x", "y")], window=3).collect()
+    }
+    assert got == {0: 1, 2: 1, 3: 2}
