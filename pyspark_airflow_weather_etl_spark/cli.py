@@ -205,6 +205,30 @@ def main(argv: list[str] | None = None) -> int:
     p_tok.add_argument("--max-piece-len", type=int, default=8)
     p_tok.add_argument("--em-iters", type=int, default=3)
 
+    p_idx = sub.add_parser(
+        "index",
+        help="build or append to the BM25 postings index",
+    )
+    p_idx.add_argument("--input", required=True, help="documents parquet")
+    p_idx.add_argument("--index", required=True, help="index directory")
+    p_idx.add_argument(
+        "--batch-id", type=int, default=0,
+        help="append batch id (same id replays idempotently)",
+    )
+    p_idx.add_argument("--text-col", default="text")
+    p_idx.add_argument("--id-col", default="doc_id")
+
+    p_srch = sub.add_parser(
+        "search",
+        help="BM25 top-k against an index built with `index`",
+    )
+    p_srch.add_argument("--index", required=True, help="index directory")
+    p_srch.add_argument(
+        "--query", required=True, action="append",
+        help="query string (repeatable; query_id = position)",
+    )
+    p_srch.add_argument("--k", type=int, default=10)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
@@ -455,6 +479,24 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 enc.write.mode("overwrite").parquet(args.out)
                 print(f"encoded -> {args.out}")
+        elif args.cmd == "index":
+            from .operators.retrieval import bm25_index_append
+
+            bm25_index_append(
+                spark.read.parquet(args.input),
+                args.index,
+                batch_id=args.batch_id,
+                id_col=args.id_col,
+                text_col=args.text_col,
+            )
+            print(f"indexed batch {args.batch_id} -> {args.index}")
+        elif args.cmd == "search":
+            from .operators.retrieval import bm25_topk_at_rest
+
+            queries = [(i + 1, q) for i, q in enumerate(args.query)]
+            bm25_topk_at_rest(spark, args.index, queries, k=args.k).show(
+                args.k * len(queries), truncate=False
+            )
     finally:
         spark.stop()
     return 0

@@ -216,3 +216,20 @@ def test_curate_cli_split_holdout(spark, tmp_path, docs_parquet, capsys):
     assert "after_split_holdout:" in printed
     n_in = spark.read.parquet(docs_parquet).count()
     assert 0 < spark.read.parquet(out).count() < n_in
+
+
+def test_index_and_search_cli(spark, tmp_path, docs_parquet, capsys):
+    idx = str(tmp_path / "bm25_idx")
+    assert main([
+        "index", "--input", docs_parquet, "--index", idx,
+    ]) == 0
+    assert main([
+        "search", "--index", idx, "--query", "hash join table", "--k", "3",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "score_micro" in out and "rnk" in out
+    # incremental append with a new batch id extends the same index
+    assert main([
+        "index", "--input", docs_parquet, "--index", idx,
+        "--batch-id", "1",
+    ]) == 0
