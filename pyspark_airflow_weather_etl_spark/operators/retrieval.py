@@ -543,3 +543,41 @@ def proximity_counts(
     return base.select(
         "pair_id", "doc_id", n.alias("n_pairs")
     ).where(F.col("n_pairs") > 0)
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    context: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context snippets: for each (query, document, term)
+    match, the ±``context``-token window around the FIRST occurrence
+    of each query term — what a retrieval UI shows under every hit
+    and what an annotation pipeline hands to raters.
+
+    Output: (query_id, doc_id, token, pos, snippet) — pos is the
+    1-based position of the first occurrence; snippet is the
+    space-joined window clamped to the document bounds. Per-row
+    codegen: array_position + one slice per matched term; the only
+    rows leaving the scan are actual matches joined to the broadcast
+    query-term table."""
+    spark = docs.sparkSession
+    qt = F.broadcast(_query_terms(spark, queries))
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    )
+    matched = t.join(qt, F.array_contains(F.col("__t"), F.col("token")))
+    pos = F.array_position("__t", F.col("token")).cast("bigint")
+    start = F.greatest(pos - context, F.lit(1))
+    end = F.least(pos + context, F.size("__t").cast("bigint"))
+    return matched.select(
+        "query_id",
+        "doc_id",
+        "token",
+        pos.alias("pos"),
+        F.array_join(
+            F.slice("__t", start, (end - start + F.lit(1)).cast("int")), " "
+        ).alias("snippet"),
+    )

@@ -291,3 +291,37 @@ def proximity_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay."""
     docs = load_table(spark, sf_dir, "documents")
     return R.proximity_counts(docs, PROX_PAIRS, window=3)
+
+
+_KWIC_ORACLE = f"""
+    WITH q(query_id, qtext) AS (VALUES {_SQL_QUERIES}),
+    qt AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+             unnest(string_split(qtext, ' ')) AS token
+      FROM q
+    ), tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT qt.query_id, tok.doc_id, qt.token,
+             CAST(list_position(t, token) AS BIGINT) AS pos,
+             t
+      FROM tok JOIN qt ON list_contains(t, token)
+    )
+    SELECT query_id, doc_id, token, pos,
+           array_to_string(
+             t[greatest(pos - 3, 1):least(pos + 3, len(t))], ' ')
+             AS snippet
+    FROM m
+    """
+
+
+@register("kwic_snippets_documents", oracle=_KWIC_ORACLE)
+def kwic_snippets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets (operators.retrieval.kwic_snippets):
+    the ±3-token window around the first occurrence of each query term
+    per matching document — the retrieval-UI/annotation surface.
+    Per-row codegen (array_position + slice), broadcast query terms,
+    only matches leave the scan; hash-exact vs the DuckDB list-slice
+    replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.kwic_snippets(docs, BM25_QUERIES, context=3)

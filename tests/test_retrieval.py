@@ -297,3 +297,21 @@ def test_proximity_counts_window_semantics(spark):
         for r in proximity_counts(df, [(1, "x", "y")], window=3).collect()
     }
     assert got == {0: 1, 2: 1, 3: 2}
+
+
+def test_kwic_snippets_window_clamps(spark):
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        kwic_snippets,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c TARGET d e f"), (1, "TARGET x y"), (2, "p q TARGET")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.pos, r.snippet)
+        for r in kwic_snippets(df, [(1, "TARGET")], context=2).collect()
+    }
+    assert got[0] == (4, "b c TARGET d e")      # full window
+    assert got[1] == (1, "TARGET x y")          # clamped left
+    assert got[2] == (3, "p q TARGET")          # clamped right
