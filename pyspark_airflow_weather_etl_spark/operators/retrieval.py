@@ -581,3 +581,48 @@ def kwic_snippets(
             F.slice("__t", start, (end - start + F.lit(1)).cast("int")), " "
         ).alias("snippet"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    to combine a dense (embedding) and a sparse (BM25) ranking without
+    score calibration: each list contributes 1/(k_rrf + rank) and the
+    fused order is by the sum. Every input is a (doc_id, rnk)
+    DataFrame (its own top-K cut; absent docs contribute zero, the
+    top-K-lists convention).
+
+    Integer-exact: each contribution freezes to
+    round(1e6/(k_rrf + rank)) — one float divide + round over exact
+    ints, identical expression shape in the oracle — and the fusion
+    SUM is BIGINT arithmetic, orderless. Candidate lists are top-K
+    sized, so the whole fusion is broadcast-scale regardless of corpus
+    size."""
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            "doc_id",
+            F.round(
+                F.lit(1000000.0)
+                / (F.lit(k_rrf) + F.col("rnk")).cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    scored = u.groupBy("doc_id").agg(
+        F.sum("__c").cast("bigint").alias("rrf_micro")
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "rrf_micro", "rnk")
+    )

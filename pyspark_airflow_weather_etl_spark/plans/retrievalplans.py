@@ -325,3 +325,117 @@ def kwic_snippets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay."""
     docs = load_table(spark, sf_dir, "documents")
     return R.kwic_snippets(docs, BM25_QUERIES, context=3)
+
+
+_HYBRID_ORACLE = f"""
+    WITH q(query_id, qtext) AS (VALUES {_SQL_QUERIES}),
+    qt AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+             unnest(string_split(qtext, ' ')) AS token
+      FROM q
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dlt AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), dft AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM dlt
+    ), term AS (
+      SELECT qt.query_id, tf.doc_id,
+             {R.SQL_TERM_MICRO} AS term_micro
+      FROM qt
+      JOIN tf USING (token)
+      JOIN dft ON tf.token = dft.token
+      JOIN dlt ON tf.doc_id = dlt.doc_id
+      CROSS JOIN s
+    ), sc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM term WHERE query_id = 1 GROUP BY query_id, doc_id
+    ), sparse AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                 ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+        FROM sc
+      ) WHERE rnk <= 30
+    ), qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(qv.v AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings e, qv
+    ), dense AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                 ORDER BY cosine DESC, doc_id) AS INT) AS rnk
+        FROM cos
+      ) WHERE rnk <= 30
+    ), contrib AS (
+      SELECT doc_id,
+             CAST(ROUND(1000000.0 / CAST(60 + rnk AS DOUBLE), 0)
+                  AS BIGINT) AS c
+      FROM sparse
+      UNION ALL
+      SELECT doc_id,
+             CAST(ROUND(1000000.0 / CAST(60 + rnk AS DOUBLE), 0)
+                  AS BIGINT) AS c
+      FROM dense
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_micro, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    """
+
+
+@register("hybrid_rrf_dense_sparse", oracle=_HYBRID_ORACLE)
+def hybrid_rrf_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search by reciprocal-rank fusion
+    (operators.retrieval.rrf_fuse — the vector-DB standard for
+    combining dense and sparse retrieval without score calibration):
+    the BM25 top-30 for query 1 fuses with the exact-cosine top-30 of
+    vec_id 0's embedding (the fixture has no text-to-vector model, so
+    the query vector stands in for the query's embedding — stated
+    honestly; the fusion algebra is what this entry pins). Ranks are
+    taken over 6-dp-rounded cosines, which the cosine entry already
+    proves engine-stable; contributions freeze to
+    round(1e6/(60+rank)) ints, so the fused ranking is hash-exact."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+
+    from ..operators.similarity import brute_force_topk
+    from .simplans import _query_vector
+
+    docs = load_table(spark, sf_dir, "documents")
+    sparse = (
+        R.bm25_topk(docs, [BM25_QUERIES[0]], k=30)
+        .select("doc_id", "rnk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    dense = (
+        brute_force_topk(emb, qv, k=30)
+        .select(FF.col("vec_id").alias("doc_id"), "cosine")
+        .withColumn(
+            "rnk",
+            FF.row_number()
+            .over(W.orderBy(FF.col("cosine").desc(), FF.col("doc_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "rnk")
+    )
+    return R.rrf_fuse([sparse, dense], k=10)

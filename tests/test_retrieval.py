@@ -315,3 +315,30 @@ def test_kwic_snippets_window_clamps(spark):
     assert got[0] == (4, "b c TARGET d e")      # full window
     assert got[1] == (1, "TARGET x y")          # clamped left
     assert got[2] == (3, "p q TARGET")          # clamped right
+
+
+def test_rrf_fuse_matches_reference(spark):
+    """RRF on two hand-built rankings: contribution table checked
+    against the round(1e6/(60+r)) reference, absent docs contribute
+    zero, ties break by doc_id."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id bigint, rnk int"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id bigint, rnk int"
+    )
+    got = {
+        r.doc_id: (r.rrf_micro, r.rnk)
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    c = lambda r: round(1e6 / (60 + r))  # noqa: E731
+    want_scores = {
+        10: c(1), 11: c(2) + c(1), 12: c(3), 13: c(2),
+    }
+    assert {d: s for d, (s, _) in got.items()} == want_scores
+    order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+    assert [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
