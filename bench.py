@@ -454,6 +454,73 @@ def _layout_skipping(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _bm25_scale_probe(spark, sf_dir: str, factor: int = 32) -> dict[str, float]:
+    """The serving-index scale story, measured: documents replicated
+    ×``factor`` (shifted ids — same vocabulary, same df shape per
+    copy), then the SAME query set answered (a) ad-hoc from the corpus
+    and (b) from the postings index built once at ingest. Ad-hoc pays
+    a corpus re-scan per query and grows with the corpus; the probe
+    reads only the query terms' partitions and stays ~flat — the
+    at-100-TB difference, visible at fixture scale because ×32 puts
+    the scan term well above the fixed floor. Result equality
+    asserted (same replicated corpus on both paths)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_write,
+        bm25_topk,
+        bm25_topk_at_rest,
+    )
+    from pyspark_airflow_weather_etl_spark.plans.retrievalplans import (
+        BM25_QUERIES,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+    big = (
+        docs.crossJoin(F.broadcast(rep))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * shift)
+        .drop("__rep")
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_bm25_scale_")
+    big.write.parquet(f"{tmp}/docs")  # both paths read the same files
+    big_p = spark.read.parquet(f"{tmp}/docs")
+    bm25_index_write(big_p, f"{tmp}/index")  # ingest-time cost, setup
+
+    out: dict[str, float] = {}
+    answers: dict[str, list] = {}
+    samples: dict[str, list[float]] = {
+        f"bm25_adhoc_{factor}x": [],
+        f"bm25_at_rest_{factor}x": [],
+    }
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        r = sorted(map(tuple, bm25_topk(big_p, BM25_QUERIES, k=10).collect()))
+        samples[f"bm25_adhoc_{factor}x"].append(time.perf_counter() - t0)
+        answers.setdefault("adhoc", r)
+        release_cached()
+        t0 = time.perf_counter()
+        r = sorted(
+            map(
+                tuple,
+                bm25_topk_at_rest(
+                    spark, f"{tmp}/index", BM25_QUERIES, k=10
+                ).collect(),
+            )
+        )
+        samples[f"bm25_at_rest_{factor}x"].append(time.perf_counter() - t0)
+        answers.setdefault("at_rest", r)
+    assert answers["adhoc"] == answers["at_rest"], "index diverged from ad-hoc"
+    for label, s in samples.items():
+        out[label] = round(_median(s), 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _zorder_comparison(spark, sf_dir: str) -> dict[str, float]:
     """Two-dimensional skipping evidence: the ×4 lineitem written (a)
     linearly sorted by l_partkey and (b) Z-ordered on
@@ -1411,6 +1478,8 @@ def main() -> None:
     timings.update(_layout_skipping(spark, sf_dir))
     gc.collect()
     timings.update(_zorder_comparison(spark, sf_dir))
+    gc.collect()
+    timings.update(_bm25_scale_probe(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
