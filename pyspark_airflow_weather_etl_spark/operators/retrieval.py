@@ -626,3 +626,97 @@ def rrf_fuse(
         .where(F.col("rnk") <= k)
         .select("doc_id", "rrf_micro", "rnk")
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval evaluation per query — nDCG@k, MRR@k, recall@k —
+    given ``results`` (query_id, doc_id, rnk) and binary ``qrels``
+    (query_id, doc_id): the harness numbers a retrieval change is
+    judged by.
+
+    Exactness: each rank's DCG gain freezes to integer micro-units
+    round(1e6/log2(rank+1)) (one log per rank over exact ints, the
+    BM25 recipe), so the per-query sums are orderless BIGINT
+    arithmetic; nDCG/MRR land as one fixed-shape division rounded to
+    6 dp. IDCG@k is the ideal prefix over min(n_relevant, k). Queries
+    with no relevant documents report zeros (defined, not NULL).
+    Both inputs are top-K/qrel-sized — the whole evaluation is
+    broadcast-scale."""
+    hits = results.where(F.col("rnk") <= k).join(
+        qrels.select("query_id", "doc_id").withColumn(
+            "__rel", F.lit(1).cast("bigint")
+        ),
+        ["query_id", "doc_id"],
+        "left",
+    )
+    gain = F.round(
+        F.lit(1000000.0)
+        / (F.log2((F.col("rnk") + F.lit(1)).cast("double"))),
+        0,
+    ).cast("bigint")
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.when(F.col("__rel") == 1, gain).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dcg_micro"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rnk"))).alias(
+            "first_rel_rnk"
+        ),
+        F.sum(F.when(F.col("__rel") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    n_rel = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    # ideal DCG: gains at ranks 1..min(n_relevant, k), same micro freeze
+    ideal = F.aggregate(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.least(F.col("n_relevant"), F.lit(k)), F.lit(0))
+            .cast("int"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, r: acc
+        + F.round(
+            F.lit(1000000.0) / F.log2((r + F.lit(1)).cast("double")), 0
+        ).cast("bigint"),
+    )
+    joined = (
+        n_rel.join(per_q, "query_id", "left")
+        .withColumn("idcg_micro", ideal)
+        .na.fill(
+            {"dcg_micro": 0, "n_hits": 0}
+        )
+    )
+    ndcg = F.when(F.col("idcg_micro") > 0,
+                  F.round(
+                      F.col("dcg_micro").cast("double")
+                      / F.col("idcg_micro").cast("double"),
+                      6,
+                  )).otherwise(F.lit(0.0))
+    mrr = F.when(
+        F.col("first_rel_rnk").isNotNull(),
+        F.round(
+            F.lit(1.0) / F.col("first_rel_rnk").cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("n_relevant") > 0,
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.least(F.col("n_relevant"), F.lit(k)).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "query_id",
+        "n_relevant",
+        "n_hits",
+        ndcg.alias("ndcg"),
+        mrr.alias("mrr"),
+        recall.alias("recall"),
+    )

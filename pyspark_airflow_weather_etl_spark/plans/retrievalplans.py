@@ -439,3 +439,114 @@ def hybrid_rrf_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk")
     )
     return R.rrf_fuse([sparse, dense], k=10)
+
+
+_METRICS_ORACLE = f"""
+    WITH q(query_id, qtext) AS (VALUES {_SQL_QUERIES}),
+    qt AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+             unnest(string_split(qtext, ' ')) AS token
+      FROM q
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dlt AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), dft AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM dlt
+    ), term AS (
+      SELECT qt.query_id, tf.doc_id,
+             {R.SQL_TERM_MICRO} AS term_micro
+      FROM qt
+      JOIN tf USING (token)
+      JOIN dft ON tf.token = dft.token
+      JOIN dlt ON tf.doc_id = dlt.doc_id
+      CROSS JOIN s
+    ), sc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM term GROUP BY query_id, doc_id
+    ), res AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+        FROM sc
+      ) WHERE rnk <= 10
+    ), qrels AS (
+      SELECT DISTINCT q.query_id, d.doc_id
+      FROM (SELECT CAST(query_id AS BIGINT) AS query_id FROM q) q
+      CROSS JOIN documents d
+      WHERE d.doc_id % 10 = q.query_id
+    ), hits AS (
+      SELECT r.query_id, r.rnk,
+             CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      FROM res r LEFT JOIN qrels qr
+        ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+    ), per_q AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN rel = 1 THEN
+               CAST(ROUND(1000000.0 / log2(CAST(rnk + 1 AS DOUBLE)), 0)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_micro,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel_rnk,
+             CAST(SUM(rel) AS BIGINT) AS n_hits
+      FROM hits GROUP BY query_id
+    ), nr AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+      FROM qrels GROUP BY query_id
+    ), j AS (
+      SELECT nr.query_id, nr.n_relevant,
+             COALESCE(per_q.dcg_micro, 0) AS dcg_micro,
+             per_q.first_rel_rnk,
+             COALESCE(per_q.n_hits, 0) AS n_hits,
+             CAST(COALESCE(list_sum(list_transform(
+               range(1, greatest(least(nr.n_relevant, 10), 0) + 1),
+               r -> CAST(ROUND(1000000.0 / log2(CAST(r + 1 AS DOUBLE)), 0)
+                    AS BIGINT))), 0) AS BIGINT) AS idcg_micro
+      FROM nr LEFT JOIN per_q ON nr.query_id = per_q.query_id
+    )
+    SELECT query_id, n_relevant, n_hits,
+           CASE WHEN idcg_micro > 0 THEN
+             round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+           ELSE 0.0 END AS ndcg,
+           CASE WHEN first_rel_rnk IS NOT NULL THEN
+             round(1.0 / CAST(first_rel_rnk AS DOUBLE), 6)
+           ELSE 0.0 END AS mrr,
+           CASE WHEN n_relevant > 0 THEN
+             round(CAST(n_hits AS DOUBLE)
+                   / CAST(least(n_relevant, 10) AS DOUBLE), 6)
+           ELSE 0.0 END AS recall
+    FROM j
+    """
+
+
+@register("retrieval_metrics_bm25", oracle=_METRICS_ORACLE)
+def retrieval_metrics_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness
+    (operators.retrieval.ranking_metrics): nDCG@10 / MRR@10 /
+    recall@10 of the BM25 top-10 against the SF-independent rule
+    qrels (doc_id % 10 == query_id). Per-rank DCG gains freeze to
+    round(1e6/log2(rank+1)) ints so the sums are orderless; the
+    metric divisions are one fixed-shape op each — the whole report
+    is hash-exact, floats included."""
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents")
+    results = R.bm25_topk(docs, BM25_QUERIES, k=10)
+    q = spark.createDataFrame(BM25_QUERIES, "query_id bigint, qtext string")
+    qrels = (
+        docs.select("doc_id")
+        .crossJoin(FF.broadcast(q.select("query_id")))
+        .where(FF.col("doc_id") % 10 == FF.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    return R.ranking_metrics(results, qrels, k=10)

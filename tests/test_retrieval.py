@@ -342,3 +342,33 @@ def test_rrf_fuse_matches_reference(spark):
     assert {d: s for d, (s, _) in got.items()} == want_scores
     order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
     assert [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
+
+
+def test_ranking_metrics_reference(spark):
+    """Hand-checked nDCG/MRR/recall: hits at ranks 2 and 3 of 3
+    relevant; a no-result query reports zeros; a perfect single-hit
+    query reports ones."""
+    import math
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id bigint, doc_id bigint, rnk int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99), (3, 5), (2, 20)],
+        "query_id bigint, doc_id bigint",
+    )
+    got = {
+        r.query_id: (r.n_relevant, r.n_hits, r.ndcg, r.mrr, r.recall)
+        for r in ranking_metrics(res, qrels, k=10).collect()
+    }
+    g = lambda r: round(1e6 / math.log2(r + 1))  # noqa: E731
+    dcg = g(2) + g(3)
+    idcg = g(1) + g(2) + g(3)
+    assert got[1] == (3, 2, round(dcg / idcg, 6), 0.5, round(2 / 3, 6))
+    assert got[2] == (1, 1, 1.0, 1.0, 1.0)
+    assert got[3] == (1, 0, 0.0, 0.0, 0.0)
