@@ -1239,3 +1239,120 @@ def token_entropy(
             F.round(ent, 0).cast("bigint").alias("entropy_micro"),
         )
     )
+
+
+def span_corruption_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    start_hex: tuple[str, ...] = ("0",),
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4) as a
+    DETERMINISTIC corpus transform: positions where
+    md5(id || '-' || pos) ends in ``start_hex`` begin a masked span of
+    ``span_len`` tokens (P = len/16 → expected mask rate ≈
+    span_len·P); overlapping spans merge. Each document yields the
+    (inputs, targets) pair a denoising seq2seq trains on — masked
+    spans replaced by ``<extra_id_k>`` sentinels in inputs, targets
+    listing each sentinel's original tokens plus the closing
+    sentinel.
+
+    Determinism is the point: the mask is a pure function of
+    (id, pos), so the pair set is reproducible across engines, runs,
+    and partitionings — auditable training data, and a DuckDB oracle
+    can replay it string-for-string. Per-row evaluation over
+    MATERIALIZED arrays (starts → flags → span-begins; the cdc_chunks
+    HOF lesson); span-index lookups scan the small begins array, so
+    cost is O(L·n_spans) per doc — for book-length documents chunk
+    first (chunk_documents)."""
+    t = tokens(text_col)
+    idc = F.col(id_col).cast("string")
+    rule = lambda p: F.substring(  # noqa: E731
+        F.md5(F.concat(idc, F.lit("-"), p.cast("string"))), 32, 1
+    ).isin(*start_hex)
+    base = (
+        df.select(F.col(id_col), t.alias("__t"))
+        .where(F.size("__t") > 0)
+        .withColumn(
+            "__starts",
+            F.filter(F.sequence(F.lit(1), F.size("__t")), rule),
+        )
+        .withColumn(
+            "__flags",
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t")),
+                lambda p: F.exists(
+                    F.col("__starts"),
+                    lambda s: (s <= p) & (p < s + span_len),
+                ),
+            ),
+        )
+        .withColumn(
+            "__begins",
+            F.filter(
+                F.sequence(F.lit(1), F.size("__t")),
+                lambda p: F.element_at(F.col("__flags"), p)
+                & (
+                    (p == 1)
+                    | ~F.element_at(
+                        F.col("__flags"), F.greatest(p - 1, F.lit(1))
+                    )
+                ),
+            ),
+        )
+    )
+    k_of = lambda p: F.size(  # noqa: E731
+        F.filter(F.col("__begins"), lambda b: b <= p)
+    ) - F.lit(1)
+    sentinel = lambda k: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+    inputs = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t")),
+                lambda p: F.when(
+                    ~F.element_at(F.col("__flags"), p),
+                    F.element_at(F.col("__t"), p),
+                ).when(
+                    F.array_contains(F.col("__begins"), p),
+                    sentinel(k_of(p)),
+                ).otherwise(F.lit("")),
+            ),
+            lambda x: x != "",
+        ),
+        " ",
+    )
+    targets_body = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t")),
+                lambda p: F.when(
+                    ~F.element_at(F.col("__flags"), p), F.lit("")
+                ).when(
+                    F.array_contains(F.col("__begins"), p),
+                    F.concat(
+                        sentinel(k_of(p)),
+                        F.lit(" "),
+                        F.element_at(F.col("__t"), p),
+                    ),
+                ).otherwise(F.element_at(F.col("__t"), p)),
+            ),
+            lambda x: x != "",
+        ),
+        " ",
+    )
+    n_spans = F.size("__begins").cast("bigint")
+    targets = F.when(
+        n_spans > 0,
+        F.concat(targets_body, F.lit(" "), sentinel(n_spans)),
+    ).otherwise(sentinel(F.lit(0)))
+    n_masked = F.size(F.filter("__flags", lambda x: x)).cast("bigint")
+    return base.select(
+        id_col,
+        inputs.alias("inputs"),
+        targets.alias("targets"),
+        n_spans.alias("n_spans"),
+        n_masked.alias("n_masked"),
+    )

@@ -2098,3 +2098,66 @@ def streaming_cdc_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_chunk_store(
         spark, f"{_CDC_STREAM_STAGE[sf_dir]}/chunks"
     ).select("doc_id", "chunk_idx", "digest", "n_tokens")
+
+
+_SPAN_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), b AS (
+      SELECT doc_id, t,
+             list_filter(range(1, len(t) + 1),
+               p -> substr(md5(CAST(doc_id AS VARCHAR) || '-'
+                               || CAST(p AS VARCHAR)), 32, 1) = '0')
+               AS starts
+      FROM tok
+    ), f AS (
+      SELECT doc_id, t, starts,
+             list_transform(range(1, len(t) + 1),
+               p -> len(list_filter(starts,
+                        s -> s <= p AND p < s + 3)) > 0) AS flags
+      FROM b
+    ), g AS (
+      SELECT doc_id, t, flags,
+             list_filter(range(1, len(t) + 1),
+               p -> flags[p] AND (p = 1 OR NOT flags[greatest(p - 1, 1)]))
+               AS begins
+      FROM f
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(list_transform(
+             range(1, len(t) + 1),
+             p -> CASE
+               WHEN NOT flags[p] THEN t[p]
+               WHEN list_contains(begins, p) THEN
+                 '<extra_id_' || CAST(
+                   len(list_filter(begins, bb -> bb <= p)) - 1
+                   AS VARCHAR) || '>'
+               ELSE '' END), x -> x <> ''), ' ') AS inputs,
+           CASE WHEN len(begins) > 0 THEN
+             array_to_string(list_filter(list_transform(
+               range(1, len(t) + 1),
+               p -> CASE
+                 WHEN NOT flags[p] THEN ''
+                 WHEN list_contains(begins, p) THEN
+                   '<extra_id_' || CAST(
+                     len(list_filter(begins, bb -> bb <= p)) - 1
+                     AS VARCHAR) || '> ' || t[p]
+                 ELSE t[p] END), x -> x <> ''), ' ')
+             || ' <extra_id_' || CAST(len(begins) AS VARCHAR) || '>'
+           ELSE '<extra_id_0>' END AS targets,
+           CAST(len(begins) AS BIGINT) AS n_spans,
+           CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_masked
+    FROM g
+    """
+
+
+@register("span_corruption_documents", oracle=_SPAN_ORACLE)
+def span_corruption_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption as a deterministic corpus transform
+    (operators.text.span_corruption_pairs): the denoising-objective
+    (inputs, targets) pairs with <extra_id_k> sentinels, the mask a
+    pure function of (id, pos) — reproducible and auditable, replayed
+    string-for-string by the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.span_corruption_pairs(docs)

@@ -551,3 +551,48 @@ def test_token_entropy_known_values(spark):
     s = round(2 * math.log(2) * 1e6)
     want = round((math.log(3) - (s / 1e6) / 3) * 1e6)
     assert got[2] == (3, want)
+
+
+def test_span_corruption_reconstructs_and_merges(spark):
+    """The corruption pair must be LOSSLESS: splicing each sentinel's
+    target tokens back into the inputs reproduces the original text;
+    adjacent/overlapping spans merge into one sentinel; an unmasked
+    doc yields the empty-target convention."""
+    import re
+
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        span_corruption_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40))) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    rows = span_corruption_pairs(docs).collect()
+    assert any(r.n_spans > 0 for r in rows)
+    for r in rows:
+        # parse targets into {k: tokens}
+        spans = {}
+        cur = None
+        for tok in r.targets.split(" "):
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                cur = int(m.group(1))
+                if cur != r.n_spans:
+                    spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        assert len(spans) == r.n_spans
+        rebuilt = []
+        for tok in r.inputs.split(" "):
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+            elif tok:
+                rebuilt.append(tok)
+        original = " ".join(f"w{j}" for j in range(40))
+        assert " ".join(rebuilt) == original, r.doc_id
+        assert r.n_masked == sum(len(v) for v in spans.values())
+        # sentinels in inputs are strictly increasing 0..n_spans-1
+        ks = [int(m.group(1)) for m in re.finditer(r"<extra_id_(\d+)>", r.inputs)]
+        assert ks == list(range(r.n_spans))
