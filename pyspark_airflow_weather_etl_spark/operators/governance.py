@@ -603,3 +603,66 @@ def kanon_suppress(
         .drop("__n")
     )
     return df.join(groups, list(quasi_cols), "left_semi")
+
+
+def oversample_sources(
+    df: DataFrame,
+    weights: dict[str, tuple[int, int]],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture OVERSAMPLING — the up-weighting half of
+    training-mix design (GPT-3 samples Wikipedia ~3.4 epochs per pass
+    while Common Crawl gets <1): each source's weight num/den may
+    exceed 1, producing floor(w) full copies of every document plus
+    one fractional copy kept by the md5 hash rule (the
+    stratified_sample contract — a pure function of (id, copy index),
+    so the epoch is reproducible on any engine or partitioning).
+    Sources absent from ``weights`` pass through at weight 1.
+
+    Output adds ``copy_id`` (0-based) so downstream shuffling/packing
+    treats repeats as distinct rows while provenance stays joinable on
+    the original id. One codegen explode over a per-source literal
+    copy count — no shuffle, no join. Fractional resolution is 1/256
+    (two md5 hex digits), matching stratified_sample."""
+    if not weights:
+        raise ValueError("weights must not be empty")
+    full = None
+    frac = None
+    for src, (num, den) in weights.items():
+        if num <= 0 or den <= 0:
+            raise ValueError(f"weight for {src!r} must be positive")
+        k = num // den
+        # fractional threshold in 1/256ths, clamped below 256 so the
+        # 2-hex-digit compare stays well-formed
+        thresh = min(255, int(round((num % den) * 256 / den)))
+        cond = F.col(source_col) == src
+        fk = F.when(cond, F.lit(k))
+        fr = F.when(cond, F.lit(format(thresh, "02x")))
+        full = fk if full is None else F.coalesce(full, fk)
+        frac = fr if frac is None else F.coalesce(frac, fr)
+    full = F.coalesce(full, F.lit(1))
+    frac = F.coalesce(frac, F.lit("00"))
+    copies = F.filter(
+        F.sequence(F.lit(0), full),
+        lambda i: (i < full)
+        | (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                2,
+            )
+            < frac
+        ),
+    )
+    # explode must be top-level in its projection (a generator can't
+    # nest inside the cast); cast in a second step
+    return df.withColumn("copy_id", F.explode(copies)).withColumn(
+        "copy_id", F.col("copy_id").cast("bigint")
+    )

@@ -2161,3 +2161,47 @@ def span_corruption_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-for-string by the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return X.span_corruption_pairs(docs)
+
+
+@register(
+    "oversample_mix_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, source,
+             CASE WHEN source = 'src0' THEN 3
+                  WHEN source = 'src1' THEN 0
+                  ELSE 1 END AS k,
+             CASE WHEN source = 'src0' THEN '66'
+                  WHEN source = 'src1' THEN '80'
+                  ELSE '00' END AS thresh
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text, source,
+             CAST(g.i AS BIGINT) AS copy_id
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(0, k)) AS i
+      ) g
+      WHERE g.i < k
+         OR substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(g.i AS VARCHAR)), 1, 2) < thresh
+    )
+    SELECT doc_id, source, copy_id, length(text) AS n_chars FROM c
+    """,
+)
+def oversample_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture oversampling (operators.governance.oversample_sources —
+    GPT-3's per-source epoch weighting): src0 up-weighted to 3.4
+    epochs (3 full copies + a 102/256 fractional copy), src1
+    down-sampled to 0.5, every other source passes at 1. copy_id keeps
+    repeats distinct for downstream shuffle/pack while provenance
+    stays joinable. The draw is a pure function of (id, copy index),
+    so the DuckDB replay is hash-exact."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.governance import oversample_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = oversample_sources(docs, {"src0": (34, 10), "src1": (1, 2)})
+    return out.select(
+        "doc_id", "source", "copy_id", FF.length("text").alias("n_chars")
+    )

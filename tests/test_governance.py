@@ -438,3 +438,34 @@ def test_kanon_suppress_boundary(spark):
     kept = kanon_suppress(df, ["q1", "q2"], k=3).collect()
     assert {(r.q1, r.q2) for r in kept} == {("a", "x")}
     assert sorted(r.payload for r in kept) == [0, 1, 2]
+
+
+def test_oversample_sources_copies_and_determinism(spark):
+    """Full copies exact, fractional copies deterministic (pure
+    function of id), untouched sources pass through once, copy_ids
+    dense from 0."""
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        oversample_sources,
+    )
+
+    rows = [(i, "wiki") for i in range(200)] + [
+        (i + 1000, "other") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = oversample_sources(df, {"wiki": (5, 2)})  # 2.5 epochs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, oversample_sources(
+        df.repartition(7), {"wiki": (5, 2)}).collect()))
+    assert a == b  # partitioning-invariant
+    per = {(r.doc_id): [] for r in out.collect()}
+    for r in out.collect():
+        per[r.doc_id].append(r.copy_id)
+    for d, cids in per.items():
+        assert sorted(cids) == list(range(len(cids)))  # dense from 0
+        if d >= 1000:
+            assert cids == [0]
+        else:
+            assert len(cids) in (2, 3)  # 2 full + maybe fractional
+    n_wiki = sum(len(v) for d, v in per.items() if d < 1000)
+    assert 200 * 2 <= n_wiki <= 200 * 3
+    assert abs(n_wiki - 500) < 40  # ~2.5 epochs of 200
