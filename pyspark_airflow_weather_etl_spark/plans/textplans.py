@@ -2205,3 +2205,63 @@ def oversample_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "copy_id", FF.length("text").alias("n_chars")
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_portable_minhash_oracle().replace(
+        """
+    SELECT c.id_a, c.id_b,""",
+        """
+    , labels AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+               || ':leakage-audit'), 1, 8)) AS BIGINT) % 100 < 50
+               THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    )
+    SELECT c.id_a, c.id_b, la.split AS split_a, lb.split AS split_b,""",
+    ).replace(
+        """FROM cand c JOIN nz x ON x.doc_id = c.id_a
+                JOIN nz y ON y.doc_id = c.id_b""",
+        """FROM cand c JOIN nz x ON x.doc_id = c.id_a
+                JOIN nz y ON y.doc_id = c.id_b
+                JOIN labels la ON la.doc_id = c.id_a
+                JOIN labels lb ON lb.doc_id = c.id_b""",
+    )
+    + " AND la.split <> lb.split",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit — near-duplicate pairs that STRADDLE
+    a train/holdout boundary (the eval-integrity failure n-gram
+    decontamination misses: a paraphrased or lightly-edited copy of a
+    holdout document sitting in train). Composes the two portable
+    primitives: hash-based split assignment (split_corpus, 50/50 here
+    so the fixture yields a non-trivial straddle set) and the
+    fully-replayable MinHash-LSH pipeline; the DuckDB oracle replays
+    BOTH stages and the straddle filter bit-for-bit. At 100 TB this
+    is the release gate run before any eval: candidate volume is the
+    banded equi-join's, labels are per-row codegen, the straddle
+    filter is free."""
+    from ..operators.dedup import portable_minhash_pairs
+    from ..operators.governance import split_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = portable_minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+    labels = split_corpus(
+        docs,
+        splits=[("train", 50), ("holdout", 50)],
+        salt="leakage-audit",
+    ).select("doc_id", "split")
+    la = labels.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )

@@ -469,3 +469,55 @@ def test_oversample_sources_copies_and_determinism(spark):
     n_wiki = sum(len(v) for d, v in per.items() if d < 1000)
     assert 200 * 2 <= n_wiki <= 200 * 3
     assert abs(n_wiki - 500) < 40  # ~2.5 epochs of 200
+
+
+def test_split_leakage_audit_flags_only_straddling_pairs(spark):
+    """A planted near-duplicate pair straddling the split boundary is
+    reported; an equally-near pair inside one split is not."""
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        portable_minhash_pairs,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        split_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # find ids landing in each split under the audit salt
+    probe = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id bigint"
+    )
+    lab = {
+        r.doc_id: r.split
+        for r in split_corpus(
+            probe, splits=[("train", 50), ("holdout", 50)],
+            salt="leakage-audit",
+        ).collect()
+    }
+    train_ids = [d for d, s in lab.items() if s == "train"]
+    hold_ids = [d for d, s in lab.items() if s == "holdout"]
+    docs = spark.createDataFrame(
+        [
+            (train_ids[0], base),                    # near-dup pair
+            (hold_ids[0], base + " extra"),          #   straddles
+            (train_ids[1], "x1 " + base),            # near-dup pair
+            (train_ids[2], "x2 " + base),            #   inside train
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = portable_minhash_pairs(docs, "doc_id", "text", threshold=0.5)
+    labels = split_corpus(
+        docs, splits=[("train", 50), ("holdout", 50)], salt="leakage-audit"
+    ).select("doc_id", "split")
+    la = labels.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("split_a"))
+    lb = labels.select(F.col("doc_id").alias("id_b"),
+                       F.col("split").alias("split_b"))
+    flagged = (
+        pairs.join(la, "id_a").join(lb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .collect()
+    )
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in flagged}
+    assert tuple(sorted((train_ids[0], hold_ids[0]))) in got
+    assert tuple(sorted((train_ids[1], train_ids[2]))) not in got
