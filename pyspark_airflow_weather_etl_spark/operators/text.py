@@ -1356,3 +1356,56 @@ def span_corruption_pairs(
         n_spans.alias("n_spans"),
         n_masked.alias("n_masked"),
     )
+
+
+def chunk_documents_strided(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 32,
+    stride_tokens: int = 24,
+) -> DataFrame:
+    """Overlapping-window chunking — long-context training prep (each
+    window shares ``window−stride`` tokens with its predecessor, so no
+    span longer than the overlap ever falls entirely between windows;
+    the sliding-window convention BERT-style readers and context-
+    extension corpora use). Windows start at 1, 1+stride, 1+2·stride,
+    … while the start is inside the document; the last window is
+    ragged. (id, chunk_idx, chunk_text, n_tokens), chunk_idx 1-based.
+
+    Pure per-row codegen like :func:`chunk_documents` — token slices
+    per window index, no shuffle, no Python. ``stride < window`` is
+    the overlapped regime; ``stride == window`` degenerates to the
+    fixed chunker."""
+    if stride_tokens <= 0 or window_tokens <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride_tokens > window_tokens:
+        raise ValueError("stride must not exceed the window")
+    t = tokens(text_col)
+    n_windows = (
+        F.floor(
+            (F.size(t) - F.lit(1)) / F.lit(float(stride_tokens))
+        ).cast("int")
+        + F.lit(1)
+    )
+    chunks = F.when(
+        F.size(t) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(t, (i - 1) * stride_tokens + 1, window_tokens),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(F.col(id_col), F.posexplode(chunks))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk_text")
+    )
+    return out.select(
+        id_col,
+        (F.col("chunk_idx") + 1).cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        F.array_size(tokens("chunk_text")).cast("bigint").alias("n_tokens"),
+    )

@@ -2265,3 +2265,107 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+@register(
+    "chunk_documents_strided",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    ), w AS (
+      SELECT doc_id, t,
+             CAST(floor((len(t) - 1) / 24.0) AS INT) + 1 AS n_windows
+      FROM tok
+    )
+    SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+           array_to_string(t[(g.i - 1) * 24 + 1 :
+                             least((g.i - 1) * 24 + 32, len(t))], ' ')
+             AS chunk_text,
+           CAST(least((g.i - 1) * 24 + 32, len(t))
+                - ((g.i - 1) * 24 + 1) + 1 AS BIGINT) AS n_tokens
+    FROM w, LATERAL (
+      SELECT unnest(generate_series(1, n_windows)) AS i
+    ) g
+    """,
+)
+def chunk_documents_strided_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking
+    (operators.text.chunk_documents_strided, window 32 / stride 24 —
+    8-token overlap): the long-context prep convention where no span
+    shorter than the overlap falls between windows. Per-row codegen;
+    hash-exact vs the DuckDB slice replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents_strided(
+        docs, window_tokens=32, stride_tokens=24
+    )
+
+
+_SPAN_STREAM_STAGE: dict[str, str] = {}
+
+
+@register("streaming_span_corruption", oracle=_SPAN_ORACLE)
+def streaming_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span corruption at ingest latency: documents arrive as five
+    micro-batches, each batch's (inputs, targets) pairs land
+    batch-keyed (foreachBatch + dynamic overwrite). The mask is a pure
+    function of (id, pos), so the union of per-batch outputs
+    hash-matches the SAME oracle as the batch span_corruption_documents
+    entry under any arrival decomposition."""
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from .streamplans import _stage_document_batches
+
+    if sf_dir not in _SPAN_STREAM_STAGE:
+        tmp = tempfile.mkdtemp(prefix="span_stream_")
+        watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+
+        def _proc(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            out = X.span_corruption_pairs(batch_df)
+            s = out.sparkSession
+            old = s.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", None
+            )
+            s.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    out.withColumn(
+                        "batch", FF.lit(batch_id).cast("bigint")
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("batch")
+                    .parquet(f"{tmp}/pairs")
+                )
+            finally:
+                if old is not None:
+                    s.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", old
+                    )
+
+        (
+            stream.writeStream.foreachBatch(_proc)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+            .awaitTermination()
+        )
+        _SPAN_STREAM_STAGE[sf_dir] = tmp
+    return (
+        spark.read.schema(
+            "doc_id bigint, inputs string, targets string,"
+            " n_spans bigint, n_masked bigint, batch bigint"
+        )
+        .parquet(f"{_SPAN_STREAM_STAGE[sf_dir]}/pairs")
+        .select("doc_id", "inputs", "targets", "n_spans", "n_masked")
+    )

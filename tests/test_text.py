@@ -596,3 +596,43 @@ def test_span_corruption_reconstructs_and_merges(spark):
         # sentinels in inputs are strictly increasing 0..n_spans-1
         ks = [int(m.group(1)) for m in re.finditer(r"<extra_id_(\d+)>", r.inputs)]
         assert ks == list(range(r.n_spans))
+
+
+def test_strided_chunks_overlap_and_cover(spark):
+    """Every adjacent window pair shares exactly window-stride tokens;
+    concatenating each window's NEW tokens (stride-sized except the
+    ragged tail) reproduces the document; stride==window degenerates
+    to the fixed chunker."""
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_strided,
+    )
+
+    text = " ".join(f"w{j}" for j in range(50))
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_documents_strided(df, window_tokens=8, stride_tokens=5)
+        .collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    toks = [r.chunk_text.split(" ") for r in rows]
+    for a, b in zip(toks, toks[1:]):
+        assert a[5:] == b[: len(a[5:])]  # 3-token overlap
+    # coverage: window 0 plus each later window's post-overlap tokens
+    rebuilt = toks[0][:]
+    for t in toks[1:]:
+        rebuilt.extend(t[3:])
+    assert " ".join(rebuilt) == text
+    # degenerate case equals the fixed chunker
+    fixed = sorted(
+        map(tuple, chunk_documents(df, chunk_tokens=8).collect())
+    )
+    degen = sorted(
+        map(
+            tuple,
+            chunk_documents_strided(
+                df, window_tokens=8, stride_tokens=8
+            ).collect(),
+        )
+    )
+    assert fixed == degen
