@@ -1002,3 +1002,67 @@ def cdc_dedup_ratio(
         .alias("total_tokens"),
         F.sum("n_tokens").cast("bigint").alias("distinct_tokens"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-shingle CONTAINMENT near-dup pairs — the
+    asymmetric companion to :func:`jaccard_pairs`:
+    containment = |A∩B| / min(|A|, |B|) flags a document mostly
+    CONTAINED in another (quote inclusion, page-within-crawl,
+    article-within-digest) that Jaccard misses whenever the sizes are
+    lopsided (A⊂B with |B| = 4|A| has Jaccard 0.25 but containment
+    1.0 — Lee et al.'s inclusion case). Same inverted-index self-join
+    shape and scale story as jaccard_pairs (shared shingle kernel
+    cache, hot-shingle df capping applies identically if needed);
+    the ratio is one division of exact ints, engine-stable."""
+    caches = claim_group("containment_pairs")
+    hashed = persist_into(
+        caches,
+        add_hashed_shingles(spread_small_scan(df), text_col, n).select(
+            id_col, "__shingles"
+        ),
+    )
+    sh = hashed.select(
+        F.col(id_col), F.explode(F.col("__shingles")).alias("shingle")
+    )
+    sizes = hashed.select(
+        F.col(id_col), F.size("__shingles").alias("n_shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

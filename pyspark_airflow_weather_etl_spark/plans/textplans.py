@@ -2369,3 +2369,34 @@ def streaming_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{_SPAN_STREAM_STAGE[sf_dir]}/pairs")
         .select("doc_id", "inputs", "targets", "n_spans", "n_masked")
     )
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common * 1.0 / least(sa.n, sb.n) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups
+    (operators.dedup.containment_pairs): |A∩B|/min(|A|,|B|) ≥ 0.8 —
+    flags inclusion (a document mostly contained in another) that
+    Jaccard misses on lopsided sizes. Hash-exact vs the DuckDB
+    replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", threshold=0.8, n=3)

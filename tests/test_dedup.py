@@ -335,3 +335,23 @@ def test_cdc_chunk_locality_and_reference(spark):
     assert [got[(1, i)] for i in range(len(db))] == db
     # locality: the two chunkings differ in exactly one digest
     assert len(set(da) - set(db)) == 1 and len(set(db) - set(da)) == 1
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc embedded verbatim in a 4x-longer one: containment
+    1.0 (flagged) while Jaccard is far below its threshold (missed) —
+    the asymmetric case the operator exists for."""
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = " ".join(f"a{i}" for i in range(12))
+    long = short + " " + " ".join(f"b{i}" for i in range(36))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id bigint, text string"
+    )
+    cont = containment_pairs(df, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0
+    assert jaccard_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
