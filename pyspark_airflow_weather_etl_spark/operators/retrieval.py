@@ -403,17 +403,22 @@ def phrase_counts(
     )
 
 
-def positional_index_write(
+def positional_index_append(
     docs: DataFrame,
     path: str,
+    batch_id: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Persist positional postings — one (token, doc_id, pos) row per
-    token OCCURRENCE, partitioned by the token's md5-prefix like the
-    BM25 layout. Positions are what phrase and proximity queries
-    consume; the index is written once at ingest and a probe reads
-    only its query tokens' partitions."""
+    """Append one document batch of positional postings — one
+    (token, doc_id, pos) row per token OCCURRENCE under
+    ``batch=<id>/pfx=<md5 byte>`` (the bm25_index_append layout and
+    contract: O(batch) appends, nothing at rest re-read, dynamic
+    partition overwrite makes a replayed batch idempotent; positions
+    are per-document, so no cross-batch statistics exist to
+    maintain). Positions are what phrase and proximity queries
+    consume; a probe reads only its query tokens' partitions across
+    all batches."""
     t = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
     posted = t.select(
         "doc_id", F.posexplode("t").alias("pos", "token")
@@ -421,11 +426,20 @@ def positional_index_write(
         "token",
         "doc_id",
         (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.lit(batch_id).cast("bigint").alias("batch"),
         F.substring(F.md5("token"), 1, _PFX_LEN).alias("pfx"),
     )
-    posted.write.mode("overwrite").partitionBy("pfx").parquet(
-        f"{path}/postings_pos"
-    )
+    _write_batch_keyed(posted, f"{path}/postings_pos", ("batch", "pfx"))
+
+
+def positional_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One-shot build — batch 0 of :func:`positional_index_append`."""
+    positional_index_append(docs, path, 0, id_col, text_col)
 
 
 def phrase_match_at_rest(
@@ -449,7 +463,10 @@ def phrase_match_at_rest(
         }
     )
     postings = (
-        spark.read.schema("token string, doc_id bigint, pos bigint, pfx string")
+        spark.read.schema(
+            "token string, doc_id bigint, pos bigint, batch bigint,"
+            " pfx string"
+        )
         .parquet(f"{index_path}/postings_pos")
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")

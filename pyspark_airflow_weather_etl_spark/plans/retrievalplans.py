@@ -550,3 +550,27 @@ def retrieval_metrics_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id")
     )
     return R.ranking_metrics(results, qrels, k=10)
+
+
+@register("phrase_match_incremental", oracle=_PHRASE_ORACLE)
+def phrase_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional index built INCREMENTALLY (three disjoint batches
+    via operators.retrieval.positional_index_append — O(batch)
+    appends, batch-keyed idempotent; positions are per-document so no
+    cross-batch statistics exist) then phrase-probed: shares the
+    ad-hoc phrase oracle, so incremental == one-shot bit-for-bit."""
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    if "posincr:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="pos_incr_")
+        docs = load_table(spark, sf_dir, "documents")
+        for b in range(3):
+            R.positional_index_append(
+                docs.where(FF.col("doc_id") % 3 == b), f"{tmp}/index", b
+            )
+        _BM25_STAGE["posincr:" + sf_dir] = tmp
+    return R.phrase_match_at_rest(
+        spark, f"{_BM25_STAGE['posincr:' + sf_dir]}/index", PHRASES
+    )
