@@ -737,3 +737,104 @@ def ranking_metrics(
         mrr.alias("mrr"),
         recall.alias("recall"),
     )
+
+
+def bm25_scores_for_terms(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bm25_scores` for a DATA-DEPENDENT term set — the query
+    terms arrive as a (query_id, token) DataFrame (e.g. produced by
+    relevance feedback) instead of driver-side literals, so the
+    posting prune is a broadcast semi-join rather than an in-plan
+    ``isin``. Same exactness contract and plan shape otherwise."""
+    qt = F.broadcast(query_terms.select("query_id", "token").distinct())
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    stats = F.broadcast(
+        tok.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.array_size("t")).alias("sum_dl"),
+        )
+    )
+    dl = tok.select("doc_id", F.array_size("t").cast("bigint").alias("dl"))
+    caches = claim_group("bm25_scores_for_terms")
+    tf = persist_into(
+        caches,
+        tok.select("doc_id", F.explode("t").alias("token"))
+        .join(
+            F.broadcast(qt.select("token").distinct()), "token", "left_semi"
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
+    )
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    term = (
+        tf.join(F.broadcast(df), "token")
+        .join(qt, "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select("query_id", "doc_id", _term_micro().alias("term_micro"))
+    )
+    return term.groupBy("query_id", "doc_id").agg(
+        F.sum("term_micro").cast("bigint").alias("score_micro")
+    )
+
+
+def bm25_prf_expand(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k_feedback: int = 10,
+    n_expansion: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite): run BM25,
+    take each query's top ``k_feedback`` documents as assumed-relevant
+    feedback, add the ``n_expansion`` terms most frequent across the
+    feedback set (by feedback document frequency, ties by token; the
+    original query's terms excluded), and re-rank with the expanded
+    term set — the classic recall lever when queries undershoot the
+    corpus vocabulary.
+
+    Fully deterministic: both ranking passes are the integer-exact
+    BM25, expansion selection is an integer count with a total
+    tie-break — an external engine replays the whole loop. Scale
+    shape: the feedback set is (queries × k_feedback) rows, so
+    expansion selection is broadcast-scale; each pass prunes postings
+    to its term set before any aggregation."""
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    fb = _rank_topk(
+        bm25_scores(docs, queries, id_col, text_col), k_feedback
+    ).select("query_id", "doc_id")
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    orig = _query_terms(spark, queries)
+    cand = (
+        doc_terms.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(orig), ["query_id", "token"], "left_anti")
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_fb"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("df_fb").desc(), F.col("token")
+    )
+    expansion = (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_expansion)
+        .select("query_id", "token")
+    )
+    expanded = orig.select("query_id", "token").unionByName(expansion)
+    return _rank_topk(
+        bm25_scores_for_terms(docs, expanded, id_col, text_col), k
+    )

@@ -574,3 +574,62 @@ def phrase_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.phrase_match_at_rest(
         spark, f"{_BM25_STAGE['posincr:' + sf_dir]}/index", PHRASES
     )
+
+
+_PRF_ORACLE = _BM25_SCORES_CTE + f"""
+    , fb AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id) AS rn
+        FROM sc
+      ) WHERE rn <= 10
+    ), dterms AS (
+      SELECT DISTINCT doc_id, token FROM tok
+    ), cand AS (
+      SELECT f.query_id, dt.token, CAST(COUNT(*) AS BIGINT) AS df_fb
+      FROM fb f
+      JOIN dterms dt ON f.doc_id = dt.doc_id
+      LEFT JOIN qt ON qt.query_id = f.query_id AND qt.token = dt.token
+      WHERE qt.token IS NULL
+      GROUP BY f.query_id, dt.token
+    ), expn AS (
+      SELECT query_id, token FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY df_fb DESC, token) AS r
+        FROM cand
+      ) WHERE r <= 3
+    ), qt2 AS (
+      SELECT query_id, token FROM qt
+      UNION
+      SELECT query_id, token FROM expn
+    ), term2 AS (
+      SELECT qt2.query_id, tf.doc_id,
+             {R.SQL_TERM_MICRO} AS term_micro
+      FROM qt2
+      JOIN tf USING (token)
+      JOIN dft ON tf.token = dft.token
+      JOIN dlt ON tf.doc_id = dlt.doc_id
+      CROSS JOIN s
+    ), sc2 AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM term2 GROUP BY query_id, doc_id
+    )
+    """ + _BM25_RANK.format(src="sc2")
+
+
+@register("bm25_prf_expanded_topk", oracle=_PRF_ORACLE)
+def bm25_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion
+    (operators.retrieval.bm25_prf_expand, RM3-lite): BM25 top-10 as
+    assumed-relevant feedback, the 3 most frequent feedback terms
+    (feedback-df, total tie-break, originals excluded) join the query,
+    and the expanded term set re-ranks — the classic recall lever.
+    Both passes are the integer-exact BM25 and expansion selection is
+    an integer count, so the DuckDB oracle replays the WHOLE loop
+    (base ranking → term selection → re-ranking) hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_prf_expand(
+        docs, BM25_QUERIES, k_feedback=10, n_expansion=3, k=10
+    )

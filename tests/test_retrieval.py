@@ -372,3 +372,34 @@ def test_ranking_metrics_reference(spark):
     assert got[1] == (3, 2, round(dcg / idcg, 6), 0.5, round(2 / 3, 6))
     assert got[2] == (1, 1, 1.0, 1.0, 1.0)
     assert got[3] == (1, 0, 0.0, 0.0, 0.0)
+
+
+def test_prf_expansion_recalls_term_disjoint_doc(spark):
+    """The recall case PRF exists for: a document sharing NO term with
+    the query but dominated by the feedback set's companion term is
+    unreachable for plain BM25 and retrieved after expansion."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_prf_expand,
+    )
+
+    corpus = [
+        # feedback docs: query term 'q' always travels with 'comp'
+        (i, "q comp filler" + str(i)) for i in range(6)
+    ] + [
+        (100, "comp comp comp"),   # no 'q' — invisible to plain BM25
+        (200, "noise other words"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    base = {
+        r.doc_id
+        for r in bm25_topk(docs, [(1, "q")], k=10).collect()
+    }
+    assert 100 not in base
+    prf = {
+        r.doc_id
+        for r in bm25_prf_expand(
+            docs, [(1, "q")], k_feedback=6, n_expansion=1, k=10
+        ).collect()
+    }
+    assert 100 in prf
+    assert 200 not in prf
