@@ -109,6 +109,9 @@ HEADLINE = [
     "phrase_match_at_rest",
     "corpus_datasheet_by_source",
     "bm25_hard_negatives",
+    "bm25_prf_expanded_topk",
+    "hybrid_rrf_dense_sparse",
+    "ngram_containment_pairs",
     "token_entropy_documents",
     "cdc_chunks_documents",
     "funnel_view_click_purchase",
