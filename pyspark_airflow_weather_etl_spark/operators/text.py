@@ -1271,8 +1271,11 @@ def span_corruption_pairs(
     rule = lambda p: F.substring(  # noqa: E731
         F.md5(F.concat(idc, F.lit("-"), p.cast("string"))), 32, 1
     ).isin(*start_hex)
+    from ..operators.dedup import spread_small_scan
+
     base = (
-        df.select(F.col(id_col), t.alias("__t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), t.alias("__t"))
         .where(F.size("__t") > 0)
         .withColumn(
             "__starts",
