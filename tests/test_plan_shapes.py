@@ -329,3 +329,30 @@ def test_perplexity_buckets_rank_is_prefix_sum(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "__pid" in line, f"global window: {line}"
+
+
+def test_bm25_adhoc_plan_shape(spark):
+    """Plan-regression guard for the ad-hoc BM25 scorer: the term
+    prune must reach the scan as an In/isin FILTER (no join to prune),
+    small sides must broadcast (no SortMergeJoin anywhere — every join
+    side is either tiny or already co-keyed), and the exchange count
+    must not creep past the audited 6 (tf agg, df agg on the tiny
+    persisted frame, the documented dl join pair, score agg, rank)."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from pyspark_airflow_weather_etl_spark.plans.retrievalplans import (
+        BM25_QUERIES,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        bm25_topk(docs, BM25_QUERIES, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
