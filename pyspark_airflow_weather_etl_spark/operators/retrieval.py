@@ -815,9 +815,21 @@ def bm25_prf_expand(
     fb = _rank_topk(
         bm25_scores(docs, queries, id_col, text_col), k_feedback
     ).select("query_id", "doc_id")
-    doc_terms = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    # prune to the feedback docs BEFORE exploding: the expansion
+    # vocabulary comes from (queries × k_feedback) documents, so the
+    # corpus-wide explode would be pure waste (measured 5.9 s → the
+    # whole entry's cost dominated by it at sf0.1)
+    doc_terms = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(
+            F.broadcast(fb.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
     )
     orig = _query_terms(spark, queries)
     cand = (
