@@ -1412,3 +1412,49 @@ def chunk_documents_strided(
         "chunk_text",
         F.array_size(tokens("chunk_text")).cast("bigint").alias("n_tokens"),
     )
+
+
+def token_burstiness(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-token burstiness — the variance-to-mean ratio of a token's
+    per-document counts over the WHOLE corpus (zeros included;
+    Church & Gale 1995): function words spread evenly (ratio ≈ 1,
+    Poisson-like), content words clump (ratio ≫ 1) — the signal
+    keyword extractors and stopword inducers rank by.
+
+    Exactness: with S = Σ tf, Q = Σ tf², N = corpus size (documents
+    without the token contribute zero to both sums, so only postings
+    aggregate), var/mean = (N·Q − S²)/(N·S) — a single division of
+    exact BIGINTs rounded to 6 dp. One (doc, token) aggregation plus
+    one token aggregation, both map-side combinable; text never
+    shuffles."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    n = F.broadcast(
+        tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tf = (
+        tok.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    per_tok = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("q"),
+    )
+    ratio = F.round(
+        (F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / (F.col("n_docs") * F.col("s")).cast("double"),
+        6,
+    )
+    return per_tok.crossJoin(n).select(
+        "token",
+        "df",
+        F.col("s").alias("total_tf"),
+        ratio.alias("burstiness"),
+    )

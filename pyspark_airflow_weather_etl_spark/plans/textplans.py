@@ -2400,3 +2400,36 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay."""
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
+
+
+@register(
+    "token_burstiness_corpus",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), per_tok AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS s,
+             CAST(SUM(tf * tf) AS BIGINT) AS q
+      FROM tf GROUP BY token
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT token, df, s AS total_tf,
+           round(CAST(n_docs * q - s * s AS DOUBLE)
+                 / CAST(n_docs * s AS DOUBLE), 6) AS burstiness
+    FROM per_tok CROSS JOIN n
+    """,
+)
+def token_burstiness_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness (operators.text.token_burstiness —
+    Church & Gale variance-to-mean over per-document counts, zeros
+    included): content words clump, function words spread. One
+    integer-exact division at 6 dp — hash-exact vs the DuckDB
+    replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.token_burstiness(docs)

@@ -636,3 +636,25 @@ def test_strided_chunks_overlap_and_cover(spark):
         )
     )
     assert fixed == degen
+
+
+def test_token_burstiness_poisson_vs_clumped(spark):
+    """A token spread one-per-doc has variance-to-mean < 1 (below
+    Poisson); a token clumped in one doc at the same total count is
+    far burstier; exact values match the closed form."""
+    from pyspark_airflow_weather_etl_spark.operators.text import (
+        token_burstiness,
+    )
+
+    # 4 docs: 'u' once each (uniform); 'c' 4 times in one doc
+    docs = spark.createDataFrame(
+        [(0, "u c c c c"), (1, "u"), (2, "u"), (3, "u")],
+        "doc_id bigint, text string",
+    )
+    got = {r.token: r for r in token_burstiness(docs).collect()}
+    n = 4
+    # u: S=4, Q=4 -> (4*4 - 16)/(4*4) = 0
+    assert got["u"].burstiness == 0.0 and got["u"].df == 4
+    # c: S=4, Q=16 -> (4*16 - 16)/(4*4) = 3.0
+    assert got["c"].burstiness == 3.0 and got["c"].df == 1
+    assert got["c"].total_tf == 4
