@@ -216,6 +216,11 @@ def _write_batch_keyed(df: DataFrame, out_path: str, partition_cols) -> None:
     finally:
         if old is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        else:
+            # the key was unset before; leaving it set to dynamic would
+            # silently change later overwrite-partitionBy writes from
+            # full-tree replace to partial overwrite
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def bm25_index_append(
@@ -224,6 +229,7 @@ def bm25_index_append(
     batch_id: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    forward_index: bool = False,
 ) -> None:
     """Append one document batch to the BM25 serving index: postings
     with the document length DENORMALIZED in
@@ -242,7 +248,16 @@ def bm25_index_append(
     broadcasts the filtered term stats, and scores. Statistics are
     computed ONCE at ingest; at 100 TB that is the difference between
     re-aggregating a corpus per query and reading a few parquet
-    partitions."""
+    partitions.
+
+    ``forward_index=True`` additionally writes ``docterms`` — the
+    doc-keyed twin of the postings (distinct ``doc_id, token`` under
+    ``batch=<id>/dpfx=<md5 byte of doc_id>``), the classic
+    inverted+forward index pair. Pseudo-relevance feedback needs the
+    term sets of a handful of feedback documents; dpfx partition
+    pruning makes that lookup O(feedback docs), not a postings scan.
+    Opt-in because it roughly doubles index bytes for a capability
+    only PRF-style consumers use."""
     caches = claim_group("bm25_index_append")
     tok = persist_into(
         caches,
@@ -283,6 +298,19 @@ def bm25_index_append(
         f"{path}/stats",
         ("batch",),
     )
+    if forward_index:
+        _write_batch_keyed(
+            tf.select("doc_id", "token")
+            .withColumn("batch", batch)
+            .withColumn(
+                "dpfx",
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, _PFX_LEN
+                ),
+            ),
+            f"{path}/docterms",
+            ("batch", "dpfx"),
+        )
     for c in caches:
         c.unpersist()
 
@@ -292,9 +320,10 @@ def bm25_index_write(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    forward_index: bool = False,
 ) -> None:
     """One-shot index build — batch 0 of :func:`bm25_index_append`."""
-    bm25_index_append(docs, path, 0, id_col, text_col)
+    bm25_index_append(docs, path, 0, id_col, text_col, forward_index)
 
 
 def bm25_topk_at_rest(
@@ -315,11 +344,32 @@ def bm25_topk_at_rest(
     because batches are disjoint), filtered to the query terms and
     broadcast. Returns exactly the rows of :func:`bm25_topk` on the
     union of all indexed batches."""
-    terms = sorted({t for _, q in queries for t in q.split(" ") if t})
+    term_rows = sorted(
+        {(qid, t) for qid, q in queries for t in q.split(" ") if t}
+    )
+    return _rank_topk(_scores_at_rest(spark, index_path, term_rows), k)
+
+
+def _scores_at_rest(
+    spark: SparkSession,
+    index_path: str,
+    term_rows: list[tuple[int, str]],
+) -> DataFrame:
+    """BM25 scores (query_id, doc_id, score_micro) against a persisted
+    index for an explicit per-query term table. ``term_rows`` is
+    driver-side so the partition predicate is computable BEFORE the
+    scan — the shared scoring core of :func:`bm25_topk_at_rest` and
+    both passes of :func:`bm25_prf_expand_at_rest` (whose second-pass
+    term set is only known after expansion selection)."""
+    terms = sorted({t for _, t in term_rows})
     pfxs = sorted(
         {hashlib.md5(t.encode("utf-8")).hexdigest()[:_PFX_LEN] for t in terms}
     )
-    qt = F.broadcast(_query_terms(spark, queries))
+    qt = F.broadcast(
+        spark.createDataFrame(
+            sorted(set(term_rows)), "query_id bigint, token string"
+        )
+    )
     # explicit schemas on every index read: partition-column type
     # INFERENCE would misread an all-numeric-looking set of hex pfx
     # directory values as DOUBLE and break the string probe (found by
@@ -355,10 +405,89 @@ def bm25_topk_at_rest(
         .crossJoin(stats)
         .select("query_id", "doc_id", _term_micro().alias("term_micro"))
     )
-    scored = term.groupBy("query_id", "doc_id").agg(
+    return term.groupBy("query_id", "doc_id").agg(
         F.sum("term_micro").cast("bigint").alias("score_micro")
     )
-    return _rank_topk(scored, k)
+
+
+def bm25_prf_expand_at_rest(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, str]],
+    k_feedback: int = 10,
+    n_expansion: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`bm25_prf_expand` served from a persisted
+    :func:`bm25_index_write` layout built with ``forward_index=True``
+    — returns bit-identical rows, but neither ranking pass touches
+    the corpus.
+
+    All three reads are partition-pruned probes:
+
+    1. feedback ranking — postings pruned to the original query
+       terms' ``pfx`` partitions (:func:`_scores_at_rest`);
+    2. expansion selection — the ``docterms`` forward index pruned to
+       the feedback documents' ``dpfx`` partitions (the feedback set
+       is queries × k_feedback rows, collected driver-side: a bounded
+       model-artifact collect that makes the partition predicate
+       computable);
+    3. re-ranking — postings pruned to the EXPANDED term set (the
+       expansion table is queries × n_expansion rows, same bounded
+       collect).
+
+    At 100 TB the ad-hoc PRF re-tokenizes the corpus twice per query
+    batch; this shape reads a few parquet partitions per pass — the
+    same economics the repo measures for bm25_adhoc vs at_rest."""
+    from pyspark.sql import Window as W
+
+    orig_rows = sorted(
+        {(qid, t) for qid, q in queries for t in q.split(" ") if t}
+    )
+    fb = _rank_topk(
+        _scores_at_rest(spark, index_path, orig_rows), k_feedback
+    ).select("query_id", "doc_id")
+    fb_rows = [(r.query_id, r.doc_id) for r in fb.collect()]
+    if not fb_rows:
+        return _rank_topk(_scores_at_rest(spark, index_path, orig_rows), k)
+    fb_ids = sorted({d for _, d in fb_rows})
+    dpfxs = sorted(
+        {
+            hashlib.md5(str(d).encode("utf-8")).hexdigest()[:_PFX_LEN]
+            for d in fb_ids
+        }
+    )
+    # batches hold disjoint documents, so no cross-batch distinct is
+    # needed: the per-batch rows are already distinct (doc_id, token)
+    dterms = (
+        spark.read.schema(
+            "doc_id bigint, token string, batch bigint, dpfx string"
+        )
+        .parquet(f"{index_path}/docterms")
+        .where(F.col("dpfx").isin(dpfxs) & F.col("doc_id").isin(fb_ids))
+        .select("doc_id", "token")
+    )
+    fbdf = F.broadcast(
+        spark.createDataFrame(fb_rows, "query_id bigint, doc_id bigint")
+    )
+    orig = F.broadcast(
+        spark.createDataFrame(orig_rows, "query_id bigint, token string")
+    )
+    cand = (
+        dterms.join(fbdf, "doc_id")
+        .join(orig, ["query_id", "token"], "left_anti")
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_fb"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("df_fb").desc(), F.col("token"))
+    expansion = (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_expansion)
+        .select("query_id", "token")
+    )
+    exp_rows = [(r.query_id, r.token) for r in expansion.collect()]
+    term_rows = sorted(set(orig_rows) | set(exp_rows))
+    return _rank_topk(_scores_at_rest(spark, index_path, term_rows), k)
 
 
 def phrase_counts(

@@ -1507,6 +1507,12 @@ def semantic_index_append_fixed(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", old
             )
+        else:
+            # key was unset before: leaving it set to dynamic would
+            # silently change later overwrite-partitionBy writes
+            spark.conf.unset(
+                "spark.sql.sources.partitionOverwriteMode"
+            )
 
 
 def semantic_index_write(
@@ -1635,4 +1641,10 @@ def semantic_index_append(
         if old is not None:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", old
+            )
+        else:
+            # key was unset before: leaving it set to dynamic would
+            # silently change later overwrite-partitionBy writes
+            spark.conf.unset(
+                "spark.sql.sources.partitionOverwriteMode"
             )

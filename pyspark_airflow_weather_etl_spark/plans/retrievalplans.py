@@ -633,3 +633,28 @@ def bm25_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_prf_expand(
         docs, BM25_QUERIES, k_feedback=10, n_expansion=3, k=10
     )
+
+
+@register("bm25_prf_expanded_at_rest", oracle=_PRF_ORACLE)
+def bm25_prf_expanded_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF expansion served from the persisted index
+    (operators.retrieval.bm25_prf_expand_at_rest): both ranking
+    passes are pfx-partition-pruned postings probes and expansion
+    selection reads the dpfx-pruned docterms forward index — the
+    corpus is never re-tokenized. Shares the ad-hoc PRF oracle: the
+    at-rest loop must be bit-identical."""
+    import tempfile
+
+    if "prf:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="bm25_prf_")
+        docs = load_table(spark, sf_dir, "documents")
+        R.bm25_index_write(docs, f"{tmp}/index", forward_index=True)
+        _BM25_STAGE["prf:" + sf_dir] = tmp
+    return R.bm25_prf_expand_at_rest(
+        spark,
+        f"{_BM25_STAGE['prf:' + sf_dir]}/index",
+        BM25_QUERIES,
+        k_feedback=10,
+        n_expansion=3,
+        k=10,
+    )

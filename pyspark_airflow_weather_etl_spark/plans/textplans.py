@@ -2352,6 +2352,12 @@ def streaming_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s.conf.set(
                         "spark.sql.sources.partitionOverwriteMode", old
                     )
+                else:
+                    # key was unset before: leaving it set to dynamic would
+                    # silently change later overwrite-partitionBy writes
+                    s.conf.unset(
+                        "spark.sql.sources.partitionOverwriteMode"
+                    )
 
         (
             stream.writeStream.foreachBatch(_proc)

@@ -64,6 +64,12 @@ def run_streaming_cdc_store(
                 s.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
+            else:
+                # key was unset before: leaving it set to dynamic would
+                # silently change later overwrite-partitionBy writes
+                s.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
 
     writer = stream.writeStream.foreachBatch(_append).trigger(
         availableNow=True

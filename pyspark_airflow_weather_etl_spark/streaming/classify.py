@@ -49,6 +49,11 @@ def _append_batch_keyed(df: DataFrame, out_path: str, batch_id: int) -> None:
     finally:
         if old is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        else:
+            # the key was unset before; leaving it set to dynamic would
+            # silently change later overwrite-partitionBy writes from
+            # full-tree replace to partial overwrite
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def run_streaming_classify(

@@ -64,6 +64,12 @@ def run_streaming_cms(
                 bs.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
+            else:
+                # key was unset before: leaving it set to dynamic would
+                # silently change later overwrite-partitionBy writes
+                bs.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
 
     name = f"cms_cells_{next(_run_ids)}"
     writer = (

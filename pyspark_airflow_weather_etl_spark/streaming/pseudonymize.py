@@ -76,6 +76,12 @@ def run_streaming_pseudonymize(
                 bs.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
+            else:
+                # key was unset before: leaving it set to dynamic would
+                # silently change later overwrite-partitionBy writes
+                bs.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
 
     name = f"pseudo_{next(_run_ids)}"
     writer = (

@@ -116,6 +116,12 @@ def run_streaming_scd2(
                 bs.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
+            else:
+                # key was unset before: leaving it set to dynamic would
+                # silently change later overwrite-partitionBy writes
+                bs.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
 
     name = f"scd2_{next(_run_ids)}"
     writer = (

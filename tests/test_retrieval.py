@@ -403,3 +403,107 @@ def test_prf_expansion_recalls_term_disjoint_doc(spark):
     }
     assert 100 in prf
     assert 200 not in prf
+
+
+def test_prf_at_rest_equals_ad_hoc_and_prunes(spark, docs, tmp_path):
+    """The at-rest PRF loop is pinned to the ad-hoc result, and every
+    scan in it is partition-pruned: postings on pfx (both passes),
+    the docterms forward index on dpfx — no corpus read anywhere."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_prf_expand,
+        bm25_prf_expand_at_rest,
+    )
+
+    path = str(tmp_path / "prf_index")
+    bm25_index_write(docs, path, forward_index=True)
+    at_rest = bm25_prf_expand_at_rest(
+        spark, path, QUERIES, k_feedback=3, n_expansion=2, k=10
+    )
+    adhoc = bm25_prf_expand(
+        docs, QUERIES, k_feedback=3, n_expansion=2, k=10
+    )
+    assert sorted(map(tuple, at_rest.collect())) == sorted(
+        map(tuple, adhoc.collect())
+    )
+    # the final (second-pass) plan: its one file scan is the postings
+    # probe, pruned on pfx — the corpus parquet never appears
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pfx" in m.group(1), f"no pfx pruning in scan:\n{plan}"
+    assert "documents" not in plan
+
+
+def test_prf_at_rest_docterms_probe_prunes_on_dpfx(spark, docs, tmp_path):
+    """The expansion-selection read touches only the feedback docs'
+    dpfx partitions of the forward index."""
+    import hashlib
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        _PFX_LEN,
+    )
+
+    path = str(tmp_path / "prf_index2")
+    bm25_index_write(docs, path, forward_index=True)
+    fb_ids = [0, 3]
+    dpfxs = sorted(
+        hashlib.md5(str(d).encode()).hexdigest()[:_PFX_LEN] for d in fb_ids
+    )
+    dterms = (
+        spark.read.schema(
+            "doc_id bigint, token string, batch bigint, dpfx string"
+        )
+        .parquet(f"{path}/docterms")
+        .where(F.col("dpfx").isin(dpfxs) & F.col("doc_id").isin(fb_ids))
+        .select("doc_id", "token")
+    )
+    plan = dterms._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dpfx" in m.group(1), f"no dpfx pruning:\n{plan}"
+    # and the forward index holds exactly the docs' distinct terms
+    got = {(r.doc_id, r.token) for r in dterms.collect()}
+    want = {
+        (i, t)
+        for i, txt in CORPUS
+        if i in fb_ids
+        for t in set(txt.split(" "))
+    }
+    assert got == want
+
+
+def test_prf_at_rest_recalls_term_disjoint_doc(spark, tmp_path):
+    """The recall scenario, served from the index: a doc invisible to
+    plain BM25 is reachable after at-rest expansion."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_prf_expand_at_rest,
+    )
+
+    corpus = [(i, "q comp filler" + str(i)) for i in range(6)] + [
+        (100, "comp comp comp"),
+        (200, "noise other words"),
+    ]
+    d = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    path = str(tmp_path / "prf_recall")
+    bm25_index_write(d, path, forward_index=True)
+    hits = {
+        r.doc_id
+        for r in bm25_prf_expand_at_rest(
+            spark, path, [(1, "q")], k_feedback=6, n_expansion=1, k=10
+        ).collect()
+    }
+    assert 100 in hits and 200 not in hits
+
+
+def test_batch_keyed_write_restores_unset_conf(spark, docs, tmp_path):
+    """Building an index on a session where partitionOverwriteMode was
+    never set must not leave the session in dynamic mode — that would
+    silently change later user overwrite-partitionBy writes."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    had = spark.conf.get(key, None)
+    if had is not None:
+        spark.conf.unset(key)
+    try:
+        bm25_index_write(docs, str(tmp_path / "leak_idx"))
+        assert spark.conf.get(key, None) in (None, "STATIC", "static")
+    finally:
+        if had is not None:
+            spark.conf.set(key, had)
