@@ -595,14 +595,28 @@ def kanon_suppress(
     One map-side-combinable count over the quasi columns plus a
     broadcast-friendly semi join of the qualifying groups back onto
     the rows — group keys shuffle, row payloads don't move until the
-    final filter. Deterministic: suppression depends only on counts."""
+    final filter. Deterministic: suppression depends only on counts.
+
+    NULL quasi-identifier values form a group like any other (the
+    groupBy already treats them so): the semi join is NULL-SAFE, so a
+    row whose null-combination is shared by >= k rows is kept — a
+    plain equi-join would silently suppress every NULL-bearing row
+    regardless of its group size."""
+    import functools
+
     groups = (
         df.groupBy(*[F.col(c) for c in quasi_cols])
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") >= k)
-        .drop("__n")
+        .select(
+            *[F.col(c).alias(f"__g_{c}") for c in quasi_cols]
+        )
     )
-    return df.join(groups, list(quasi_cols), "left_semi")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in quasi_cols],
+    )
+    return df.join(groups, cond, "left_semi")
 
 
 def oversample_sources(

@@ -627,6 +627,11 @@ def phrase_match_at_rest(
             )
         )
         out = m if out is None else out.unionByName(m)
+    if out is None:
+        # no phrase produced any terms: empty result, stable schema
+        return spark.createDataFrame(
+            [], "phrase_id bigint, doc_id bigint, n_matches bigint"
+        )
     return out
 
 

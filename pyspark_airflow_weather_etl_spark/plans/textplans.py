@@ -2037,7 +2037,8 @@ def cdc_dedup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.ubucket AS ubucket, g.event_type AS event_type,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM g JOIN keep
-      ON g.ubucket = keep.ubucket AND g.event_type = keep.event_type
+      ON g.ubucket IS NOT DISTINCT FROM keep.ubucket
+     AND g.event_type IS NOT DISTINCT FROM keep.event_type
     GROUP BY g.ubucket, g.event_type
     """,
 )

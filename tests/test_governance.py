@@ -440,6 +440,26 @@ def test_kanon_suppress_boundary(spark):
     assert sorted(r.payload for r in kept) == [0, 1, 2]
 
 
+def test_kanon_suppress_null_quasi_group(spark):
+    """NULL quasi-identifier combinations are groups like any other:
+    a (NULL, 'x') group of size >= k is KEPT (null-safe semi join),
+    while a lone NULL-bearing row is still suppressed."""
+    from pyspark_airflow_weather_etl_spark.operators.governance import (
+        kanon_suppress,
+    )
+
+    rows = (
+        [(None, "x", i) for i in range(3)]
+        + [(None, "y", 7)]
+        + [("a", None, i) for i in range(3)]
+        + [("a", "z", 8)]
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, payload long")
+    kept = kanon_suppress(df, ["q1", "q2"], k=3).collect()
+    assert {(r.q1, r.q2) for r in kept} == {(None, "x"), ("a", None)}
+    assert sorted(r.payload for r in kept) == [0, 0, 1, 1, 2, 2]
+
+
 def test_oversample_sources_copies_and_determinism(spark):
     """Full copies exact, fractional copies deterministic (pure
     function of id), untouched sources pass through once, copy_ids
