@@ -45,6 +45,49 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free netpbm decoder (binary PPM ``P6`` / PGM
+    ``P5``) — the one REAL decode path that runs in this container
+    (no PIL needed): header = magic, then whitespace-separated width,
+    height, maxval tokens with ``#``-to-newline comments allowed,
+    then the raw sample plane. Returns (width, height, pixels).
+
+    This is the non-fake branch of :func:`extract_features`
+    (``decode='ppm'``): tiny by design, but it exercises the full
+    real-decoder contract — bytes in from the Arrow batch, header
+    validation, ValueError on truncation/garbage — so swapping in a
+    codec-backed decoder changes one function, not the plumbing."""
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in b"56":
+        raise ValueError("not a binary PPM/PGM payload (magic != P5/P6)")
+    channels = 3 if payload[1:2] == b"6" else 1
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    width, height, maxval = vals
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # the single whitespace byte after maxval
+    need = width * height * channels
+    pixels = payload[pos : pos + need]
+    if len(pixels) < need:
+        raise ValueError(
+            f"truncated PPM: need {need} sample bytes, have {len(pixels)}"
+        )
+    return width, height, pixels
+
+
 def attach_payload(docs: DataFrame) -> DataFrame:
     """Synthesize MEDIA_ASSET rows from the documents fixture: the
     utf-8 text bytes stand in for an encoded media payload."""
@@ -60,31 +103,42 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def extract_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    The fake decode derives width/height from the payload length
+    ``decode='fake'`` derives width/height from the payload length
     (deterministic, so the whole pandas path hash-checks against a SQL
-    oracle); a real deployment swaps ``_fake_decode`` for the codec
-    call and keeps every other line.
-    """
+    oracle). ``decode='ppm'`` runs the REAL header decode
+    (:func:`decode_ppm` — dependency-free, so the non-fake branch
+    executes in this container's CI; a codec-backed deployment swaps
+    the decoder and keeps every other line). Both branches share
+    schema, batching, and the JVM↔Python boundary discipline."""
+    if decode not in ("fake", "ppm"):
+        raise ValueError(f"unknown decode mode {decode!r}")
 
-    def _fake_decode(n: int) -> tuple[int, int]:
+    def _fake_dims(b: bytes) -> tuple[int, int]:
+        n = len(b)
         return n % 640 + 16, (n * 7) % 480 + 16
+
+    def _ppm_dims(b: bytes) -> tuple[int, int]:
+        w, h, _ = decode_ppm(b)
+        return w, h
+
+    dim_fn = _fake_dims if decode == "fake" else _ppm_dims
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_bytes = pdf["payload"].map(len)
-            dims = n_bytes.map(_fake_decode)
+            payloads = pdf["payload"].map(bytes)
+            dims = payloads.map(dim_fn)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes.astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
                     "width": dims.map(lambda d: d[0]).astype("int32"),
                     "height": dims.map(lambda d: d[1]).astype("int32"),
-                    "checksum": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
                     ),
                 }
             )

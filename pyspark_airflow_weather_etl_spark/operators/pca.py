@@ -171,6 +171,78 @@ def pca_project(
     )
 
 
+def fixed_rotation(k: int, d: int) -> list[list[int]]:
+    """The deterministic integer rotation of the portable twin:
+    ``W[r][j] = ((r*31 + j*17) % 7) - 3`` — small ints an external
+    engine regenerates from the formula alone."""
+    return [
+        [((r * 31 + j * 17) % 7) - 3 for j in range(d)] for r in range(k)
+    ]
+
+
+def pca_project_fixed(
+    df: DataFrame,
+    k: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Portable hash-exact twin of :func:`pca_project` — the
+    kmeans_cluster_fixed / pq_encode_fixed pattern: the trained float
+    eigenbasis (engine-specific LAPACK, rows-only checkable) is
+    replaced by the :func:`fixed_rotation` integer matrix, and the
+    mean-centered projection is computed in EXACT integer arithmetic
+    so DuckDB replays it bit-for-bit. Returns (id, r, y): for
+    quantized vectors xq = floor(x*scale) with corpus column sums S
+    and row count n,
+
+        y[r] = n * Σ_j xq_j·W[r][j] − Σ_j S_j·W[r][j]
+             = n · (W(xq − S/n))_r        — centering without division.
+
+    Scale shape: one corpus-width aggregation for (n, S) — d sum
+    COLUMNS, not a posexplode (the kmeans lesson: exploding multiplies
+    the partial-agg input by d) — whose single row is a bounded driver
+    artifact re-entering as plan literals; the projection itself is a
+    JVM-side zip_with/aggregate per component, no shuffle, no Python.
+    Overflow: |xq| ≤ scale·max|x|, |W| ≤ 3, so |y| < n·d·3·scale·max|x|
+    — at 1e12 rows and unit-normalized 64-d vectors still < 2^63."""
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "bigint"
+            ),
+        ).alias("xq"),
+    )
+    d = len(q.select("xq").first()[0])
+    agg = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.col("xq")[j]).cast("bigint").alias(f"s{j}")
+            for j in range(d)
+        ],
+    ).collect()[0]
+    n = int(agg["n"])
+    S = [int(agg[f"s{j}"]) for j in range(d)]
+    W = fixed_rotation(k, d)
+    const = [sum(S[j] * W[r][j] for j in range(d)) for r in range(k)]
+    ys = []
+    for r in range(k):
+        wr = F.array(*[F.lit(int(w)).cast("bigint") for w in W[r]])
+        dot = F.aggregate(
+            F.zip_with("xq", wr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        ys.append(
+            (F.lit(n).cast("bigint") * dot - F.lit(const[r]).cast("bigint"))
+        )
+    return q.select(
+        F.col(id_col), F.posexplode(F.array(*ys)).alias("r", "y")
+    ).select(F.col(id_col), F.col("r").cast("bigint").alias("r"), "y")
+
+
 def pca_save(spark, model: dict, path: str) -> None:
     """Persist the artifact (component rows + one-row meta — the
     tokenizer-artifact layout)."""

@@ -429,3 +429,121 @@ def unigram_train_em(
             final[p] = c
     wf.unpersist(blocking=False)
     return final
+
+
+def _expected_piece_counts_fixed(
+    word: str, probs: dict[str, float], max_piece_len: int
+) -> list[tuple[str, int]] | None:
+    """The portable twin's E-step for one word: same forward-backward
+    lattice as :func:`_expected_piece_counts` (same op order — that is
+    the contract the DuckDB recursive-CTE replay pins), but each
+    posterior TERM is floor-quantized to integer micro-units BEFORE
+    accumulation, so every downstream sum is exact integer arithmetic
+    (orderless) instead of a float dict accumulation. The quantized
+    term is the one fixed-shape float expression
+
+        floor(alpha[i-l] * p * beta[i] / z * EM_SCALE)
+
+    (left-associative, matching the SQL text in plans/unigramplans.py
+    token for token)."""
+    n = len(word)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        for l in range(1, min(max_piece_len, i) + 1):
+            p = probs.get(word[i - l : i])
+            if p is not None and alpha[i - l] > 0.0:
+                alpha[i] += alpha[i - l] * p
+    z = alpha[n]
+    if z == 0.0:
+        return None
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        for l in range(1, min(max_piece_len, n - i) + 1):
+            p = probs.get(word[i : i + l])
+            if p is not None and beta[i + l] > 0.0:
+                beta[i] += p * beta[i + l]
+    counts: dict[str, int] = {}
+    for i in range(1, n + 1):
+        for l in range(1, min(max_piece_len, i) + 1):
+            piece = word[i - l : i]
+            p = probs.get(piece)
+            if p is not None:
+                q = int(
+                    math.floor(
+                        alpha[i - l] * p * beta[i] / z * EM_SCALE
+                    )
+                )
+                counts[piece] = counts.get(piece, 0) + q
+    return list(counts.items())
+
+
+def _em_fixed_count_udf(probs: dict[str, float], max_piece_len: int):
+    def em_batch(words):
+        def one(word):
+            got = _expected_piece_counts_fixed(word, probs, max_piece_len)
+            if got is None:
+                return None
+            return [{"piece": p, "c": c} for p, c in got]
+
+        return words.map(one)
+
+    return F.pandas_udf(em_batch, "array<struct<piece:string,c:long>>")
+
+
+def unigram_em_fixed_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_freq: int = 2,
+    max_seed: int = 200,
+    em_iters: int = 2,
+) -> DataFrame:
+    """Portable hash-exact twin of :func:`unigram_train_em` — the
+    kmeans_cluster_fixed pattern applied to the EM tokenizer trainer:
+    the vocabulary is FROZEN at the seed set (no zero-count pruning,
+    so the piece universe and the Laplace denominator are
+    SQL-derivable each round) and the E-step quantizes each lattice
+    posterior term to integer micro-units before any summation
+    (:func:`_expected_piece_counts_fixed`), making the weighted
+    per-round counts exact integers an external engine replays — the
+    forward/backward float recurrences are fixed-order per word, so a
+    DuckDB recursive CTE reproduces them bit-for-bit
+    (plans/unigramplans.py unrolls ``em_iters`` rounds).
+
+    Returns (piece, cnt): every seed piece with its round-``em_iters``
+    weighted expected count (micro-units). Scale shape unchanged from
+    the production trainer: one corpus shuffle (word collapse), then
+    per-round one Arrow pass + one vocab-sized aggregation; the vocab
+    round-trips the driver as a bounded model artifact."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    wf = word_freqs(df, text_col).repartition(par).localCheckpoint()
+    scaled = {
+        r.piece: int(r.piece_freq) * EM_SCALE
+        for r in seed_vocab(
+            df, text_col, max_piece_len, min_freq, max_seed
+        ).collect()
+    }
+    vocab = sorted(scaled)
+    for _ in range(em_iters):
+        em = _em_fixed_count_udf(_em_probs(scaled), max_piece_len)
+        used = (
+            wf.withColumn("pc", em(F.col("word")))
+            .select("freq", F.explode("pc").alias("e"))
+            .select(
+                F.col("e.piece").alias("piece"),
+                (F.col("freq") * F.col("e.c")).alias("wc"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("wc").alias("c"))
+            .collect()
+        )
+        new = {p: 0 for p in vocab}
+        new.update({r.piece: int(r.c) for r in used})
+        scaled = new
+    wf.unpersist(blocking=False)
+    return spark.createDataFrame(
+        sorted(scaled.items()), "piece string, cnt bigint"
+    )

@@ -107,3 +107,54 @@ def pca_reduced_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
     model = P.pca_train(emb, "embedding", k=32)
     return P.pca_reduced_topk(emb, model, q, k=10)
+
+
+_PCA_FIXED_ORACLE = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+      FROM embeddings
+    ), ex AS (
+      SELECT p.pos AS j,
+             CAST(SUM(q.xq[p.pos + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+      GROUP BY p.pos
+    ), w AS (
+      SELECT rr.r, jj.j,
+             CAST(((rr.r * 31 + jj.j * 17) % 7) - 3 AS BIGINT) AS w
+      FROM (SELECT unnest(range(8)) AS r) rr
+      CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+    ), nn AS (
+      SELECT MAX(n) AS n FROM ex
+    ), cst AS (
+      SELECT w.r, CAST(SUM(ex.s * w.w) AS BIGINT) AS c
+      FROM w JOIN ex ON w.j = ex.j GROUP BY w.r
+    ), proj AS (
+      SELECT q.vec_id, w.r,
+             CAST(SUM(q.xq[w.j + 1] * w.w) AS BIGINT) AS dot
+      FROM q CROSS JOIN w
+      GROUP BY q.vec_id, w.r
+    )
+    SELECT p.vec_id, CAST(p.r AS BIGINT) AS r,
+           CAST(nn.n * p.dot - c.c AS BIGINT) AS y
+    FROM proj p JOIN cst c ON p.r = c.r CROSS JOIN nn
+    """
+
+
+@register("pca_project_fixed_embeddings", oracle=_PCA_FIXED_ORACLE)
+def pca_project_fixed_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable hash-exact twin of the PCA projection
+    (operators.pca.pca_project_fixed — the kmeans_cluster_fixed
+    pattern): the trained eigenbasis is replaced by a deterministic
+    integer rotation and mean-centering is done in exact integer
+    arithmetic (y = n·W·xq − W·S — centering without a division), so
+    the DuckDB oracle replays quantization, corpus column sums, and
+    every projection coordinate bit-for-bit. Pins the ENTIRE
+    projection machinery — quantize, center, rotate, emit — leaving
+    only the eigh itself to the rows-only entries."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return P.pca_project_fixed(emb, k=8, scale=1000)

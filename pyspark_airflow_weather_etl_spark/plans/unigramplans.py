@@ -142,3 +142,137 @@ def _trained_em(spark: SparkSession, sf_dir: str) -> dict[str, int]:
             em_iters=_EM_ITERS,
         )
     return _EM_CACHE[sf_dir]
+
+
+def _em_fixed_oracle(em_iters: int = 2) -> str:
+    """Round-unrolled DuckDB replay of the portable EM twin
+    (operators.unigram.unigram_em_fixed_counts) — the kmeansplans
+    _unrolled_oracle pattern extended with RECURSIVE CTEs: per round,
+    the forward (alpha) and backward (beta) lattice recurrences run as
+    recursive CTEs carrying the last 4 positions' values, with the
+    float term ORDER matched token-for-token to the Python E-step
+    (l ascending, left-associative adds, zero-filled missing terms —
+    adding exact 0.0 to a non-negative double is the identity); each
+    posterior term floor-quantizes through the identical expression
+    ``floor(a * p * b / z * 1000000.0)`` so all summation is integer.
+    The vocabulary is frozen at the seed set, so the Laplace
+    denominator (total, V) is derivable per round."""
+    head = """
+    WITH RECURSIVE wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY w
+    ), subs AS (
+      SELECT substr(word, s.i, l.l) AS piece,
+             CAST(SUM(freq) AS BIGINT) AS piece_freq
+      FROM wf,
+           LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) s,
+           LATERAL (SELECT unnest(generate_series(1,
+                      least(4, length(word) - s.i + 1))) AS l) l
+      GROUP BY piece
+    ), ranked AS (
+      SELECT piece, piece_freq,
+             ROW_NUMBER() OVER (ORDER BY piece_freq DESC, piece) AS rnk
+      FROM subs WHERE piece_freq >= 2
+    ), seed AS (
+      SELECT piece, piece_freq FROM ranked WHERE rnk <= 200
+      UNION
+      SELECT piece, piece_freq FROM subs WHERE length(piece) = 1
+    ), v0 AS (
+      SELECT piece, CAST(piece_freq * 1000000 AS BIGINT) AS c FROM seed
+    )"""
+    rounds = []
+    for r in range(1, em_iters + 1):
+        rounds.append(f""", t{r} AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS nv
+      FROM v{r - 1}
+    ), p{r} AS (
+      SELECT v.piece,
+             CAST(v.c + 1000000 AS DOUBLE)
+               / CAST(t.total + t.nv * 1000000 AS DOUBLE) AS p
+      FROM v{r - 1} v CROSS JOIN t{r} t
+    ), a{r} AS (
+      SELECT word, 0 AS i,
+             CAST(1.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+             CAST(0.0 AS DOUBLE) AS c2, CAST(0.0 AS DOUBLE) AS c3
+      FROM wf
+      UNION ALL
+      SELECT a.word, a.i + 1,
+             a.c0 * COALESCE(q1.p, 0.0) + a.c1 * COALESCE(q2.p, 0.0)
+               + a.c2 * COALESCE(q3.p, 0.0) + a.c3 * COALESCE(q4.p, 0.0),
+             a.c0, a.c1, a.c2
+      FROM a{r} a
+      LEFT JOIN p{r} q1 ON q1.piece = substr(a.word, a.i + 1, 1)
+      LEFT JOIN p{r} q2 ON a.i >= 1 AND q2.piece = substr(a.word, a.i, 2)
+      LEFT JOIN p{r} q3 ON a.i >= 2
+                       AND q3.piece = substr(a.word, a.i - 1, 3)
+      LEFT JOIN p{r} q4 ON a.i >= 3
+                       AND q4.piece = substr(a.word, a.i - 2, 4)
+      WHERE a.i < length(a.word)
+    ), b{r} AS (
+      SELECT word, length(word) AS i,
+             CAST(1.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+             CAST(0.0 AS DOUBLE) AS c2, CAST(0.0 AS DOUBLE) AS c3
+      FROM wf
+      UNION ALL
+      SELECT b.word, b.i - 1,
+             COALESCE(q1.p, 0.0) * b.c0 + COALESCE(q2.p, 0.0) * b.c1
+               + COALESCE(q3.p, 0.0) * b.c2 + COALESCE(q4.p, 0.0) * b.c3,
+             b.c0, b.c1, b.c2
+      FROM b{r} b
+      LEFT JOIN p{r} q1 ON q1.piece = substr(b.word, b.i, 1)
+      LEFT JOIN p{r} q2 ON b.i + 1 <= length(b.word)
+                       AND q2.piece = substr(b.word, b.i, 2)
+      LEFT JOIN p{r} q3 ON b.i + 2 <= length(b.word)
+                       AND q3.piece = substr(b.word, b.i, 3)
+      LEFT JOIN p{r} q4 ON b.i + 3 <= length(b.word)
+                       AND q4.piece = substr(b.word, b.i, 4)
+      WHERE b.i > 0
+    ), zf{r} AS (
+      SELECT word, c0 AS z FROM a{r} WHERE i = length(word)
+    ), cnt{r} AS (
+      SELECT p.piece AS piece,
+             CAST(SUM(w.freq * CAST(floor(
+               af.c0 * p.p * bf.c0 / z.z * 1000000.0) AS BIGINT))
+               AS BIGINT) AS c
+      FROM wf w,
+           LATERAL (SELECT unnest(generate_series(1, length(w.word)))
+                    AS i) ti,
+           LATERAL (SELECT unnest(generate_series(1, least(4, ti.i)))
+                    AS l) tl,
+           p{r} p, a{r} af, b{r} bf, zf{r} z
+      WHERE p.piece = substr(w.word, ti.i - tl.l + 1, tl.l)
+        AND af.word = w.word AND af.i = ti.i - tl.l
+        AND bf.word = w.word AND bf.i = ti.i
+        AND z.word = w.word AND z.z > 0
+      GROUP BY p.piece
+    ), v{r} AS (
+      SELECT v.piece, COALESCE(s.c, 0) AS c
+      FROM v0 v LEFT JOIN cnt{r} s ON v.piece = s.piece
+    )""")
+    final = f"""
+    SELECT piece, CAST(c AS BIGINT) AS cnt FROM v{em_iters}
+    """
+    return head + "".join(rounds) + final
+
+
+@register("unigram_vocab_em_fixed", oracle=_em_fixed_oracle(em_iters=2))
+def unigram_vocab_em_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hash-exact twin of the full-EM trainer
+    (operators.unigram.unigram_em_fixed_counts): frozen seed
+    vocabulary, forward-backward posteriors with per-term floor
+    quantization to integer micro-units, 2 unrolled EM rounds — the
+    DuckDB oracle replays the ENTIRE loop (seed inventory → per-round
+    probs → both lattice recurrences via recursive CTEs → quantized
+    posterior counts) bit-for-bit, closing the hash-exactness gap the
+    rows-only unigram_vocab_em_documents entry leaves open."""
+    docs = load_table(spark, sf_dir, "documents")
+    return U.unigram_em_fixed_counts(
+        docs,
+        max_piece_len=_MAX_PIECE_LEN,
+        min_freq=_MIN_FREQ,
+        max_seed=_MAX_SEED,
+        em_iters=2,
+    )

@@ -77,6 +77,83 @@ def streaming_session(spark: SparkSession) -> SparkSession:
     return s
 
 
+def object_store_confs(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool | None = None,
+    region: str | None = None,
+    magic_committer: bool = True,
+) -> dict[str, str]:
+    """The S3A/object-store conf profile (X5) — the one reference
+    config surface the engine did not cover: the reference mounts a
+    MinIO endpoint + static keys via ``docker/spark/spark-defaults
+    .conf:1-5``. This returns the equivalent (public Hadoop S3A)
+    confs for ``get_spark(extra_confs=...)`` — they are STATIC, so
+    they must reach the builder before the JVM starts.
+
+    Defaults come from the standard AWS env contract
+    (``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY`` /
+    ``AWS_ENDPOINT_URL`` / ``AWS_REGION``) so deployments configure
+    the store without code changes; explicit arguments win. With no
+    keys in either place, the provider chain is left at Hadoop's
+    default (instance profiles / web identity — the right answer on
+    EKS/EC2). ``path_style_access`` defaults to True whenever a
+    custom endpoint is set (MinIO/Ceph need it; virtual-hosted style
+    is correct against real S3).
+
+    100 TB notes baked in: the MAGIC committer (task commit = one
+    object PUT completion, no O(data) directory rename — the classic
+    object-store job-commit wall), bounded connection pool sized for
+    32-way executors, and fast block upload. The committer classes
+    live in the ``spark-hadoop-cloud`` module; on builds without it,
+    drop ``magic_committer`` and writes fall back to the (slower,
+    still correct) v1 file committer. Pure conf assembly — no
+    network, unit-testable anywhere (tests/test_session.py)."""
+    endpoint = endpoint or os.environ.get("AWS_ENDPOINT_URL")
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    region = region or os.environ.get("AWS_REGION")
+    if path_style_access is None:
+        path_style_access = endpoint is not None
+    confs: dict[str, str] = {
+        "spark.hadoop.fs.s3a.impl": (
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        ),
+        "spark.hadoop.fs.s3a.path.style.access": (
+            "true" if path_style_access else "false"
+        ),
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+    }
+    if endpoint:
+        confs["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if region:
+        confs["spark.hadoop.fs.s3a.endpoint.region"] = region
+    if access_key and secret_key:
+        confs["spark.hadoop.fs.s3a.access.key"] = access_key
+        confs["spark.hadoop.fs.s3a.secret.key"] = secret_key
+        confs["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        )
+    if magic_committer:
+        confs.update(
+            {
+                "spark.hadoop.fs.s3a.committer.name": "magic",
+                "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud."
+                    "PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud."
+                    "BindingParquetOutputCommitter"
+                ),
+            }
+        )
+    return confs
+
+
 def get_spark(
     app_name: str = "pyspark-analytics-engine",
     cpus: int | None = None,
