@@ -1146,6 +1146,25 @@ def _bpe_probe(spark, sf_dir: str) -> dict[str, float]:
     assert len(rules_seen) == 1, "BPE training nondeterministic across passes"
     out["bpe_train_24_merges"] = round(_median(t_samples), 3)
     out["bpe_encode_documents"] = round(_median(e_samples), 3)
+    # batched-rounds variant: same 24 rules PROVEN identical per run
+    # (the _safe_batch_prefix contract), fewer driver round-trips —
+    # the mitigation for the 32k-merge production latency wall.
+    from pyspark_airflow_weather_etl_spark.operators.bpe import bpe_train
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    seq_rules = next(iter(rules_seen))
+    b_samples: list[float] = []
+    for _ in range(BENCH_RUNS):
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        got = bpe_train(docs, num_merges=24, min_freq=2, batch_rounds=8)
+        b_samples.append(time.perf_counter() - t0)
+        assert (
+            tuple((m.rank, m.left, m.right, m.freq) for m in got)
+            == seq_rules
+        ), "batched BPE diverged from sequential"
+        release_cached()
+    out["bpe_train_24_merges_batch8"] = round(_median(b_samples), 3)
     return out
 
 

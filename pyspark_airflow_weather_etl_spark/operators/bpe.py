@@ -173,17 +173,86 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _safe_batch_prefix(rows, budget: int, prior_merged: set[str]):
+    """Driver-side selection for batched training: the longest prefix
+    of the rank-ordered candidate list (pair_freq DESC, left, right)
+    that is PROVABLY what the one-rule-per-round trainer would pick.
+
+    Three conditions, each load-bearing for the exactness proof
+    (docstring of :func:`bpe_train`):
+
+    1. **Greedy prefix with a symbol-disjointness STOP** (stop at the
+       first candidate sharing a symbol — left, right, or its merged
+       concatenation — with any already-selected rule, never skip
+       past it): applying a selected rule consumes only its own two
+       symbols, so a later symbol-disjoint rule's count is untouched
+       — and because we stopped rather than skipped, every pair
+       ranked above a selected rule is itself selected, so no
+       unchanged outside pair can out-rank it.
+    2. **Merged-symbol novelty**: a rule whose concatenation equals a
+       symbol that ALREADY exists in the vocab (the merged string of
+       any earlier-learned rule) manufactures new occurrences of that
+       old symbol, so counts of pairs involving it can GROW — growth
+       the excluded-count bound below cannot cap. Such a rule may
+       only close its batch: select it, then stop, so every
+       subsequent rule re-ranks against fresh counts next round.
+    3. **Strict-count guard vs the first excluded candidate**: merges
+       create NEW pairs involving the (novel) merged symbol, with
+       count bounded by some pre-merge pair that interacts with the
+       rule — which (by the stop rule) ranks at or below the first
+       excluded candidate. Requiring every kept rule's count to be
+       STRICTLY above that bound means no new pair can tie or beat a
+       yet-unapplied rule of the batch. The top-1 rule is exempt (it
+       is the global argmax by construction).
+    """
+    selected = []
+    used: set[str] = set()
+    stop = len(rows)
+    for idx, r in enumerate(rows):
+        if len(selected) >= budget:
+            stop = idx
+            break
+        concat = r.left + r.right
+        if r.left in used or r.right in used or concat in used:
+            stop = idx
+            break
+        selected.append(r)
+        used.update((r.left, r.right, concat))
+        if concat in prior_merged:
+            stop = idx + 1
+            break
+    if stop < len(rows):
+        excl = int(rows[stop].pair_freq)
+        guarded = [r for r in selected if int(r.pair_freq) > excl]
+        selected = guarded or selected[:1]
+    return selected
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 30,
     min_freq: int = 2,
+    batch_rounds: int = 1,
 ) -> list[Merge]:
     """Learn ``num_merges`` BPE merge rules from the corpus (module
     docstring for the scale shape). Deterministic: argmax tiebreak is
     (pair_freq DESC, left ASC, right ASC); stops early when no pair
     reaches ``min_freq``. Returns the ordered rule list — driver
-    state, like every trained tokenizer artifact."""
+    state, like every trained tokenizer artifact.
+
+    ``batch_rounds=m`` amortizes the driver round-trips that dominate
+    a production 32k-merge vocab (one plan-build + one job per rule):
+    each round aggregates pair counts ONCE, collects the top ``m+1``
+    candidates, and applies the :func:`_safe_batch_prefix` of them in
+    a single chained fold — rules selected under those two conditions
+    are EXACTLY the rules the sequential trainer learns, in the same
+    order with the same recorded frequencies (equality-tested against
+    the sequential trainer in tests/test_bpe.py, including an
+    adversarial interacting-pair corpus). Batch size only bounds how
+    much is provably safe per round; correctness never depends on it.
+    With ``batch_rounds=1`` the loop is the exact one-rule-per-round
+    reference semantics, one candidate row per round."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     vocab = (
@@ -193,8 +262,10 @@ def bpe_train(
         .repartition(par)
         .localCheckpoint()
     )
+    batch = max(1, int(batch_rounds))
     merges: list[Merge] = []
-    for rank in range(num_merges):
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
         top = (
             vocab.select(
                 "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
@@ -206,17 +277,22 @@ def bpe_train(
             .agg(F.sum("freq").alias("pair_freq"))
             .where(F.col("pair_freq") >= min_freq)
             .orderBy(F.desc("pair_freq"), "left", "right")
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
         if not top:
             break
-        row = top[0]
-        merges.append(Merge(rank, row.left, row.right, int(row.pair_freq)))
+        chosen = _safe_batch_prefix(
+            top, want, {m.merged for m in merges}
+        )
+        syms = F.col("syms")
+        for row in chosen:
+            merges.append(
+                Merge(len(merges), row.left, row.right, int(row.pair_freq))
+            )
+            syms = _apply_merge(syms, row.left, row.right)
         old = vocab
-        vocab = vocab.withColumn(
-            "syms", _apply_merge(F.col("syms"), row.left, row.right)
-        ).localCheckpoint()
+        vocab = vocab.withColumn("syms", syms).localCheckpoint()
         old.unpersist(blocking=False)
     vocab.unpersist(blocking=False)
     return merges

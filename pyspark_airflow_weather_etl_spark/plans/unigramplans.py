@@ -176,9 +176,14 @@ def _em_fixed_oracle(em_iters: int = 2) -> str:
              ROW_NUMBER() OVER (ORDER BY piece_freq DESC, piece) AS rnk
       FROM subs WHERE piece_freq >= 2
     ), seed AS (
-      SELECT piece, piece_freq FROM ranked WHERE rnk <= 200
-      UNION
-      SELECT piece, piece_freq FROM subs WHERE length(piece) = 1
+      -- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE,
+      -- DuckDB reads a CTE-level UNION as the base/iteration
+      -- separator and does NOT dedup across the two branches
+      SELECT DISTINCT piece, piece_freq FROM (
+        SELECT piece, piece_freq FROM ranked WHERE rnk <= 200
+        UNION ALL
+        SELECT piece, piece_freq FROM subs WHERE length(piece) = 1
+      )
     ), v0 AS (
       SELECT piece, CAST(piece_freq * 1000000 AS BIGINT) AS c FROM seed
     )"""

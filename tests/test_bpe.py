@@ -210,3 +210,43 @@ def test_merge_artifact_roundtrip(spark, tmp_path):
         map(tuple, bpe_encode(docs, loaded).collect())
     )
     assert a == b
+
+
+def test_batched_training_equals_sequential(spark):
+    """batch_rounds amortizes driver round-trips without changing ONE
+    learned rule: full merge-list equality (ranks, pairs, recorded
+    frequencies) vs the one-rule-per-round trainer on the fixture
+    corpus, at several batch sizes."""
+    docs = load_table(spark, SF_DIR, "documents")
+    seq = bpe_train(docs, num_merges=20, min_freq=2)
+    for m in (4, 8, 64):
+        got = bpe_train(docs, num_merges=20, min_freq=2, batch_rounds=m)
+        assert got == seq, f"batch_rounds={m} diverged"
+
+
+def test_batched_training_adversarial_interactions(spark):
+    """Corpora built to punish unsafe batching: top pairs that share
+    symbols (applying one changes the other's count), a merge whose
+    concatenation recreates an EARLIER round's merged symbol, and
+    equal-count ties at the batch boundary. The safe-prefix rules
+    must degrade to sequential behavior, not diverge."""
+    cases = [
+        # interacting top pairs: (a,b) and (b,c) share b
+        ["a b c " * 50 + "a b " * 5, "b c d " * 30],
+        # self-interacting pair (a,a) plus overlap chains
+        ["a a a a " * 40, "a a b " * 20, "b b b " * 10],
+        # merged-symbol collision: learn (a, bc) early, later (ab, c)
+        # would recreate pairs with the existing 'abc' symbol
+        ["a bc " * 60, "ab c " * 40, "abc x " * 30, "x y " * 25],
+        # flat tie plateau: many disjoint pairs at the same count
+        ["a b " * 7, "c d " * 7, "e f " * 7, "g h " * 7, "b a " * 7],
+    ]
+    for texts in cases:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        seq = bpe_train(df, num_merges=12, min_freq=2)
+        for m in (2, 3, 16):
+            got = bpe_train(df, num_merges=12, min_freq=2, batch_rounds=m)
+            assert got == seq, f"case={texts[0][:20]!r} m={m}"
