@@ -110,6 +110,7 @@ HEADLINE = [
     "corpus_datasheet_by_source",
     "bm25_hard_negatives",
     "bm25_prf_expanded_topk",
+    "bm25_prf_expanded_at_rest",
     "hybrid_rrf_dense_sparse",
     "ngram_containment_pairs",
     "token_entropy_documents",

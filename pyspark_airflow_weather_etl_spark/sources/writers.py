@@ -341,3 +341,107 @@ def read_orc(spark, path: str) -> DataFrame:
     footers only), so no explicit schema is required; pushdown and
     pruning work as with parquet."""
     return spark.read.orc(path)
+
+
+def upsert_sql(
+    table: str,
+    stage: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    dialect: str = "postgres",
+) -> str:
+    """The one in-database statement of :func:`jdbc_upsert` — split
+    out so the emitted SQL is unit-testable without a live server.
+
+    ``dialect='postgres'`` emits the reference's native idiom
+    (weather_daily_etl.py:197-206): ``INSERT ... ON CONFLICT (keys)
+    DO UPDATE SET col = EXCLUDED.col``. ``dialect='merge'`` emits
+    ANSI ``MERGE INTO`` (Derby/Oracle/SQLServer/DB2) — live-tested
+    against the embedded Derby Spark ships."""
+    # double-quote COLUMN identifiers: Spark's JDBC writer creates the
+    # stage with QUOTED (case-exact) column names, so unquoted SQL
+    # would case-fold away from them (Derby upper-cases, Postgres
+    # lower-cases). Table names stay verbatim — Spark passes dbtable
+    # through unquoted, so the server case-folds name and reference
+    # consistently.
+    def q(c: str) -> str:
+        return '"' + c.replace('"', '""') + '"'
+
+    cols = key_cols + value_cols
+    collist = ", ".join(q(c) for c in cols)
+    if dialect == "postgres":
+        keys = ", ".join(q(c) for c in key_cols)
+        sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in value_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {collist} FROM {stage} "
+            f"ON CONFLICT ({keys}) DO UPDATE SET {sets}"
+        )
+    if dialect == "merge":
+        on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
+        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in value_cols)
+        vals = ", ".join(f"s.{q(c)}" for c in cols)
+        return (
+            f"MERGE INTO {table} t USING {stage} s ON ({on}) "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect}")
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+    dialect: str = "postgres",
+    collapse: str | None = "last",
+) -> None:
+    """Native in-database UPSERT into the user's EXISTING serving
+    table — the deployment shape the reference runs in raw psql
+    (weather_daily_etl.py:197-206) and the one surface the Spark-side
+    merge + versioned publish did not cover: users pointing at a
+    Postgres table someone else owns keep their table.
+
+    Two phases, each in the right place:
+
+    1. the BATCH moves distributed — Spark JDBC-appends it to a
+       ``<table>__stage`` table (overwritten per call, so a crashed
+       load replays cleanly); batch rows are first collapsed to one
+       per key (``collapse='last'``/'avg', operators.merge semantics
+       — both ON CONFLICT and MERGE reject a batch that hits the same
+       target row twice), pass ``collapse=None`` for pre-deduped
+       input;
+    2. the MERGE happens server-side as ONE set statement
+       (:func:`upsert_sql`) over the driver's JDBC connection — no
+       row ever crosses back to Spark, the database's own MVCC makes
+       the upsert atomic for readers.
+
+    At 100 TB nothing here is corpus-sized: a serving upsert moves a
+    daily batch, and the only non-distributed step is a constant-size
+    SQL string."""
+    from ..operators.merge import collapse_duplicates
+
+    spark = df.sparkSession
+    if collapse is not None:
+        df = collapse_duplicates(df, key_cols, how=collapse)
+    stage = f"{table}__stage"
+    jdbc_writer(
+        df, url, stage, user, password, driver=driver, mode="overwrite"
+    ).save()
+    value_cols = [c for c in df.columns if c not in key_cols]
+    sql = upsert_sql(table, stage, key_cols, value_cols, dialect)
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
