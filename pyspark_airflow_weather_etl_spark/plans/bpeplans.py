@@ -100,3 +100,92 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
     return B.bpe_encode(docs, _trained(spark, sf_dir))
+
+
+def _bpe_unrolled_oracle(num_merges: int, min_freq: int) -> str:
+    """Round-unrolled DuckDB replay of the WHOLE BPE training loop —
+    the kmeansplans _unrolled_oracle precedent extended to the
+    tokenizer trainer (and the second iterative-trainer oracle after
+    unigramplans._em_fixed_oracle): per round, adjacent-pair counts
+    over the current symbol frame, the (freq DESC, left, right)
+    argmax as an ORDER BY ... LIMIT 1, and the greedy-leftmost
+    non-overlapping merge application as a RECURSIVE CTE walking each
+    word's symbol list with a cursor (consume 2 on match, 1
+    otherwise). Every value is an exact integer or a string — no
+    float anywhere — so the replay is bit-for-bit. A round whose best
+    pair misses ``min_freq`` contributes no output row and passes the
+    frame through unchanged, reproducing the trainer's early stop."""
+    head = """
+    WITH RECURSIVE wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY w
+    ), w0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(generate_series(1, length(word)),
+                            i -> substr(word, i, 1)) AS syms
+      FROM wf
+    )"""
+    rounds = []
+    outs = []
+    for r in range(1, num_merges + 1):
+        rounds.append(f""", pc{r} AS MATERIALIZED (
+      SELECT p.l AS left_, p.r AS right_,
+             CAST(SUM(freq) AS BIGINT) AS pair_freq
+      FROM w{r - 1}, LATERAL (
+        SELECT syms[t.i] AS l, syms[t.i + 1] AS r
+        FROM (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) t
+      ) p
+      WHERE len(syms) >= 2
+      GROUP BY p.l, p.r
+    ), m{r} AS MATERIALIZED (
+      SELECT left_, right_, pair_freq FROM pc{r}
+      WHERE pair_freq >= {min_freq}
+      ORDER BY pair_freq DESC, left_, right_ LIMIT 1
+    ), ap{r} AS (
+      SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+      FROM w{r - 1}
+      UNION ALL
+      SELECT a.word, a.freq, a.syms,
+             CASE WHEN m.left_ IS NOT NULL AND a.i + 1 <= len(a.syms)
+                       AND a.syms[a.i] = m.left_
+                       AND a.syms[a.i + 1] = m.right_
+                  THEN a.i + 2 ELSE a.i + 1 END,
+             CASE WHEN m.left_ IS NOT NULL AND a.i + 1 <= len(a.syms)
+                       AND a.syms[a.i] = m.left_
+                       AND a.syms[a.i + 1] = m.right_
+                  THEN list_append(a.acc, m.left_ || m.right_)
+                  ELSE list_append(a.acc, a.syms[a.i]) END
+      FROM ap{r} a LEFT JOIN m{r} m ON TRUE
+      WHERE a.i <= len(a.syms)
+    ), w{r} AS MATERIALIZED (
+      SELECT word, freq, acc AS syms FROM ap{r} WHERE i = len(syms) + 1
+    )""")
+        outs.append(
+            f"""SELECT CAST({r - 1} AS INT) AS merge_rank,
+           left_ AS "left", right_ AS "right",
+           left_ || right_ AS merged, pair_freq
+    FROM m{r}"""
+        )
+    return head + "".join(rounds) + "\n    " + "\n    UNION ALL\n    ".join(outs)
+
+
+@register(
+    "bpe_merges_unrolled_documents",
+    oracle=_bpe_unrolled_oracle(num_merges=12, min_freq=2),
+)
+def bpe_merges_unrolled_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BPE training LOOP itself, hash-exact
+    (operators.bpe.bpe_train, k=12): the DuckDB oracle replays all 12
+    rounds — pair counting, the deterministic argmax, and the
+    greedy-leftmost merge application — closing the gap the rows-only
+    bpe_merges_documents entry leaves open (pure-integer training
+    needs no portable-twin quantization: the production trainer IS
+    the twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return B.merges_df(
+        spark, B.bpe_train(docs, num_merges=12, min_freq=_MIN_FREQ)
+    )

@@ -50,7 +50,7 @@ def _trained(spark: SparkSession, sf_dir: str) -> dict[str, int]:
       FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
             FROM documents)
       WHERE length(w) > 0 GROUP BY w
-    ), subs AS (
+    ), subs AS MATERIALIZED (
       SELECT substr(word, s.i, l.l) AS piece,
              CAST(SUM(freq) AS BIGINT) AS piece_freq
       FROM wf,
@@ -158,12 +158,12 @@ def _em_fixed_oracle(em_iters: int = 2) -> str:
     The vocabulary is frozen at the seed set, so the Laplace
     denominator (total, V) is derivable per round."""
     head = """
-    WITH RECURSIVE wf AS (
+    WITH RECURSIVE wf AS MATERIALIZED (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
             FROM documents)
       WHERE length(w) > 0 GROUP BY w
-    ), subs AS (
+    ), subs AS MATERIALIZED (
       SELECT substr(word, s.i, l.l) AS piece,
              CAST(SUM(freq) AS BIGINT) AS piece_freq
       FROM wf,
@@ -184,7 +184,7 @@ def _em_fixed_oracle(em_iters: int = 2) -> str:
         UNION ALL
         SELECT piece, piece_freq FROM subs WHERE length(piece) = 1
       )
-    ), v0 AS (
+    ), v0 AS MATERIALIZED (
       SELECT piece, CAST(piece_freq * 1000000 AS BIGINT) AS c FROM seed
     )"""
     rounds = []
@@ -193,7 +193,7 @@ def _em_fixed_oracle(em_iters: int = 2) -> str:
       SELECT CAST(SUM(c) AS BIGINT) AS total,
              CAST(COUNT(*) AS BIGINT) AS nv
       FROM v{r - 1}
-    ), p{r} AS (
+    ), p{r} AS MATERIALIZED (
       SELECT v.piece,
              CAST(v.c + 1000000 AS DOUBLE)
                / CAST(t.total + t.nv * 1000000 AS DOUBLE) AS p
@@ -235,7 +235,7 @@ def _em_fixed_oracle(em_iters: int = 2) -> str:
       LEFT JOIN p{r} q4 ON b.i + 3 <= length(b.word)
                        AND q4.piece = substr(b.word, b.i, 4)
       WHERE b.i > 0
-    ), zf{r} AS (
+    ), zf{r} AS MATERIALIZED (
       SELECT word, c0 AS z FROM a{r} WHERE i = length(word)
     ), cnt{r} AS (
       SELECT p.piece AS piece,
@@ -253,7 +253,7 @@ def _em_fixed_oracle(em_iters: int = 2) -> str:
         AND bf.word = w.word AND bf.i = ti.i
         AND z.word = w.word AND z.z > 0
       GROUP BY p.piece
-    ), v{r} AS (
+    ), v{r} AS MATERIALIZED (
       SELECT v.piece, COALESCE(s.c, 0) AS c
       FROM v0 v LEFT JOIN cnt{r} s ON v.piece = s.piece
     )""")
