@@ -474,6 +474,8 @@ def _bm25_scale_probe(spark, sf_dir: str, factor: int = 32) -> dict[str, float]:
 
     from pyspark_airflow_weather_etl_spark.operators.retrieval import (
         bm25_index_write,
+        bm25_prf_expand,
+        bm25_prf_expand_at_rest,
         bm25_topk,
         bm25_topk_at_rest,
     )
@@ -493,13 +495,17 @@ def _bm25_scale_probe(spark, sf_dir: str, factor: int = 32) -> dict[str, float]:
     tmp = tempfile.mkdtemp(prefix="bench_bm25_scale_")
     big.write.parquet(f"{tmp}/docs")  # both paths read the same files
     big_p = spark.read.parquet(f"{tmp}/docs")
-    bm25_index_write(big_p, f"{tmp}/index")  # ingest-time cost, setup
+    # ingest-time cost, setup; forward index included so the PRF twin
+    # probes the same layout
+    bm25_index_write(big_p, f"{tmp}/index", forward_index=True)
 
     out: dict[str, float] = {}
     answers: dict[str, list] = {}
     samples: dict[str, list[float]] = {
         f"bm25_adhoc_{factor}x": [],
         f"bm25_at_rest_{factor}x": [],
+        f"bm25_prf_adhoc_{factor}x": [],
+        f"bm25_prf_at_rest_{factor}x": [],
     }
     for _ in range(BENCH_RUNS):
         t0 = time.perf_counter()
@@ -518,7 +524,43 @@ def _bm25_scale_probe(spark, sf_dir: str, factor: int = 32) -> dict[str, float]:
         )
         samples[f"bm25_at_rest_{factor}x"].append(time.perf_counter() - t0)
         answers.setdefault("at_rest", r)
+        # PRF: BOTH ranking passes re-scan the corpus ad-hoc vs both
+        # probing the index + dpfx-pruned forward-index expansion —
+        # the r10 perf-weak item, priced at scale
+        t0 = time.perf_counter()
+        r = sorted(
+            map(
+                tuple,
+                bm25_prf_expand(
+                    big_p, BM25_QUERIES, k_feedback=10, n_expansion=3, k=10
+                ).collect(),
+            )
+        )
+        samples[f"bm25_prf_adhoc_{factor}x"].append(time.perf_counter() - t0)
+        answers.setdefault("prf_adhoc", r)
+        release_cached()
+        t0 = time.perf_counter()
+        r = sorted(
+            map(
+                tuple,
+                bm25_prf_expand_at_rest(
+                    spark,
+                    f"{tmp}/index",
+                    BM25_QUERIES,
+                    k_feedback=10,
+                    n_expansion=3,
+                    k=10,
+                ).collect(),
+            )
+        )
+        samples[f"bm25_prf_at_rest_{factor}x"].append(
+            time.perf_counter() - t0
+        )
+        answers.setdefault("prf_at_rest", r)
     assert answers["adhoc"] == answers["at_rest"], "index diverged from ad-hoc"
+    assert answers["prf_adhoc"] == answers["prf_at_rest"], (
+        "PRF index path diverged from ad-hoc"
+    )
     for label, s in samples.items():
         out[label] = round(_median(s), 3)
     shutil.rmtree(tmp, ignore_errors=True)
