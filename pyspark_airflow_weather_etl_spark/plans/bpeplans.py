@@ -102,7 +102,7 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_encode(docs, _trained(spark, sf_dir))
 
 
-def _bpe_unrolled_oracle(num_merges: int, min_freq: int) -> str:
+def _bpe_unrolled_chain(num_merges: int, min_freq: int) -> tuple[str, list[str]]:
     """Round-unrolled DuckDB replay of the WHOLE BPE training loop —
     the kmeansplans _unrolled_oracle precedent extended to the
     tokenizer trainer (and the second iterative-trainer oracle after
@@ -168,7 +168,47 @@ def _bpe_unrolled_oracle(num_merges: int, min_freq: int) -> str:
            left_ || right_ AS merged, pair_freq
     FROM m{r}"""
         )
-    return head + "".join(rounds) + "\n    " + "\n    UNION ALL\n    ".join(outs)
+    return head + "".join(rounds), outs
+
+def _bpe_unrolled_oracle(num_merges: int, min_freq: int) -> str:
+    chain, outs = _bpe_unrolled_chain(num_merges, min_freq)
+    return chain + "\n    " + "\n    UNION ALL\n    ".join(outs)
+
+
+def _bpe_encode_unrolled_oracle(num_merges: int, min_freq: int) -> str:
+    """Encode oracle: the SAME unrolled training chain (the learned
+    rules are derived in-query), then every document reassembled from
+    the final word→pieces frame. Exactness rests on the equivalence
+    the encoder's docstring proves: the min-rank encode loop equals
+    applying each learned rule exhaustively in rank order, and one
+    greedy-leftmost pass IS exhaustive for a single rule (a merge can
+    only create adjacencies involving its own new token) — so the
+    training chain's w{R} frame is bit-for-bit the encoder's output
+    per distinct word. Reassembly keeps the original word order by
+    split-array index (empties filtered, order preserved — the
+    posexplode/filter shape)."""
+    chain, _ = _bpe_unrolled_chain(num_merges, min_freq)
+    return chain + f"""
+    , docw AS MATERIALIZED (
+      SELECT d.doc_id, t.i AS pos, t.w AS word
+      FROM documents d, LATERAL (
+        SELECT i.i, a.arr[i.i] AS w
+        FROM (SELECT regexp_split_to_array(d.text, '\\s+') AS arr) a,
+             LATERAL (SELECT unnest(generate_series(1, len(a.arr)))
+                      AS i) i
+      ) t
+      WHERE length(t.w) > 0
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w.syms)) AS BIGINT) AS n_pieces,
+           string_agg(array_to_string(w.syms, ' '), ' '
+                      ORDER BY dw.pos) AS pieces
+    FROM docw dw JOIN w{num_merges} w ON dw.word = w.word
+    GROUP BY dw.doc_id
+    """
+
+
 
 
 @register(
@@ -188,4 +228,39 @@ def bpe_merges_unrolled_documents(
     docs = load_table(spark, sf_dir, "documents")
     return B.merges_df(
         spark, B.bpe_train(docs, num_merges=12, min_freq=_MIN_FREQ)
+    )
+
+
+def _trained12(spark: SparkSession, sf_dir: str) -> list[B.Merge]:
+    key = (sf_dir, 12, _MIN_FREQ)
+    if key not in _MERGE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _MERGE_CACHE[key] = B.bpe_train(
+            docs, num_merges=12, min_freq=_MIN_FREQ
+        )
+    return _MERGE_CACHE[key]
+
+
+@register(
+    "bpe_encode_unrolled_documents",
+    oracle=_bpe_encode_unrolled_oracle(num_merges=12, min_freq=2),
+)
+def bpe_encode_unrolled_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE ENCODING hash-exact (operators.bpe.bpe_encode with the
+    12-rule trainer): the oracle re-derives the rules with the
+    unrolled training chain and reassembles every document — pinning
+    the min-rank encode loop, the distinct-word collapse, and the
+    word-order reassembly cell-for-cell, closing the rows-only gap of
+    bpe_encode_documents."""
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = B.bpe_encode(docs, _trained12(spark, sf_dir))
+    return enc.select(
+        "doc_id",
+        FF.col("n_words").cast("bigint").alias("n_words"),
+        FF.col("n_pieces").cast("bigint").alias("n_pieces"),
+        "pieces",
     )
