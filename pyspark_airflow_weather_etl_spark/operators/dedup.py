@@ -1066,3 +1066,44 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """Portable twin of :func:`simhash` — the portable_minhash
+    discipline applied to the SimHash family: token hashes come from
+    an md5 prefix (15 hex digits = 60 bits, safely inside BIGINT)
+    instead of the engine-internal xxhash64, so ANY system replays
+    the fingerprint bit-for-bit (the property a cross-store
+    fingerprint needs, and what makes the DuckDB oracle possible —
+    plans/textplans.py). Same vote semantics: every token OCCURRENCE
+    votes +1/-1 per bit, the sign vector packs LSB-first. Pure
+    codegen, one groupBy."""
+    tok = spread_small_scan(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    hashed = tok.select(
+        id_col,
+        F.expr(
+            "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    packed_expr = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = (
+            F.when(F.col(f"bit_{i}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        packed_expr = packed_expr.bitwiseOR(F.shiftleft(bit, i))
+    return voted.select(F.col(id_col), packed_expr.alias("simhash"))

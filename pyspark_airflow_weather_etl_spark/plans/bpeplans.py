@@ -4,12 +4,14 @@ learning, and piece encoding (operators/bpe.py).
 North-star extension (SURVEY.md §2.9 — the reference,
 `/root/reference/spark_jobs/*.py`, has no tokenization surface). The
 iteration-0 pair-count kernel is SQL-expressible and ships hash-exact
-against DuckDB; the training loop itself is an iterative driver-side
-argmax (not expressible as one SQL query), so the merge/encode
-entries are rows-only for the driver and hash-checked in
-tests/test_bpe.py against a pure-Python reference implementation of
-the same semantics — the `dedup_clusters_jaccard` evidence pattern
-for iterative algorithms.
+against DuckDB — and so, since round 11, does the TRAINING LOOP
+itself: `_bpe_unrolled_chain` unrolls all 24 rounds (pair counts,
+ORDER-BY-LIMIT-1 argmax, greedy-leftmost merge application as a
+recursive-CTE cursor walk), so the merge AND encode entries are
+hash-exact, with the pure-Python reference in tests/test_bpe.py as a
+second, independent check. Multiply-referenced per-round CTEs are AS
+MATERIALIZED — DuckDB otherwise inlines and re-evaluates them per
+reference, exponential in unrolled depth (>590 s -> 0.3 s).
 """
 
 from __future__ import annotations
@@ -77,29 +79,6 @@ def bpe_pair_counts_frame(docs: DataFrame) -> DataFrame:
         "pair_freq",
     )
 
-
-@register("bpe_merges_documents")
-def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned BPE merge table (operators.bpe.bpe_train, k=24,
-    min_freq=2): (merge_rank, left, right, merged, pair_freq) in
-    training order. Deterministic — argmax tiebreak is (freq DESC,
-    left, right). Rows-only for the driver (iterative driver-side
-    argmax, not one SQL query); the full rule sequence is hash-checked
-    against a pure-Python reference in tests/test_bpe.py."""
-    return B.merges_df(spark, _trained(spark, sf_dir))
-
-
-@register("bpe_encode_documents")
-def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents encoded with the learned merges
-    (operators.bpe.bpe_encode): (doc_id, n_words, n_pieces, pieces).
-    Encode cost is per DISTINCT word (Arrow-batched min-rank merge
-    loop) + one doc_id shuffle for in-order reassembly. Rows-only for
-    the driver; piece-level parity with the Python reference encoder
-    (and the lossless-roundtrip property) is asserted in
-    tests/test_bpe.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    return B.bpe_encode(docs, _trained(spark, sf_dir))
 
 
 def _bpe_unrolled_chain(num_merges: int, min_freq: int) -> tuple[str, list[str]]:
@@ -211,56 +190,38 @@ def _bpe_encode_unrolled_oracle(num_merges: int, min_freq: int) -> str:
 
 
 
+
 @register(
-    "bpe_merges_unrolled_documents",
-    oracle=_bpe_unrolled_oracle(num_merges=12, min_freq=2),
+    "bpe_merges_documents",
+    oracle=_bpe_unrolled_oracle(num_merges=_NUM_MERGES, min_freq=_MIN_FREQ),
 )
-def bpe_merges_unrolled_documents(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The BPE training LOOP itself, hash-exact
-    (operators.bpe.bpe_train, k=12): the DuckDB oracle replays all 12
-    rounds — pair counting, the deterministic argmax, and the
-    greedy-leftmost merge application — closing the gap the rows-only
-    bpe_merges_documents entry leaves open (pure-integer training
-    needs no portable-twin quantization: the production trainer IS
-    the twin)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return B.merges_df(
-        spark, B.bpe_train(docs, num_merges=12, min_freq=_MIN_FREQ)
-    )
-
-
-def _trained12(spark: SparkSession, sf_dir: str) -> list[B.Merge]:
-    key = (sf_dir, 12, _MIN_FREQ)
-    if key not in _MERGE_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        _MERGE_CACHE[key] = B.bpe_train(
-            docs, num_merges=12, min_freq=_MIN_FREQ
-        )
-    return _MERGE_CACHE[key]
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (operators.bpe.bpe_train, k=24,
+    min_freq=2): (merge_rank, left, right, merged, pair_freq) in
+    training order. Deterministic — argmax tiebreak is (freq DESC,
+    left, right). HASH-EXACT: the DuckDB oracle unrolls all 24
+    training rounds — pair counts, argmax, greedy-leftmost merge
+    application as a recursive cursor walk (_bpe_unrolled_chain) —
+    and the rule sequence is additionally checked against a
+    pure-Python reference in tests/test_bpe.py."""
+    return B.merges_df(spark, _trained(spark, sf_dir))
 
 
 @register(
-    "bpe_encode_unrolled_documents",
-    oracle=_bpe_encode_unrolled_oracle(num_merges=12, min_freq=2),
+    "bpe_encode_documents",
+    oracle=_bpe_encode_unrolled_oracle(
+        num_merges=_NUM_MERGES, min_freq=_MIN_FREQ
+    ),
 )
-def bpe_encode_unrolled_documents(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """BPE ENCODING hash-exact (operators.bpe.bpe_encode with the
-    12-rule trainer): the oracle re-derives the rules with the
-    unrolled training chain and reassembles every document — pinning
-    the min-rank encode loop, the distinct-word collapse, and the
-    word-order reassembly cell-for-cell, closing the rows-only gap of
-    bpe_encode_documents."""
-    from pyspark.sql import functions as FF
-
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded with the learned merges
+    (operators.bpe.bpe_encode): (doc_id, n_words, n_pieces, pieces).
+    Encode cost is per DISTINCT word (Arrow-batched min-rank merge
+    loop) + one doc_id shuffle for in-order reassembly. HASH-EXACT:
+    the oracle re-derives the 24 rules with the unrolled training
+    chain and reassembles every document in word order; piece-level
+    parity with the Python reference encoder (and the
+    lossless-roundtrip property) is also asserted in
+    tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
-    enc = B.bpe_encode(docs, _trained12(spark, sf_dir))
-    return enc.select(
-        "doc_id",
-        FF.col("n_words").cast("bigint").alias("n_words"),
-        FF.col("n_pieces").cast("bigint").alias("n_pieces"),
-        "pieces",
-    )
+    return B.bpe_encode(docs, _trained(spark, sf_dir))

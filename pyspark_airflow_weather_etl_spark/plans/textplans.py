@@ -502,6 +502,41 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "text")
 
 
+_SIMHASH_PORTABLE_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, b.i AS i,
+             SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) b
+      GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """
+
+
+@register("simhash_portable_documents", oracle=_SIMHASH_PORTABLE_ORACLE)
+def simhash_portable_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable 60-bit SimHash (operators.dedup.simhash_portable):
+    md5-prefix token hashes replace xxhash64, so the fingerprint is
+    reproducible by ANY engine — the DuckDB oracle replays bit
+    votes, signs, and the packed long bit-for-bit, giving the
+    SimHash family its hash-exact member next to the
+    engine-internal simhash_documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_portable(docs, "doc_id", "text")
+
+
 @register(
     "text_normalize",
     oracle="""
