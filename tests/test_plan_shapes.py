@@ -356,3 +356,18 @@ def test_bm25_adhoc_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 6, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pca_project_fixed_projection_no_exchange(spark):
+    """The portable PCA projection is a pure map stage: after the
+    one (n, S) aggregation round-trips as literals, the per-row
+    rotate/center/emit must add ZERO exchanges — scan → project →
+    generate, nothing corpus-sized ever shuffles."""
+    from pyspark_airflow_weather_etl_spark.operators.pca import (
+        pca_project_fixed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    proj = pca_project_fixed(emb, k=8, scale=1000)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
