@@ -984,3 +984,111 @@ def bm25_prf_expand(
     return _rank_topk(
         bm25_scores_for_terms(docs, expanded, id_col, text_col), k
     )
+
+
+def bm25_index_compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    forward_index: bool = False,
+) -> str:
+    """Compact a :func:`bm25_index_append` tree (one batch=<id> delta
+    per crawl increment) into a SINGLE-batch index published as the
+    next serving version under ``dst_path`` — returns the version
+    directory name.
+
+    Why this exists at 100 TB: the incremental contract keeps appends
+    O(batch) by never rewriting what's at rest, so a year of crawl
+    cadence leaves thousands of ``batch=`` deltas — a probe then opens
+    every batch's files per pfx partition and re-sums
+    thousands-of-rows-per-term stats deltas on every query. Compaction
+    pays the rewrite ONCE, off the serving path: postings rows are
+    already unique across batches (disjoint documents), so the data
+    tree re-partitions under ``batch=0`` (one well-sized file set per
+    pfx), term stats collapse to their sums, and the corpus scalars to
+    one row. Probe results are BIT-IDENTICAL by construction (sums of
+    sums; the catalog entry shares the ad-hoc oracle).
+
+    Crash contract is :func:`..sources.writers.publish_version`: the
+    compacted tree builds inside an unreferenced ``v-<n>`` dir, the
+    ``_current`` pointer flips only after the build commits, and the
+    previous version survives as rollback — readers of
+    :func:`bm25_index_current` never see a partial index, and the
+    SOURCE deltas are never touched (append cadence continues; the
+    next compaction folds the new deltas)."""
+    from ..sources.writers import publish_version
+
+    def build(vdir: str) -> None:
+        postings = (
+            spark.read.schema(
+                "token string, doc_id bigint, tf bigint, dl bigint,"
+                " batch bigint, pfx string"
+            )
+            .parquet(f"{src_path}/postings")
+            .select(
+                "token",
+                "doc_id",
+                "tf",
+                "dl",
+                F.lit(0).cast("bigint").alias("batch"),
+                "pfx",
+            )
+        )
+        (
+            postings.write.mode("overwrite")
+            .partitionBy("batch", "pfx")
+            .parquet(f"{vdir}/postings")
+        )
+        (
+            spark.read.schema("token string, df bigint, batch bigint")
+            .parquet(f"{src_path}/termstats")
+            .groupBy("token")
+            .agg(F.sum("df").cast("bigint").alias("df"))
+            .withColumn("batch", F.lit(0).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{vdir}/termstats")
+        )
+        (
+            spark.read.schema("n_docs bigint, sum_dl bigint, batch bigint")
+            .parquet(f"{src_path}/stats")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+            )
+            .withColumn("batch", F.lit(0).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{vdir}/stats")
+        )
+        if forward_index:
+            (
+                spark.read.schema(
+                    "doc_id bigint, token string, batch bigint, dpfx string"
+                )
+                .parquet(f"{src_path}/docterms")
+                .select(
+                    "doc_id",
+                    "token",
+                    F.lit(0).cast("bigint").alias("batch"),
+                    "dpfx",
+                )
+                .write.mode("overwrite")
+                .partitionBy("batch", "dpfx")
+                .parquet(f"{vdir}/docterms")
+            )
+
+    return publish_version(spark, dst_path, build)
+
+
+def bm25_index_current(spark: SparkSession, dst_path: str) -> str:
+    """Full path of the live compacted index version under
+    ``dst_path`` (crash-recovery semantics of
+    resolve_serving_version). Pass the result anywhere an index path
+    goes: :func:`bm25_topk_at_rest`, :func:`bm25_prf_expand_at_rest`."""
+    from ..sources.writers import resolve_serving_version
+
+    vname = resolve_serving_version(spark, dst_path)
+    if vname is None:
+        raise FileNotFoundError(f"no complete index version under {dst_path}")
+    return f"{dst_path.rstrip('/')}/{vname}"

@@ -109,6 +109,36 @@ def bm25_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_topk_compacted", oracle=_BM25_ORACLE)
+def bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction leg of the serving-index lifecycle
+    (operators.retrieval.bm25_index_compact): three crawl-batch
+    deltas fold into ONE published version (crash-safe
+    publish_version pointer flip, source deltas untouched) and the
+    probe answers from the live version — sharing the ad-hoc oracle
+    pins compaction as bit-neutral. At crawl cadence this is what
+    keeps probe cost flat: without it a probe opens every historical
+    batch's files per pfx partition and re-sums per-term stats deltas
+    on every query."""
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    if "compact:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="bm25_compact_")
+        docs = load_table(spark, sf_dir, "documents")
+        for b in range(3):
+            R.bm25_index_append(
+                docs.where(FF.col("doc_id") % 3 == b), f"{tmp}/src", b
+            )
+        R.bm25_index_compact(spark, f"{tmp}/src", f"{tmp}/dst")
+        _BM25_STAGE["compact:" + sf_dir] = tmp
+    live = R.bm25_index_current(
+        spark, f"{_BM25_STAGE['compact:' + sf_dir]}/dst"
+    )
+    return R.bm25_topk_at_rest(spark, live, BM25_QUERIES, k=10)
+
+
 @register("bm25_topk_incremental", oracle=_BM25_ORACLE)
 def bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-loop index shape (operators.retrieval.

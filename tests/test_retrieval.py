@@ -507,3 +507,97 @@ def test_batch_keyed_write_restores_unset_conf(spark, docs, tmp_path):
     finally:
         if had is not None:
             spark.conf.set(key, had)
+
+
+def test_index_compaction_probe_identical_and_versioned(spark, docs, tmp_path):
+    """Compacting N batch deltas into one published version changes
+    probe results not one bit; the version dir resolves through the
+    crash-safe pointer; a second compaction publishes v2 and the
+    probe still answers; the SOURCE deltas are untouched."""
+    import os
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_current,
+    )
+
+    src = str(tmp_path / "src_idx")
+    dst = str(tmp_path / "compacted")
+    for b in range(3):
+        bm25_index_append(docs.where(F.col("doc_id") % 3 == b), src, b)
+    want = sorted(
+        map(tuple, bm25_topk_at_rest(spark, src, QUERIES, k=10).collect())
+    )
+    v1 = bm25_index_compact(spark, src, dst)
+    live = bm25_index_current(spark, dst)
+    assert live.endswith(v1)
+    got = sorted(
+        map(tuple, bm25_topk_at_rest(spark, live, QUERIES, k=10).collect())
+    )
+    assert got == want
+    # single batch dir in the compacted postings
+    batches = [
+        d for d in os.listdir(f"{live}/postings") if d.startswith("batch=")
+    ]
+    assert batches == ["batch=0"]
+    # source tree untouched: three delta dirs remain
+    src_batches = [
+        d for d in os.listdir(f"{src}/postings") if d.startswith("batch=")
+    ]
+    assert sorted(src_batches) == ["batch=0", "batch=1", "batch=2"]
+    # append a 4th delta, recompact: new version published, probe
+    # reflects the full corpus again
+    extra = spark.createDataFrame(
+        [(1000, "hash join table scan probe")], "doc_id bigint, text string"
+    )
+    bm25_index_append(extra, src, 3)
+    v2 = bm25_index_compact(spark, src, dst)
+    assert v2 != v1
+    live2 = bm25_index_current(spark, dst)
+    r2 = {
+        (r.query_id, r.doc_id)
+        for r in bm25_topk_at_rest(spark, live2, QUERIES, k=10).collect()
+    }
+    assert (1, 1000) in r2
+
+
+def test_compacted_forward_index_serves_prf(spark, docs, tmp_path):
+    """Compaction with forward_index=True keeps PRF servable from the
+    published version, bit-identical to the delta-tree answer."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_current,
+        bm25_prf_expand_at_rest,
+    )
+
+    src = str(tmp_path / "src_prf")
+    dst = str(tmp_path / "compacted_prf")
+    for b in range(2):
+        bm25_index_append(
+            docs.where(F.col("doc_id") % 2 == b), src, b, forward_index=True
+        )
+    want = sorted(
+        map(
+            tuple,
+            bm25_prf_expand_at_rest(
+                spark, src, QUERIES, k_feedback=3, n_expansion=2, k=10
+            ).collect(),
+        )
+    )
+    bm25_index_compact(spark, src, dst, forward_index=True)
+    got = sorted(
+        map(
+            tuple,
+            bm25_prf_expand_at_rest(
+                spark,
+                bm25_index_current(spark, dst),
+                QUERIES,
+                k_feedback=3,
+                n_expansion=2,
+                k=10,
+            ).collect(),
+        )
+    )
+    assert got == want
