@@ -567,6 +567,64 @@ def _bm25_scale_probe(spark, sf_dir: str, factor: int = 32) -> dict[str, float]:
     return out
 
 
+def _bm25_compaction_probe(spark, sf_dir: str) -> dict[str, float]:
+    """The index-lifecycle economics, measured: the SAME corpus
+    indexed as 16 crawl-batch deltas (the O(batch) append contract's
+    accumulated state) vs compacted into one published version — the
+    probe over the delta tree opens every batch's files per pfx
+    partition and re-sums 16 stats deltas per term; the compacted
+    probe reads one well-sized file set. Result equality asserted;
+    compaction itself is untimed setup (it runs at maintenance
+    cadence, off the serving path)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_current,
+        bm25_topk_at_rest,
+    )
+    from pyspark_airflow_weather_etl_spark.plans.retrievalplans import (
+        BM25_QUERIES,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bench_bm25_compact_")
+    for b in range(16):
+        bm25_index_append(
+            docs.where(F.col("doc_id") % 16 == b), f"{tmp}/src", b
+        )
+    bm25_index_compact(spark, f"{tmp}/src", f"{tmp}/dst")
+    live = bm25_index_current(spark, f"{tmp}/dst")
+    samples = {"bm25_at_rest_16deltas": [], "bm25_at_rest_compacted": []}
+    answers = {}
+    for _ in range(BENCH_RUNS):
+        for label, path in (
+            ("bm25_at_rest_16deltas", f"{tmp}/src"),
+            ("bm25_at_rest_compacted", live),
+        ):
+            t0 = time.perf_counter()
+            r = sorted(
+                map(
+                    tuple,
+                    bm25_topk_at_rest(
+                        spark, path, BM25_QUERIES, k=10
+                    ).collect(),
+                )
+            )
+            samples[label].append(time.perf_counter() - t0)
+            answers.setdefault(label, r)
+    assert (
+        answers["bm25_at_rest_16deltas"] == answers["bm25_at_rest_compacted"]
+    ), "compaction changed probe results"
+    out = {k: round(_median(v), 3) for k, v in samples.items()}
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _zorder_comparison(spark, sf_dir: str) -> dict[str, float]:
     """Two-dimensional skipping evidence: the ×4 lineitem written (a)
     linearly sorted by l_partkey and (b) Z-ordered on
@@ -1545,6 +1603,7 @@ def main() -> None:
     timings.update(_zorder_comparison(spark, sf_dir))
     gc.collect()
     timings.update(_bm25_scale_probe(spark, sf_dir))
+    timings.update(_bm25_compaction_probe(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
