@@ -35,7 +35,7 @@ def test_contract_exports_match_registry():
             re.IGNORECASE))
         cte_names = set(re.findall(r"(?:WITH(?:\s+RECURSIVE)?\s+|,\s*)"
                                    r"([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?"
-                                   r"\s+AS\s*\(", sql,
+                                   r"\s+AS\s+(?:MATERIALIZED\s*)?\(", sql,
                                    re.IGNORECASE))
         aliases = {"t", "n", "c", "s", "o", "l", "a", "b", "e", "q", "j",
                    "n1", "n2", "sa", "sb", "v", "p", "r", "u", "w"}
@@ -80,13 +80,9 @@ def test_rows_only_entries_are_the_documented_sketches():
         # fixed-quantizer twin semantic_dedup_incremental_cells is
         # hash-exact against the one-shot oracle)
         "semantic_dedup_incremental_embeddings",
-        # BPE training/encode: iterative driver-side argmax is not
-        # one SQL query; the merge sequence and piece-level encode are
-        # hash-checked vs a pure-Python reference in tests/test_bpe.py
-        # (the iteration-0 kernel bpe_pair_counts_documents IS
-        # oracle-bearing)
-        "bpe_merges_documents",
-        "bpe_encode_documents",
+        # (BPE merges/encode moved OUT of this set in round 11: the
+        # training loop and encode are now round-unrolled
+        # recursive-CTE oracles — hash-exact)
         # PQ with trained codebooks: quantized ranking is approximate
         # by design; encode/LUT exactness + recall bounds in
         # tests/test_pq.py (the fixed-codebook twins
@@ -98,13 +94,9 @@ def test_rows_only_entries_are_the_documented_sketches():
         # orthogonality, error-reduction vs plain PQ, and encode
         # parity pinned in tests/test_pq.py::TestOpq
         "opq_ann_topk_adc",
-        # unigram-LM tokenizer: the EM loop is driver-bounded
-        # iteration, not one SQL query; the trained inventory and the
-        # encode output are hash-checked against an independent
-        # pure-Python reference in tests/test_unigram.py (the seed
-        # kernel unigram_seed_vocab_documents IS oracle-bearing)
-        "unigram_vocab_documents",
-        "unigram_encode_documents",
+        # (unigram hard-EM vocab/encode moved OUT of this set in
+        # round 11: the Viterbi trainer and encode replay as
+        # recursive-CTE oracles — hash-exact)
         # full-EM edition: forward-backward expected counts quantized
         # to integer micro-counts before aggregation; exact equality
         # with an independent Python reference in
