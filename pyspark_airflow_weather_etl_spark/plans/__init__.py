@@ -501,10 +501,87 @@ _VERIFIED_R10: frozenset[str] = frozenset(
 )
 
 
+# CORRECTNESS_r11.json rows — all 50 green (48 hash-exact, 2 in the
+# declared rows-only set), freshest tier.
+_VERIFIED_R11: frozenset[str] = frozenset(
+    {
+        "anti_join_no_pending",
+        "array_functions_tokens",
+        "asof_purchase_prior_view",
+        "bm25_prf_expanded_at_rest",
+        "bm25_prf_expanded_topk",
+        "bm25_topk_compacted",
+        "dedup_clusters_jaccard",
+        "dedup_exact_documents",
+        "doc_fingerprints",
+        "hybrid_rrf_dense_sparse",
+        "lang_id_documents",
+        "lang_source_rollup",
+        "minhash_near_dup_pairs",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "ngram_jaccard_pairs",
+        "ngram_jaccard_pairs_capped",
+        "null_semantics",
+        "pca_project_fixed_embeddings",
+        "phrase_match_incremental",
+        "pii_scrub",
+        "q10_returned_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_predicates",
+        "q2_min_per_group_joinback",
+        "q5_nation_revenue",
+        "q7_volume_shipping",
+        "range_join_views_before_purchase",
+        "regex_token_stats",
+        "retrieval_metrics_bm25",
+        "semi_join_big_spenders",
+        "setop_cust_fulfilled_and_open",
+        "simhash_documents",
+        "simhash_portable_documents",
+        "text_normalize",
+        "text_quality_features",
+        "tfidf_top_terms",
+        "token_frequency",
+        "topk_orders_by_price",
+        "udtf_token_positions",
+        "unigram_vocab_em_fixed",
+        "variant_props_extract",
+        "weather_daily_rollup",
+        "weather_flatten_hourly",
+        "window_order_value_delta",
+        "window_rank_distribution",
+        "window_running_customer_total",
+        "window_top_orders_per_customer",
+        "winnowing_fingerprints",
+    }
+)
+
+
+# Names whose catalog ORACLE is newer than their latest driver row —
+# the only state where "green" is stale by construction, so they jump
+# the whole rotation (right after never-sampled names). The four
+# tokenizer entries gained unrolled recursive-CTE oracles in round 11
+# AFTER their last (r9) driver sample; the r11 judge re-ran all four
+# hash-exact locally, and this head makes the official r12 record say
+# the same.
+_PRIORITY_R12: frozenset[str] = frozenset(
+    {
+        "bpe_merges_documents",
+        "bpe_encode_documents",
+        "unigram_vocab_documents",
+        "unigram_encode_documents",
+    }
+)
+
+
 def _schedule_registry() -> None:
-    """Reorder REGISTRY: never-verified names first, then the stalest
-    round's names, then the freshest round's. A name in several rounds'
-    sets is scheduled by its freshest row (later tiers win)."""
+    """Reorder REGISTRY: never-verified names first, then names whose
+    oracle postdates their last driver row (_PRIORITY_R12), then the
+    stalest round's names, then the freshest round's. A name in
+    several rounds' sets is scheduled by its freshest row (later tiers
+    win)."""
     rounds = [
         _VERIFIED_R1,
         _VERIFIED_R2,
@@ -514,11 +591,13 @@ def _schedule_registry() -> None:
         _VERIFIED_R8,
         _VERIFIED_R9,
         _VERIFIED_R10,
+        _VERIFIED_R11,
     ]
     tiers = [
         rounds[i] - frozenset().union(*rounds[i + 1 :])
         for i in range(len(rounds) - 1)
     ] + [rounds[-1]]
+    tiers = [_PRIORITY_R12] + [t - _PRIORITY_R12 for t in tiers]
     entries = dict(REGISTRY)
     REGISTRY.clear()
     in_any = frozenset().union(*tiers)
