@@ -625,6 +625,63 @@ def _bm25_compaction_probe(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _phrase_compaction_probe(spark, sf_dir: str) -> dict[str, float]:
+    """The POSITIONAL index's lifecycle economics, measured — the
+    phrase twin of _bm25_compaction_probe: the same corpus indexed as
+    16 positional crawl-batch deltas vs compacted into one published
+    version. The delta-tree phrase probe opens every batch's files
+    per token pfx partition (m posting-list self-joins multiply the
+    file-open cost); the compacted probe reads one well-sized file
+    set per pfx. Result equality asserted; compaction itself is
+    untimed setup (maintenance cadence, off the serving path)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+        phrase_match_at_rest,
+        positional_index_append,
+        positional_index_compact,
+    )
+    from pyspark_airflow_weather_etl_spark.plans.retrievalplans import (
+        PHRASES,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bench_phrase_compact_")
+    for b in range(16):
+        positional_index_append(
+            docs.where(F.col("doc_id") % 16 == b), f"{tmp}/src", b
+        )
+    positional_index_compact(spark, f"{tmp}/src", f"{tmp}/dst")
+    live = bm25_index_current(spark, f"{tmp}/dst")
+    samples = {"phrase_at_rest_16deltas": [], "phrase_at_rest_compacted": []}
+    answers = {}
+    for _ in range(BENCH_RUNS):
+        for label, path in (
+            ("phrase_at_rest_16deltas", f"{tmp}/src"),
+            ("phrase_at_rest_compacted", live),
+        ):
+            t0 = time.perf_counter()
+            r = sorted(
+                map(
+                    tuple,
+                    phrase_match_at_rest(spark, path, PHRASES).collect(),
+                )
+            )
+            samples[label].append(time.perf_counter() - t0)
+            answers.setdefault(label, r)
+    assert (
+        answers["phrase_at_rest_16deltas"]
+        == answers["phrase_at_rest_compacted"]
+    ), "positional compaction changed probe results"
+    out = {k: round(_median(v), 3) for k, v in samples.items()}
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _zorder_comparison(spark, sf_dir: str) -> dict[str, float]:
     """Two-dimensional skipping evidence: the ×4 lineitem written (a)
     linearly sorted by l_partkey and (b) Z-ordered on
@@ -1604,6 +1661,7 @@ def main() -> None:
     gc.collect()
     timings.update(_bm25_scale_probe(spark, sf_dir))
     timings.update(_bm25_compaction_probe(spark, sf_dir))
+    timings.update(_phrase_compaction_probe(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

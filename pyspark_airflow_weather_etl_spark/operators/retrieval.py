@@ -571,6 +571,58 @@ def positional_index_write(
     positional_index_append(docs, path, 0, id_col, text_col)
 
 
+def positional_index_compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+) -> str:
+    """Compact a :func:`positional_index_append` tree (one
+    ``batch=<id>`` delta per crawl increment) into a SINGLE-batch
+    positional index published as the next serving version under
+    ``dst_path`` — returns the version directory name.
+
+    The phrase/proximity twin of :func:`bm25_index_compact`, and the
+    same 100 TB economics: O(batch) appends leave one ``batch=``
+    delta per crawl increment, and a phrase probe then opens every
+    historical batch's files for each of its tokens' pfx partitions
+    on every query (the linear-in-deltas file-open cost BENCH's
+    ``phrase_at_rest_16deltas`` / ``_compacted`` pair prices).
+    Positions are per-document facts — there are no cross-batch
+    statistics to re-sum — so compaction is a pure re-partition of
+    the postings under ``batch=0``, one well-sized file set per pfx;
+    probe results are bit-identical by construction (the catalog's
+    ``phrase_match_compacted`` shares the ad-hoc phrase oracle).
+
+    Crash contract is :func:`..sources.writers.publish_version`: the
+    compacted tree builds inside an unreferenced ``v-<n>`` dir, the
+    ``_current`` pointer flips only after the build commits, the
+    previous version survives as rollback, and the SOURCE deltas are
+    never touched (append cadence continues; the next compaction
+    folds the new deltas)."""
+    from ..sources.writers import publish_version
+
+    def build(vdir: str) -> None:
+        (
+            spark.read.schema(
+                "token string, doc_id bigint, pos bigint, batch bigint,"
+                " pfx string"
+            )
+            .parquet(f"{src_path}/postings_pos")
+            .select(
+                "token",
+                "doc_id",
+                "pos",
+                F.lit(0).cast("bigint").alias("batch"),
+                "pfx",
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch", "pfx")
+            .parquet(f"{vdir}/postings_pos")
+        )
+
+    return publish_version(spark, dst_path, build)
+
+
 def phrase_match_at_rest(
     spark: SparkSession,
     index_path: str,

@@ -256,6 +256,35 @@ def phrase_match_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("phrase_match_compacted", oracle=_PHRASE_ORACLE)
+def phrase_match_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction leg of the POSITIONAL index lifecycle
+    (operators.retrieval.positional_index_compact — the phrase twin
+    of bm25_topk_compacted): three crawl-batch position deltas fold
+    into ONE published version (crash-safe publish_version pointer
+    flip, source deltas untouched) and the phrase probe answers from
+    the live version — sharing the ad-hoc oracle pins compaction as
+    bit-neutral. Positions are per-document facts, so the fold is a
+    pure re-partition: no stats re-summation exists to get wrong."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if "poscompact:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="pos_compact_")
+        docs = load_table(spark, sf_dir, "documents")
+        for b in range(3):
+            R.positional_index_append(
+                docs.where(F.col("doc_id") % 3 == b), f"{tmp}/src", b
+            )
+        R.positional_index_compact(spark, f"{tmp}/src", f"{tmp}/dst")
+        _BM25_STAGE["poscompact:" + sf_dir] = tmp
+    live = R.bm25_index_current(
+        spark, f"{_BM25_STAGE['poscompact:' + sf_dir]}/dst"
+    )
+    return R.phrase_match_at_rest(spark, live, PHRASES)
+
+
 _BM25_NEG_ORACLE = _BM25_SCORES_CTE + """
     , neg AS (
       SELECT * FROM sc WHERE NOT (doc_id % 10 = query_id)

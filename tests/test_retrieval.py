@@ -601,3 +601,69 @@ def test_compacted_forward_index_serves_prf(spark, docs, tmp_path):
         )
     )
     assert got == want
+
+
+def test_positional_compaction_probe_identical_and_versioned(
+    spark, docs, tmp_path
+):
+    """Compacting N positional batch deltas into one published version
+    changes phrase-probe results not one bit; the version dir resolves
+    through the crash-safe pointer; a second compaction after a new
+    delta publishes v2 and the probe reflects the full corpus; the
+    SOURCE deltas are untouched."""
+    import os
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_append,
+        positional_index_compact,
+    )
+
+    src = str(tmp_path / "pos_src")
+    dst = str(tmp_path / "pos_compacted")
+    phrases = [(1, "hash join"), (2, "the big table"), (3, "table table")]
+    for b in range(3):
+        positional_index_append(docs.where(F.col("doc_id") % 3 == b), src, b)
+    want = sorted(
+        map(tuple, phrase_match_at_rest(spark, src, phrases).collect())
+    )
+    assert want == sorted(map(tuple, phrase_counts(docs, phrases).collect()))
+    v1 = positional_index_compact(spark, src, dst)
+    live = bm25_index_current(spark, dst)
+    assert live.endswith(v1)
+    got = sorted(
+        map(tuple, phrase_match_at_rest(spark, live, phrases).collect())
+    )
+    assert got == want
+    # single batch dir in the compacted postings; pfx pruning intact
+    batches = [
+        d
+        for d in os.listdir(f"{live}/postings_pos")
+        if d.startswith("batch=")
+    ]
+    assert batches == ["batch=0"]
+    probe = phrase_match_at_rest(spark, live, phrases)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pfx" in m.group(1), f"no pfx pruning in scan:\n{plan}"
+    # source tree untouched: three delta dirs remain
+    src_batches = [
+        d for d in os.listdir(f"{src}/postings_pos") if d.startswith("batch=")
+    ]
+    assert sorted(src_batches) == ["batch=0", "batch=1", "batch=2"]
+    # append a 4th delta, recompact: new version published, the new
+    # document's phrase hit shows up
+    extra = spark.createDataFrame(
+        [(1000, "hash join hash join")], "doc_id bigint, text string"
+    )
+    positional_index_append(extra, src, 3)
+    v2 = positional_index_compact(spark, src, dst)
+    assert v2 != v1
+    live2 = bm25_index_current(spark, dst)
+    r2 = {
+        (r.phrase_id, r.doc_id, r.n_matches)
+        for r in phrase_match_at_rest(spark, live2, phrases).collect()
+    }
+    assert (1, 1000, 2) in r2
