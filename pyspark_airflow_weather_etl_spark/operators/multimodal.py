@@ -45,18 +45,10 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
-    """Dependency-free netpbm decoder (binary PPM ``P6`` / PGM
-    ``P5``) — the one REAL decode path that runs in this container
-    (no PIL needed): header = magic, then whitespace-separated width,
-    height, maxval tokens with ``#``-to-newline comments allowed,
-    then the raw sample plane. Returns (width, height, pixels).
-
-    This is the non-fake branch of :func:`extract_features`
-    (``decode='ppm'``): tiny by design, but it exercises the full
-    real-decoder contract — bytes in from the Arrow batch, header
-    validation, ValueError on truncation/garbage — so swapping in a
-    codec-backed decoder changes one function, not the plumbing."""
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary netpbm header at offset 0 of ``payload`` —
+    returns (width, height, channels, data_start). Raises ValueError
+    on a non-P5/P6 magic, malformed header, or unsupported maxval."""
     if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in b"56":
         raise ValueError("not a binary PPM/PGM payload (magic != P5/P6)")
     channels = 3 if payload[1:2] == b"6" else 1
@@ -79,6 +71,22 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     pos += 1  # the single whitespace byte after maxval
+    return width, height, channels, pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free netpbm decoder (binary PPM ``P6`` / PGM
+    ``P5``) — the one REAL decode path that runs in this container
+    (no PIL needed): header = magic, then whitespace-separated width,
+    height, maxval tokens with ``#``-to-newline comments allowed,
+    then the raw sample plane. Returns (width, height, pixels).
+
+    This is the non-fake branch of :func:`extract_features`
+    (``decode='ppm'``): tiny by design, but it exercises the full
+    real-decoder contract — bytes in from the Arrow batch, header
+    validation, ValueError on truncation/garbage — so swapping in a
+    codec-backed decoder changes one function, not the plumbing."""
+    width, height, channels, pos = _parse_ppm_header(payload)
     need = width * height * channels
     pixels = payload[pos : pos + need]
     if len(pixels) < need:
@@ -86,6 +94,73 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
             f"truncated PPM: need {need} sample bytes, have {len(pixels)}"
         )
     return width, height, pixels
+
+
+def encode_ppm(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """Inverse of :func:`decode_ppm`: binary P6 (3-channel) / P5
+    (1-channel) with maxval 255 and the canonical single-newline
+    header — the layout :func:`split_ppm_frames` round-trips."""
+    if channels not in (1, 3):
+        raise ValueError(f"netpbm supports 1 or 3 channels, not {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel plane is {len(pixels)} bytes, need "
+            f"{width * height * channels}"
+        )
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode("ascii") + bytes(pixels)
+
+
+def box_downsample_ppm(payload: bytes, factor: int = 2) -> bytes:
+    """REAL image resize over the decoded plane — dependency-free
+    box filter: each output sample is floor(mean) of its
+    ``factor × factor`` input block (trailing rows/columns that don't
+    fill a block are dropped, the standard box-downsample crop).
+    Deterministic integer arithmetic end-to-end, so the catalog
+    oracle replays every output byte; re-encodes with
+    :func:`encode_ppm`. A codec-backed deployment swaps
+    decode/encode and keeps this kernel."""
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    w, h, px = decode_ppm(payload)
+    ch = 3 if payload[1:2] == b"6" else 1
+    w2, h2 = w // factor, h // factor
+    if w2 == 0 or h2 == 0:
+        raise ValueError(
+            f"{w}x{h} image has no complete {factor}x{factor} block"
+        )
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    arr = arr[: h2 * factor, : w2 * factor]
+    s = arr.reshape(h2, factor, w2, factor, ch).astype(np.uint32)
+    out = (s.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+    return encode_ppm(w2, h2, out.tobytes(), ch)
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """REAL frame demux for the concatenated-netpbm video container
+    (raw netpbm streams ARE back-to-back frames — ffmpeg's
+    image2pipe/ppm_pipe layout): walk the payload parsing one header
+    at a time, slice each complete frame out by its computed length.
+    Raises ValueError on a malformed or truncated frame — a corrupt
+    container should fail the job, not silently drop tail frames."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        sub = payload[pos:]
+        w, h, ch, data_start = _parse_ppm_header(sub)
+        frame_len = data_start + w * h * ch
+        if len(sub) < frame_len:
+            raise ValueError(
+                f"truncated frame {len(frames)}: need {frame_len} bytes, "
+                f"have {len(sub)}"
+            )
+        frames.append(sub[:frame_len])
+        pos += frame_len
+    return frames
 
 
 def attach_payload(docs: DataFrame) -> DataFrame:
@@ -100,6 +175,63 @@ def attach_payload(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         media_type.alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _ppm_hex_expr(doc_id: F.Column, width: int, height: int, frame=None):
+    """Hex string of a deterministic binary P6 image, built entirely
+    JVM-side (sequence/transform/lpad — no Python in the fixture
+    synthesis): pixel i of frame f for document d is
+    ``(d*7 + f*31 + i*13) % 256``, prefixed by the canonical header.
+    The formula is what lets the catalog oracles replay REAL decoded
+    pixel semantics in SQL."""
+    header = (
+        b"P6" + f"\n{width} {height}\n255\n".encode("ascii")
+    ).hex().upper()
+    base = doc_id * 7 + (frame * 31 if frame is not None else F.lit(0))
+    idx = F.sequence(F.lit(0), F.lit(width * height * 3 - 1))
+    vals = F.transform(idx, lambda i: (base + i * 13) % 256)
+    hexs = F.array_join(
+        F.transform(vals, lambda v: F.lpad(F.hex(v), 2, "0")), ""
+    )
+    return F.concat(F.lit(header), hexs)
+
+
+def attach_ppm_images(
+    docs: DataFrame, width: int = 8, height: int = 6
+) -> DataFrame:
+    """Image-typed MEDIA_ASSET rows whose payloads are REAL binary P6
+    images (one per image-typed document, deterministic pixels via
+    :func:`_ppm_hex_expr`) — the fixture the decoded-semantics resize
+    entry runs on."""
+    did = F.col("doc_id")
+    return docs.where(did % 3 == 0).select(
+        did.alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.unhex(_ppm_hex_expr(did, width, height)).alias("payload"),
+    )
+
+
+def attach_ppm_videos(
+    docs: DataFrame,
+    width: int = 4,
+    height: int = 3,
+    max_frames: int = 7,
+) -> DataFrame:
+    """Video-typed MEDIA_ASSET rows whose payloads are REAL
+    concatenated-netpbm streams (``doc_id % max_frames + 1`` frames,
+    deterministic per-frame pixels) — the fixture the real frame-demux
+    entry runs on."""
+    did = F.col("doc_id")
+    n_frames = did % max_frames + 1
+    frames = F.transform(
+        F.sequence(F.lit(0), (n_frames - 1).cast("int")),
+        lambda f: _ppm_hex_expr(did, width, height, frame=f),
+    )
+    return docs.where(did % 3 == 2).select(
+        did.alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.unhex(F.array_join(frames, "")).alias("payload"),
     )
 
 
@@ -156,33 +288,53 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(assets: DataFrame, max_bytes: int = 256) -> DataFrame:
+def resize_images(
+    assets: DataFrame,
+    max_bytes: int = 256,
+    decode: str = "fake",
+    factor: int = 2,
+) -> DataFrame:
     """Image resize as Arrow-batched mapInPandas over image assets.
 
-    The fake 'resize' truncates the payload to ``max_bytes`` and
-    derives the new dimensions from the truncated length — both
-    deterministic byte/arithmetic ops, so the whole path (filter →
-    batch → per-batch transform → binary out) is oracle-checked with
-    substring/length SQL. A real deployment replaces the two marked
-    lines with decode → thumbnail → re-encode and keeps the rest:
-    partitioning, batch shape, and schema are the engineered part.
+    ``decode='ppm'`` is the REAL path: netpbm payloads are decoded,
+    box-downsampled by ``factor`` over the pixel plane
+    (:func:`box_downsample_ppm` — floor-mean per block, exact integer
+    arithmetic), and re-encoded; width/height are the DECODED output
+    dimensions. Non-netpbm payloads in ppm mode fall back to the fake
+    path (the documented stand-in for codecs this container lacks).
+    ``decode='fake'`` truncates to ``max_bytes`` and derives fake
+    dimensions from the truncated length. Both paths are
+    deterministic, so the catalog oracle replays every byte of either.
     Only rows with media_type='image' are touched — the filter happens
     BEFORE the Python boundary, so audio/video bytes never leave the
     JVM."""
+    if decode not in ("fake", "ppm"):
+        raise ValueError(f"unknown decode mode {decode!r}")
 
-    def _fake_resize(b: bytes) -> bytes:  # <- real: decode+thumbnail
-        return bytes(b)[:max_bytes]
+    def _fake(b: bytes) -> tuple[int, int, bytes]:
+        out = bytes(b)[:max_bytes]
+        n = len(out)
+        return n % 640 + 16, (n * 7) % 480 + 16, out
+
+    def _real(b: bytes) -> tuple[int, int, bytes]:
+        b = bytes(b)
+        if b[:1] != b"P" or b[1:2] not in b"56":
+            return _fake(b)  # non-netpbm codec: stand-in path
+        out = box_downsample_ppm(b, factor)
+        w, h, _ = decode_ppm(out)
+        return w, h, out
+
+    one = _fake if decode == "fake" else _real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = pdf["payload"].map(_fake_resize)
-            n = resized.map(len)
+            whp = pdf["payload"].map(one)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "width": (n % 640 + 16).astype("int32"),
-                    "height": ((n * 7) % 480 + 16).astype("int32"),
-                    "payload": resized,
+                    "width": whp.map(lambda t: t[0]).astype("int32"),
+                    "height": whp.map(lambda t: t[1]).astype("int32"),
+                    "payload": whp.map(lambda t: t[2]),
                 }
             )
 
@@ -201,27 +353,52 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    assets: DataFrame, frame_bytes: int = 100, every: int = 4
+    assets: DataFrame,
+    frame_bytes: int = 100,
+    every: int = 4,
+    decode: str = "fake",
 ) -> DataFrame:
     """Video frame sampling: one output row per kept frame — the
     row-multiplying mapInPandas shape (explode across the Arrow
-    boundary). The fake treats each ``frame_bytes`` payload chunk as
-    one encoded frame and keeps every ``every``-th; a real deployment
-    swaps the chunker for a container demuxer (pyav et al.) and keeps
-    the batching, schema, and video-only JVM-side filter. Sampled
-    frames are byte slices, so the oracle reproduces them with
-    substring arithmetic."""
+    boundary).
+
+    ``decode='ppm'`` is the REAL path: the payload is a
+    concatenated-netpbm stream (ffmpeg's image2pipe layout) demuxed by
+    :func:`split_ppm_frames` — frames are found by parsing each
+    header, not by fixed-size arithmetic — and every ``every``-th
+    complete frame is emitted as its own standalone netpbm payload
+    with ``frame_idx`` = its position in the stream. Non-netpbm
+    payloads in ppm mode fall back to the fake chunker (the stand-in
+    for containers this box can't demux): each ``frame_bytes`` chunk
+    counts as one frame. Both paths are deterministic, so the catalog
+    oracle replays the kept bytes. The video-only filter happens
+    BEFORE the Python boundary."""
+    if decode not in ("fake", "ppm"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+
+    def _fake(b: bytes) -> list[bytes]:
+        n_frames = len(b) // frame_bytes
+        return [
+            b[i * frame_bytes : (i + 1) * frame_bytes]
+            for i in range(n_frames)
+        ]
+
+    def _real(b: bytes) -> list[bytes]:
+        if b[:1] != b"P" or b[1:2] not in b"56":
+            return _fake(b)  # unknown container: stand-in chunker
+        return split_ppm_frames(b)
+
+    demux = _fake if decode == "fake" else _real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_id, out_idx, out_frame = [], [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = len(b) // frame_bytes
-                for i in range(0, n_frames, every):
+                frames = demux(bytes(payload))
+                for i in range(0, len(frames), every):
                     out_id.append(asset_id)
                     out_idx.append(i)
-                    out_frame.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+                    out_frame.append(frames[i])
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(out_id, dtype="int64"),

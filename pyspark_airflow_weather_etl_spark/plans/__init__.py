@@ -563,15 +563,20 @@ _VERIFIED_R11: frozenset[str] = frozenset(
 # the only state where "green" is stale by construction, so they jump
 # the whole rotation (right after never-sampled names). The four
 # tokenizer entries gained unrolled recursive-CTE oracles in round 11
-# AFTER their last (r9) driver sample; the r11 judge re-ran all four
-# hash-exact locally, and this head makes the official r12 record say
-# the same.
+# AFTER their last (r9) driver sample (the r11 judge re-ran all four
+# hash-exact locally; this head makes the official r12 record say the
+# same). The two multimodal entries were re-pinned in round 12 from
+# truncation stand-ins to REAL decoded-pixel semantics (box
+# downsample / netpbm demux), so their r11 greens certify a contract
+# that no longer exists.
 _PRIORITY_R12: frozenset[str] = frozenset(
     {
         "bpe_merges_documents",
         "bpe_encode_documents",
         "unigram_vocab_documents",
         "unigram_encode_documents",
+        "multimodal_resize",
+        "multimodal_frame_sample",
     }
 )
 

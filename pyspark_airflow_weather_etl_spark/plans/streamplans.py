@@ -129,57 +129,99 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
-@register(
-    "multimodal_resize",
-    oracle="""
-    SELECT doc_id AS asset_id,
-           CAST(least(length(text), 256) % 640 + 16 AS INT) AS width,
-           CAST((least(length(text), 256) * 7) % 480 + 16 AS INT) AS height,
-           hex(encode(substring(text, 1, 256))) AS payload_hex
-    FROM documents WHERE doc_id % 3 = 0
-    """,
-)
+# Resize oracle: replay the REAL box downsample over decoded pixels.
+# Input: 8x6 P6 with pixel idx_in -> (doc_id*7 + idx_in*13) % 256,
+# idx_in = (Y*8 + X)*3 + c. Output 4x3 pixel i (c = i%3, x = (i//3)%4,
+# y = i//12) = floor-mean of the 2x2 input block, re-encoded behind
+# the canonical P6 header (hex constant below).
+_RESIZE_HDR = (b"P6" + b"\n4 3\n255\n").hex().upper()
+_RESIZE_ORACLE = f"""
+    WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    o AS (SELECT unnest(range(36)) AS i),
+    q AS (
+      SELECT doc_id, i,
+        ( (doc_id*7 + ((((i//12)*2  )*8 + ((i//3)%4)*2    )*3 + i%3)*13) % 256
+        + (doc_id*7 + ((((i//12)*2  )*8 + ((i//3)%4)*2 + 1)*3 + i%3)*13) % 256
+        + (doc_id*7 + ((((i//12)*2+1)*8 + ((i//3)%4)*2    )*3 + i%3)*13) % 256
+        + (doc_id*7 + ((((i//12)*2+1)*8 + ((i//3)%4)*2 + 1)*3 + i%3)*13) % 256
+        ) // 4 AS v
+      FROM img, o
+    )
+    SELECT doc_id AS asset_id, CAST(4 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           '{_RESIZE_HDR}' ||
+           string_agg(upper(lpad(to_hex(v), 2, '0')), '' ORDER BY i)
+             AS payload_hex
+    FROM q GROUP BY doc_id
+    """
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize plumbing: image-typed assets only (filtered
-    JVM-side before the Python boundary), Arrow-batched mapInPandas
-    producing the resized binary payload + new dimensions. The fake
-    resize is a deterministic byte truncation, so even the payload
-    hash-checks (hex-projected — the driver's sort can't order raw
-    binary columns; operators keep real binary)."""
-    from ..operators.multimodal import resize_images
+    """REAL image resize over decoded pixels (operators.multimodal.
+    box_downsample_ppm through resize_images(decode='ppm')): each
+    image-typed asset carries an actual binary P6 payload
+    (attach_ppm_images — deterministic pixels, synthesized JVM-side),
+    which is DECODED, box-downsampled 2x over the pixel plane
+    (floor-mean per 2x2 block, exact integer arithmetic), and
+    RE-ENCODED; width/height are the decoded output dimensions. The
+    oracle replays header, pixel formula, and every averaged byte —
+    the contract tested is the deployable one, not a truncation
+    stand-in. Image-only filter stays JVM-side; payload is
+    hex-projected for the driver compare (binary doesn't sort)."""
+    from ..operators.multimodal import attach_ppm_images, resize_images
 
     docs = load_table(spark, sf_dir, "documents")
-    out = resize_images(attach_payload(docs), max_bytes=256)
+    out = resize_images(attach_ppm_images(docs), decode="ppm", factor=2)
     return out.select(
         "asset_id", "width", "height", F.hex("payload").alias("payload_hex")
     )
 
 
-@register(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH v AS (
-      SELECT doc_id AS asset_id, text, length(text) AS n
+# Frame-sample oracle: replay the REAL demux — each video is
+# doc_id % 7 + 1 concatenated 4x3 P6 frames, frame f pixel i =
+# (doc_id*7 + f*31 + i*13) % 256; every 4th frame is kept, emitted as
+# a standalone P6 (header + pixels).
+_FRAME_HDR = (b"P6" + b"\n4 3\n255\n").hex().upper()
+_FRAME_ORACLE = f"""
+    WITH vdoc AS (
+      SELECT doc_id, doc_id % 7 + 1 AS nf
       FROM documents WHERE doc_id % 3 = 2
+    ), kept AS (
+      SELECT doc_id, unnest(range(0, nf, 4)) AS f FROM vdoc
+    ), o AS (SELECT unnest(range(36)) AS i),
+    q AS (
+      SELECT doc_id, f, i, (doc_id*7 + f*31 + i*13) % 256 AS v
+      FROM kept, o
     )
-    SELECT asset_id, CAST(i AS INT) AS frame_idx,
-           hex(encode(substring(text, CAST(i AS INT) * 100 + 1, 100)))
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+           '{_FRAME_HDR}' ||
+           string_agg(upper(lpad(to_hex(v), 2, '0')), '' ORDER BY i)
              AS frame_hex
-    FROM v, unnest(range(0, n // 100, 4)) AS t(i)
-    """,
-)
+    FROM q GROUP BY doc_id, f
+    """
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: every 4th 100-byte chunk of each
-    video-typed payload as one output row — the row-multiplying
-    mapInPandas shape (explode across the Arrow boundary). Chunking
-    stands in for a real demuxer; batching, schema, and the
-    video-only JVM-side filter are the engineered part. Frames are
-    hex-projected for the driver compare (see multimodal_resize)."""
-    from ..operators.multimodal import sample_frames
+    """REAL video frame extraction (operators.multimodal.
+    split_ppm_frames through sample_frames(decode='ppm')): each
+    video-typed asset carries an actual concatenated-netpbm stream
+    (attach_ppm_videos — ffmpeg's image2pipe layout, variable frame
+    count per asset), demuxed by PARSING each frame header — not
+    fixed-size chunk arithmetic — with every 4th complete frame
+    emitted as its own standalone P6 payload and frame_idx = stream
+    position. The row-multiplying mapInPandas shape (explode across
+    the Arrow boundary); oracle replays demux boundaries and every
+    kept byte. Frames are hex-projected for the driver compare (see
+    multimodal_resize)."""
+    from ..operators.multimodal import attach_ppm_videos, sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
-    out = sample_frames(attach_payload(docs), frame_bytes=100, every=4)
-    return out.select("asset_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+    out = sample_frames(attach_ppm_videos(docs), every=4, decode="ppm")
+    return out.select(
+        "asset_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
 
 
 _INC_DEDUP_PAIRS: dict[str, str] = {}

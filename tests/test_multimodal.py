@@ -121,3 +121,129 @@ def test_extract_features_real_ppm_decode(spark):
     assert rows[1].n_bytes == len(data)
     assert rows[1].checksum == hashlib.md5(data).hexdigest()
     assert rows[2].width == 4  # batch path, not a single-row special case
+
+
+def test_box_downsample_hand_computed():
+    """The real resize kernel against a hand-computable image: a 4x2
+    P6 whose 2x2 blocks average to exactly known bytes (floor-mean),
+    odd trailing columns cropped, P5 single-channel path, and the
+    degenerate too-small / bad-factor errors."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        box_downsample_ppm,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    # rows: (10,20,30)(40,50,60)(70,80,90)(100,110,120)
+    #       ( 2, 4, 6)( 8,10,12)(14,16,18)( 20, 22, 24)
+    px = bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120,
+         2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24]
+    )
+    out = box_downsample_ppm(encode_ppm(4, 2, px), factor=2)
+    w, h, opx = decode_ppm(out)
+    # block(0,0): ch0 floor((10+40+2+8)/4)=15, ch1 (20+50+4+10)//4=21,
+    # ch2 (30+60+6+12)//4=27; block(1,0): (70+100+14+20)//4=51,
+    # (80+110+16+22)//4=57, (90+120+18+24)//4=63
+    assert (w, h) == (2, 1)
+    assert opx == bytes([15, 21, 27, 51, 57, 63])
+    # P5: single channel
+    g = box_downsample_ppm(
+        encode_ppm(2, 2, bytes([1, 2, 3, 5]), channels=1), factor=2
+    )
+    assert decode_ppm(g) == (1, 1, bytes([2]))  # (1+2+3+5)//4
+    # trailing odd column cropped: 3x2 -> 1x1 from the left 2x2 block
+    c = box_downsample_ppm(
+        encode_ppm(3, 2, bytes(range(18))), factor=2
+    )
+    assert decode_ppm(c)[:2] == (1, 1)
+    with pytest.raises(ValueError):
+        box_downsample_ppm(encode_ppm(1, 1, bytes([1, 2, 3])), factor=2)
+    with pytest.raises(ValueError):
+        box_downsample_ppm(encode_ppm(2, 2, bytes(12)), factor=0)
+
+
+def test_split_ppm_frames_demux():
+    """Real demux of a concatenated-netpbm stream: frames of DIFFERENT
+    sizes are found by header parsing (fixed-size chunking would split
+    them wrong); truncation and garbage raise."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        encode_ppm,
+        split_ppm_frames,
+    )
+
+    f0 = encode_ppm(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    f1 = encode_ppm(1, 1, bytes([7]), channels=1)  # P5, different size
+    f2 = encode_ppm(2, 2, bytes(range(12)))
+    assert split_ppm_frames(f0 + f1 + f2) == [f0, f1, f2]
+    with pytest.raises(ValueError):
+        split_ppm_frames(f0 + f1[:-1])  # truncated tail frame
+    with pytest.raises(ValueError):
+        split_ppm_frames(f0 + b"JFIF")  # garbage between frames
+
+
+def test_resize_images_real_ppm_path(spark):
+    """resize_images(decode='ppm') decodes, downsamples, re-encodes —
+    verified against a driver-side replay of the same kernel — and
+    non-netpbm payloads fall back to the fake truncation path."""
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        attach_ppm_images,
+        box_downsample_ppm,
+        decode_ppm,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "unused") for i in range(9)], ["doc_id", "text"]
+    )
+    assets = attach_ppm_images(docs, width=8, height=6)
+    src = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    assert set(src) == {0, 3, 6}
+    assert decode_ppm(src[3])[:2] == (8, 6)
+    out = {
+        r.asset_id: r
+        for r in resize_images(assets, decode="ppm", factor=2).collect()
+    }
+    for aid, b in src.items():
+        want = box_downsample_ppm(b, 2)
+        assert bytes(out[aid].payload) == want
+        assert (out[aid].width, out[aid].height) == (4, 3)
+    # a non-netpbm payload in ppm mode: fake truncation fallback
+    mixed = spark.createDataFrame(
+        [(99, "image", bytearray(b"JFIF" + bytes(300)))],
+        "asset_id long, media_type string, payload binary",
+    )
+    r = resize_images(mixed, max_bytes=64, decode="ppm").collect()[0]
+    assert len(r.payload) == 64 and r.width == 64 % 640 + 16
+
+
+def test_sample_frames_real_ppm_path(spark):
+    """sample_frames(decode='ppm') emits every 4th COMPLETE frame as a
+    standalone netpbm payload with stream-position indexes; frame
+    count varies per asset; non-netpbm falls back to the chunker."""
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        attach_ppm_videos,
+        sample_frames,
+        split_ppm_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "unused") for i in range(12)], ["doc_id", "text"]
+    )
+    assets = attach_ppm_videos(docs)  # doc_id % 3 == 2 -> 2, 5, 8, 11
+    src = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    out = sample_frames(assets, every=4, decode="ppm").collect()
+    got = {(r.asset_id, r.frame_idx): bytes(r.frame) for r in out}
+    for aid, payload in src.items():
+        frames = split_ppm_frames(payload)
+        assert len(frames) == aid % 7 + 1
+        want_idx = list(range(0, len(frames), 4))
+        assert sorted(i for a, i in got if a == aid) == want_idx
+        for i in want_idx:
+            assert got[(aid, i)] == frames[i]
+    # doc 5 has 6 frames -> keeps 0 and 4; doc 2 has 3 -> keeps only 0
+    assert (5, 4) in got and (2, 4) not in got
