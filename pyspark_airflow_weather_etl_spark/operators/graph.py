@@ -25,18 +25,120 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the smallest node id reachable from it.
 
-    Converges when no label changes; stops early via a cheap count of
-    changed labels per round. Rounds needed ≈ graph diameter; if the
-    loop exhausts ``max_iter`` with labels still changing, the result
-    would be a silently-wrong clustering (chains longer than max_iter
-    collapse into several components), so that raises instead of
-    returning.
-    """
-    return _propagate(edges, src, dst, max_iter)
+    ``algorithm='star'`` (default) is the alternating
+    large-star/small-star edge contraction of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (SoCC'14): each
+    round rewires edges toward per-neighborhood minima, so component
+    diameter drops GEOMETRICALLY and convergence takes O(log)
+    rounds regardless of graph shape — a pathological quoting chain
+    in a 100 TB crawl converges just like a shallow dup clique,
+    where per-round min-label propagation (``algorithm='label'``,
+    the previous default, kept for A/B equality) needs
+    diameter-many rounds and must abort past ``max_iter``. Both
+    return identical labelings (equality pytest in
+    tests/test_graph.py); both raise rather than return a
+    silently-wrong clustering if ``max_iter`` is exhausted —
+    ~impossible for star (20 rounds covers ~2^20 diameter)."""
+    if algorithm == "star":
+        return _star_contract(edges, src, dst, max_iter)
+    if algorithm == "label":
+        return _propagate(edges, src, dst, max_iter)
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u, v) with u < v, distinct."""
+    return (
+        e.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+
+
+def _star_contract(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    first = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .transform(_canon)
+        .repartition(par, "u")
+        .localCheckpoint()
+    )
+    # original node universe — the final star forest omits roots'
+    # self rows, and label joins must cover every input node
+    nodes = (
+        first.select(F.col("u").alias("node"))
+        .unionByName(first.select(F.col("v").alias("node")))
+        .repartition(par, "node")
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    e = first
+    converged = False
+    for _ in range(max_iter):
+        # LARGE-STAR: per node n over ALL neighbors, connect every
+        # strictly-larger neighbor to m = min(n, min neighbor).
+        both = e.select(F.col("u").alias("n"), F.col("v").alias("w")).unionByName(
+            e.select(F.col("v").alias("n"), F.col("u").alias("w"))
+        ).repartition(par, "n")
+        mins = both.groupBy("n").agg(F.min("w").alias("mn"))
+        large = (
+            both.join(mins, "n")
+            .where(F.col("w") > F.col("n"))
+            .select(
+                F.col("w").alias("a"),
+                F.least("n", "mn").alias("b"),
+            )
+            .transform(_canon)
+        )
+        # SMALL-STAR: orient each edge from its larger endpoint; per
+        # node n over its smaller neighbors, connect them (and n) to
+        # the minimum.
+        oriented = large.select(
+            F.col("v").alias("n"), F.col("u").alias("w")
+        ).repartition(par, "n")
+        smins = oriented.groupBy("n").agg(F.min("w").alias("mn"))
+        small = (
+            oriented.join(smins, "n")
+            .select(F.col("w").alias("a"), F.col("mn").alias("b"))
+            .unionByName(
+                smins.select(
+                    F.col("n").alias("a"), F.col("mn").alias("b")
+                )
+            )
+            .transform(_canon)
+            .repartition(par, "u")
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count()
+            + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            "rounds — geometric contraction makes this ~impossible for "
+            "any real graph; raise max_iter"
+        )
+    # fixed point is a min-rooted star forest: every non-root node
+    # has exactly one edge (node=v, root=u); roots and nodes whose
+    # component is a singleton-after-contraction label themselves
+    stars = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def _propagate(

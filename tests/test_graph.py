@@ -30,17 +30,68 @@ def test_components_chain_and_clique(spark):
 
 def test_components_raise_when_unconverged(spark):
     """A chain whose diameter exceeds max_iter must raise, never return
-    a silently-wrong clustering (ADVICE round 1)."""
+    a silently-wrong clustering (ADVICE round 1) — the label-propagation
+    variant's contract (star contracts geometrically and won't hit it)."""
     import pytest
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, algorithm="label")
     # and with enough rounds the same chain is one component
-    got = {r.component for r in connected_components(chain).collect()}
+    got = {
+        r.component
+        for r in connected_components(chain, algorithm="label").collect()
+    }
     assert got == {0}
+
+
+def test_star_converges_past_label_propagation_diameter_bound(spark):
+    """The diameter-robust default: a 64-edge chain provably ABORTS
+    label propagation at the default max_iter=20 (diameter 64 > 20
+    rounds) but the large-star/small-star default converges to one
+    component well inside the same budget — the 100 TB pathological-
+    chain case (a crawl of quoting documents) that motivated the
+    rewrite."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=20, algorithm="label")
+    got = {
+        r.node: r.component for r in connected_components(chain).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_star_equals_label_propagation(spark):
+    """Equality A/B on a mixed-shape graph (chains, cliques, stars,
+    isolated edges, duplicate and reversed edges): the two algorithms
+    return the same labeling row-for-row."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(10, 20)]          # chain
+    edges += [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]
+    edges += [(50, x) for x in range(51, 56)]            # star
+    edges += [(70, 71), (72, 73), (71, 70)]              # dups/reversed
+    edges += [(rng.randrange(100, 140), rng.randrange(100, 140))
+              for _ in range(40)]                        # random blob
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        r.node: r.component
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    label = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=50,
+                                      algorithm="label").collect()
+    }
+    assert star == label
 
 
 def test_dedup_clusters_end_to_end(spark):
