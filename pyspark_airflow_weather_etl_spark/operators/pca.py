@@ -28,6 +28,8 @@ An independent numpy reference reproduces train + project bit-for-bit
 
 from __future__ import annotations
 
+from math import floor as math_floor
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -241,6 +243,95 @@ def pca_project_fixed(
     return q.select(
         F.col(id_col), F.posexplode(F.array(*ys)).alias("r", "y")
     ).select(F.col(id_col), F.col("r").cast("bigint").alias("r"), "y")
+
+
+def pca_reduced_topk_fixed(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    kdim: int = 8,
+    scale: int = 1000,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Portable hash-exact twin of :func:`pca_reduced_topk` — the
+    at-rest-family pattern (pq_adc_topk_fixed, kmeans_cluster_fixed)
+    applied to the PCA-bottleneck ANN route: the trained eigenbasis is
+    replaced by the :func:`fixed_rotation` integer matrix, the coarse
+    ranking is EXACT integer Euclidean distance in that reduced space
+    (the :func:`pca_project_fixed` algebra — y = n·W·xq − W·S, so
+    mean-centering needs no division), and the overfetched candidates
+    are re-ranked by exact full-space cosine at 6 dp. Every stage of
+    the coarse-then-exact machinery — quantize, center, rotate,
+    integer distance, deterministic overfetch cut, float re-rank — is
+    replayed by the DuckDB oracle bit-for-bit, leaving only the eigh
+    itself to the rows-only entry.
+
+    Overflow: |y| < n·d·3·scale·max|x| (≈1e9 at sf0.1); squared
+    differences are summed as DECIMAL(38,0) (HUGEINT on the oracle
+    side), exact far beyond bigint range."""
+    from .similarity import cosine_similarity
+
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "bigint"
+            ),
+        ).alias("xq"),
+    )
+    d = len(q.select("xq").first()[0])
+    agg = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.col("xq")[j]).cast("bigint").alias(f"s{j}")
+            for j in range(d)
+        ],
+    ).collect()[0]
+    n = int(agg["n"])
+    S = [int(agg[f"s{j}"]) for j in range(d)]
+    W = fixed_rotation(kdim, d)
+    const = [sum(S[j] * W[r][j] for j in range(d)) for r in range(kdim)]
+    xq_q = [int(math_floor(float(x) * scale)) for x in query_vec]
+    yq = [
+        n * sum(xq_q[j] * W[r][j] for j in range(d)) - const[r]
+        for r in range(kdim)
+    ]
+    ys = []
+    for r in range(kdim):
+        wr = F.array(*[F.lit(int(w)).cast("bigint") for w in W[r]])
+        dot = F.aggregate(
+            F.zip_with("xq", wr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        ys.append(
+            F.lit(n).cast("bigint") * dot - F.lit(const[r]).cast("bigint")
+        )
+    yq_col = F.array(*[F.lit(int(v)).cast("bigint") for v in yq])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.array(*ys),
+            yq_col,
+            lambda a, b: ((a - b).cast("decimal(19,0)"))
+            * ((a - b).cast("decimal(19,0)")),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        q.select(F.col(id_col), d2.alias("__d2"))
+        .orderBy(F.col("__d2").asc(), F.col(id_col))
+        .limit(int(overfetch * k))
+    )
+    qfull = F.array(*[F.lit(float(x)) for x in query_vec])
+    rerank = coarse.join(df.select(id_col, vec_col), id_col).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qfull), 6).alias("cosine"),
+    )
+    return rerank.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
 def pca_save(spark, model: dict, path: str) -> None:

@@ -109,8 +109,12 @@ def pca_reduced_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pca_reduced_topk(emb, model, q, k=10)
 
 
-_PCA_FIXED_ORACLE = """
-    WITH q AS (
+# Shared replay of the fixed-rotation integer projection (k=8, d=64,
+# scale=1000): ends at a `y` CTE of (vec_id, r, y). MATERIALIZED —
+# the ANN-twin tail references it twice (corpus side + query side)
+# and DuckDB re-evaluates non-materialized multi-referenced CTEs.
+_PCA_FIXED_CTE = """
+    WITH q AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
@@ -136,11 +140,52 @@ _PCA_FIXED_ORACLE = """
              CAST(SUM(q.xq[w.j + 1] * w.w) AS BIGINT) AS dot
       FROM q CROSS JOIN w
       GROUP BY q.vec_id, w.r
+    ), y AS MATERIALIZED (
+      SELECT p.vec_id, CAST(p.r AS BIGINT) AS r,
+             CAST(nn.n * p.dot - c.c AS BIGINT) AS y
+      FROM proj p JOIN cst c ON p.r = c.r CROSS JOIN nn
     )
-    SELECT p.vec_id, CAST(p.r AS BIGINT) AS r,
-           CAST(nn.n * p.dot - c.c AS BIGINT) AS y
-    FROM proj p JOIN cst c ON p.r = c.r CROSS JOIN nn
     """
+
+_PCA_FIXED_ORACLE = _PCA_FIXED_CTE + """
+    SELECT vec_id, r, y FROM y
+    """
+
+_PCA_ANN_FIXED_ORACLE = _PCA_FIXED_CTE + """
+    , y0 AS (SELECT r, y AS y0 FROM y WHERE vec_id = 7),
+    d2 AS (
+      SELECT y.vec_id,
+             SUM(CAST(y.y - y0.y0 AS HUGEINT)
+                 * CAST(y.y - y0.y0 AS HUGEINT)) AS d2
+      FROM y JOIN y0 USING (r) GROUP BY y.vec_id
+    ), cand AS (SELECT vec_id FROM d2 ORDER BY d2, vec_id LIMIT 80),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(qv.qv AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings e JOIN cand USING (vec_id), qv
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+@register("pca_reduced_ann_topk_fixed", oracle=_PCA_ANN_FIXED_ORACLE)
+def pca_reduced_ann_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hash-exact twin of the PCA-bottleneck ANN route
+    (operators.pca.pca_reduced_topk_fixed): coarse ranking by EXACT
+    integer Euclidean distance in the fixed-rotation 8-axis space
+    (the pca_project_fixed algebra — quantize, divisionless center,
+    integer rotate), a deterministic overfetched top-80 cut, then
+    exact full-space cosine re-rank to top-10 at 6 dp. Pins the
+    ENTIRE coarse-then-exact machinery — distances summed as
+    DECIMAL(38,0)/HUGEINT so both engines are exact — leaving only
+    the eigh to the rows-only pca_reduced_ann_topk entry."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    return P.pca_reduced_topk_fixed(emb, q, k=10, kdim=8, scale=1000)
 
 
 @register("pca_project_fixed_embeddings", oracle=_PCA_FIXED_ORACLE)

@@ -196,3 +196,27 @@ def test_reduced_topk_fixture_recall(spark):
         tot += len(want)
     emb.unpersist()
     assert hits / tot >= 0.8, hits / tot
+
+
+def test_reduced_topk_fixed_self_hit_and_recall(spark):
+    """The hash-exact twin route: the query itself survives the
+    integer-coarse cut at distance 0 and re-ranks to cosine 1.0 at
+    rank 1; recall vs exact brute force matches the trained route's
+    operating band (the fixed rotation is a blunter bottleneck than
+    the eigenbasis, so the floor is looser — the twin's job is
+    pinning the machinery, the trained entry owns quality)."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    q = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    rows = P.pca_reduced_topk_fixed(emb, q, k=10, kdim=8).collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 7 and rows[0]["cosine"] == 1.0
+    got = {r["vec_id"] for r in rows}
+    want = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    emb.unpersist()
+    assert len(got & want) >= 3, (got, want)
