@@ -150,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         "small files, verify a shard epoch",
     )
     p_mnt.add_argument(
-        "action", choices=["seal", "compact", "verify-epoch"],
+        "action", choices=["seal", "compact", "verify-epoch", "compact-index"],
     )
     p_mnt.add_argument("--path", required=True, help="store/table root")
     p_mnt.add_argument(
@@ -173,6 +173,42 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_mnt.add_argument(
         "--id-col", default="doc_id", help="verify-epoch: id column"
+    )
+    p_mnt.add_argument(
+        "--dst", help="compact-index: published-versions root"
+    )
+    p_mnt.add_argument(
+        "--kind", choices=["bm25", "positional"], default="bm25",
+        help="compact-index: which index family --path holds",
+    )
+    p_mnt.add_argument(
+        "--forward-index", action="store_true",
+        help="compact-index (bm25): also fold the docterms tree",
+    )
+    p_mnt.add_argument(
+        "--when-worth-it", action="store_true",
+        help="compact-index: run the measured cost model (linear "
+        "per-delta probe tax vs one-time rewrite) and compact only "
+        "if probe savings before the next maintenance window exceed "
+        "the rewrite cost",
+    )
+    p_mnt.add_argument(
+        "--per-delta-sec", type=float, default=0.078,
+        help="compact-index: measured probe overhead per extra delta "
+        "(default: BENCH_r11 16-delta pair slope)",
+    )
+    p_mnt.add_argument(
+        "--expected-probes", type=int, default=10,
+        help="compact-index: probes expected before the next "
+        "maintenance window",
+    )
+    p_mnt.add_argument(
+        "--rewrite-floor-sec", type=float, default=2.0,
+        help="compact-index: publish_version fixed rewrite cost",
+    )
+    p_mnt.add_argument(
+        "--rewrite-mb-per-sec", type=float, default=50.0,
+        help="compact-index: assumed rewrite throughput",
     )
 
     p_tok = sub.add_parser(
@@ -394,6 +430,42 @@ def main(argv: list[str] | None = None) -> int:
                     target_file_bytes=args.target_file_mb * 1024 * 1024,
                 )
                 print(f"files: {before} -> {after}")
+            elif args.action == "compact-index":
+                from .operators.retrieval import (
+                    bm25_index_compact,
+                    compaction_cost_model,
+                    positional_index_compact,
+                )
+
+                if not args.dst:
+                    print("compact-index requires --dst", file=sys.stderr)
+                    return 2
+                model = compaction_cost_model(
+                    spark,
+                    args.path,
+                    kind=args.kind,
+                    per_delta_sec=args.per_delta_sec,
+                    expected_probes=args.expected_probes,
+                    rewrite_floor_sec=args.rewrite_floor_sec,
+                    rewrite_mb_per_sec=args.rewrite_mb_per_sec,
+                )
+                for k, v in model.items():
+                    print(f"{k}: {v}")
+                if args.when_worth_it and not model["worth_it"]:
+                    print(
+                        "declined: expected probe savings "
+                        f"({model['probe_savings_sec']}s) do not cover "
+                        f"the rewrite ({model['rewrite_cost_sec']}s)"
+                    )
+                    return 0
+                if args.kind == "bm25":
+                    v = bm25_index_compact(
+                        spark, args.path, args.dst,
+                        forward_index=args.forward_index,
+                    )
+                else:
+                    v = positional_index_compact(spark, args.path, args.dst)
+                print(f"published: {v}")
             else:
                 from .operators.curation import verify_epoch
 

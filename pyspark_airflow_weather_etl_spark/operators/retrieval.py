@@ -1133,6 +1133,62 @@ def bm25_index_compact(
     return publish_version(spark, dst_path, build)
 
 
+def compaction_cost_model(
+    spark: SparkSession,
+    src_path: str,
+    kind: str = "bm25",
+    per_delta_sec: float = 0.078,
+    expected_probes: int = 10,
+    rewrite_floor_sec: float = 2.0,
+    rewrite_mb_per_sec: float = 50.0,
+) -> dict:
+    """Is compacting this delta tree worth it NOW? — the maintenance
+    cadence decision, priced with measured constants instead of a
+    fixed delta-count threshold.
+
+    The probe side is linear in deltas: every query opens each
+    batch's files per touched pfx partition and (BM25) re-sums
+    per-term stats deltas. BENCH_r11's 16-delta pair measured that
+    slope at this fixture scale — 3.28 s vs 2.03 s compacted, i.e.
+    ~0.078 s/delta (the ``per_delta_sec`` default) — and the rewrite
+    at ~``rewrite_floor_sec`` of publish_version fixed cost plus
+    throughput-bound bytes. Compaction pays when the probes expected
+    before the NEXT maintenance window (``expected_probes``) save
+    more than one rewrite costs:
+
+        (n_deltas - 1) * per_delta_sec * expected_probes
+            >  rewrite_floor_sec + total_mb / rewrite_mb_per_sec
+
+    Defaults decline a 2-delta tree (0.8 s of savings vs a 2 s floor)
+    and take a 16-delta one (11.7 s vs ~2 s). At 100 TB the constants
+    come from the deployment's own bench pair; the SHAPE (linear
+    probe tax vs one-time rewrite) is what this encodes. Returns the
+    decision plus every input so callers can log the why."""
+    sub = "postings" if kind == "bm25" else "postings_pos"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{src_path.rstrip('/')}/{sub}")
+    fs = root.getFileSystem(hconf)
+    n_deltas = sum(
+        1
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    )
+    total_mb = fs.getContentSummary(
+        jvm.org.apache.hadoop.fs.Path(src_path)
+    ).getLength() / (1024.0 * 1024.0)
+    savings = max(0, n_deltas - 1) * per_delta_sec * expected_probes
+    cost = rewrite_floor_sec + total_mb / rewrite_mb_per_sec
+    return {
+        "kind": kind,
+        "n_deltas": n_deltas,
+        "total_mb": round(total_mb, 3),
+        "probe_savings_sec": round(savings, 3),
+        "rewrite_cost_sec": round(cost, 3),
+        "worth_it": savings > cost,
+    }
+
+
 def bm25_index_current(spark: SparkSession, dst_path: str) -> str:
     """Full path of the live compacted index version under
     ``dst_path`` (crash-recovery semantics of

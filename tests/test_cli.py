@@ -233,3 +233,82 @@ def test_index_and_search_cli(spark, tmp_path, docs_parquet, capsys):
         "index", "--input", docs_parquet, "--index", idx,
         "--batch-id", "1",
     ]) == 0
+
+
+def test_maintain_compact_index_when_worth_it(
+    spark, tmp_path, docs_parquet, capsys
+):
+    """The cadence policy: a 16-delta tree's expected probe savings
+    cover the rewrite, so --when-worth-it compacts and publishes; a
+    2-delta tree declines (nothing published); and the decision flips
+    with the knobs (a long probe horizon makes even 2 deltas pay)."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_current,
+    )
+
+    docs = spark.read.parquet(docs_parquet)
+    deep = str(tmp_path / "deep")
+    shallow = str(tmp_path / "shallow")
+    for b in range(16):
+        bm25_index_append(docs.where(F.col("doc_id") % 16 == b), deep, b)
+    for b in range(2):
+        bm25_index_append(docs.where(F.col("doc_id") % 2 == b), shallow, b)
+
+    # 16 deltas: compacts (savings 15*0.078*10 = 11.7s > ~2s rewrite)
+    rc = main(
+        ["maintain", "compact-index", "--path", deep,
+         "--dst", str(tmp_path / "deep_dst"), "--when-worth-it"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "worth_it: True" in out and "published: v-" in out
+    assert bm25_index_current(spark, str(tmp_path / "deep_dst"))
+
+    # 2 deltas: declines, publishes nothing
+    rc = main(
+        ["maintain", "compact-index", "--path", shallow,
+         "--dst", str(tmp_path / "shallow_dst"), "--when-worth-it"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "worth_it: False" in out and "declined" in out
+    assert not (tmp_path / "shallow_dst").exists()
+
+    # same 2-delta tree, 1000-probe horizon: now worth it
+    rc = main(
+        ["maintain", "compact-index", "--path", shallow,
+         "--dst", str(tmp_path / "shallow_dst"), "--when-worth-it",
+         "--expected-probes", "1000"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "published: v-" in out
+
+
+def test_maintain_compact_index_positional(
+    spark, tmp_path, docs_parquet, capsys
+):
+    """compact-index --kind positional folds phrase-position deltas
+    through the same policy and the published version answers phrase
+    probes identically to the delta tree."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+        phrase_match_at_rest,
+        positional_index_append,
+    )
+
+    docs = spark.read.parquet(docs_parquet)
+    src = str(tmp_path / "pos_src")
+    for b in range(3):
+        positional_index_append(docs.where(F.col("doc_id") % 3 == b), src, b)
+    rc = main(
+        ["maintain", "compact-index", "--path", src, "--kind", "positional",
+         "--dst", str(tmp_path / "pos_dst")]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "published: v-" in out
+    live = bm25_index_current(spark, str(tmp_path / "pos_dst"))
+    phrases = [(1, "the quick"), (2, "brown fox")]
+    assert sorted(
+        map(tuple, phrase_match_at_rest(spark, live, phrases).collect())
+    ) == sorted(
+        map(tuple, phrase_match_at_rest(spark, src, phrases).collect())
+    )
