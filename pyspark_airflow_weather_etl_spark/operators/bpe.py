@@ -52,7 +52,6 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace pre-tokenization → (word, freq). The ONE corpus-
     sized shuffle of BPE training; everything downstream is vocab-
@@ -141,6 +140,83 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
         )
     )
     return F.when(has_pair, folded).otherwise(syms)
+
+
+def _apply_merges(syms: Column, rules: list[tuple[str, str]]) -> Column:
+    """A whole ordered merge BATCH applied in one expression: fold the
+    rule list (as ARRAY DATA, each element a (l, r, merged) struct)
+    over the symbol array, each step being the :func:`_apply_merge`
+    greedy-leftmost pass against the previous step's output — exactly
+    the sequential semantics.
+
+    Why not chain ``_apply_merge`` k times: that expression references
+    its input ~6×, so k-deep nesting fans out ~6^k analyzer work and
+    k·depth lambda levels — 64 nested merges blow Catalyst's
+    Resolution max-iterations (100), found training 512 merges at
+    batch_rounds=64. Folding over the rules as data keeps the
+    expression CONSTANT-size in the batch (two lambda levels total),
+    so batch size is bounded by the safe-prefix proof, not by the
+    analyzer."""
+    rule_arr = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("l"),
+                F.lit(r).alias("r"),
+                F.lit(l + r).alias("m"),
+            )
+            for l, r in rules
+        ]
+    )
+
+    def apply_one(acc: Column, rule: Column) -> Column:
+        l_lit = rule.getField("l")
+        r_lit = rule.getField("r")
+        merged = rule.getField("m")
+        init = F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+
+        def step(st: Column, s: Column) -> Column:
+            a, pend = st.getField("acc"), st.getField("pend")
+            return (
+                F.when(
+                    pend.isNull(),
+                    F.struct(a.alias("acc"), s.alias("pend")),
+                )
+                .when(
+                    (pend == l_lit) & (s == r_lit),
+                    F.struct(
+                        F.concat(a, F.array(merged)).alias("acc"),
+                        F.lit(None).cast("string").alias("pend"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(a, F.array(pend)).alias("acc"),
+                        s.alias("pend"),
+                    )
+                )
+            )
+
+        def finish(st: Column) -> Column:
+            return F.when(
+                st.getField("pend").isNull(), st.getField("acc")
+            ).otherwise(
+                F.concat(st.getField("acc"), F.array(st.getField("pend")))
+            )
+
+        folded = F.aggregate(acc, init, step, finish)
+        has_pair = F.when(F.size(acc) < 2, F.lit(False)).otherwise(
+            F.exists(
+                F.sequence(F.lit(1), F.size(acc) - 1),
+                lambda i: (F.element_at(acc, i) == l_lit)
+                & (F.element_at(acc, i + 1) == r_lit),
+            )
+        )
+        return F.when(has_pair, folded).otherwise(acc)
+
+    return F.aggregate(rule_arr, syms, apply_one)
 
 
 @dataclass(frozen=True)
@@ -234,6 +310,8 @@ def bpe_train(
     num_merges: int = 30,
     min_freq: int = 2,
     batch_rounds: int = 1,
+    adaptive: bool = False,
+    max_batch_rounds: int = 1024,
 ) -> list[Merge]:
     """Learn ``num_merges`` BPE merge rules from the corpus (module
     docstring for the scale shape). Deterministic: argmax tiebreak is
@@ -252,7 +330,17 @@ def bpe_train(
     adversarial interacting-pair corpus). Batch size only bounds how
     much is provably safe per round; correctness never depends on it.
     With ``batch_rounds=1`` the loop is the exact one-rule-per-round
-    reference semantics, one candidate row per round."""
+    reference semantics, one candidate row per round.
+
+    ``adaptive=True`` grows the batch as ranks decouple: deep into a
+    big vocab the top of the pair ranking is dominated by
+    symbol-disjoint rules, so when a round's safe prefix applies
+    UN-truncated the next round asks for twice as much (capped at
+    ``max_batch_rounds``), and a heavily-truncated round (under a
+    quarter kept) halves it. Correctness never depends on the batch
+    size — :func:`_safe_batch_prefix` proves every kept rule — so
+    adaptation only moves the driver-round count; equality with the
+    sequential trainer is pytest-pinned for the adaptive path too."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     vocab = (
@@ -285,15 +373,27 @@ def bpe_train(
         chosen = _safe_batch_prefix(
             top, want, {m.merged for m in merges}
         )
-        syms = F.col("syms")
         for row in chosen:
             merges.append(
                 Merge(len(merges), row.left, row.right, int(row.pair_freq))
             )
-            syms = _apply_merge(syms, row.left, row.right)
+        # ONE constant-size expression applies the whole batch in
+        # order (_apply_merges folds over the rules as array data) —
+        # chaining _apply_merge per rule fans out ~6^k analyzer work
+        # and breaks past ~16 rules (Resolution max-iterations).
         old = vocab
-        vocab = vocab.withColumn("syms", syms).localCheckpoint()
+        vocab = vocab.withColumn(
+            "syms",
+            _apply_merges(
+                F.col("syms"), [(r.left, r.right) for r in chosen]
+            ),
+        ).localCheckpoint()
         old.unpersist(blocking=False)
+        if adaptive:
+            if len(chosen) == want:
+                batch = min(batch * 2, max(1, int(max_batch_rounds)))
+            elif len(chosen) * 4 < want:
+                batch = max(1, batch // 2)
     vocab.unpersist(blocking=False)
     return merges
 

@@ -748,6 +748,68 @@ def proximity_counts(
     ).where(F.col("n_pairs") > 0)
 
 
+def proximity_match_at_rest(
+    spark: SparkSession,
+    index_path: str,
+    pairs: list[tuple[int, str, str]],
+    window: int = 3,
+) -> DataFrame:
+    """Proximity (NEAR) counts from the positional postings index —
+    the :func:`proximity_counts` semantics (position pairs with
+    ``0 < |pos_a - pos_b| <= window`` per document) answered without
+    touching the corpus: the two terms' posting lists (partition
+    pruning on pfx, driver-side md5 — the :func:`phrase_match_at_rest`
+    contract) join per document under the window band. Gives NEAR
+    queries the same serve-from-index + compaction lifecycle phrase
+    queries have; returns exactly the rows of
+    :func:`proximity_counts`."""
+    all_terms = sorted({t for _, a, b in pairs for t in (a, b) if t})
+    pfxs = sorted(
+        {
+            hashlib.md5(t.encode("utf-8")).hexdigest()[:_PFX_LEN]
+            for t in all_terms
+        }
+    )
+    postings = (
+        spark.read.schema(
+            "token string, doc_id bigint, pos bigint, batch bigint,"
+            " pfx string"
+        )
+        .parquet(f"{index_path}/postings_pos")
+        .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
+        .select("token", "doc_id", "pos")
+    )
+    out = None
+    for pair_id, term_a, term_b in pairs:
+        pa = postings.where(F.col("token") == term_a).select(
+            "doc_id", F.col("pos").alias("pa")
+        )
+        pb = postings.where(F.col("token") == term_b).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias("pb")
+        )
+        m = (
+            pa.join(
+                pb,
+                (F.col("doc_id") == F.col("d"))
+                & (F.abs(F.col("pb") - F.col("pa")) <= F.lit(window))
+                & (F.col("pb") != F.col("pa")),
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select(
+                F.lit(pair_id).cast("bigint").alias("pair_id"),
+                "doc_id",
+                "n_pairs",
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    if out is None:
+        return spark.createDataFrame(
+            [], "pair_id bigint, doc_id bigint, n_pairs bigint"
+        )
+    return out
+
+
 def kwic_snippets(
     docs: DataFrame,
     queries: list[tuple[int, str]],

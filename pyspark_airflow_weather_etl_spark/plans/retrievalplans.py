@@ -352,6 +352,27 @@ def proximity_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.proximity_counts(docs, PROX_PAIRS, window=3)
 
 
+@register("proximity_match_at_rest", oracle=_PROX_ORACLE)
+def proximity_match_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR search served from the positional postings index
+    (operators.retrieval.proximity_match_at_rest): the two terms'
+    pfx-pruned posting lists join per document under the window band
+    — the corpus is never read, and the index is the SAME one phrase
+    queries probe and compaction folds, so proximity inherits the
+    whole serve-from-index lifecycle. Shares the ad-hoc oracle: index
+    evaluation must be bit-identical."""
+    import tempfile
+
+    if "pos:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="pos_idx_")
+        docs = load_table(spark, sf_dir, "documents")
+        R.positional_index_write(docs, f"{tmp}/index")
+        _BM25_STAGE["pos:" + sf_dir] = tmp
+    return R.proximity_match_at_rest(
+        spark, f"{_BM25_STAGE['pos:' + sf_dir]}/index", PROX_PAIRS, window=3
+    )
+
+
 _KWIC_ORACLE = f"""
     WITH q(query_id, qtext) AS (VALUES {_SQL_QUERIES}),
     qt AS (

@@ -250,3 +250,26 @@ def test_batched_training_adversarial_interactions(spark):
         for m in (2, 3, 16):
             got = bpe_train(df, num_merges=12, min_freq=2, batch_rounds=m)
             assert got == seq, f"case={texts[0][:20]!r} m={m}"
+
+
+def test_adaptive_batching_equals_sequential(spark):
+    """adaptive=True moves only the driver-round count (doubling on
+    un-truncated rounds, halving on heavy truncation) — the learned
+    rule list stays identical to the sequential trainer, on the
+    fixture corpus and on the adversarial interaction cases."""
+    docs = load_table(spark, SF_DIR, "documents")
+    seq = bpe_train(docs, num_merges=20, min_freq=2)
+    got = bpe_train(
+        docs, num_merges=20, min_freq=2, batch_rounds=2, adaptive=True
+    )
+    assert got == seq
+    adversarial = ["a b c " * 50 + "a b " * 5, "b c d " * 30]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(adversarial)],
+        "doc_id bigint, text string",
+    )
+    seq = bpe_train(df, num_merges=12, min_freq=2)
+    got = bpe_train(
+        df, num_merges=12, min_freq=2, batch_rounds=1, adaptive=True
+    )
+    assert got == seq

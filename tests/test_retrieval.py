@@ -667,3 +667,47 @@ def test_positional_compaction_probe_identical_and_versioned(
         for r in phrase_match_at_rest(spark, live2, phrases).collect()
     }
     assert (1, 1000, 2) in r2
+
+
+def test_proximity_at_rest_equals_ad_hoc_and_prunes(spark, docs, tmp_path):
+    """NEAR served from the positional index returns exactly the
+    ad-hoc proximity_counts rows (incl. a same-term pair, counted in
+    both directions like the ad-hoc loop) and probes with pfx
+    partition pruning; survives compaction through the published
+    version."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+        positional_index_append,
+        positional_index_compact,
+        proximity_counts,
+        proximity_match_at_rest,
+    )
+
+    src = str(tmp_path / "prox_src")
+    for b in range(2):
+        positional_index_append(docs.where(F.col("doc_id") % 2 == b), src, b)
+    pairs = [(1, "hash", "join"), (2, "the", "table"), (3, "table", "table")]
+    want = sorted(
+        map(tuple, proximity_counts(docs, pairs, window=3).collect())
+    )
+    at_rest = proximity_match_at_rest(spark, src, pairs, window=3)
+    assert sorted(map(tuple, at_rest.collect())) == want
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pfx" in m.group(1), f"no pfx pruning in scan:\n{plan}"
+    # compacted version answers identically
+    dst = str(tmp_path / "prox_dst")
+    positional_index_compact(spark, src, dst)
+    live = bm25_index_current(spark, dst)
+    assert sorted(
+        map(
+            tuple,
+            proximity_match_at_rest(spark, live, pairs, window=3).collect(),
+        )
+    ) == want
+    # empty pair list: typed empty frame
+    empty = proximity_match_at_rest(spark, src, [])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "pair_id", "doc_id", "n_pairs",
+    ]
