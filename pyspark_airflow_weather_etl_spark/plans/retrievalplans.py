@@ -256,6 +256,38 @@ def phrase_match_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_phrase_index_match", oracle=_PHRASE_ORACLE)
+def streaming_phrase_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional index maintenance at ingest latency
+    (streaming.phrase_index — the phrase twin of the streaming BM25
+    maintainer): documents arrive as five micro-batches, each
+    appending batch-keyed positional postings via foreachBatch. A
+    phrase probe of the streamed index hash-matches the SAME oracle as
+    the ad-hoc phrase_counts entry — positions are per-document facts,
+    so any batch decomposition is probe-equivalent to the one-shot
+    build. The streamed deltas fold through positional_index_compact
+    at maintenance cadence (the phrase_match_compacted entry)."""
+    import tempfile
+
+    from ..streaming.phrase_index import run_streaming_phrase_index
+    from .streamplans import _stage_document_batches
+
+    if "posstream:" + sf_dir not in _BM25_STAGE:
+        tmp = tempfile.mkdtemp(prefix="phrase_stream_")
+        watch, schema = _stage_document_batches(spark, sf_dir, tmp)
+        run_streaming_phrase_index(
+            spark,
+            watch,
+            f"{tmp}/index",
+            schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        _BM25_STAGE["posstream:" + sf_dir] = tmp
+    return R.phrase_match_at_rest(
+        spark, f"{_BM25_STAGE['posstream:' + sf_dir]}/index", PHRASES
+    )
+
+
 @register("phrase_match_compacted", oracle=_PHRASE_ORACLE)
 def phrase_match_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compaction leg of the POSITIONAL index lifecycle

@@ -1206,3 +1206,63 @@ def test_streaming_cdc_store_duplicate_delivery(spark, tmp_path):
     assert {r.digest for r in store.collect()} == {
         r.digest for r in want_rows
     }
+
+
+def test_streaming_phrase_index_parity_and_replay(spark, tmp_path):
+    """Streaming positional-index maintenance (streaming.phrase_index):
+    (a) a phrase probe of the streamed index equals the ad-hoc
+    phrase_counts on the full corpus (positions are per-document ⇒ any
+    batch decomposition is probe-equivalent), and (b) a crash-replay
+    (commit marker deleted, offsets kept) overwrites its own batch
+    partitions instead of double-appending."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        phrase_counts,
+        phrase_match_at_rest,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+    from pyspark_airflow_weather_etl_spark.streaming.phrase_index import (
+        run_streaming_phrase_index,
+    )
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    watch = str(tmp_path / "in")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    for slot, bucket in enumerate(range(3)):
+        sdir = f"{watch}__stage_{bucket}"
+        docs.where(F.col("doc_id") % 3 == bucket).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        part = glob.glob(f"{sdir}/part-*.parquet")[0]
+        dst = f"{watch}/arrival_{slot:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + slot * 60,) * 2)
+    run_streaming_phrase_index(
+        spark, watch, index, docs.schema, checkpoint_dir=ckpt
+    )
+    phrases = [(1, "hash join"), (2, "table scan"), (3, "nope nope")]
+    want = sorted(map(tuple, phrase_counts(docs, phrases).collect()))
+    got = sorted(
+        map(tuple, phrase_match_at_rest(spark, index, phrases).collect())
+    )
+    assert got == want
+    # crash-replay: batch 1's output is on disk but the commit is gone
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_phrase_index(
+        spark, watch, index, docs.schema, checkpoint_dir=ckpt
+    )
+    again = sorted(
+        map(tuple, phrase_match_at_rest(spark, index, phrases).collect())
+    )
+    assert again == want
