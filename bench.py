@@ -682,6 +682,101 @@ def _phrase_compaction_probe(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _phrase_scale_probe(spark, sf_dir: str, factor: int = 32) -> dict[str, float]:
+    """The positional index's scale story, measured — the phrase /
+    proximity twin of _bm25_scale_probe: documents replicated
+    ×``factor`` (shifted ids), then the SAME phrase and NEAR query
+    sets answered (a) ad-hoc (a broadcast-HOF scan of the full
+    corpus per query batch) and (b) from positional postings built
+    once at ingest (pfx-pruned posting-list joins). Ad-hoc grows with
+    the corpus; the probe reads only the query tokens' partitions and
+    stays ~flat — the at-100-TB difference. Result equality
+    asserted."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_write,
+        proximity_counts,
+        proximity_match_at_rest,
+    )
+    from pyspark_airflow_weather_etl_spark.plans.retrievalplans import (
+        PHRASES,
+        PROX_PAIRS,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+    big = (
+        docs.crossJoin(F.broadcast(rep))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * shift)
+        .drop("__rep")
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_phrase_scale_")
+    big.write.parquet(f"{tmp}/docs")  # both paths read the same files
+    big_p = spark.read.parquet(f"{tmp}/docs")
+    positional_index_write(big_p, f"{tmp}/index")  # ingest-time setup
+
+    out: dict[str, float] = {}
+    answers: dict[str, list] = {}
+    samples: dict[str, list[float]] = {
+        f"phrase_adhoc_{factor}x": [],
+        f"phrase_at_rest_{factor}x": [],
+        f"prox_adhoc_{factor}x": [],
+        f"prox_at_rest_{factor}x": [],
+    }
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        r = sorted(map(tuple, phrase_counts(big_p, PHRASES).collect()))
+        samples[f"phrase_adhoc_{factor}x"].append(time.perf_counter() - t0)
+        answers.setdefault("phrase_adhoc", r)
+        release_cached()
+        t0 = time.perf_counter()
+        r = sorted(
+            map(
+                tuple,
+                phrase_match_at_rest(spark, f"{tmp}/index", PHRASES).collect(),
+            )
+        )
+        samples[f"phrase_at_rest_{factor}x"].append(time.perf_counter() - t0)
+        answers.setdefault("phrase_at_rest", r)
+        release_cached()
+        t0 = time.perf_counter()
+        r = sorted(
+            map(tuple, proximity_counts(big_p, PROX_PAIRS, window=3).collect())
+        )
+        samples[f"prox_adhoc_{factor}x"].append(time.perf_counter() - t0)
+        answers.setdefault("prox_adhoc", r)
+        release_cached()
+        t0 = time.perf_counter()
+        r = sorted(
+            map(
+                tuple,
+                proximity_match_at_rest(
+                    spark, f"{tmp}/index", PROX_PAIRS, window=3
+                ).collect(),
+            )
+        )
+        samples[f"prox_at_rest_{factor}x"].append(time.perf_counter() - t0)
+        answers.setdefault("prox_at_rest", r)
+        release_cached()
+    assert answers["phrase_adhoc"] == answers["phrase_at_rest"], (
+        "positional index diverged from ad-hoc phrase"
+    )
+    assert answers["prox_adhoc"] == answers["prox_at_rest"], (
+        "positional index diverged from ad-hoc proximity"
+    )
+    for label, s in samples.items():
+        out[label] = round(_median(s), 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _zorder_comparison(spark, sf_dir: str) -> dict[str, float]:
     """Two-dimensional skipping evidence: the ×4 lineitem written (a)
     linearly sorted by l_partkey and (b) Z-ordered on
@@ -1662,6 +1757,8 @@ def main() -> None:
     timings.update(_bm25_scale_probe(spark, sf_dir))
     timings.update(_bm25_compaction_probe(spark, sf_dir))
     timings.update(_phrase_compaction_probe(spark, sf_dir))
+    gc.collect()
+    timings.update(_phrase_scale_probe(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -43,7 +43,15 @@ def connected_components(
     return identical labelings (equality pytest in
     tests/test_graph.py); both raise rather than return a
     silently-wrong clustering if ``max_iter`` is exhausted —
-    ~impossible for star (20 rounds covers ~2^20 diameter)."""
+    ~impossible for star (20 rounds covers ~2^20 diameter).
+
+    Measured trade (sf0.1 near-dup pair graph, warm): star 4.0 s vs
+    label 2.4 s — star pays two rewire sub-steps plus a symmetric-
+    difference convergence check per round, and SHALLOW graphs are
+    label propagation's best case. The default buys worst-case
+    robustness for a ~1.7× constant on the easy case; callers who
+    KNOW their graph is shallow (e.g. verified dup cliques) can pass
+    ``algorithm='label'``."""
     if algorithm == "star":
         return _star_contract(edges, src, dst, max_iter)
     if algorithm == "label":
