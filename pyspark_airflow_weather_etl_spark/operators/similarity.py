@@ -18,6 +18,8 @@ regenerated inside the UDF, so nothing is closure-captured.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -48,6 +50,87 @@ def brute_force_topk(
         F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN — the OTHER standard vector
+    compression next to PQ (FAISS's ``SQ8``): each dimension is
+    affinely mapped to one byte using the corpus per-dimension
+    min/max, the coarse pass ranks by integer L2 in code space (4×
+    smaller scans than float32, no codebook training), and the
+    overfetched top ``overfetch*k`` re-rank by exact full-precision
+    cosine. Unlike PQ/OPQ (trained codebooks ⇒ rows-only + fixed
+    twins), the ENTIRE route is hash-exact: min/max are exact
+    order-insensitive aggregates, the quantizer is per-value IEEE
+    arithmetic both engines evaluate identically (one subtract, one
+    multiply by a driver-computed scale, one floor, one clamp — no
+    accumulation anywhere), and the coarse distance is an integer
+    sum, so the DuckDB oracle replays every code byte and both cut
+    boundaries.
+
+    Scale shape: ONE corpus-width min/max aggregation (d columns, a
+    bounded driver artifact re-entering as plan literals — the
+    pca_project_fixed discipline), then a single JVM-codegen scan;
+    ranking is TakeOrderedAndProject, memory O(candidates)."""
+    d = len(query_vec)
+    x = F.col(vec_col)
+    agg = embeddings.agg(
+        *[
+            f(x[j].cast("double")).alias(f"{n}{j}")
+            for j in range(d)
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    ).collect()[0]
+    mn = [float(agg[f"mn{j}"]) for j in range(d)]
+    mx = [float(agg[f"mx{j}"]) for j in range(d)]
+    sc = [255.0 / (mx[j] - mn[j]) if mx[j] > mn[j] else 0.0 for j in range(d)]
+
+    def _code(xs: list[float]) -> list[int]:
+        out = []
+        for j in range(d):
+            q = math.floor((float(xs[j]) - mn[j]) * sc[j])
+            out.append(max(0, min(255, q)))
+        return out
+
+    qq = _code(query_vec)
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    sc_arr = F.array(*[F.lit(v) for v in sc])
+    codes = F.zip_with(
+        F.zip_with(
+            F.transform(x, lambda v: v.cast("double")),
+            mn_arr,
+            lambda a, b: a - b,
+        ),
+        sc_arr,
+        lambda dlt, s: F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(255).cast("bigint"), F.floor(dlt * s)),
+        ),
+    )
+    qq_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in qq])
+    d2 = F.aggregate(
+        F.zip_with(codes, qq_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        embeddings.select(F.col(id_col), d2.alias("__d2"))
+        .orderBy(F.col("__d2").asc(), F.col(id_col))
+        .limit(int(overfetch * k))
+    )
+    qfull = F.array(*[F.lit(float(v)) for v in query_vec])
+    rerank = coarse.join(embeddings.select(id_col, vec_col), id_col).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qfull), 6).alias("cosine"),
+    )
+    return rerank.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:

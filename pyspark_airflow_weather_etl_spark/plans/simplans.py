@@ -47,6 +47,59 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_ORACLE = """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ), st AS (
+      SELECT p.j, MIN(q.x[p.j + 1]) AS mn, MAX(q.x[p.j + 1]) AS mx
+      FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) p
+      GROUP BY p.j
+    ), sdef AS (
+      SELECT j, mn,
+             CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END AS s
+      FROM st
+    ), codes AS MATERIALIZED (
+      SELECT q.vec_id, sdef.j,
+             GREATEST(0, LEAST(255,
+               CAST(floor((q.x[sdef.j + 1] - sdef.mn) * sdef.s)
+                    AS BIGINT))) AS c
+      FROM q CROSS JOIN sdef
+    ), qc AS (SELECT j, c AS qc FROM codes WHERE vec_id = 7),
+    d2 AS (
+      SELECT codes.vec_id,
+             SUM((codes.c - qc.qc) * (codes.c - qc.qc)) AS d2
+      FROM codes JOIN qc USING (j) GROUP BY codes.vec_id
+    ), cand AS (SELECT vec_id FROM d2 ORDER BY d2, vec_id LIMIT 80),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(qv.qv AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings e JOIN cand USING (vec_id), qv
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+@register("sq8_ann_topk", oracle=_SQ8_ORACLE)
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN (operators.similarity.sq8_topk —
+    FAISS's SQ8 recipe): per-dimension min/max affine byte codes,
+    integer-L2 coarse ranking in code space (4× smaller scans, no
+    codebook training), deterministic overfetched top-80 cut, exact
+    full-precision cosine re-rank to top-10. The one compressed-scan
+    ANN route that is FULLY hash-exact — min/max are exact aggregates
+    and the quantizer is per-value IEEE arithmetic with no
+    accumulation, so the oracle replays every code byte and both cut
+    boundaries (PQ/OPQ, with trained codebooks, stay rows-only with
+    fixed twins)."""
+    q = _query_vector(spark, sf_dir, 7)
+    return S.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, overfetch=8
+    )
+
+
 @register("srp_ann_topk")  # LSH probe set: no clean SQL equivalent
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via multi-table signed-random-projection LSH

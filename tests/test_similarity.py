@@ -852,3 +852,33 @@ def test_semantic_dedup_nprobe_catches_cross_cell_pairs(spark):
         len(kept4 - want),
         len(exact_drops),
     )
+
+
+def test_sq8_topk_self_hit_and_recall(spark):
+    """SQ8 route: the query survives its own byte-code cut (distance 0)
+    and re-ranks to cosine 1.0 at rank 1; recall@10 vs exact brute
+    force stays high — 8-bit per-dimension codes lose far less
+    geometry than 4-bit-per-subvector PQ, which is the point of the
+    SQ8 tier."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    hits = tot = 0
+    for qid in (7, 42):
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        rows = sq8_topk(emb, q, k=10, overfetch=8).collect()
+        assert rows[0]["vec_id"] == qid and rows[0]["cosine"] == 1.0
+        got = {r["vec_id"] for r in rows}
+        want = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        hits += len(got & want)
+        tot += len(want)
+    emb.unpersist()
+    assert hits / tot >= 0.8, hits / tot
