@@ -629,14 +629,40 @@ def phrase_match_at_rest(
     phrases: list[tuple[int, str]],
 ) -> DataFrame:
     """Phrase counts from the positional postings index — the classic
-    inverted-index phrase evaluation: for phrase tokens w1…wm, join
-    the m posting lists on (doc_id, position offset) so a match is a
-    run of adjacent positions; count runs per document. Joins touch
-    only (doc_id, pos) narrow rows of the phrase's OWN tokens
-    (partition pruning on pfx, driver-side md5 — asserted in
-    tests/test_retrieval.py); the corpus is never read. Returns
-    exactly the rows of :func:`phrase_counts`."""
-    all_terms = sorted({t for _, q in phrases for t in q.split(" ") if t})
+    inverted-index phrase evaluation, DATA-DRIVEN: the phrase set
+    becomes a broadcast (phrase_id, token, offset) table, each
+    posting row joined to it projects a candidate match START
+    (pos − offset), and a start where every offset of the phrase is
+    present is a match (per-(phrase, doc, start) count == phrase
+    length — each (start, offset) pair can arise from at most one
+    posting row, so a plain count suffices). One constant-size plan
+    regardless of how many phrases are asked — the per-phrase
+    join-chain formulation builds q·m plan branches and hits the same
+    Catalyst analyzer wall the batched BPE trainer did (~6^k blowup
+    class) at production query-set sizes. The scan touches only the
+    phrases' OWN tokens (partition pruning on pfx, driver-side md5 —
+    asserted in tests/test_retrieval.py); the corpus is never read.
+    Returns exactly the rows of :func:`phrase_counts` (overlapping
+    occurrences included)."""
+    term_rows = [
+        (pid, t, off)
+        for pid, q in phrases
+        for off, t in enumerate([t for t in q.split(" ") if t])
+    ]
+    if not term_rows:
+        return spark.createDataFrame(
+            [], "phrase_id bigint, doc_id bigint, n_matches bigint"
+        )
+    plens = {}
+    for pid, _, _ in term_rows:
+        plens[pid] = plens.get(pid, 0) + 1
+    terms_df = spark.createDataFrame(
+        term_rows, "phrase_id bigint, token string, off bigint"
+    )
+    plen_df = spark.createDataFrame(
+        sorted(plens.items()), "phrase_id bigint, plen bigint"
+    )
+    all_terms = sorted({t for _, t, _ in term_rows})
     pfxs = sorted(
         {
             hashlib.md5(t.encode("utf-8")).hexdigest()[:_PFX_LEN]
@@ -652,39 +678,20 @@ def phrase_match_at_rest(
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
     )
-    out = None
-    for phrase_id, q in phrases:
-        terms = [t for t in q.split(" ") if t]
-        if not terms:
-            continue
-        cur = postings.where(F.col("token") == terms[0]).select(
-            "doc_id", F.col("pos").alias("p0")
+    starts = (
+        postings.join(F.broadcast(terms_df), "token")
+        .select(
+            "phrase_id", "doc_id", (F.col("pos") - F.col("off")).alias("start")
         )
-        for j, term in enumerate(terms[1:], start=1):
-            nxt = postings.where(F.col("token") == term).select(
-                F.col("doc_id").alias("d"), F.col("pos").alias("p")
-            )
-            cur = cur.join(
-                nxt,
-                (F.col("doc_id") == F.col("d"))
-                & (F.col("p") == F.col("p0") + j),
-            ).select("doc_id", "p0")
-        m = (
-            cur.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
-            .select(
-                F.lit(phrase_id).cast("bigint").alias("phrase_id"),
-                "doc_id",
-                "n_matches",
-            )
-        )
-        out = m if out is None else out.unionByName(m)
-    if out is None:
-        # no phrase produced any terms: empty result, stable schema
-        return spark.createDataFrame(
-            [], "phrase_id bigint, doc_id bigint, n_matches bigint"
-        )
-    return out
+        .groupBy("phrase_id", "doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("n_off"))
+    )
+    return (
+        starts.join(F.broadcast(plen_df), "phrase_id")
+        .where(F.col("n_off") == F.col("plen"))
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+    )
 
 
 def proximity_counts(
@@ -763,6 +770,10 @@ def proximity_match_at_rest(
     queries the same serve-from-index + compaction lifecycle phrase
     queries have; returns exactly the rows of
     :func:`proximity_counts`."""
+    if not pairs:
+        return spark.createDataFrame(
+            [], "pair_id bigint, doc_id bigint, n_pairs bigint"
+        )
     all_terms = sorted({t for _, a, b in pairs for t in (a, b) if t})
     pfxs = sorted(
         {
@@ -779,35 +790,37 @@ def proximity_match_at_rest(
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
     )
-    out = None
-    for pair_id, term_a, term_b in pairs:
-        pa = postings.where(F.col("token") == term_a).select(
-            "doc_id", F.col("pos").alias("pa")
+    # data-driven like phrase_match_at_rest: the pair set is a
+    # broadcast table joined to the postings ONCE per side — one
+    # constant-size plan regardless of how many NEAR queries are
+    # asked (per-pair plan branches hit the analyzer wall at
+    # production query-set sizes)
+    p = spark.createDataFrame(
+        pairs, "pair_id bigint, term_a string, term_b string"
+    )
+    pa = postings.join(
+        F.broadcast(p.select("pair_id", F.col("term_a").alias("token"))),
+        "token",
+    ).select("pair_id", "doc_id", F.col("pos").alias("pa"))
+    pb = postings.join(
+        F.broadcast(p.select("pair_id", F.col("term_b").alias("token"))),
+        "token",
+    ).select(
+        F.col("pair_id").alias("pid2"),
+        F.col("doc_id").alias("d"),
+        F.col("pos").alias("pb"),
+    )
+    return (
+        pa.join(
+            pb,
+            (F.col("pair_id") == F.col("pid2"))
+            & (F.col("doc_id") == F.col("d"))
+            & (F.abs(F.col("pb") - F.col("pa")) <= F.lit(window))
+            & (F.col("pb") != F.col("pa")),
         )
-        pb = postings.where(F.col("token") == term_b).select(
-            F.col("doc_id").alias("d"), F.col("pos").alias("pb")
-        )
-        m = (
-            pa.join(
-                pb,
-                (F.col("doc_id") == F.col("d"))
-                & (F.abs(F.col("pb") - F.col("pa")) <= F.lit(window))
-                & (F.col("pb") != F.col("pa")),
-            )
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-            .select(
-                F.lit(pair_id).cast("bigint").alias("pair_id"),
-                "doc_id",
-                "n_pairs",
-            )
-        )
-        out = m if out is None else out.unionByName(m)
-    if out is None:
-        return spark.createDataFrame(
-            [], "pair_id bigint, doc_id bigint, n_pairs bigint"
-        )
-    return out
+        .groupBy("pair_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
 
 
 def kwic_snippets(
