@@ -107,6 +107,9 @@ HEADLINE = [
     "bm25_topk_at_rest",
     "phrase_match_documents",
     "phrase_match_at_rest",
+    "proximity_match_at_rest",
+    "sq8_ann_topk",
+    "pca_reduced_ann_topk_fixed",
     "corpus_datasheet_by_source",
     "bm25_hard_negatives",
     "bm25_prf_expanded_topk",
