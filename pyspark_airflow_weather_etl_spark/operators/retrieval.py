@@ -623,27 +623,42 @@ def positional_index_compact(
     return publish_version(spark, dst_path, build)
 
 
+#: query-set size above which the at-rest phrase/NEAR probes switch
+#: from per-query plan branches to the single data-driven plan: the
+#: branch formulation is ~2× faster at interactive sizes (fewer
+#: shuffles, per-term pruning — measured 0.56 s vs 1.1 s warm on the
+#: 3-phrase fixture set) but builds q·m plan branches, which is the
+#: batched-BPE analyzer-wall class at production batch sizes (a
+#: 300-phrase set answers in one 4.4 s data-driven job).
+_SET_STRATEGY_MIN = 9
+
+
 def phrase_match_at_rest(
     spark: SparkSession,
     index_path: str,
     phrases: list[tuple[int, str]],
+    strategy: str = "auto",
 ) -> DataFrame:
     """Phrase counts from the positional postings index — the classic
-    inverted-index phrase evaluation, DATA-DRIVEN: the phrase set
-    becomes a broadcast (phrase_id, token, offset) table, each
-    posting row joined to it projects a candidate match START
-    (pos − offset), and a start where every offset of the phrase is
-    present is a match (per-(phrase, doc, start) count == phrase
-    length — each (start, offset) pair can arise from at most one
-    posting row, so a plain count suffices). One constant-size plan
-    regardless of how many phrases are asked — the per-phrase
-    join-chain formulation builds q·m plan branches and hits the same
-    Catalyst analyzer wall the batched BPE trainer did (~6^k blowup
-    class) at production query-set sizes. The scan touches only the
-    phrases' OWN tokens (partition pruning on pfx, driver-side md5 —
-    asserted in tests/test_retrieval.py); the corpus is never read.
-    Returns exactly the rows of :func:`phrase_counts` (overlapping
+    inverted-index phrase evaluation. Two physical strategies with
+    identical results (equality pytested): ``'loop'`` chains the m
+    posting lists per phrase on (doc_id, position offset) — the
+    low-latency shape for interactive query counts; ``'set'`` is
+    DATA-DRIVEN — the phrase set becomes a broadcast
+    (phrase_id, token, offset) table, each posting row projects a
+    candidate match START (pos − offset), and a start where every
+    offset is present is a match (each (start, offset) pair arises
+    from at most one posting row, so a plain count suffices) — ONE
+    constant-size plan however many phrases are asked, where the loop
+    builds q·m plan branches (the batched-BPE analyzer-wall class).
+    ``'auto'`` picks by query-set size (``_SET_STRATEGY_MIN``).
+    Either way the scan touches only the phrases' OWN tokens
+    (partition pruning on pfx, driver-side md5 — asserted in
+    tests/test_retrieval.py); the corpus is never read. Returns
+    exactly the rows of :func:`phrase_counts` (overlapping
     occurrences included)."""
+    if strategy not in ("auto", "loop", "set"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     term_rows = [
         (pid, t, off)
         for pid, q in phrases
@@ -653,15 +668,6 @@ def phrase_match_at_rest(
         return spark.createDataFrame(
             [], "phrase_id bigint, doc_id bigint, n_matches bigint"
         )
-    plens = {}
-    for pid, _, _ in term_rows:
-        plens[pid] = plens.get(pid, 0) + 1
-    terms_df = spark.createDataFrame(
-        term_rows, "phrase_id bigint, token string, off bigint"
-    )
-    plen_df = spark.createDataFrame(
-        sorted(plens.items()), "phrase_id bigint, plen bigint"
-    )
     all_terms = sorted({t for _, t, _ in term_rows})
     pfxs = sorted(
         {
@@ -677,6 +683,47 @@ def phrase_match_at_rest(
         .parquet(f"{index_path}/postings_pos")
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
+    )
+    if strategy == "loop" or (
+        strategy == "auto" and len(phrases) < _SET_STRATEGY_MIN
+    ):
+        out = None
+        for phrase_id, q in phrases:
+            terms = [t for t in q.split(" ") if t]
+            if not terms:
+                continue
+            cur = postings.where(F.col("token") == terms[0]).select(
+                "doc_id", F.col("pos").alias("p0")
+            )
+            for j, term in enumerate(terms[1:], start=1):
+                nxt = postings.where(F.col("token") == term).select(
+                    F.col("doc_id").alias("d"), F.col("pos").alias("p")
+                )
+                cur = cur.join(
+                    nxt,
+                    (F.col("doc_id") == F.col("d"))
+                    & (F.col("p") == F.col("p0") + j),
+                ).select("doc_id", "p0")
+            m = (
+                cur.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+                .select(
+                    F.lit(phrase_id).cast("bigint").alias("phrase_id"),
+                    "doc_id",
+                    "n_matches",
+                )
+            )
+            out = m if out is None else out.unionByName(m)
+        assert out is not None  # term_rows non-empty above
+        return out
+    plens: dict[int, int] = {}
+    for pid, _, _ in term_rows:
+        plens[pid] = plens.get(pid, 0) + 1
+    terms_df = spark.createDataFrame(
+        term_rows, "phrase_id bigint, token string, off bigint"
+    )
+    plen_df = spark.createDataFrame(
+        sorted(plens.items()), "phrase_id bigint, plen bigint"
     )
     starts = (
         postings.join(F.broadcast(terms_df), "token")
@@ -760,6 +807,7 @@ def proximity_match_at_rest(
     index_path: str,
     pairs: list[tuple[int, str, str]],
     window: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Proximity (NEAR) counts from the positional postings index —
     the :func:`proximity_counts` semantics (position pairs with
@@ -769,7 +817,12 @@ def proximity_match_at_rest(
     contract) join per document under the window band. Gives NEAR
     queries the same serve-from-index + compaction lifecycle phrase
     queries have; returns exactly the rows of
-    :func:`proximity_counts`."""
+    :func:`proximity_counts`. Same two physical strategies as
+    :func:`phrase_match_at_rest` (``'loop'`` per-pair branches for
+    interactive sizes, ``'set'`` one broadcast-pair-table plan for
+    production batches; ``'auto'`` picks by ``_SET_STRATEGY_MIN``)."""
+    if strategy not in ("auto", "loop", "set"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if not pairs:
         return spark.createDataFrame(
             [], "pair_id bigint, doc_id bigint, n_pairs bigint"
@@ -790,11 +843,38 @@ def proximity_match_at_rest(
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
     )
-    # data-driven like phrase_match_at_rest: the pair set is a
-    # broadcast table joined to the postings ONCE per side — one
-    # constant-size plan regardless of how many NEAR queries are
-    # asked (per-pair plan branches hit the analyzer wall at
-    # production query-set sizes)
+    if strategy == "loop" or (
+        strategy == "auto" and len(pairs) < _SET_STRATEGY_MIN
+    ):
+        out = None
+        for pair_id, term_a, term_b in pairs:
+            pa = postings.where(F.col("token") == term_a).select(
+                "doc_id", F.col("pos").alias("pa")
+            )
+            pb = postings.where(F.col("token") == term_b).select(
+                F.col("doc_id").alias("d"), F.col("pos").alias("pb")
+            )
+            m = (
+                pa.join(
+                    pb,
+                    (F.col("doc_id") == F.col("d"))
+                    & (F.abs(F.col("pb") - F.col("pa")) <= F.lit(window))
+                    & (F.col("pb") != F.col("pa")),
+                )
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+                .select(
+                    F.lit(pair_id).cast("bigint").alias("pair_id"),
+                    "doc_id",
+                    "n_pairs",
+                )
+            )
+            out = m if out is None else out.unionByName(m)
+        assert out is not None  # pairs non-empty above
+        return out
+    # data-driven: the pair set is a broadcast table joined to the
+    # postings ONCE per side — one constant-size plan regardless of
+    # how many NEAR queries are asked
     p = spark.createDataFrame(
         pairs, "pair_id bigint, term_a string, term_b string"
     )

@@ -711,3 +711,52 @@ def test_proximity_at_rest_equals_ad_hoc_and_prunes(spark, docs, tmp_path):
     assert [f.name for f in empty.schema.fields] == [
         "pair_id", "doc_id", "n_pairs",
     ]
+
+
+def test_at_rest_strategies_are_result_identical(spark, docs, tmp_path):
+    """The two physical strategies of phrase_match_at_rest /
+    proximity_match_at_rest (per-query plan branches vs one
+    data-driven broadcast-table plan) return identical rows — on sets
+    spanning repeated-token phrases, same-term pairs, and misses —
+    and 'auto' dispatches by query-set size without changing
+    results."""
+    import pytest as _pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        phrase_match_at_rest,
+        positional_index_write,
+        proximity_match_at_rest,
+    )
+
+    path = str(tmp_path / "strat_idx")
+    positional_index_write(docs, path)
+    phrases = [
+        (1, "hash join"), (2, "table table"), (3, "the big table"),
+        (4, "hash"), (5, "nope nope"),
+    ]
+    pairs = [(1, "hash", "join"), (2, "table", "table"), (3, "the", "big")]
+    ph_loop = sorted(map(tuple, phrase_match_at_rest(
+        spark, path, phrases, strategy="loop").collect()))
+    ph_set = sorted(map(tuple, phrase_match_at_rest(
+        spark, path, phrases, strategy="set").collect()))
+    ph_auto = sorted(map(tuple, phrase_match_at_rest(
+        spark, path, phrases).collect()))
+    assert ph_loop == ph_set == ph_auto
+    px_loop = sorted(map(tuple, proximity_match_at_rest(
+        spark, path, pairs, window=3, strategy="loop").collect()))
+    px_set = sorted(map(tuple, proximity_match_at_rest(
+        spark, path, pairs, window=3, strategy="set").collect()))
+    px_auto = sorted(map(tuple, proximity_match_at_rest(
+        spark, path, pairs, window=3).collect()))
+    assert px_loop == px_set == px_auto
+    # a big auto set routes to 'set' and still matches per-query loops
+    big = [(i, phrases[i % 5][1]) for i in range(20)]
+    big_auto = sorted(map(tuple, phrase_match_at_rest(
+        spark, path, big).collect()))
+    big_loop = sorted(map(tuple, phrase_match_at_rest(
+        spark, path, big, strategy="loop").collect()))
+    assert big_auto == big_loop
+    with _pytest.raises(ValueError):
+        phrase_match_at_rest(spark, path, phrases, strategy="nope")
+    with _pytest.raises(ValueError):
+        proximity_match_at_rest(spark, path, pairs, strategy="nope")
