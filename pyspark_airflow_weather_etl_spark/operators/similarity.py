@@ -80,40 +80,12 @@ def sq8_topk(
     pca_project_fixed discipline), then a single JVM-codegen scan;
     ranking is TakeOrderedAndProject, memory O(candidates)."""
     d = len(query_vec)
-    x = F.col(vec_col)
-    agg = embeddings.agg(
-        *[
-            f(x[j].cast("double")).alias(f"{n}{j}")
-            for j in range(d)
-            for n, f in (("mn", F.min), ("mx", F.max))
-        ]
-    ).collect()[0]
-    mn = [float(agg[f"mn{j}"]) for j in range(d)]
-    mx = [float(agg[f"mx{j}"]) for j in range(d)]
-    sc = [255.0 / (mx[j] - mn[j]) if mx[j] > mn[j] else 0.0 for j in range(d)]
-
-    def _code(xs: list[float]) -> list[int]:
-        out = []
-        for j in range(d):
-            q = math.floor((float(xs[j]) - mn[j]) * sc[j])
-            out.append(max(0, min(255, q)))
-        return out
-
-    qq = _code(query_vec)
-    mn_arr = F.array(*[F.lit(v) for v in mn])
-    sc_arr = F.array(*[F.lit(v) for v in sc])
-    codes = F.zip_with(
-        F.zip_with(
-            F.transform(x, lambda v: v.cast("double")),
-            mn_arr,
-            lambda a, b: a - b,
-        ),
-        sc_arr,
-        lambda dlt, s: F.greatest(
-            F.lit(0).cast("bigint"),
-            F.least(F.lit(255).cast("bigint"), F.floor(dlt * s)),
-        ),
-    )
+    mn, sc = _sq8_params(embeddings, d, vec_col)
+    qq = [
+        max(0, min(255, math.floor((float(query_vec[j]) - mn[j]) * sc[j])))
+        for j in range(d)
+    ]
+    codes = _sq8_codes(vec_col, mn, sc)
     qq_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in qq])
     d2 = F.aggregate(
         F.zip_with(codes, qq_arr, lambda a, b: (a - b) * (a - b)),
@@ -127,6 +99,127 @@ def sq8_topk(
     )
     qfull = F.array(*[F.lit(float(v)) for v in query_vec])
     rerank = coarse.join(embeddings.select(id_col, vec_col), id_col).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qfull), 6).alias("cosine"),
+    )
+    return rerank.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _sq8_params(embeddings: DataFrame, d: int, vec_col: str):
+    """Exact per-dimension (min, scale) of the SQ8 affine quantizer —
+    one corpus-width aggregation, a bounded driver artifact."""
+    x = F.col(vec_col)
+    agg = embeddings.agg(
+        *[
+            f(x[j].cast("double")).alias(f"{n}{j}")
+            for j in range(d)
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    ).collect()[0]
+    mn = [float(agg[f"mn{j}"]) for j in range(d)]
+    mx = [float(agg[f"mx{j}"]) for j in range(d)]
+    sc = [255.0 / (mx[j] - mn[j]) if mx[j] > mn[j] else 0.0 for j in range(d)]
+    return mn, sc
+
+
+def _sq8_codes(vec_col: str, mn: list[float], sc: list[float]) -> F.Column:
+    """The per-value IEEE quantizer as a JVM expression — shared by
+    the ad-hoc scan and the index writer so at-rest codes are
+    bit-identical to ad-hoc ones."""
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    sc_arr = F.array(*[F.lit(v) for v in sc])
+    return F.zip_with(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda v: v.cast("double")),
+            mn_arr,
+            lambda a, b: a - b,
+        ),
+        sc_arr,
+        lambda dlt, s: F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(255).cast("bigint"), F.floor(dlt * s)),
+        ),
+    )
+
+
+def sq8_index_write(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the SQ8 index: quantizer params once under ``meta``
+    (the exact corpus min/scale doubles — parquet round-trips them
+    bit-exact) and ``rows`` carrying (id, byte codes as
+    array<smallint>, raw vector). Codes are computed ONCE here at
+    ingest with the same expression the ad-hoc scan uses, so the
+    at-rest probe is bit-identical to :func:`sq8_topk`; the coarse
+    pass then reads ONLY (id, code) via parquet column pruning — the
+    4×-narrower scan is the point of SQ8 at 100 TB, and the raw
+    vectors are touched only for the overfetched re-rank join."""
+    spark = embeddings.sparkSession
+    d = len(embeddings.select(vec_col).first()[0])
+    mn, sc = _sq8_params(embeddings, d, vec_col)
+    spark.createDataFrame(
+        [(mn, sc)], "mn array<double>, sc array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    (
+        embeddings.select(
+            F.col(id_col),
+            F.transform(
+                _sq8_codes(vec_col, mn, sc), lambda v: v.cast("smallint")
+            ).alias("code"),
+            F.col(vec_col),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/rows")
+    )
+
+
+def sq8_topk_at_rest(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 ANN against a persisted :func:`sq8_index_write` layout —
+    returns exactly the rows of :func:`sq8_topk` (shares its DuckDB
+    oracle in the catalog). The query quantizes driver-side from the
+    stored params; the coarse integer-L2 pass selects only
+    (id, code) — column pruning keeps the raw vectors out of the
+    scan (ReadSchema-asserted in tests/test_similarity.py) — and the
+    top ``overfetch*k`` join back for the exact cosine re-rank."""
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    mn = [float(v) for v in meta["mn"]]
+    sc = [float(v) for v in meta["sc"]]
+    d = len(mn)
+    qq = [
+        max(0, min(255, math.floor((float(query_vec[j]) - mn[j]) * sc[j])))
+        for j in range(d)
+    ]
+    rows = spark.read.schema(
+        f"{id_col} bigint, code array<smallint>, {vec_col} array<float>"
+    ).parquet(f"{index_path}/rows")
+    qq_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in qq])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("code"), lambda c: c.cast("bigint")),
+            qq_arr,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        rows.select(F.col(id_col), d2.alias("__d2"))
+        .orderBy(F.col("__d2").asc(), F.col(id_col))
+        .limit(int(overfetch * k))
+    )
+    qfull = F.array(*[F.lit(float(v)) for v in query_vec])
+    rerank = coarse.join(rows.select(id_col, vec_col), id_col).select(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), qfull), 6).alias("cosine"),
     )

@@ -100,6 +100,31 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_INDEX: dict[str, str] = {}
+
+
+@register("sq8_ann_topk_at_rest", oracle=_SQ8_ORACLE)
+def sq8_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN served from the persisted index
+    (operators.similarity.sq8_index_write / sq8_topk_at_rest): byte
+    codes and quantizer params computed ONCE at ingest; the coarse
+    integer-L2 pass reads only the (id, code) columns — parquet
+    column pruning keeps raw vectors out of the scan (ReadSchema
+    pytest) — and the overfetched cut joins back for the exact cosine
+    re-rank. Shares the ad-hoc entry's oracle: the serving layout
+    must return bit-identical rows."""
+    import tempfile
+
+    if sf_dir not in _SQ8_INDEX:
+        path = tempfile.mkdtemp(prefix="sq8_index_") + "/embeddings"
+        S.sq8_index_write(load_table(spark, sf_dir, "embeddings"), path)
+        _SQ8_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 7)
+    return S.sq8_topk_at_rest(
+        spark, _SQ8_INDEX[sf_dir], q, k=10, overfetch=8
+    )
+
+
 @register("srp_ann_topk")  # LSH probe set: no clean SQL equivalent
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via multi-table signed-random-projection LSH

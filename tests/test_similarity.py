@@ -882,3 +882,35 @@ def test_sq8_topk_self_hit_and_recall(spark):
         tot += len(want)
     emb.unpersist()
     assert hits / tot >= 0.8, hits / tot
+
+
+def test_sq8_at_rest_equals_ad_hoc_and_prunes_columns(spark, tmp_path):
+    """The SQ8 serving layout: probe rows equal the ad-hoc scan
+    bit-for-bit (codes written with the same expression), and the
+    coarse pass's parquet scan reads ONLY (vec_id, code) — the raw
+    vector column stays out of ReadSchema until the re-rank join."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_index_write,
+        sq8_topk,
+        sq8_topk_at_rest,
+    )
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "sq8_idx")
+    sq8_index_write(emb, path)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    want = sorted(map(tuple, sq8_topk(emb, q, k=10).collect()))
+    at_rest = sq8_topk_at_rest(spark, path, q, k=10)
+    assert sorted(map(tuple, at_rest.collect())) == want
+    # the coarse branch's scan must not read the embedding column
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    coarse = [s for s in schemas if "code" in s]
+    assert coarse and all("embedding" not in s for s in coarse), schemas
