@@ -109,6 +109,7 @@ HEADLINE = [
     "phrase_match_at_rest",
     "proximity_match_at_rest",
     "sq8_ann_topk",
+    "sq8_ann_topk_at_rest",
     "pca_reduced_ann_topk_fixed",
     "corpus_datasheet_by_source",
     "bm25_hard_negatives",
