@@ -74,17 +74,22 @@ def _star_contract(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
     par = edges.sparkSession.sparkContext.defaultParallelism
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     first = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .transform(_canon)
+        raw.transform(_canon)
         .repartition(par, "u")
         .localCheckpoint()
     )
     # original node universe — the final star forest omits roots'
-    # self rows, and label joins must cover every input node
+    # self rows, and label joins must cover every input node. Built
+    # from the RAW endpoints, not the canonical edge set: _canon
+    # drops self-loops (u == v), and a node appearing ONLY in
+    # self-loop edges is still a (singleton) component — label
+    # propagation keeps it, so star must too (equality pytest covers
+    # the self-loop case).
     nodes = (
-        first.select(F.col("u").alias("node"))
-        .unionByName(first.select(F.col("v").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
         .repartition(par, "node")
         .dropDuplicates()
         .localCheckpoint()

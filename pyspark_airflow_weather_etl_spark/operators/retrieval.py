@@ -656,7 +656,19 @@ def phrase_match_at_rest(
     (partition pruning on pfx, driver-side md5 — asserted in
     tests/test_retrieval.py); the corpus is never read. Returns
     exactly the rows of :func:`phrase_counts` (overlapping
-    occurrences included)."""
+    occurrences included).
+
+    Duplicate-posting safety: a document re-delivered in a later
+    crawl batch leaves the SAME (token, doc_id, pos) row under two
+    ``batch=`` deltas. The loop joins would inflate counts
+    multiplicatively and the set strategy's offset count could
+    manufacture a false match (two copies of offset 0 satisfying
+    ``n_off == plen`` for a 2-token phrase), so the pruned postings
+    dedupe on (token, doc_id, pos) BEFORE either strategy — positions
+    are per-document facts, so the distinct is semantics-restoring,
+    it runs over query-term postings only (never the index), and both
+    strategies agree bit-for-bit whatever the batch history
+    (duplicate-delta pytest in tests/test_retrieval.py)."""
     if strategy not in ("auto", "loop", "set"):
         raise ValueError(f"unknown strategy {strategy!r}")
     term_rows = [
@@ -683,6 +695,7 @@ def phrase_match_at_rest(
         .parquet(f"{index_path}/postings_pos")
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
+        .dropDuplicates(["token", "doc_id", "pos"])
     )
     if strategy == "loop" or (
         strategy == "auto" and len(phrases) < _SET_STRATEGY_MIN
@@ -820,7 +833,10 @@ def proximity_match_at_rest(
     :func:`proximity_counts`. Same two physical strategies as
     :func:`phrase_match_at_rest` (``'loop'`` per-pair branches for
     interactive sizes, ``'set'`` one broadcast-pair-table plan for
-    production batches; ``'auto'`` picks by ``_SET_STRATEGY_MIN``)."""
+    production batches; ``'auto'`` picks by ``_SET_STRATEGY_MIN``),
+    and the same duplicate-posting dedup on (token, doc_id, pos) so a
+    cross-batch re-delivered document cannot inflate pair counts in
+    either strategy."""
     if strategy not in ("auto", "loop", "set"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if not pairs:
@@ -842,6 +858,7 @@ def proximity_match_at_rest(
         .parquet(f"{index_path}/postings_pos")
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
+        .dropDuplicates(["token", "doc_id", "pos"])
     )
     if strategy == "loop" or (
         strategy == "auto" and len(pairs) < _SET_STRATEGY_MIN

@@ -200,9 +200,15 @@ def sq8_topk_at_rest(
         max(0, min(255, math.floor((float(query_vec[j]) - mn[j]) * sc[j])))
         for j in range(d)
     ]
-    rows = spark.read.schema(
-        f"{id_col} bigint, code array<smallint>, {vec_col} array<float>"
-    ).parquet(f"{index_path}/rows")
+    # natural read, NOT a forced schema: the writer persists whatever
+    # id / vector element types the source embeddings had (an index
+    # built from array<double> vectors or a string id must probe the
+    # same way it was written — ADVICE round 12), and the explicit-
+    # schema discipline exists for PARTITION-column inference, which
+    # this unpartitioned layout has none of. Column pruning still
+    # holds: the coarse pass selects only (id, code), ReadSchema-
+    # asserted in tests/test_similarity.py.
+    rows = spark.read.parquet(f"{index_path}/rows")
     qq_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in qq])
     d2 = F.aggregate(
         F.zip_with(

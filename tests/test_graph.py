@@ -69,7 +69,9 @@ def test_star_converges_past_label_propagation_diameter_bound(spark):
 
 def test_star_equals_label_propagation(spark):
     """Equality A/B on a mixed-shape graph (chains, cliques, stars,
-    isolated edges, duplicate and reversed edges): the two algorithms
+    isolated edges, duplicate and reversed edges, and SELF-LOOPS —
+    a node appearing only in (u, u) edges is a singleton component
+    both algorithms must return; ADVICE round 12): the two algorithms
     return the same labeling row-for-row."""
     import random
 
@@ -80,7 +82,7 @@ def test_star_equals_label_propagation(spark):
     edges += [(70, 71), (72, 73), (71, 70)]              # dups/reversed
     edges += [(rng.randrange(100, 140), rng.randrange(100, 140))
               for _ in range(40)]                        # random blob
-    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(200, 200), (11, 11)]  # self-loop-only + in-component
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     star = {
         r.node: r.component

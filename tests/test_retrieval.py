@@ -760,3 +760,40 @@ def test_at_rest_strategies_are_result_identical(spark, docs, tmp_path):
         phrase_match_at_rest(spark, path, phrases, strategy="nope")
     with _pytest.raises(ValueError):
         proximity_match_at_rest(spark, path, pairs, strategy="nope")
+
+
+def test_at_rest_duplicate_postings_do_not_corrupt_matches(
+    spark, docs, tmp_path
+):
+    """A document re-delivered in a later crawl batch duplicates its
+    (token, doc_id, pos) rows across two batch= deltas. Without the
+    probe-side dedup the loop strategy inflates counts
+    multiplicatively and the set strategy can manufacture a false
+    match (two copies of offset 0 satisfying n_off == plen) — both
+    strategies must instead return exactly the ad-hoc answer on the
+    un-duplicated corpus (ADVICE round 12)."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_append,
+        proximity_counts,
+        proximity_match_at_rest,
+    )
+
+    path = str(tmp_path / "dup_idx")
+    positional_index_append(docs, path, 0)
+    positional_index_append(docs, path, 1)  # same docs, later batch
+    phrases = [(1, "hash join"), (2, "table table"), (3, "hash")]
+    want_ph = sorted(map(tuple, phrase_counts(docs, phrases).collect()))
+    for strat in ("loop", "set"):
+        got = sorted(map(tuple, phrase_match_at_rest(
+            spark, path, phrases, strategy=strat).collect()))
+        assert got == want_ph, f"phrase strategy={strat}"
+    pairs = [(1, "hash", "join"), (2, "table", "table")]
+    want_px = sorted(
+        map(tuple, proximity_counts(docs, pairs, window=3).collect())
+    )
+    for strat in ("loop", "set"):
+        got = sorted(map(tuple, proximity_match_at_rest(
+            spark, path, pairs, window=3, strategy=strat).collect()))
+        assert got == want_px, f"proximity strategy={strat}"

@@ -914,3 +914,40 @@ def test_sq8_at_rest_equals_ad_hoc_and_prunes_columns(spark, tmp_path):
     schemas = _re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
     coarse = [s for s in schemas if "code" in s]
     assert coarse and all("embedding" not in s for s in coarse), schemas
+
+
+def test_sq8_at_rest_accepts_writer_types(spark, tmp_path):
+    """The probe must accept ANY index the writer produced — an index
+    built from array<double> vectors and an int id reads back with the
+    source types, not a hardcoded (bigint, array<float>) schema
+    (ADVICE round 12). Equality vs the ad-hoc scan on the same typed
+    frame proves the round trip."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_index_write,
+        sq8_topk,
+        sq8_topk_at_rest,
+    )
+
+    from conftest import SF_DIR
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(
+            F.col("vec_id").cast("int").alias("vec_id"),
+            F.transform("embedding", lambda v: v.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .where(F.col("vec_id") < 400)  # deterministic subset, not limit
+    )
+    path = str(tmp_path / "sq8_idx_double")
+    sq8_index_write(emb, path)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    want = sorted(map(tuple, sq8_topk(emb, q, k=10).collect()))
+    got = sorted(
+        map(tuple, sq8_topk_at_rest(spark, path, q, k=10).collect())
+    )
+    assert got == want
