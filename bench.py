@@ -1638,6 +1638,47 @@ def _llm_dedup_pressure(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _cc_algorithm_probe(spark, sf_dir: str) -> dict[str, float]:
+    """Star-contraction vs label-propagation connected components on
+    the sf-scale near-dup pair graph (the dedup_clusters_jaccard
+    input) — tracks the measured constant the diameter-robust default
+    pays on SHALLOW graphs (label propagation's best case), so a
+    drift in the trade-off shows up round-over-round instead of
+    living in one round's VERDICT note. Equality-asserted per pass:
+    both algorithms must return the identical labeling."""
+    import time
+
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, n=3
+    ).localCheckpoint()  # graph build priced out: the probe times CC
+    out: dict[str, list[float]] = {"star": [], "label": []}
+    labelings: set[tuple] = set()
+    for _ in range(BENCH_RUNS):
+        for algo in ("star", "label"):
+            t0 = time.perf_counter()
+            got = connected_components(
+                pairs, max_iter=50, algorithm=algo
+            ).collect()
+            out[algo].append(time.perf_counter() - t0)
+            labelings.add(tuple(sorted((r.node, r.component) for r in got)))
+        release_cached()
+    assert len(labelings) == 1, "star and label components diverged"
+    pairs.unpersist(blocking=False)
+    return {
+        "dedup_clusters_star": round(_median(out["star"]), 3),
+        "dedup_clusters_label": round(_median(out["label"]), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1763,6 +1804,8 @@ def main() -> None:
     timings.update(_phrase_compaction_probe(spark, sf_dir))
     gc.collect()
     timings.update(_phrase_scale_probe(spark, sf_dir))
+    gc.collect()
+    timings.update(_cc_algorithm_probe(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -178,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         "--dst", help="compact-index: published-versions root"
     )
     p_mnt.add_argument(
-        "--kind", choices=["bm25", "positional"], default="bm25",
+        "--kind", choices=["bm25", "positional", "sq8"], default="bm25",
         help="compact-index: which index family --path holds",
     )
     p_mnt.add_argument(
@@ -463,6 +463,10 @@ def main(argv: list[str] | None = None) -> int:
                         spark, args.path, args.dst,
                         forward_index=args.forward_index,
                     )
+                elif args.kind == "sq8":
+                    from .operators.similarity import sq8_index_compact
+
+                    v = sq8_index_compact(spark, args.path, args.dst)
                 else:
                     v = positional_index_compact(spark, args.path, args.dst)
                 print(f"published: {v}")

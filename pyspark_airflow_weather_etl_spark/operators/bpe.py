@@ -52,6 +52,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.iterate import round_checkpoint
+
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace pre-tokenization → (word, freq). The ONE corpus-
     sized shuffle of BPE training; everything downstream is vocab-
@@ -219,6 +221,31 @@ def _apply_merges(syms: Column, rules: list[tuple[str, str]]) -> Column:
     return F.aggregate(rule_arr, syms, apply_one)
 
 
+def _pair_counts_of(vocab: DataFrame) -> DataFrame:
+    """(left, right, pair_freq) over a (freq, syms) vocab frame — the
+    aggregation each full-recount round repeats and incremental mode
+    runs once at iteration 0."""
+    return (
+        vocab.select(
+            "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        .groupBy(
+            F.col("p.left").alias("left"), F.col("p.right").alias("right")
+        )
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+@dataclass(frozen=True)
+class _Cand:
+    """A pair-count candidate row (duck-typed like the full-recount
+    mode's collected Row) for :func:`_safe_batch_prefix`."""
+
+    left: str
+    right: str
+    pair_freq: int
+
+
 @dataclass(frozen=True)
 class Merge:
     rank: int
@@ -312,6 +339,8 @@ def bpe_train(
     batch_rounds: int = 1,
     adaptive: bool = False,
     max_batch_rounds: int = 1024,
+    recount: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> list[Merge]:
     """Learn ``num_merges`` BPE merge rules from the corpus (module
     docstring for the scale shape). Deterministic: argmax tiebreak is
@@ -340,34 +369,90 @@ def bpe_train(
     quarter kept) halves it. Correctness never depends on the batch
     size — :func:`_safe_batch_prefix` proves every kept rule — so
     adaptation only moves the driver-round count; equality with the
-    sequential trainer is pytest-pinned for the adaptive path too."""
+    sequential trainer is pytest-pinned for the adaptive path too.
+
+    ``recount`` picks how each round's pair-frequency ranking is
+    produced; both modes learn IDENTICAL rule lists (equality
+    pytest in tests/test_bpe.py):
+
+    - ``'incremental'`` (the ``'auto'`` default): pair counts live as
+      DRIVER state — a dict keyed by (left, right), pair-space-sized
+      like every other tokenizer artifact (distinct ADJACENT-PAIR
+      count, not vocab or corpus: ~4.3e2 pairs on the 2.3M-word probe
+      corpus, charset²-then-merges-bounded generally). A round is TWO
+      jobs: materialize the rewritten vocab (shared with full mode),
+      then collect the SIGNED pair delta of only the words whose
+      symbols changed (old pairs at -freq, new at +freq, one scan,
+      map-side combined to pair-space size) and fold it into the
+      dict. The argmax needs NO job at all — it reads the dict. A
+      merge can only change pairs inside words that contained it
+      (the ``_apply_merges`` per-rule guard), so the delta is exact;
+      integer counts make the fold orderless.
+    - ``'full'``: re-aggregate all adjacent pairs from the vocab
+      frame and TakeOrdered the top into the driver, every round —
+      no driver state beyond the rule list, the A/B baseline.
+
+    Why NOT the seemingly-scale-friendly third design (pair counts as
+    a partitioned DataFrame with checkpointed per-round deltas):
+    measured slower than full recount at EVERY corpus this box holds
+    (1.4k-word fixture 104 s vs 79 s; 2.3M-word Zipf probe 177 s vs
+    113 s at 96 merges — BASELINE.md round 13). Map-side combine
+    already collapses the full recount's shuffle to pair-space size,
+    so DataFrame state saves no network; it only adds a third job
+    plus a state checkpoint per round. Driver-dict state keeps the
+    delta's compute win and deletes both overheads.
+
+    ``checkpoint_dir``: round-state durability
+    (:func:`..functions.iterate.round_checkpoint`) — None keeps the
+    fast executor-pinned localCheckpoint (an executor loss mid-train
+    fails the job); a reliable path writes each round's vocab/pair
+    state out so a multi-hour 32k-vocab run survives executor loss.
+    Learned rules are identical either way (equality pytest).
+    """
+    if recount not in ("auto", "incremental", "full"):
+        raise ValueError(f"unknown recount {recount!r}")
+    if recount == "auto":
+        recount = "incremental"
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    vocab = (
+    vocab = round_checkpoint(
         word_freqs(df, text_col)
         .withColumn("syms", _chars(F.col("word")))
         .drop("word")
-        .repartition(par)
-        .localCheckpoint()
+        .repartition(par),
+        checkpoint_dir,
     )
+    pc: dict[tuple[str, str], int] | None = None
+    if recount == "incremental":
+        pc = {
+            (r.left, r.right): int(r.pair_freq)
+            for r in _pair_counts_of(vocab).collect()
+        }
+    import heapq
+
     batch = max(1, int(batch_rounds))
+    mat = vocab  # the materialized frame currently backing `vocab`
     merges: list[Merge] = []
     while len(merges) < num_merges:
         want = min(batch, num_merges - len(merges))
-        top = (
-            vocab.select(
-                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        if pc is None:
+            top = (
+                _pair_counts_of(vocab)
+                .where(F.col("pair_freq") >= min_freq)
+                .orderBy(F.desc("pair_freq"), "left", "right")
+                .limit(want + 1)
+                .collect()
             )
-            .groupBy(
-                F.col("p.left").alias("left"),
-                F.col("p.right").alias("right"),
-            )
-            .agg(F.sum("freq").alias("pair_freq"))
-            .where(F.col("pair_freq") >= min_freq)
-            .orderBy(F.desc("pair_freq"), "left", "right")
-            .limit(want + 1)
-            .collect()
-        )
+        else:
+            # argmax straight from driver state — no job at all
+            top = [
+                _Cand(l, r, f)
+                for (l, r), f in heapq.nsmallest(
+                    want + 1,
+                    ((k, f) for k, f in pc.items() if f >= min_freq),
+                    key=lambda t: (-t[1], t[0][0], t[0][1]),
+                )
+            ]
         if not top:
             break
         chosen = _safe_batch_prefix(
@@ -377,24 +462,89 @@ def bpe_train(
             merges.append(
                 Merge(len(merges), row.left, row.right, int(row.pair_freq))
             )
+        rules = [(r.left, r.right) for r in chosen]
         # ONE constant-size expression applies the whole batch in
         # order (_apply_merges folds over the rules as array data) —
         # chaining _apply_merge per rule fans out ~6^k analyzer work
         # and breaks past ~16 rules (Resolution max-iterations).
-        old = vocab
-        vocab = vocab.withColumn(
-            "syms",
-            _apply_merges(
-                F.col("syms"), [(r.left, r.right) for r in chosen]
-            ),
-        ).localCheckpoint()
-        old.unpersist(blocking=False)
+        old_mat = mat
+        if pc is None:
+            vocab = round_checkpoint(
+                vocab.withColumn(
+                    "syms", _apply_merges(F.col("syms"), rules)
+                ),
+                checkpoint_dir,
+            )
+            mat = vocab
+        else:
+            # job 1 (shared shape with full mode): materialize the
+            # rewritten vocab, carrying each CHANGED word's signed
+            # pair delta alongside (old pairs at -freq, new at +freq;
+            # empty for untouched words — so the checkpoint's write
+            # volume is full mode's plus only the touched slice)
+            signed = F.when(
+                F.col("syms") != F.col("__new"),
+                F.concat(
+                    F.transform(
+                        _adjacent_pairs(F.col("syms")),
+                        lambda pr: F.struct(
+                            (-F.col("freq")).alias("freq"), pr.alias("p")
+                        ),
+                    ),
+                    F.transform(
+                        _adjacent_pairs(F.col("__new")),
+                        lambda pr: F.struct(
+                            F.col("freq").alias("freq"), pr.alias("p")
+                        ),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<freq:bigint,"
+                    "p:struct<left:string,right:string>>>"
+                )
+            )
+            staged = round_checkpoint(
+                vocab.select(
+                    "freq",
+                    "syms",
+                    _apply_merges(F.col("syms"), rules).alias("__new"),
+                )
+                .withColumn("__delta", signed)
+                .drop("syms"),
+                checkpoint_dir,
+            )
+            # job 2: fold the map-side-combined delta into the driver
+            # dict — delta size is pair-space-bounded, like the dict
+            delta = (
+                staged.where(F.size("__delta") > 0)
+                .select(F.explode("__delta").alias("sp"))
+                .groupBy(
+                    F.col("sp.p.left").alias("left"),
+                    F.col("sp.p.right").alias("right"),
+                )
+                .agg(F.sum("sp.freq").alias("pair_freq"))
+                .collect()
+            )
+            for row in delta:
+                k = (row.left, row.right)
+                nv = pc.get(k, 0) + int(row.pair_freq)
+                if nv:
+                    pc[k] = nv
+                else:
+                    pc.pop(k, None)
+            # next round's vocab is a LAZY projection of the staged
+            # checkpoint — no second materialization; the staged
+            # blocks release when the following round supersedes them
+            vocab = staged.select("freq", F.col("__new").alias("syms"))
+            mat = staged
+        old_mat.unpersist(blocking=False)
         if adaptive:
             if len(chosen) == want:
                 batch = min(batch * 2, max(1, int(max_batch_rounds)))
             elif len(chosen) * 4 < want:
                 batch = max(1, batch // 2)
-    vocab.unpersist(blocking=False)
+    mat.unpersist(blocking=False)
     return merges
 
 

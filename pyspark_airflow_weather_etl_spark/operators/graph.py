@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.iterate import round_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -26,6 +28,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the smallest node id reachable from it.
@@ -51,11 +54,18 @@ def connected_components(
     label propagation's best case. The default buys worst-case
     robustness for a ~1.7× constant on the easy case; callers who
     KNOW their graph is shallow (e.g. verified dup cliques) can pass
-    ``algorithm='label'``."""
+    ``algorithm='label'``.
+
+    ``checkpoint_dir``: round-state durability
+    (:func:`..functions.iterate.round_checkpoint`). Default None =
+    localCheckpoint — fastest, but blocks are executor-pinned, so an
+    executor loss mid-loop fails the job. A reliable path (HDFS /
+    object store) makes each round's state recoverable; results are
+    identical either way (equality pytest)."""
     if algorithm == "star":
-        return _star_contract(edges, src, dst, max_iter)
+        return _star_contract(edges, src, dst, max_iter, checkpoint_dir)
     if algorithm == "label":
-        return _propagate(edges, src, dst, max_iter)
+        return _propagate(edges, src, dst, max_iter, checkpoint_dir)
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
 
@@ -71,14 +81,16 @@ def _canon(e: DataFrame) -> DataFrame:
 
 
 def _star_contract(
-    edges: DataFrame, src: str, dst: str, max_iter: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     par = edges.sparkSession.sparkContext.defaultParallelism
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    first = (
-        raw.transform(_canon)
-        .repartition(par, "u")
-        .localCheckpoint()
+    first = round_checkpoint(
+        raw.transform(_canon).repartition(par, "u"), checkpoint_dir
     )
     # original node universe — the final star forest omits roots'
     # self rows, and label joins must cover every input node. Built
@@ -87,12 +99,12 @@ def _star_contract(
     # self-loop edges is still a (singleton) component — label
     # propagation keeps it, so star must too (equality pytest covers
     # the self-loop case).
-    nodes = (
+    nodes = round_checkpoint(
         raw.select(F.col("a").alias("node"))
         .unionByName(raw.select(F.col("b").alias("node")))
         .repartition(par, "node")
-        .dropDuplicates()
-        .localCheckpoint()
+        .dropDuplicates(),
+        checkpoint_dir,
     )
     e = first
     converged = False
@@ -129,8 +141,8 @@ def _star_contract(
             )
             .transform(_canon)
             .repartition(par, "u")
-            .localCheckpoint()
         )
+        small = round_checkpoint(small, checkpoint_dir)
         changed = (
             small.exceptAll(e).limit(1).count()
             + e.exceptAll(small).limit(1).count()
@@ -155,7 +167,11 @@ def _star_contract(
 
 
 def _propagate(
-    edges: DataFrame, src: str, dst: str, max_iter: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     # Iterative-algorithm sizing: each round is two small shuffles of
     # label-sized state; at the session default (often 200) that is
@@ -176,21 +192,21 @@ def _propagate(
     # consumer and once per propagation round. Partitioned on the
     # join key `v` before the checkpoint so every round's join reads
     # it pre-aligned (localCheckpoint preserves partitioning).
-    sym = (
+    sym = round_checkpoint(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .repartition(par, "u", "v")
         .dropDuplicates()
-        .repartition(par, "v")
-        .localCheckpoint()
+        .repartition(par, "v"),
+        checkpoint_dir,
     )
     # sym is symmetric, so `u` alone covers every node
-    labels = (
+    labels = round_checkpoint(
         sym.select(F.col("u").alias("node"))
         .repartition(par, "node")
         .dropDuplicates()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
+        .select("node", F.col("node").alias("component")),
+        checkpoint_dir,
     )
 
     converged = False
@@ -212,8 +228,8 @@ def _propagate(
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
+        new_labels = round_checkpoint(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

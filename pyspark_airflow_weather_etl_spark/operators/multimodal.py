@@ -410,3 +410,196 @@ def sample_frames(
     return assets.where(F.col("media_type") == "video").mapInPandas(
         batches, FRAME_SCHEMA
     )
+
+
+def _parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Dependency-free RIFF/WAVE header parse — the audio twin of
+    :func:`_parse_ppm_header`. Walks the chunk list properly (chunks
+    are (4-byte id, u32le size, data, odd-size pad byte) — a real
+    encoder may emit LIST/fact chunks before data), requires
+    integer-PCM ``fmt`` (audio format 1), and returns
+    (n_channels, sample_rate, bits_per_sample, data_offset,
+    data_len). Raises ValueError on anything malformed — a corrupt
+    payload should fail the job, not silently feature-extract."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body + 16 > len(payload):
+                raise ValueError("truncated fmt chunk")
+            audio_format = int.from_bytes(payload[body : body + 2], "little")
+            if audio_format != 1:
+                raise ValueError(
+                    f"unsupported WAV audio format {audio_format} (PCM only)"
+                )
+            fmt = (
+                int.from_bytes(payload[body + 2 : body + 4], "little"),
+                int.from_bytes(payload[body + 4 : body + 8], "little"),
+                int.from_bytes(payload[body + 14 : body + 16], "little"),
+            )
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if body + size > len(payload):
+                raise ValueError(
+                    f"truncated data chunk: need {size} bytes, have "
+                    f"{len(payload) - body}"
+                )
+            n_channels, sample_rate, bits = fmt
+            if n_channels < 1 or sample_rate < 1:
+                raise ValueError("malformed fmt chunk")
+            return n_channels, sample_rate, bits, body, size
+        pos = body + size + (size % 2)
+    raise ValueError("no data chunk found")
+
+
+def decode_wav(payload: bytes):
+    """Dependency-free 16-bit PCM WAV decode — the audio member of
+    the real-decoder family (:func:`decode_ppm` for images): header
+    walk, then the interleaved sample plane as an int16 numpy array.
+    Returns (n_channels, sample_rate, samples). Only 16-bit PCM is
+    decoded (the overwhelmingly common archival layout); other bit
+    depths raise and flow through the fake path upstream."""
+    import numpy as np
+
+    n_channels, sample_rate, bits, off, size = _parse_wav_header(payload)
+    if bits != 16:
+        raise ValueError(f"unsupported bits_per_sample {bits} (16 only)")
+    n = size // (2 * n_channels) * n_channels  # whole samples only
+    samples = np.frombuffer(payload, dtype="<i2", count=n, offset=off)
+    return n_channels, sample_rate, samples
+
+
+def _wav_hex_expr(doc_id: F.Column, n_samples: int, sample_rate: int):
+    """Hex string of a deterministic mono 16-bit PCM WAV, built
+    JVM-side like :func:`_ppm_hex_expr`: sample i of document d is
+    the int16 with unsigned pattern ``(d*7 + i*13) % 65536``,
+    little-endian. Fixed sample count keeps the RIFF header a
+    constant literal; the formula is what lets the catalog oracle
+    replay REAL decoded-sample semantics in SQL."""
+    data_len = n_samples * 2
+    header = (
+        b"RIFF"
+        + (36 + data_len).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # PCM
+        + (1).to_bytes(2, "little")   # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + data_len.to_bytes(4, "little")
+    ).hex().upper()
+    idx = F.sequence(F.lit(0), F.lit(n_samples - 1))
+    vals = F.transform(idx, lambda i: (doc_id * 7 + i * 13) % 65536)
+    hexs = F.array_join(
+        F.transform(
+            vals,
+            lambda v: F.concat(
+                F.lpad(F.hex(v % 256), 2, "0"),
+                F.lpad(F.hex((v / 256).cast("bigint")), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    return F.concat(F.lit(header), hexs)
+
+
+def attach_wav_audio(
+    docs: DataFrame, n_samples: int = 480, sample_rate: int = 8000
+) -> DataFrame:
+    """Audio-typed MEDIA_ASSET rows whose payloads are REAL RIFF/WAVE
+    16-bit PCM files (one per audio-typed document, deterministic
+    samples via :func:`_wav_hex_expr`) — the fixture the decoded-
+    sample audio-features entry runs on."""
+    did = F.col("doc_id")
+    return docs.where(did % 3 == 1).select(
+        did.alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.unhex(_wav_hex_expr(did, n_samples, sample_rate)).alias("payload"),
+    )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rms_micro", T.LongType()),
+    ]
+)
+
+
+def audio_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
+    """Audio feature extraction over binary payloads — duration,
+    peak, and energy per asset, the triage features an audio curation
+    pipeline filters on (silence, clipping, length buckets).
+
+    ``decode='wav'`` is the REAL path: :func:`decode_wav` parses the
+    RIFF header and integer-PCM plane; features are exact-integer
+    aggregates of the decoded samples (``sum_sq`` a BIGINT sum of
+    squares, ``peak`` max |sample|, ``duration_ms`` integer-floored),
+    plus one frozen float stage
+    ``rms_micro = floor(sqrt(sum_sq/n) * 1e6)`` — the bm25 one-ln
+    discipline with a FLOOR freeze (floor has no rounding-mode tie:
+    Python round is half-even, DuckDB's is half-up), so the DuckDB
+    oracle replays every decoded sample and both float ops
+    bit-for-bit. Non-WAV payloads
+    in wav mode fall back to the fake featurizer (the stand-in for
+    codecs this box can't decode), as do all payloads in
+    ``decode='fake'``. Audio-only filter stays JVM-side."""
+    import math
+
+    import numpy as np
+
+    if decode not in ("fake", "wav"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+
+    def _fake(b: bytes):
+        n = len(b)
+        dur = (n * 1000) // 16000
+        return 1, 16000, n, dur, n % 32768, n * 7, (n % 997) * 1000000
+
+    def _real(b: bytes):
+        if b[:4] != b"RIFF":
+            return _fake(b)
+        ch, rate, samples = decode_wav(b)
+        n = int(samples.size)
+        ss = int((samples.astype(np.int64) ** 2).sum())
+        peak = int(np.abs(samples.astype(np.int64)).max()) if n else 0
+        dur = (n // ch) * 1000 // rate if rate else 0
+        rms_micro = int(math.sqrt(ss / n) * 1e6) if n else 0
+        return ch, rate, n, dur, peak, ss, rms_micro
+
+    feat = _fake if decode == "fake" else _real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = pdf["payload"].map(lambda b: feat(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_channels": rows.map(lambda r: r[0]).astype("int32"),
+                    "sample_rate": rows.map(lambda r: r[1]).astype("int32"),
+                    "n_samples": rows.map(lambda r: r[2]).astype("int64"),
+                    "duration_ms": rows.map(lambda r: r[3]).astype("int64"),
+                    "peak": rows.map(lambda r: r[4]).astype("int32"),
+                    "sum_sq": rows.map(lambda r: r[5]).astype("int64"),
+                    "rms_micro": rows.map(lambda r: r[6]).astype("int64"),
+                }
+            )
+
+    return assets.where(F.col("media_type") == "audio").mapInPandas(
+        batches, AUDIO_SCHEMA
+    )

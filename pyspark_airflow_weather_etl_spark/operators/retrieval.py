@@ -1336,7 +1336,8 @@ def compaction_cost_model(
     come from the deployment's own bench pair; the SHAPE (linear
     probe tax vs one-time rewrite) is what this encodes. Returns the
     decision plus every input so callers can log the why."""
-    sub = "postings" if kind == "bm25" else "postings_pos"
+    sub = {"bm25": "postings", "positional": "postings_pos",
+           "sq8": "rows"}[kind]
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(f"{src_path.rstrip('/')}/{sub}")

@@ -142,6 +142,124 @@ def _sq8_codes(vec_col: str, mn: list[float], sc: list[float]) -> F.Column:
     )
 
 
+def _sq8_unclamped(vec_col: str, mn: list[float], sc: list[float]) -> F.Column:
+    """The quantizer WITHOUT the [0,255] clamp — the drift guard's
+    view: values outside the frozen per-dimension range quantize to
+    codes <0 or >255 before clamping."""
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    sc_arr = F.array(*[F.lit(v) for v in sc])
+    return F.zip_with(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda v: v.cast("double")),
+            mn_arr,
+            lambda a, b: a - b,
+        ),
+        sc_arr,
+        lambda dlt, s: F.floor(dlt * s),
+    )
+
+
+def sq8_index_append(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append one vector batch to an SQ8 index — the
+    :func:`..operators.retrieval.bm25_index_append` lifecycle applied
+    to the scalar-quantized family: O(batch) work per crawl
+    increment, nothing at rest re-read, batch-keyed dynamic partition
+    overwrite so a replayed batch lands identical bytes.
+
+    Quantizer params are FROZEN at index creation (batch 0 trains
+    them; every later batch encodes with the stored min/scale) —
+    re-fitting per batch would silently re-code nothing-at-rest and
+    desynchronize coarse distances across batches. The cost of
+    freezing is DRIFT: a later batch whose values fall outside the
+    frozen per-dimension [min, max] clamps lossily to 0/255, so every
+    append returns ``clamped_frac`` — the fraction of this batch's
+    values that clamped — as the re-fit signal (a monitoring pipeline
+    alerts past a few percent and schedules a full rebuild; the
+    probe stays correct meanwhile because the exact re-rank uses raw
+    vectors, only coarse RECALL degrades).
+
+    Returns {"batch", "n_rows", "n_values", "clamped_frac"}."""
+    from pyspark.errors import AnalysisException
+
+    spark = embeddings.sparkSession
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        mn = [float(v) for v in meta["mn"]]
+        sc = [float(v) for v in meta["sc"]]
+    except AnalysisException:
+        d = len(embeddings.select(vec_col).first()[0])
+        mn, sc = _sq8_params(embeddings, d, vec_col)
+        spark.createDataFrame(
+            [(mn, sc)], "mn array<double>, sc array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    raw = _sq8_unclamped(vec_col, mn, sc)
+    guard = embeddings.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.size(F.col(vec_col))).alias("n_values"),
+        F.sum(
+            F.size(F.filter(raw, lambda c: (c < 0) | (c > 255)))
+        ).alias("n_clamped"),
+    ).collect()[0]
+    from .retrieval import _write_batch_keyed
+
+    _write_batch_keyed(
+        embeddings.select(
+            F.col(id_col),
+            F.transform(
+                _sq8_codes(vec_col, mn, sc), lambda v: v.cast("smallint")
+            ).alias("code"),
+            F.col(vec_col),
+            F.lit(batch_id).cast("bigint").alias("batch"),
+        ),
+        f"{path}/rows",
+        ("batch",),
+    )
+    n_values = int(guard["n_values"] or 0)
+    return {
+        "batch": batch_id,
+        "n_rows": int(guard["n_rows"]),
+        "n_values": n_values,
+        "clamped_frac": (
+            int(guard["n_clamped"] or 0) / n_values if n_values else 0.0
+        ),
+    }
+
+
+def sq8_index_compact(spark, src_path: str, dst_path: str) -> str:
+    """Compact an SQ8 delta tree (one ``batch=`` partition per
+    append) into a single-batch index published as the next serving
+    version under ``dst_path`` — the
+    :func:`..operators.retrieval.positional_index_compact` economics:
+    codes are per-vector facts with no cross-batch statistics, so
+    compaction is a pure re-partition that kills the per-delta
+    file-open tax, probe results bit-identical by construction. The
+    frozen quantizer ``meta`` is copied verbatim (it IS the index
+    identity — recomputing it here would re-code nothing-at-rest).
+    Crash contract: publish_version (build in an unreferenced v-dir,
+    flip ``_current`` last, previous version is rollback)."""
+    from ..sources.writers import publish_version
+
+    meta = spark.read.parquet(f"{src_path}/meta")
+
+    def build(vdir: str) -> None:
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        (
+            spark.read.parquet(f"{src_path}/rows")
+            .withColumn("batch", F.lit(0).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{vdir}/rows")
+        )
+
+    return publish_version(spark, dst_path, build)
+
+
 def sq8_index_write(
     embeddings: DataFrame,
     path: str,
@@ -151,29 +269,17 @@ def sq8_index_write(
     """Persist the SQ8 index: quantizer params once under ``meta``
     (the exact corpus min/scale doubles — parquet round-trips them
     bit-exact) and ``rows`` carrying (id, byte codes as
-    array<smallint>, raw vector). Codes are computed ONCE here at
-    ingest with the same expression the ad-hoc scan uses, so the
-    at-rest probe is bit-identical to :func:`sq8_topk`; the coarse
-    pass then reads ONLY (id, code) via parquet column pruning — the
-    4×-narrower scan is the point of SQ8 at 100 TB, and the raw
-    vectors are touched only for the overfetched re-rank join."""
-    spark = embeddings.sparkSession
-    d = len(embeddings.select(vec_col).first()[0])
-    mn, sc = _sq8_params(embeddings, d, vec_col)
-    spark.createDataFrame(
-        [(mn, sc)], "mn array<double>, sc array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    (
-        embeddings.select(
-            F.col(id_col),
-            F.transform(
-                _sq8_codes(vec_col, mn, sc), lambda v: v.cast("smallint")
-            ).alias("code"),
-            F.col(vec_col),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{path}/rows")
-    )
+    array<smallint>, raw vector) under ``batch=0``. Codes are
+    computed ONCE here at ingest with the same expression the ad-hoc
+    scan uses, so the at-rest probe is bit-identical to
+    :func:`sq8_topk`; the coarse pass then reads ONLY (id, code) via
+    parquet column pruning — the 4×-narrower scan is the point of SQ8
+    at 100 TB, and the raw vectors are touched only for the
+    overfetched re-rank join. One-shot build = batch 0 of
+    :func:`sq8_index_append`; later crawl increments append under
+    their own ``batch=`` partition and :func:`sq8_index_compact`
+    folds the delta tree into the next serving version."""
+    sq8_index_append(embeddings, path, 0, id_col, vec_col)
 
 
 def sq8_topk_at_rest(

@@ -53,6 +53,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.iterate import round_checkpoint
+
 from .bpe import word_freqs
 
 
@@ -174,6 +176,7 @@ def unigram_train(
     max_seed: int = 200,
     vocab_size: int = 120,
     em_iters: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, int]:
     """Train the unigram piece inventory (module docstring). Returns
     the final ``piece -> count`` table in driver space — the tokenizer
@@ -181,8 +184,8 @@ def unigram_train(
     corpus never leaves the cluster)."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    wf = (
-        word_freqs(df, text_col).repartition(par).localCheckpoint()
+    wf = round_checkpoint(
+        word_freqs(df, text_col).repartition(par), checkpoint_dir
     )
     counts = {
         r.piece: int(r.piece_freq)
@@ -385,6 +388,7 @@ def unigram_train_em(
     max_seed: int = 200,
     vocab_size: int = 120,
     em_iters: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, int]:
     """Full-EM unigram training (module comment above): per-round, an
     Arrow pass computes each DISTINCT word's expected piece counts
@@ -397,7 +401,9 @@ def unigram_train_em(
     hard-EM trainer; each round touches the vocab-sized frame only."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    wf = word_freqs(df, text_col).repartition(par).localCheckpoint()
+    wf = round_checkpoint(
+        word_freqs(df, text_col).repartition(par), checkpoint_dir
+    )
     scaled = {
         r.piece: int(r.piece_freq) * EM_SCALE
         for r in seed_vocab(
@@ -499,6 +505,7 @@ def unigram_em_fixed_counts(
     min_freq: int = 2,
     max_seed: int = 200,
     em_iters: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Portable hash-exact twin of :func:`unigram_train_em` — the
     kmeans_cluster_fixed pattern applied to the EM tokenizer trainer:
@@ -519,7 +526,9 @@ def unigram_em_fixed_counts(
     round-trips the driver as a bounded model artifact."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    wf = word_freqs(df, text_col).repartition(par).localCheckpoint()
+    wf = round_checkpoint(
+        word_freqs(df, text_col).repartition(par), checkpoint_dir
+    )
     scaled = {
         r.piece: int(r.piece_freq) * EM_SCALE
         for r in seed_vocab(

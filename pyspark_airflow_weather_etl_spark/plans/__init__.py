@@ -581,6 +581,86 @@ _PRIORITY_R12: frozenset[str] = frozenset(
 )
 
 
+# CORRECTNESS_r12.json rows — all 50 green (47 hash-exact, 3 in the
+# declared rows-only set), freshest tier.
+_VERIFIED_R12: frozenset[str] = frozenset(
+    {
+        "array_agg_order_ids",
+        "bpe_encode_documents",
+        "bpe_merges_documents",
+        "cosine_topk_bruteforce",
+        "cross_corpus_near_dup_blocked",
+        "cross_corpus_near_dup_exact",
+        "cube_orders_status_priority",
+        "date_arithmetic_shipping",
+        "distinct_customers_per_priority",
+        "events_daily_rollup",
+        "from_json_typed_props",
+        "full_outer_nation_activity",
+        "json_props_extract",
+        "merge_upsert_daily",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "pack_sequences_documents",
+        "pairwise_topk_per_label_hot",
+        "pca_reduced_ann_topk_fixed",
+        "phrase_match_compacted",
+        "pivot_daily_event_values",
+        "proximity_match_at_rest",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_bucketed_layout",
+        "q1_pricing_summary",
+        "q3_bucketed_layout",
+        "q3_top_unshipped_orders",
+        "q6_forecast_revenue",
+        "q9_profit_by_nation_year",
+        "rollup_pricing_by_flag_status",
+        "scalar_date_order_months",
+        "scalar_math_order_buckets",
+        "scalar_string_part_catalog",
+        "session_window_native",
+        "sessionize_user_events",
+        "setop_cust_fulfilled_only",
+        "setop_union_segments",
+        "sliding_window_event_stats",
+        "sq8_ann_topk",
+        "sq8_ann_topk_at_rest",
+        "srp_ann_topk",
+        "stratified_sample_documents",
+        "streaming_dedup_rollup",
+        "streaming_phrase_index_match",
+        "temperature_mix_documents",
+        "unigram_encode_documents",
+        "unigram_vocab_documents",
+        "unpivot_part_metrics",
+    }
+)
+
+
+# Round-13 priority head: entries whose ENGINE CODE changed this round
+# after their latest driver row, so their standing green certifies a
+# path that no longer exists — duplicate-posting dedup in the
+# phrase/NEAR at-rest probes, the natural-schema SQ8 index read +
+# batch-partitioned writer layout, the driver-dict incremental BPE
+# pair recount (now the default), and the self-loop node-universe fix
+# in star-contraction components.
+_PRIORITY_R13: frozenset[str] = frozenset(
+    {
+        "phrase_match_at_rest",
+        "phrase_match_incremental",
+        "phrase_match_compacted",
+        "proximity_match_at_rest",
+        "streaming_phrase_index_match",
+        "sq8_ann_topk_at_rest",
+        "bpe_merges_documents",
+        "bpe_encode_documents",
+        "dedup_clusters_jaccard",
+    }
+)
+
+
 def _schedule_registry() -> None:
     """Reorder REGISTRY: never-verified names first, then names whose
     oracle postdates their last driver row (_PRIORITY_R12), then the
@@ -597,12 +677,14 @@ def _schedule_registry() -> None:
         _VERIFIED_R9,
         _VERIFIED_R10,
         _VERIFIED_R11,
+        _VERIFIED_R12,
     ]
     tiers = [
         rounds[i] - frozenset().union(*rounds[i + 1 :])
         for i in range(len(rounds) - 1)
     ] + [rounds[-1]]
-    tiers = [_PRIORITY_R12] + [t - _PRIORITY_R12 for t in tiers]
+    head = _PRIORITY_R13 | (_PRIORITY_R12 - frozenset().union(*rounds))
+    tiers = [head] + [t - head for t in tiers]
     entries = dict(REGISTRY)
     REGISTRY.clear()
     in_any = frozenset().union(*tiers)

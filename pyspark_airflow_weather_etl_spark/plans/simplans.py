@@ -125,6 +125,49 @@ def sq8_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_INC_ORACLE = _SQ8_ORACLE.replace(
+    """    ), st AS (
+      SELECT p.j, MIN(q.x[p.j + 1]) AS mn, MAX(q.x[p.j + 1]) AS mx
+      FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) p
+      GROUP BY p.j""",
+    """    ), st AS (
+      SELECT p.j, MIN(q.x[p.j + 1]) AS mn, MAX(q.x[p.j + 1]) AS mx
+      FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) p
+      WHERE q.vec_id % 2 = 0
+      GROUP BY p.j""",
+)
+
+
+_SQ8_INC_INDEX: dict[str, str] = {}
+
+
+@register("sq8_ann_topk_incremental", oracle=_SQ8_INC_ORACLE)
+def sq8_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN served from an INCREMENTALLY-built index
+    (operators.similarity.sq8_index_append): batch 0 (even vec_ids)
+    creates the index and trains the quantizer; batch 1 (odd vec_ids)
+    appends O(batch) under the FROZEN params — the
+    bm25_index_append lifecycle for the vector family. The oracle
+    replays exactly that: per-dimension min/max from the EVEN half
+    only, every vector coded with those frozen params (odd-batch
+    values outside the frozen range clamp — the drift the append's
+    ``clamped_frac`` guard reports), integer-L2 coarse cut, exact
+    cosine re-rank. Probe results over the delta tree and over the
+    sq8_index_compact output are bit-identical (lifecycle pytest)."""
+    import tempfile
+
+    if sf_dir not in _SQ8_INC_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="sq8_inc_") + "/embeddings"
+        S.sq8_index_append(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+        S.sq8_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+        _SQ8_INC_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 7)
+    return S.sq8_topk_at_rest(
+        spark, _SQ8_INC_INDEX[sf_dir], q, k=10, overfetch=8
+    )
+
+
 @register("srp_ann_topk")  # LSH probe set: no clean SQL equivalent
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via multi-table signed-random-projection LSH

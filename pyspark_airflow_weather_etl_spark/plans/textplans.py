@@ -471,11 +471,12 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters over exact-Jaccard near-dup pairs:
-    the engine's iterative hash-min label propagation
-    (operators.graph.connected_components, lineage-checkpointed per
-    round) hash-checked against DuckDB's recursive-CTE transitive
-    closure — two entirely different algorithms for the same
-    components."""
+    the engine's DEFAULT large-star/small-star contraction
+    (operators.graph.connected_components algorithm='star' — O(log)
+    rounds for any graph diameter; label propagation remains the A/B
+    path and both are benched as dedup_clusters_star/_label)
+    hash-checked against DuckDB's recursive-CTE transitive closure —
+    two entirely different algorithms for the same components."""
     from ..operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")

@@ -273,3 +273,51 @@ def test_adaptive_batching_equals_sequential(spark):
         df, num_merges=12, min_freq=2, batch_rounds=1, adaptive=True
     )
     assert got == seq
+
+
+def test_incremental_recount_equals_full(spark):
+    """recount='incremental' (delta-maintained pair-frequency state)
+    learns the IDENTICAL rule list — ranks, pairs, and recorded
+    frequencies — as recount='full' (re-aggregate everything each
+    round), across batch sizes, the adaptive path, and the
+    adversarial corpora (interacting pairs, merged-symbol collisions
+    that make existing pair counts GROW, tie plateaus)."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for kw in (
+        dict(num_merges=20, min_freq=2),
+        dict(num_merges=20, min_freq=2, batch_rounds=8),
+        dict(num_merges=20, min_freq=2, batch_rounds=2, adaptive=True),
+    ):
+        inc = bpe_train(docs, recount="incremental", **kw)
+        full = bpe_train(docs, recount="full", **kw)
+        assert inc == full, f"kwargs={kw}"
+    cases = [
+        ["a b c " * 50 + "a b " * 5, "b c d " * 30],
+        ["a a a a " * 40, "a a b " * 20, "b b b " * 10],
+        ["a bc " * 60, "ab c " * 40, "abc x " * 30, "x y " * 25],
+        ["a b " * 7, "c d " * 7, "e f " * 7, "g h " * 7, "b a " * 7],
+    ]
+    for texts in cases:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        for m in (1, 3, 16):
+            inc = bpe_train(
+                df, num_merges=12, min_freq=2, batch_rounds=m,
+                recount="incremental",
+            )
+            full = bpe_train(
+                df, num_merges=12, min_freq=2, batch_rounds=m,
+                recount="full",
+            )
+            assert inc == full, f"case={texts[0][:20]!r} m={m}"
+    # 'auto' (the default) dispatches by vocab size without changing
+    # results — tiny vocab routes to 'full', same rules either way
+    auto = bpe_train(docs, num_merges=20, min_freq=2, recount="auto")
+    assert auto == bpe_train(docs, num_merges=20, min_freq=2,
+                             recount="full")
+    with pytest.raises(ValueError):
+        bpe_train(docs, num_merges=2, recount="nope")

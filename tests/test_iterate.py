@@ -1,0 +1,69 @@
+"""round_checkpoint: reliable-checkpoint mode of the iterative
+operators returns results identical to the default executor-pinned
+localCheckpoint mode, and actually writes round state to the given
+directory (the executor-loss recovery surface)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark_airflow_weather_etl_spark.operators.bpe import bpe_train
+from pyspark_airflow_weather_etl_spark.operators.graph import (
+    connected_components,
+)
+from pyspark_airflow_weather_etl_spark.operators.unigram import (
+    unigram_train_em,
+)
+from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def _tree_files(root: str) -> int:
+    return sum(len(fs) for _, _, fs in os.walk(root))
+
+
+def test_reliable_checkpoint_equals_local(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+
+    # connected components, both algorithms
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (20, 20)],
+        "id_a long, id_b long",
+    )
+    for algo in ("star", "label"):
+        local = {
+            r.node: r.component
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        durable = {
+            r.node: r.component
+            for r in connected_components(
+                edges, algorithm=algo, checkpoint_dir=ckpt
+            ).collect()
+        }
+        assert local == durable, algo
+
+    # BPE training, both recount modes
+    for recount in ("incremental", "full"):
+        local = bpe_train(
+            docs, num_merges=8, min_freq=2, batch_rounds=4, recount=recount
+        )
+        durable = bpe_train(
+            docs,
+            num_merges=8,
+            min_freq=2,
+            batch_rounds=4,
+            recount=recount,
+            checkpoint_dir=ckpt,
+        )
+        assert local == durable, recount
+
+    # unigram EM training
+    local = unigram_train_em(docs, em_iters=2)
+    durable = unigram_train_em(docs, em_iters=2, checkpoint_dir=ckpt)
+    assert local == durable
+
+    # reliable mode actually wrote round state out
+    assert _tree_files(ckpt) > 0

@@ -247,3 +247,105 @@ def test_sample_frames_real_ppm_path(spark):
             assert got[(aid, i)] == frames[i]
     # doc 5 has 6 frames -> keeps 0 and 4; doc 2 has 3 -> keeps only 0
     assert (5, 4) in got and (2, 4) not in got
+
+
+def _ref_wav(samples, rate=8000, channels=1, extra_chunk=False):
+    """Reference WAV builder (pure struct packing, independent of the
+    engine's synthesis path)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    pre = b""
+    if extra_chunk:
+        pre = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    )
+    body = fmt + pre + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_decode_wav_reference():
+    """Header walk + sample plane vs hand-built WAVs: chunk padding,
+    LIST chunks before data, stereo interleave, and every malformed
+    shape raising instead of mis-featurizing."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    ch, rate, s = decode_wav(_ref_wav([0, 100, -100, 32767, -32768]))
+    assert (ch, rate) == (1, 8000)
+    assert list(s) == [0, 100, -100, 32767, -32768]
+    # an odd-sized LIST chunk (with pad byte) before data must be
+    # skipped by the chunk walk, not break the offsets
+    ch, rate, s = decode_wav(_ref_wav([7, -7], extra_chunk=True))
+    assert list(s) == [7, -7]
+    # stereo interleave comes back flat, whole frames only
+    ch, rate, s = decode_wav(_ref_wav([1, 2, 3, 4], channels=2))
+    assert ch == 2 and list(s) == [1, 2, 3, 4]
+    for bad in (
+        b"RIFX" + b"\x00" * 40,                      # wrong magic
+        b"RIFF" + (4).to_bytes(4, "little") + b"AIFF",  # not WAVE
+        _ref_wav([1, 2])[:-1],                        # truncated data
+    ):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+    # non-PCM format code refuses
+    nonpcm = bytearray(_ref_wav([1]))
+    nonpcm[20] = 3  # IEEE float format
+    with pytest.raises(ValueError):
+        decode_wav(bytes(nonpcm))
+
+
+def test_audio_features_real_wav_path(spark):
+    """audio_features(decode='wav') over the JVM-synthesized fixture
+    equals a pure-Python replay of decode + integer feature math; the
+    synthesized payload itself round-trips through the reference
+    decoder (proving _wav_hex_expr emits REAL RIFF bytes); non-WAV
+    payloads fall back to the fake featurizer."""
+    import math
+
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        attach_payload,
+        attach_wav_audio,
+        audio_features,
+        decode_wav,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    assets = attach_wav_audio(docs)
+    row = assets.first()
+    ch, rate, samples = decode_wav(bytes(row.payload))
+    assert (ch, rate, len(samples)) == (1, 8000, 480)
+    d = row.asset_id
+    assert list(samples[:3]) == [
+        (d * 7 + i * 13) % 65536 - (
+            65536 if (d * 7 + i * 13) % 65536 >= 32768 else 0
+        )
+        for i in range(3)
+    ]
+    got = {r.asset_id: r for r in audio_features(assets, decode="wav").collect()}
+    for aid, payload in [(r.asset_id, bytes(r.payload))
+                         for r in assets.collect()]:
+        _, _, s = decode_wav(payload)
+        ss = int(sum(int(v) * int(v) for v in s))
+        r = got[aid]
+        assert r.sum_sq == ss
+        assert r.peak == max(abs(int(v)) for v in s)
+        assert r.duration_ms == 60
+        assert r.rms_micro == int(math.sqrt(ss / 480) * 1e6)
+    # fake fallback: text-bytes "audio" assets are not RIFF
+    fake_assets = attach_payload(docs).where("media_type = 'audio'")
+    fb = audio_features(fake_assets, decode="wav").first()
+    assert fb.sample_rate == 16000  # the fake featurizer's signature
+    import pytest
+
+    with pytest.raises(ValueError):
+        audio_features(assets, decode="mp3")

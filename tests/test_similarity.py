@@ -951,3 +951,75 @@ def test_sq8_at_rest_accepts_writer_types(spark, tmp_path):
         map(tuple, sq8_topk_at_rest(spark, path, q, k=10).collect())
     )
     assert got == want
+
+
+def test_sq8_index_lifecycle(spark, tmp_path):
+    """The SQ8 append/compact lifecycle: batch appends freeze the
+    quantizer at creation, report per-batch clamp drift, replay
+    idempotently, and compact to a published version whose probe is
+    bit-identical to the delta tree's."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+        compaction_cost_model,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_index_append,
+        sq8_index_compact,
+        sq8_topk_at_rest,
+    )
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "sq8_inc")
+    r0 = sq8_index_append(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+    meta0 = spark.read.parquet(f"{path}/meta").collect()[0]
+    r1 = sq8_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    meta1 = spark.read.parquet(f"{path}/meta").collect()[0]
+    # params frozen at creation: batch 1 did not retrain them
+    assert list(meta0["mn"]) == list(meta1["mn"])
+    assert list(meta0["sc"]) == list(meta1["sc"])
+    # creation batch can never clamp (params fit it exactly)
+    assert r0["clamped_frac"] == 0.0
+    assert 0.0 <= r1["clamped_frac"] < 1.0
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    want = sorted(
+        map(tuple, sq8_topk_at_rest(spark, path, q, k=10).collect())
+    )
+    # duplicate-delivery idempotency: replaying batch 1 changes nothing
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    assert (
+        sorted(map(tuple, sq8_topk_at_rest(spark, path, q, k=10).collect()))
+        == want
+    )
+    n_rows = spark.read.parquet(f"{path}/rows").count()
+    assert n_rows == emb.count()
+    # drift guard fires on a batch far outside the frozen range
+    far = emb.where(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 100 + 50).alias("embedding"),
+    )
+    r2 = sq8_index_append(far, path, 2)
+    assert r2["clamped_frac"] > 0.5
+    # compacted version answers bit-identically (drop the drift batch
+    # first so the comparison covers the real corpus)
+    import shutil
+
+    shutil.rmtree(f"{path}/rows/batch=2")
+    dst = str(tmp_path / "sq8_pub")
+    sq8_index_compact(spark, path, dst)
+    live = bm25_index_current(spark, dst)
+    got = sorted(
+        map(tuple, sq8_topk_at_rest(spark, live, q, k=10).collect())
+    )
+    assert got == want
+    # compacted tree is one batch; cost model prices the sq8 family
+    assert (
+        spark.read.parquet(f"{live}/rows").select("batch").distinct().count()
+        == 1
+    )
+    model = compaction_cost_model(spark, path, kind="sq8")
+    assert model["n_deltas"] == 2 and "worth_it" in model
