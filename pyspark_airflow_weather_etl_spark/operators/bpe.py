@@ -236,6 +236,17 @@ def _pair_counts_of(vocab: DataFrame) -> DataFrame:
     )
 
 
+#: the measured 'auto' crossover (scripts/bpe_probe.py, BASELINE.md
+#: round 13): driver-dict incremental recount wins where rounds are
+#: per-job-LATENCY-bound (fixture-scale 1.4k words: 73.5 s vs 87.4 s
+#: full at 512 merges — it deletes the recount/argmax job entirely),
+#: and loses mildly at every compute-bound vocab measured (46k-2.3M
+#: Zipf words: 1.09-1.23× slower — the staged delta column's write
+#: amplification exceeds the recount it saves, because map-side
+#: combine already shrinks the recount to pair-space size).
+_DRIVER_STATE_MAX_VOCAB = 10_000
+
+
 @dataclass(frozen=True)
 class _Cand:
     """A pair-count candidate row (duck-typed like the full-recount
@@ -375,8 +386,13 @@ def bpe_train(
     produced; both modes learn IDENTICAL rule lists (equality
     pytest in tests/test_bpe.py):
 
-    - ``'incremental'`` (the ``'auto'`` default): pair counts live as
-      DRIVER state — a dict keyed by (left, right), pair-space-sized
+    - ``'auto'`` (default): one vocab count picks the measured-faster
+      mode — ``'incremental'`` at latency-bound vocab sizes (≤
+      ``_DRIVER_STATE_MAX_VOCAB`` distinct words), ``'full'`` above,
+      where the delta column's write amplification costs more than
+      the recount it saves (every number in BASELINE.md round 13,
+      reproducible via scripts/bpe_probe.py).
+    - ``'incremental'``: pair counts live as DRIVER state — a dict keyed by (left, right), pair-space-sized
       like every other tokenizer artifact (distinct ADJACENT-PAIR
       count, not vocab or corpus: ~4.3e2 pairs on the 2.3M-word probe
       corpus, charset²-then-merges-bounded generally). A round is TWO
@@ -411,8 +427,6 @@ def bpe_train(
     """
     if recount not in ("auto", "incremental", "full"):
         raise ValueError(f"unknown recount {recount!r}")
-    if recount == "auto":
-        recount = "incremental"
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     vocab = round_checkpoint(
@@ -422,6 +436,14 @@ def bpe_train(
         .repartition(par),
         checkpoint_dir,
     )
+    if recount == "auto":
+        # one cheap count over the just-materialized frame picks the
+        # measured-faster mode (_DRIVER_STATE_MAX_VOCAB rationale)
+        recount = (
+            "incremental"
+            if vocab.count() <= _DRIVER_STATE_MAX_VOCAB
+            else "full"
+        )
     pc: dict[tuple[str, str], int] | None = None
     if recount == "incremental":
         pc = {

@@ -271,6 +271,72 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_wav_audio(docs), decode="wav")
 
 
+def _sq8_streaming_oracle() -> str:
+    from .simplans import _SQ8_ORACLE
+
+    return _SQ8_ORACLE.replace(
+        """      FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) p
+      GROUP BY p.j""",
+        """      FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) p
+      WHERE q.vec_id % 3 = 0
+      GROUP BY p.j""",
+    )
+
+
+_SQ8_STREAM_INDEX: dict[str, str] = {}
+
+
+@register("streaming_sq8_index_topk", oracle=_sq8_streaming_oracle())
+def streaming_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN served from a STREAMING-maintained index
+    (streaming.sq8_index): embeddings arrive as three micro-batches
+    (vec_id mod 3, mtime-ordered); the first batch freezes the
+    quantizer, later batches append byte codes O(batch) and log their
+    clamp-drift guard. The probe answers from the accreted delta tree
+    and must hash-match the oracle that replays the FROZEN first-batch
+    params over every vector — proving the streaming decomposition is
+    probe-equivalent to the incremental batch build (and, via the
+    lifecycle pytest, to its compacted form)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..operators.similarity import sq8_topk_at_rest
+    from ..streaming.sq8_index import run_streaming_sq8_index
+
+    if sf_dir not in _SQ8_STREAM_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        tmp = tempfile.mkdtemp(prefix="sq8_stream_")
+        watch = f"{tmp}/in"
+        os.makedirs(watch, exist_ok=True)
+        for i in range(3):
+            stage = f"{tmp}/stage_{i}"
+            emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+                stage
+            )
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{watch}/batch_{i:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        run_streaming_sq8_index(
+            spark,
+            watch,
+            f"{tmp}/index",
+            emb.schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        _SQ8_STREAM_INDEX[sf_dir] = f"{tmp}/index"
+    q = [
+        float(x)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .first()["embedding"]
+    ]
+    return sq8_topk_at_rest(
+        spark, _SQ8_STREAM_INDEX[sf_dir], q, k=10, overfetch=8
+    )
+
+
 _INC_DEDUP_PAIRS: dict[str, str] = {}
 
 

@@ -40,9 +40,6 @@ def main() -> int:
         phrase_match_at_rest,
         positional_index_write,
     )
-    from pyspark_airflow_weather_etl_spark.plans.retrievalplans import (
-        PHRASES,
-    )
     from pyspark_airflow_weather_etl_spark.session import get_spark
     from pyspark_airflow_weather_etl_spark.sources.tables import load_table
 
@@ -61,9 +58,36 @@ def main() -> int:
     positional_index_write(spark.read.parquet(f"{tmp}/docs"), f"{tmp}/index")
 
     sizes = [int(x) for x in args.sizes.split(",")]
-    base = [q for _, q in PHRASES]
+    # DISTINCT phrases, mined from the corpus (top bigrams by count,
+    # deterministic order) — duplicated query strings would make both
+    # strategies scale with the duplication factor, not the workload
+    # the index tokenizes by single-space split (operators.text.tokens)
+    # — mine bigrams with the SAME tokenization so phrases match
+    toks = docs.select(F.split(F.col("text"), " ").alias("t"))
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "filter(zip_with(t, slice(t, 2, size(t)),"
+                    " (a, b) -> concat_ws(' ', a, b)),"
+                    " s -> instr(s, ' ') > 1)"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bg")
+        .limit(max(sizes))
+        .collect()
+    )
+    base = [r.bg for r in bigrams]
+    if len(base) < max(sizes):
+        # not enough distinct grams at this corpus: disambiguate by id
+        base = base + [
+            base[i % len(base)] for i in range(max(sizes) - len(base))
+        ]
     for size in sizes:
-        queries = [(i, base[i % len(base)]) for i in range(size)]
+        queries = [(i, base[i]) for i in range(min(size, len(base)))]
         samples = {"loop": [], "set": []}
         answers = {}
         for _ in range(args.runs):

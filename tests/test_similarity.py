@@ -1023,3 +1023,55 @@ def test_sq8_index_lifecycle(spark, tmp_path):
     )
     model = compaction_cost_model(spark, path, kind="sq8")
     assert model["n_deltas"] == 2 and "worth_it" in model
+
+
+def test_streaming_sq8_index_maintenance(spark, tmp_path):
+    """The streaming SQ8 maintainer: the first micro-batch freezes
+    the quantizer, each batch's drift guard is logged append-only,
+    and the streamed index's probe equals the incremental batch
+    build's with the same decomposition."""
+    import glob
+    import os
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_index_append,
+        sq8_topk_at_rest,
+    )
+    from pyspark_airflow_weather_etl_spark.streaming.sq8_index import (
+        run_streaming_sq8_index,
+    )
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    for i in range(3):
+        stage = str(tmp_path / f"stage_{i}")
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    idx = str(tmp_path / "index")
+    reports = run_streaming_sq8_index(
+        spark, watch, idx, emb.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert [r["batch"] for r in reports] == [0, 1, 2]
+    assert reports[0]["clamped_frac"] == 0.0  # creation batch fits
+    drift = spark.read.parquet(f"{idx}/drift")
+    assert drift.count() == 3
+    # probe-equivalent to the incremental batch build
+    batch_idx = str(tmp_path / "batch_index")
+    for i in range(3):
+        sq8_index_append(emb.where(F.col("vec_id") % 3 == i), batch_idx, i)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    got = sorted(map(tuple, sq8_topk_at_rest(spark, idx, q, k=10).collect()))
+    want = sorted(
+        map(tuple, sq8_topk_at_rest(spark, batch_idx, q, k=10).collect())
+    )
+    assert got == want
