@@ -150,7 +150,10 @@ def main(argv: list[str] | None = None) -> int:
         "small files, verify a shard epoch",
     )
     p_mnt.add_argument(
-        "action", choices=["seal", "compact", "verify-epoch", "compact-index"],
+        "action",
+        choices=[
+            "seal", "compact", "verify-epoch", "compact-index", "sq8-drift",
+        ],
     )
     p_mnt.add_argument("--path", required=True, help="store/table root")
     p_mnt.add_argument(
@@ -209,6 +212,17 @@ def main(argv: list[str] | None = None) -> int:
     p_mnt.add_argument(
         "--rewrite-mb-per-sec", type=float, default=50.0,
         help="compact-index: assumed rewrite throughput",
+    )
+    p_mnt.add_argument(
+        "--refit-threshold", type=float, default=0.02,
+        help="sq8-drift: live clamped-value fraction above which a "
+        "re-fit is recommended",
+    )
+    p_mnt.add_argument(
+        "--refit", action="store_true",
+        help="sq8-drift: if the report recommends it, re-fit the "
+        "quantizer over the at-rest vectors and publish the rebuilt "
+        "index under --dst",
     )
 
     p_tok = sub.add_parser(
@@ -430,6 +444,23 @@ def main(argv: list[str] | None = None) -> int:
                     target_file_bytes=args.target_file_mb * 1024 * 1024,
                 )
                 print(f"files: {before} -> {after}")
+            elif args.action == "sq8-drift":
+                from .operators.similarity import (
+                    sq8_drift_report,
+                    sq8_index_refit,
+                )
+
+                report = sq8_drift_report(
+                    spark, args.path, refit_threshold=args.refit_threshold
+                )
+                for k, v in report.items():
+                    print(f"{k}: {v}")
+                if args.refit and report["refit_recommended"]:
+                    if not args.dst:
+                        print("--refit requires --dst", file=sys.stderr)
+                        return 2
+                    v = sq8_index_refit(spark, args.path, args.dst)
+                    print(f"refit published: {v}")
             elif args.action == "compact-index":
                 from .operators.retrieval import (
                     bm25_index_compact,

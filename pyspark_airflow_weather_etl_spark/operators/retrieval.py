@@ -624,12 +624,16 @@ def positional_index_compact(
 
 
 #: query-set size above which the at-rest phrase/NEAR probes switch
-#: from per-query plan branches to the single data-driven plan: the
-#: branch formulation is ~2× faster at interactive sizes (fewer
-#: shuffles, per-term pruning — measured 0.56 s vs 1.1 s warm on the
-#: 3-phrase fixture set) but builds q·m plan branches, which is the
-#: batched-BPE analyzer-wall class at production batch sizes (a
-#: 300-phrase set answers in one 4.4 s data-driven job).
+#: from per-query plan branches to the single data-driven plan.
+#: Round-13 band (scripts/phrase_strategy_probe.py — ×32 corpus, 300
+#: DISTINCT mined bigrams, interleaved median-of-3, equality
+#: asserted): loop/set are a wash at 3 and 9 queries (1.88/1.96 s,
+#: 4.49/4.60 s), set wins 1.8× at 30 (12.8/7.3 s), 2.0× at 100
+#: (32.3/16.5 s), 1.4× at 300 (76.8/55.1 s) — and the loop side
+#: additionally builds q·m plan branches, the batched-BPE
+#: analyzer-wall class, so past the wash zone 'set' is strictly
+#: safer. The fixture-scale interactive case (loop 0.56 s vs set
+#: 1.1 s at 3 phrases, round 12) keeps the small-set branch alive.
 _SET_STRATEGY_MIN = 9
 
 

@@ -192,6 +192,15 @@ def sq8_index_append(
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         mn = [float(v) for v in meta["mn"]]
         sc = [float(v) for v in meta["sc"]]
+        # normalize the incoming batch to the index's stored column
+        # types (one footer read): a crawl feed that switches float →
+        # double mid-stream would otherwise write a mixed-type parquet
+        # tree that FAILS at probe time with a column-convert error
+        stored = spark.read.parquet(f"{path}/rows").schema
+        embeddings = embeddings.select(
+            F.col(id_col).cast(stored[id_col].dataType),
+            F.col(vec_col).cast(stored[vec_col].dataType),
+        )
     except AnalysisException:
         d = len(embeddings.select(vec_col).first()[0])
         mn, sc = _sq8_params(embeddings, d, vec_col)
@@ -229,6 +238,112 @@ def sq8_index_append(
             int(guard["n_clamped"] or 0) / n_values if n_values else 0.0
         ),
     }
+
+
+def sq8_drift_report(
+    spark,
+    index_path: str,
+    refit_threshold: float = 0.02,
+) -> dict:
+    """Should this SQ8 index be RE-FIT? — the maintenance decision
+    the frozen-quantizer contract requires (sq8_index_append freezes
+    min/scale at creation; a shifted corpus clamps). Reads the
+    append-time drift log (one row per batch:
+    streaming/sq8_index.py writes it; batch builds can append theirs)
+    plus a LIVE recount against the stored params over the at-rest
+    rows — the log says how drift arrived, the recount what the index
+    looks like now — and recommends a re-fit when the live clamped
+    fraction exceeds ``refit_threshold`` (coarse-recall damage is
+    gradual: clamped dimensions collapse to code 0/255, so distances
+    involving them lose resolution; the exact re-rank keeps answers
+    correct, which is why this is a RECALL alert, not a correctness
+    gate)."""
+    from pyspark.errors import AnalysisException
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    mn = [float(v) for v in meta["mn"]]
+    sc = [float(v) for v in meta["sc"]]
+    rows = spark.read.parquet(f"{index_path}/rows")
+    vec_col = [
+        f.name
+        for f in rows.schema.fields
+        if f.name not in ("code", "batch")
+        and "array" in f.dataType.simpleString()
+        and "smallint" not in f.dataType.simpleString()
+    ][0]
+    raw = _sq8_unclamped(vec_col, mn, sc)
+    live = rows.agg(
+        F.sum(F.size(F.col(vec_col))).alias("n_values"),
+        F.sum(
+            F.size(F.filter(raw, lambda c: (c < 0) | (c > 255)))
+        ).alias("n_clamped"),
+    ).collect()[0]
+    n_values = int(live["n_values"] or 0)
+    live_frac = int(live["n_clamped"] or 0) / n_values if n_values else 0.0
+    try:
+        log = [
+            r.asDict()
+            for r in spark.read.parquet(f"{index_path}/drift")
+            .orderBy("batch")
+            .collect()
+        ]
+    except AnalysisException:
+        log = []
+    return {
+        "live_clamped_frac": live_frac,
+        "n_values": n_values,
+        "batches_logged": len(log),
+        "max_batch_clamped_frac": max(
+            (r["clamped_frac"] for r in log), default=0.0
+        ),
+        "refit_threshold": refit_threshold,
+        "refit_recommended": live_frac > refit_threshold,
+    }
+
+
+def sq8_index_refit(spark, src_path: str, dst_path: str) -> str:
+    """RE-FIT an SQ8 index whose frozen quantizer has drifted: train
+    fresh per-dimension min/scale over ALL at-rest vectors (the raw
+    column is stored precisely so a re-fit never touches the source
+    corpus), re-encode every code, and publish as the next serving
+    version under ``dst_path`` — the publish_version crash contract
+    (pointer flips last, previous version is rollback, source deltas
+    untouched). The refit resets every batch's clamped fraction to
+    zero by construction; pair with :func:`sq8_drift_report` for the
+    WHEN (alert past a few percent live clamp)."""
+    from ..sources.writers import publish_version
+
+    rows = spark.read.parquet(f"{src_path}/rows")
+    id_col, vec_col = [
+        f.name
+        for f in rows.schema.fields
+        if f.name not in ("code", "batch")
+    ]
+    if "array" not in rows.schema[vec_col].dataType.simpleString():
+        id_col, vec_col = vec_col, id_col
+    d = len(rows.select(vec_col).first()[0])
+    mn, sc = _sq8_params(rows, d, vec_col)
+
+    def build(vdir: str) -> None:
+        spark.createDataFrame(
+            [(mn, sc)], "mn array<double>, sc array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        (
+            rows.select(
+                F.col(id_col),
+                F.transform(
+                    _sq8_codes(vec_col, mn, sc),
+                    lambda v: v.cast("smallint"),
+                ).alias("code"),
+                F.col(vec_col),
+                F.lit(0).cast("bigint").alias("batch"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{vdir}/rows")
+        )
+
+    return publish_version(spark, dst_path, build)
 
 
 def sq8_index_compact(spark, src_path: str, dst_path: str) -> str:

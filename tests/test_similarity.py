@@ -1075,3 +1075,48 @@ def test_streaming_sq8_index_maintenance(spark, tmp_path):
         map(tuple, sq8_topk_at_rest(spark, batch_idx, q, k=10).collect())
     )
     assert got == want
+
+
+def test_sq8_drift_report_and_refit(spark, tmp_path):
+    """The frozen-quantizer re-fit policy: a fresh index reports ~0
+    live clamp (no refit); after a shifted batch lands, the live
+    recount recommends one; sq8_index_refit retrains over the at-rest
+    vectors, publishes a version whose live clamp is 0 again, and the
+    refit index's probe self-hit still works."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_drift_report,
+        sq8_index_append,
+        sq8_index_refit,
+        sq8_topk_at_rest,
+    )
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "sq8_drift")
+    sq8_index_append(emb, path, 0)
+    rep = sq8_drift_report(spark, path)
+    assert rep["live_clamped_frac"] == 0.0
+    assert not rep["refit_recommended"]
+    shifted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 10 + 5).alias("embedding"),
+    )
+    sq8_index_append(shifted, path, 1)
+    rep = sq8_drift_report(spark, path)
+    assert rep["live_clamped_frac"] > 0.2
+    assert rep["refit_recommended"]
+    dst = str(tmp_path / "sq8_refit")
+    sq8_index_refit(spark, path, dst)
+    live = bm25_index_current(spark, dst)
+    rep2 = sq8_drift_report(spark, live)
+    assert rep2["live_clamped_frac"] == 0.0
+    q = [float(x) for x in emb.where(F.col("vec_id") == 7).first()[
+        "embedding"]]
+    top = sq8_topk_at_rest(spark, live, q, k=5).collect()
+    assert top[0].vec_id == 7  # self-hit survives the refit
