@@ -603,3 +603,98 @@ def audio_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
     return assets.where(F.col("media_type") == "audio").mapInPandas(
         batches, AUDIO_SCHEMA
     )
+
+
+def encode_wav(
+    samples, sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """Inverse of :func:`decode_wav`: canonical 16-bit PCM RIFF/WAVE
+    (fmt then data, no extra chunks) — the layout
+    :func:`_parse_wav_header` round-trips."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2 * n_channels).to_bytes(4, "little")
+        + (2 * n_channels).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resample_audio(
+    assets: DataFrame, factor: int = 4, decode: str = "fake"
+) -> DataFrame:
+    """REAL audio downsample over the decoded plane — the audio twin
+    of :func:`resize_images`: integer decimation by ``factor`` (keep
+    every ``factor``-th frame of each channel; the dependency-free
+    kernel a codec-backed deployment would swap for a windowed
+    resampler), re-encoded as a standalone 16-bit WAV at
+    ``sample_rate / factor``. Deterministic integer selection
+    end-to-end, so the catalog oracle replays every output byte.
+    ``factor`` must divide the sample rate (a fractional output rate
+    has no WAV representation). Non-WAV payloads in wav mode fall
+    back to a fake byte-stride chunker; audio-only filter stays
+    JVM-side."""
+    import numpy as np
+
+    if decode not in ("fake", "wav"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def _fake(b: bytes):
+        kept = b[::factor]
+        return 16000 // factor, len(kept), kept
+
+    def _real(b: bytes):
+        if b[:4] != b"RIFF":
+            return _fake(b)
+        ch, rate, samples = decode_wav(b)
+        if rate % factor:
+            raise ValueError(
+                f"factor {factor} does not divide sample rate {rate}"
+            )
+        frames = samples.reshape(-1, ch)[::factor]
+        out_rate = rate // factor
+        flat = frames.reshape(-1)
+        return out_rate, int(flat.size), encode_wav(
+            np.ascontiguousarray(flat), out_rate, ch
+        )
+
+    fn = _fake if decode == "fake" else _real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = pdf["payload"].map(lambda b: fn(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": rows.map(lambda r: r[0]).astype("int32"),
+                    "n_samples": rows.map(lambda r: r[1]).astype("int64"),
+                    "payload": rows.map(lambda r: r[2]),
+                }
+            )
+
+    return assets.where(F.col("media_type") == "audio").mapInPandas(
+        batches, RESAMPLED_SCHEMA
+    )

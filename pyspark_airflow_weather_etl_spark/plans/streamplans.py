@@ -271,6 +271,52 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_wav_audio(docs), decode="wav")
 
 
+def _audio_resample_oracle() -> str:
+    # header of the canonical 16-bit mono WAV at 2000 Hz / 120 samples
+    # (44 bytes = 88 hex chars), computed by the engine's own encoder
+    from ..operators.multimodal import encode_wav
+
+    hdr = encode_wav([0] * 120, 2000).hex().upper()[:88]
+    return f"""
+    WITH adoc AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+    ), o AS (SELECT unnest(range(120)) AS j),
+    s AS (
+      SELECT doc_id, j, (doc_id*7 + (4*j)*13) % 65536 AS u FROM adoc, o
+    )
+    SELECT doc_id AS asset_id,
+           CAST(2000 AS INT) AS sample_rate,
+           CAST(120 AS BIGINT) AS n_samples,
+           '{hdr}' ||
+           string_agg(upper(lpad(to_hex(u % 256), 2, '0')) ||
+                      upper(lpad(to_hex(u // 256), 2, '0')),
+                      '' ORDER BY j) AS payload_hex
+    FROM s GROUP BY doc_id
+    """
+
+
+@register("multimodal_audio_resample", oracle=_audio_resample_oracle())
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample over decoded PCM
+    (operators.multimodal.resample_audio(decode='wav')): each
+    audio-typed asset's 8 kHz WAV is DECODED, decimated 4× over the
+    sample plane (keep every 4th frame — exact integer selection),
+    and RE-ENCODED as a standalone 2 kHz WAV — the audio twin of
+    multimodal_resize, so the oracle replays the header and every
+    kept little-endian sample byte. Payload hex-projected for the
+    driver compare (binary doesn't sort)."""
+    from ..operators.multimodal import attach_wav_audio, resample_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resample_audio(attach_wav_audio(docs), factor=4, decode="wav")
+    return out.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
 def _sq8_streaming_oracle() -> str:
     from .simplans import _SQ8_ORACLE
 

@@ -349,3 +349,54 @@ def test_audio_features_real_wav_path(spark):
 
     with pytest.raises(ValueError):
         audio_features(assets, decode="mp3")
+
+
+def test_resample_audio_real_wav_path(spark):
+    """resample_audio(decode='wav'): 4× decimation keeps exactly
+    every 4th frame (verified against the reference decoder on both
+    sides), re-encodes a valid WAV at rate/4, refuses non-dividing
+    factors, handles stereo frame-wise, and falls back to the fake
+    chunker on non-WAV payloads."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        attach_payload,
+        attach_wav_audio,
+        decode_wav,
+        resample_audio,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    assets = attach_wav_audio(docs)
+    out = {r.asset_id: r for r in
+           resample_audio(assets, factor=4, decode="wav").collect()}
+    for r in assets.collect():
+        _, rate, s = decode_wav(bytes(r.payload))
+        got = out[r.asset_id]
+        assert got.sample_rate == rate // 4
+        ch2, rate2, s2 = decode_wav(bytes(got.payload))
+        assert (ch2, rate2) == (1, rate // 4)
+        assert list(s2) == list(s[::4])
+    # stereo: decimation is frame-wise, channels stay interleaved
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        encode_wav,
+    )
+
+    stereo = encode_wav([1, 2, 3, 4, 5, 6, 7, 8], 8000, 2)
+    sdf = spark.createDataFrame(
+        [(0, "audio", bytearray(stereo))],
+        "asset_id long, media_type string, payload binary",
+    )
+    row = resample_audio(sdf, factor=2, decode="wav").first()
+    _, _, ss = decode_wav(bytes(row.payload))
+    assert list(ss) == [1, 2, 5, 6]
+    # non-dividing factor refuses
+    with pytest.raises(Exception):
+        resample_audio(sdf, factor=3, decode="wav").collect()
+    # non-WAV payloads fall back to the fake chunker
+    fake = attach_payload(docs).where("media_type = 'audio'")
+    fb = resample_audio(fake, factor=4, decode="wav").first()
+    assert fb.sample_rate == 4000
