@@ -110,6 +110,10 @@ HEADLINE = [
     "proximity_match_at_rest",
     "sq8_ann_topk",
     "sq8_ann_topk_at_rest",
+    "sq8_ann_topk_incremental",
+    "streaming_sq8_index_topk",
+    "multimodal_audio_features",
+    "multimodal_audio_resample",
     "pca_reduced_ann_topk_fixed",
     "corpus_datasheet_by_source",
     "bm25_hard_negatives",

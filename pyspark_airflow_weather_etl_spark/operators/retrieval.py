@@ -637,6 +637,20 @@ def positional_index_compact(
 _SET_STRATEGY_MIN = 9
 
 
+def _n_batches(spark: SparkSession, path: str) -> int:
+    """Number of ``batch=`` delta partitions under an index subtree —
+    one driver-side listStatus (the compaction_cost_model pattern)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    return sum(
+        1
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    )
+
+
 def phrase_match_at_rest(
     spark: SparkSession,
     index_path: str,
@@ -699,8 +713,15 @@ def phrase_match_at_rest(
         .parquet(f"{index_path}/postings_pos")
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
-        .dropDuplicates(["token", "doc_id", "pos"])
     )
+    # cross-batch duplicates are the ONLY way a (token, doc_id, pos)
+    # row repeats (same-batch replay is absorbed by dynamic partition
+    # overwrite), so a single-batch tree — one-shot build or freshly
+    # compacted — provably has none and skips the distinct's exchange
+    # (one driver-side listStatus; the 32x at-rest bench keys price
+    # the skip)
+    if _n_batches(spark, f"{index_path}/postings_pos") > 1:
+        postings = postings.dropDuplicates(["token", "doc_id", "pos"])
     if strategy == "loop" or (
         strategy == "auto" and len(phrases) < _SET_STRATEGY_MIN
     ):
@@ -862,8 +883,11 @@ def proximity_match_at_rest(
         .parquet(f"{index_path}/postings_pos")
         .where(F.col("pfx").isin(pfxs) & F.col("token").isin(all_terms))
         .select("token", "doc_id", "pos")
-        .dropDuplicates(["token", "doc_id", "pos"])
     )
+    # single-batch trees provably have no duplicate postings — skip
+    # the distinct's exchange (phrase_match_at_rest rationale)
+    if _n_batches(spark, f"{index_path}/postings_pos") > 1:
+        postings = postings.dropDuplicates(["token", "doc_id", "pos"])
     if strategy == "loop" or (
         strategy == "auto" and len(pairs) < _SET_STRATEGY_MIN
     ):
