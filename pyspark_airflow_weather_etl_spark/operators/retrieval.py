@@ -615,6 +615,13 @@ def positional_index_compact(
                 F.lit(0).cast("bigint").alias("batch"),
                 "pfx",
             )
+            # cross-batch duplicate postings (a re-delivered document)
+            # MUST fold away here: the compacted tree is single-batch,
+            # which is exactly the shape the probes' duplicate-dedup
+            # skip trusts to be duplicate-free — and positions are
+            # per-document facts, so the distinct is semantics-
+            # restoring, paid once at compaction instead of per probe
+            .dropDuplicates(["token", "doc_id", "pos"])
             .write.mode("overwrite")
             .partitionBy("batch", "pfx")
             .parquet(f"{vdir}/postings_pos")

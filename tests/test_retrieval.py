@@ -797,3 +797,40 @@ def test_at_rest_duplicate_postings_do_not_corrupt_matches(
         got = sorted(map(tuple, proximity_match_at_rest(
             spark, path, pairs, window=3, strategy=strat).collect()))
         assert got == want_px, f"proximity strategy={strat}"
+
+
+def test_compacted_duplicate_postings_stay_correct(spark, docs, tmp_path):
+    """Compaction of a tree holding cross-batch duplicate postings
+    must fold them away: the compacted tree is single-batch — the
+    shape the probes' dedup skip trusts to be duplicate-free — so a
+    compaction that preserved duplicates would corrupt phrase counts
+    silently. Probe of the compacted-from-duplicates tree must equal
+    the ad-hoc answer under BOTH strategies."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_append,
+        positional_index_compact,
+    )
+
+    src = str(tmp_path / "dup_src")
+    positional_index_append(docs, src, 0)
+    positional_index_append(docs, src, 1)  # duplicate delivery
+    dst = str(tmp_path / "dup_dst")
+    positional_index_compact(spark, src, dst)
+    live = bm25_index_current(spark, dst)
+    # compacted tree is single-batch AND duplicate-free
+    rows = spark.read.schema(
+        "token string, doc_id bigint, pos bigint, batch bigint, pfx string"
+    ).parquet(f"{live}/postings_pos")
+    assert rows.select("batch").distinct().count() == 1
+    assert rows.count() == rows.dropDuplicates(
+        ["token", "doc_id", "pos"]
+    ).count()
+    phrases = [(1, "hash join"), (2, "table table"), (3, "hash")]
+    want = sorted(map(tuple, phrase_counts(docs, phrases).collect()))
+    for strat in ("loop", "set"):
+        got = sorted(map(tuple, phrase_match_at_rest(
+            spark, live, phrases, strategy=strat).collect()))
+        assert got == want, f"strategy={strat}"
