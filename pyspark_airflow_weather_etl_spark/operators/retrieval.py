@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import claim_group, persist_into
-from .text import token_count, tokens
+from .text import tokens
 
 #: partition-prefix width of the at-rest postings layout: first byte of
 #: md5(token) → 256 partitions, enough spread for any vocabulary while
