@@ -230,7 +230,7 @@ def sq8_index_append(
         ("batch",),
     )
     n_values = int(guard["n_values"] or 0)
-    return {
+    rep = {
         "batch": batch_id,
         "n_rows": int(guard["n_rows"]),
         "n_values": n_values,
@@ -238,6 +238,28 @@ def sq8_index_append(
             int(guard["n_clamped"] or 0) / n_values if n_values else 0.0
         ),
     }
+    # append-only drift log — sq8_drift_report's per-batch history for
+    # batch AND streaming pipelines alike (batch-keyed dynamic
+    # overwrite keeps a replayed batch from double-logging)
+    from .retrieval import _write_batch_keyed
+
+    _write_batch_keyed(
+        spark.createDataFrame(
+            [
+                (
+                    int(rep["batch"]),
+                    int(rep["n_rows"]),
+                    int(rep["n_values"]),
+                    float(rep["clamped_frac"]),
+                )
+            ],
+            "batch bigint, n_rows bigint, n_values bigint,"
+            " clamped_frac double",
+        ),
+        f"{path}/drift",
+        ("batch",),
+    )
+    return rep
 
 
 def sq8_drift_report(

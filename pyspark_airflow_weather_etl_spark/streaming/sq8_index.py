@@ -50,22 +50,10 @@ def run_streaming_sq8_index(
     def _append(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        rep = sq8_index_append(
-            batch_df, index_path, batch_id, id_col, vec_col
+        # sq8_index_append writes the batch-keyed drift row itself
+        reports.append(
+            sq8_index_append(batch_df, index_path, batch_id, id_col, vec_col)
         )
-        reports.append(rep)
-        spark.createDataFrame(
-            [
-                (
-                    int(rep["batch"]),
-                    int(rep["n_rows"]),
-                    int(rep["n_values"]),
-                    float(rep["clamped_frac"]),
-                )
-            ],
-            "batch bigint, n_rows bigint, n_values bigint,"
-            " clamped_frac double",
-        ).write.mode("append").parquet(f"{index_path}/drift")
 
     writer = stream.writeStream.foreachBatch(_append).trigger(
         availableNow=True
