@@ -224,6 +224,21 @@ def main(argv: list[str] | None = None) -> int:
         "quantizer over the at-rest vectors and publish the rebuilt "
         "index under --dst",
     )
+    p_mnt.add_argument(
+        "--live", choices=["full", "sample", "off"], default="full",
+        help="sq8-drift: live-estimate mode — exact recount, seeded "
+        "sample, or decide from the per-batch drift log alone",
+    )
+    p_mnt.add_argument(
+        "--sample-fraction", type=float, default=0.01,
+        help="sq8-drift: row fraction for --live sample",
+    )
+    p_mnt.add_argument(
+        "--backfill", action="store_true",
+        help="sq8-drift: first synthesize the per-batch drift log "
+        "from the at-rest tree (idempotent; for indexes written "
+        "before the log existed)",
+    )
 
     p_tok = sub.add_parser(
         "tokenize",
@@ -446,12 +461,20 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"files: {before} -> {after}")
             elif args.action == "sq8-drift":
                 from .operators.similarity import (
+                    sq8_drift_backfill,
                     sq8_drift_report,
                     sq8_index_refit,
                 )
 
+                if args.backfill:
+                    n = sq8_drift_backfill(spark, args.path)
+                    print(f"drift log backfilled: {n} batch rows")
                 report = sq8_drift_report(
-                    spark, args.path, refit_threshold=args.refit_threshold
+                    spark,
+                    args.path,
+                    refit_threshold=args.refit_threshold,
+                    live=args.live,
+                    sample_fraction=args.sample_fraction,
                 )
                 for k, v in report.items():
                     print(f"{k}: {v}")

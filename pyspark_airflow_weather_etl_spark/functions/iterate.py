@@ -48,13 +48,22 @@ def round_checkpoint(
     that directory (executor-loss safe); the SparkContext checkpoint
     dir is set on first use and left alone if already pointing inside
     ``checkpoint_dir`` (Spark appends a per-context UUID subdir, so
-    prefix-matching is the correct identity test).
+    prefix-matching is the correct identity test). Spark reports the
+    current dir as a FileSystem-qualified URI (``file:/tmp/ckpt/...``
+    for a plain local path), so the caller's path is qualified the
+    same way before the prefix test — comparing raw strings would
+    re-set the dir every round and leak one UUID subdir per
+    checkpoint (ADVICE round 13).
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     opt = sc._jsc.sc().getCheckpointDir()
     cur = opt.get() if opt.isDefined() else None
-    if cur is None or not cur.startswith(checkpoint_dir):
+    jvm = sc._jvm
+    want = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = want.getFileSystem(sc._jsc.hadoopConfiguration())
+    qualified = fs.makeQualified(want).toString()
+    if cur is None or not cur.startswith(qualified):
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)

@@ -67,3 +67,24 @@ def test_reliable_checkpoint_equals_local(spark, tmp_path):
 
     # reliable mode actually wrote round state out
     assert _tree_files(ckpt) > 0
+
+
+def test_checkpoint_dir_set_once_for_plain_paths(spark, tmp_path):
+    """Spark qualifies the checkpoint dir to a URI (file:/...), so the
+    set-once identity test must compare qualified forms — with raw
+    string comparison every round re-sets the dir and leaks one UUID
+    subdir per checkpoint (ADVICE round 13)."""
+    from pyspark_airflow_weather_etl_spark.functions.iterate import (
+        round_checkpoint,
+    )
+
+    ckpt = str(tmp_path / "once")  # plain local path, no file: scheme
+    df = spark.range(10)
+    for _ in range(3):
+        df = round_checkpoint(df.selectExpr("id + 1 as id"), ckpt)
+    assert df.count() == 10
+    # one per-context UUID subdir, not one per round
+    subdirs = [
+        d for d in os.listdir(ckpt) if os.path.isdir(os.path.join(ckpt, d))
+    ]
+    assert len(subdirs) == 1, subdirs

@@ -1120,3 +1120,183 @@ def test_sq8_drift_report_and_refit(spark, tmp_path):
         "embedding"]]
     top = sq8_topk_at_rest(spark, live, q, k=5).collect()
     assert top[0].vec_id == 7  # self-hit survives the refit
+
+
+def test_sq8_duplicate_id_redelivery(spark, tmp_path):
+    """A vec_id re-delivered under a LATER batch id (the ADVICE r13
+    threat model): the at-rest probe folds to one row per id (latest
+    batch wins), compaction folds the duplicates away, and a refit
+    trains on the folded set — without the fold, duplicate ids would
+    displace real neighbors in the top-k."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        cosine_similarity,
+        sq8_index_append,
+        sq8_index_compact,
+        sq8_index_refit,
+        sq8_topk_at_rest,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+
+    # index A: clean two-batch build
+    a = str(tmp_path / "sq8_a")
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 0), a, 0)
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 1), a, 1)
+    want = sorted(map(tuple, sq8_topk_at_rest(spark, a, q, k=10).collect()))
+
+    # index B: same, plus a batch-2 re-delivery of UNCHANGED evens —
+    # duplicate rows under a new batch id
+    b = str(tmp_path / "sq8_b")
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 0), b, 0)
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 1), b, 1)
+    sq8_index_append(
+        emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)), b, 2
+    )
+    got_rows = sq8_topk_at_rest(spark, b, q, k=10).collect()
+    assert len({r.vec_id for r in got_rows}) == 10  # no duplicate ids
+    assert sorted(map(tuple, got_rows)) == want
+
+    # re-delivery with a CHANGED vector: latest batch wins the re-rank
+    upd = emb.where(F.col("vec_id") == 7).select(
+        "vec_id",
+        F.transform("embedding", lambda v: -v).alias("embedding"),
+    )
+    sq8_index_append(upd, b, 3)
+    got2 = sq8_topk_at_rest(spark, b, q, k=300).collect()
+    assert len(got2) == len({r.vec_id for r in got2})  # one row per id
+    by_id = {r.vec_id: r.cosine for r in got2}
+    assert by_id[7] == pytest.approx(-1.0, abs=1e-5)  # negated self
+
+    # compaction folds duplicates: one row per id, probe unchanged
+    dst = str(tmp_path / "sq8_b_pub")
+    sq8_index_compact(spark, b, dst)
+    live = bm25_index_current(spark, dst)
+    rows = spark.read.parquet(f"{live}/rows")
+    assert rows.count() == rows.select("vec_id").distinct().count() == 300
+    got3 = sq8_topk_at_rest(spark, live, q, k=300).collect()
+    assert {r.vec_id: r.cosine for r in got3}[7] == pytest.approx(
+        -1.0, abs=1e-5
+    )
+
+    # refit trains on the folded set and emits a duplicate-free tree
+    rdst = str(tmp_path / "sq8_b_refit")
+    sq8_index_refit(spark, b, rdst)
+    rlive = bm25_index_current(spark, rdst)
+    rrows = spark.read.parquet(f"{rlive}/rows")
+    assert rrows.count() == rrows.select("vec_id").distinct().count() == 300
+
+
+def test_sq8_drift_live_modes(spark, tmp_path):
+    """sq8_drift_report's three live modes agree on the shifted-batch
+    case: exact recount, seeded sample, and log-only all reach the
+    same refit decision (VERDICT r14 directive #2)."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_drift_backfill,
+        sq8_drift_report,
+        sq8_index_append,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "sq8_modes")
+    sq8_index_append(emb, path, 0)
+    for mode in ("full", "sample", "off"):
+        rep = sq8_drift_report(spark, path, live=mode, sample_fraction=0.5)
+        assert rep["live_mode"] == mode
+        assert not rep["refit_recommended"], mode
+    shifted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 10 + 5).alias("embedding"),
+    )
+    sq8_index_append(shifted, path, 1)
+    decisions = {}
+    for mode in ("full", "sample", "off"):
+        rep = sq8_drift_report(spark, path, live=mode, sample_fraction=0.5)
+        decisions[mode] = rep["refit_recommended"]
+        if mode == "sample":
+            assert rep["live_stderr"] is not None and rep["live_stderr"] >= 0
+        else:
+            assert rep["live_stderr"] is None
+    assert decisions == {"full": True, "sample": True, "off": True}
+    with pytest.raises(ValueError):
+        sq8_drift_report(spark, path, live="nope")
+
+
+def test_sq8_drift_degenerate_dimension(spark, tmp_path):
+    """A dimension CONSTANT at fit time has scale 0 — every later
+    value quantizes to code 0, so without the sentinel the drift
+    guard would report 0 clamp despite total information loss in that
+    dimension (ADVICE r13). The guard now counts any departed value
+    in a degenerate dimension as clamped."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_drift_report,
+        sq8_index_append,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0, float(i % 7)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "sq8_degen")
+    r0 = sq8_index_append(base, path, 0)
+    assert r0["clamped_frac"] == 0.0  # constant dim fits itself
+    # dim 1 departs its frozen constant in every row of batch 1
+    drifted = spark.createDataFrame(
+        [(100 + i, [float(i), 5.0, float(i % 7)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r1 = sq8_index_append(drifted, path, 1)
+    assert r1["clamped_frac"] == pytest.approx(1.0 / 3.0)
+    rep = sq8_drift_report(spark, path, live="full")
+    assert rep["live_clamped_frac"] == pytest.approx(1.0 / 6.0)
+    assert rep["refit_recommended"]
+
+
+def test_sq8_drift_backfill(spark, tmp_path):
+    """sq8_drift_backfill synthesizes the per-batch log from the
+    at-rest tree so live='off' works on pre-log indexes; it is
+    idempotent and matches the append-time log."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_drift_backfill,
+        sq8_drift_report,
+        sq8_index_append,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "sq8_bf")
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+    shifted = emb.where(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 10 + 5).alias("embedding"),
+    )
+    sq8_index_append(shifted, path, 1)
+    want = sq8_drift_report(spark, path, live="off")
+    # simulate a pre-log index, then backfill
+    shutil.rmtree(f"{path}/drift")
+    rep = sq8_drift_report(spark, path, live="off")
+    assert rep["batches_logged"] == 0
+    n = sq8_drift_backfill(spark, path)
+    assert n == 2
+    got = sq8_drift_report(spark, path, live="off")
+    assert got["batches_logged"] == 2
+    assert got["live_clamped_frac"] == pytest.approx(
+        want["live_clamped_frac"]
+    )
+    assert got["refit_recommended"] == want["refit_recommended"]
+    # idempotent
+    assert sq8_drift_backfill(spark, path) == 2
+    assert spark.read.parquet(f"{path}/drift").count() == 2
