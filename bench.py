@@ -659,9 +659,21 @@ def _phrase_compaction_probe(spark, sf_dir: str) -> dict[str, float]:
 
     docs = load_table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="bench_phrase_compact_")
+    # contiguous doc-id ranges per batch — the append-only crawl
+    # shape: each append's manifest proves the batches pairwise
+    # disjoint, so the probe skips the duplicate-posting distinct
+    # (round-14 manifest fast path; overlapping trees keep it, priced
+    # by the r13 tail)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    width = int(max_id) // 16 + 1
     for b in range(16):
         positional_index_append(
-            docs.where(F.col("doc_id") % 16 == b), f"{tmp}/src", b
+            docs.where(
+                (F.col("doc_id") >= b * width)
+                & (F.col("doc_id") < (b + 1) * width)
+            ),
+            f"{tmp}/src",
+            b,
         )
     positional_index_compact(spark, f"{tmp}/src", f"{tmp}/dst")
     live = bm25_index_current(spark, f"{tmp}/dst")

@@ -720,7 +720,11 @@ def phrase_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     via operators.retrieval.positional_index_append — O(batch)
     appends, batch-keyed idempotent; positions are per-document so no
     cross-batch statistics exist) then phrase-probed: shares the
-    ad-hoc phrase oracle, so incremental == one-shot bit-for-bit."""
+    ad-hoc phrase oracle, so incremental == one-shot bit-for-bit.
+    Batches are CONTIGUOUS doc-id ranges (the append-only crawl
+    shape), so each append's manifest proves pairwise disjointness
+    and the probe provably skips the duplicate-posting distinct —
+    the round-14 fast path exercised under the oracle."""
     import tempfile
 
     from pyspark.sql import functions as FF
@@ -728,9 +732,16 @@ def phrase_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "posincr:" + sf_dir not in _BM25_STAGE:
         tmp = tempfile.mkdtemp(prefix="pos_incr_")
         docs = load_table(spark, sf_dir, "documents")
+        max_id = int(docs.agg(FF.max("doc_id")).collect()[0][0])
+        width = max_id // 3 + 1
         for b in range(3):
             R.positional_index_append(
-                docs.where(FF.col("doc_id") % 3 == b), f"{tmp}/index", b
+                docs.where(
+                    (FF.col("doc_id") >= b * width)
+                    & (FF.col("doc_id") < (b + 1) * width)
+                ),
+                f"{tmp}/index",
+                b,
             )
         _BM25_STAGE["posincr:" + sf_dir] = tmp
     return R.phrase_match_at_rest(

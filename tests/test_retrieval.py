@@ -834,3 +834,86 @@ def test_compacted_duplicate_postings_stay_correct(spark, docs, tmp_path):
         got = sorted(map(tuple, phrase_match_at_rest(
             spark, live, phrases, strategy=strat).collect()))
         assert got == want, f"strategy={strat}"
+
+
+def test_disjoint_batch_manifest_skips_dedup(spark, docs, tmp_path):
+    """Batches with pairwise-disjoint doc-id ranges (the append-only
+    crawl common case) provably hold no cross-batch duplicate
+    postings, so the probes skip the (token, doc_id, pos) distinct —
+    the manifest written by each append is the proof. Results equal
+    the ad-hoc answer and the Deduplicate operator is absent from the
+    plan (VERDICT r13 directive #3)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        _pos_dedup_needed,
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_append,
+        proximity_counts,
+        proximity_match_at_rest,
+    )
+
+    path = str(tmp_path / "disjoint_idx")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    positional_index_append(docs.where(F.col("doc_id") <= cut), path, 0)
+    positional_index_append(docs.where(F.col("doc_id") > cut), path, 1)
+    assert _pos_dedup_needed(spark, path) is False
+
+    phrases = [(1, "hash join"), (2, "table table"), (3, "hash")]
+    want_ph = sorted(map(tuple, phrase_counts(docs, phrases).collect()))
+    for strat in ("loop", "set"):
+        got_df = phrase_match_at_rest(spark, path, phrases, strategy=strat)
+        plan = got_df._jdf.queryExecution().analyzed().toString()
+        assert "Deduplicate" not in plan, f"strategy={strat}"
+        assert sorted(map(tuple, got_df.collect())) == want_ph, strat
+    pairs = [(1, "hash", "join"), (2, "table", "table")]
+    want_px = sorted(
+        map(tuple, proximity_counts(docs, pairs, window=3).collect())
+    )
+    for strat in ("loop", "set"):
+        got_df = proximity_match_at_rest(
+            spark, path, pairs, window=3, strategy=strat
+        )
+        plan = got_df._jdf.queryExecution().analyzed().toString()
+        assert "Deduplicate" not in plan, f"strategy={strat}"
+        assert sorted(map(tuple, got_df.collect())) == want_px, strat
+
+    # a pre-manifest tree (manifest missing) must keep the dedup
+    import shutil
+
+    shutil.rmtree(f"{path}/manifest")
+    assert _pos_dedup_needed(spark, path) is True
+    got_df = phrase_match_at_rest(spark, path, phrases, strategy="set")
+    plan = got_df._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" in plan
+    assert sorted(map(tuple, got_df.collect())) == want_ph
+
+
+def test_overlapping_batch_manifest_keeps_dedup(spark, docs, tmp_path):
+    """Overlapping doc-id ranges — a re-delivered document — keep the
+    semantics-restoring distinct, and a manifest missing one live
+    batch (partial pre-manifest history) is treated as overlapping."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        _pos_dedup_needed,
+        phrase_counts,
+        phrase_match_at_rest,
+        positional_index_append,
+    )
+
+    path = str(tmp_path / "overlap_idx")
+    positional_index_append(docs, path, 0)
+    positional_index_append(docs, path, 1)  # same ids: overlap
+    assert _pos_dedup_needed(spark, path) is True
+    phrases = [(1, "hash join"), (2, "table table")]
+    want = sorted(map(tuple, phrase_counts(docs, phrases).collect()))
+    for strat in ("loop", "set"):
+        got = sorted(map(tuple, phrase_match_at_rest(
+            spark, path, phrases, strategy=strat).collect()))
+        assert got == want, strat
+    # drop ONE batch's manifest row: incomplete manifest → dedup stays
+    shutil.rmtree(f"{path}/manifest/batch=1")
+    assert _pos_dedup_needed(spark, path) is True
