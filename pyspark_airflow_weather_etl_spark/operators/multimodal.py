@@ -459,30 +459,69 @@ def _parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int]:
 
 
 def decode_wav(payload: bytes):
-    """Dependency-free 16-bit PCM WAV decode — the audio member of
+    """Dependency-free integer-PCM WAV decode — the audio member of
     the real-decoder family (:func:`decode_ppm` for images): header
-    walk, then the interleaved sample plane as an int16 numpy array.
-    Returns (n_channels, sample_rate, samples). Only 16-bit PCM is
-    decoded (the overwhelmingly common archival layout); other bit
-    depths raise and flow through the fake path upstream."""
+    walk, then the interleaved sample plane as a signed numpy array.
+    Returns (n_channels, sample_rate, bits, samples). All four
+    integer-PCM widths decode (VERDICT round 13 #4): 16/32-bit map
+    straight from their little-endian planes, 24-bit sign-extends
+    3-byte LE frames into int32, and 8-bit (stored UNSIGNED by the
+    WAV spec) centers to the signed plane ``v - 128``. Anything else
+    — compressed codecs (non-PCM fmt) or an unheard-of depth —
+    raises ValueError: inside ``decode='wav'`` consumers that FAILS
+    THE JOB by design (a payload that claims RIFF but can't be
+    decoded is data corruption, not a fake-featurizer case; only
+    non-RIFF payloads take the fake fallback upstream — ADVICE
+    round 13)."""
     import numpy as np
 
     n_channels, sample_rate, bits, off, size = _parse_wav_header(payload)
-    if bits != 16:
-        raise ValueError(f"unsupported bits_per_sample {bits} (16 only)")
-    n = size // (2 * n_channels) * n_channels  # whole samples only
-    samples = np.frombuffer(payload, dtype="<i2", count=n, offset=off)
-    return n_channels, sample_rate, samples
+    if bits == 16:
+        n = size // (2 * n_channels) * n_channels  # whole frames only
+        samples = np.frombuffer(payload, dtype="<i2", count=n, offset=off)
+    elif bits == 8:
+        n = size // n_channels * n_channels
+        raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+        samples = raw.astype(np.int16) - 128
+    elif bits == 24:
+        n = size // (3 * n_channels) * n_channels
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=off
+        ).reshape(-1, 3).astype(np.int64)
+        u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = np.where(u >= 1 << 23, u - (1 << 24), u).astype(np.int32)
+    elif bits == 32:
+        n = size // (4 * n_channels) * n_channels
+        samples = np.frombuffer(payload, dtype="<i4", count=n, offset=off)
+    else:
+        raise ValueError(
+            f"unsupported bits_per_sample {bits} (8/16/24/32 only)"
+        )
+    return n_channels, sample_rate, bits, samples
 
 
-def _wav_hex_expr(doc_id: F.Column, n_samples: int, sample_rate: int):
-    """Hex string of a deterministic mono 16-bit PCM WAV, built
-    JVM-side like :func:`_ppm_hex_expr`: sample i of document d is
-    the int16 with unsigned pattern ``(d*7 + i*13) % 65536``,
-    little-endian. Fixed sample count keeps the RIFF header a
-    constant literal; the formula is what lets the catalog oracle
-    replay REAL decoded-sample semantics in SQL."""
-    data_len = n_samples * 2
+#: per-depth spread multiplier for the synthetic sample pattern —
+#: odd constants so ``(d*7 + i*13) * M % 2^bits`` covers the whole
+#: signed range (sign-extension actually triggers); 16-bit keeps
+#: M=1 for byte-compatibility with the round-13 fixture and oracle.
+_WAV_PATTERN_MULT = {8: 1, 16: 1, 24: 40503, 32: 2654435761}
+
+
+def _wav_hex_expr(
+    doc_id: F.Column, n_samples: int, sample_rate: int, bits: int = 16
+):
+    """Hex string of a deterministic mono integer-PCM WAV, built
+    JVM-side like :func:`_ppm_hex_expr`: sample i of document d has
+    the unsigned little-endian pattern
+    ``(d*7 + i*13) * M % 2^bits`` (``M`` per-depth from
+    ``_WAV_PATTERN_MULT``). Fixed sample count keeps the RIFF header
+    a constant literal; the formula is what lets the catalog oracle
+    replay REAL decoded-sample semantics in SQL at every supported
+    bit depth (width-parameterized per VERDICT round 13 #4)."""
+    nbytes = bits // 8
+    mult = _WAV_PATTERN_MULT[bits]
+    modulus = 1 << bits
+    data_len = n_samples * nbytes
     header = (
         b"RIFF"
         + (36 + data_len).to_bytes(4, "little")
@@ -491,20 +530,30 @@ def _wav_hex_expr(doc_id: F.Column, n_samples: int, sample_rate: int):
         + (1).to_bytes(2, "little")   # PCM
         + (1).to_bytes(2, "little")   # mono
         + sample_rate.to_bytes(4, "little")
-        + (sample_rate * 2).to_bytes(4, "little")
-        + (2).to_bytes(2, "little")
-        + (16).to_bytes(2, "little")
+        + (sample_rate * nbytes).to_bytes(4, "little")
+        + nbytes.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
         + b"data"
         + data_len.to_bytes(4, "little")
     ).hex().upper()
     idx = F.sequence(F.lit(0), F.lit(n_samples - 1))
-    vals = F.transform(idx, lambda i: (doc_id * 7 + i * 13) % 65536)
+    vals = F.transform(
+        idx, lambda i: (doc_id * 7 + i * 13) * F.lit(mult) % modulus
+    )
     hexs = F.array_join(
         F.transform(
             vals,
             lambda v: F.concat(
-                F.lpad(F.hex(v % 256), 2, "0"),
-                F.lpad(F.hex((v / 256).cast("bigint")), 2, "0"),
+                *[
+                    F.lpad(
+                        F.hex(
+                            (v / F.lit(256 ** b)).cast("bigint") % 256
+                        ),
+                        2,
+                        "0",
+                    )
+                    for b in range(nbytes)
+                ]
             ),
         ),
         "",
@@ -513,17 +562,22 @@ def _wav_hex_expr(doc_id: F.Column, n_samples: int, sample_rate: int):
 
 
 def attach_wav_audio(
-    docs: DataFrame, n_samples: int = 480, sample_rate: int = 8000
+    docs: DataFrame,
+    n_samples: int = 480,
+    sample_rate: int = 8000,
+    bits: int = 16,
 ) -> DataFrame:
     """Audio-typed MEDIA_ASSET rows whose payloads are REAL RIFF/WAVE
-    16-bit PCM files (one per audio-typed document, deterministic
-    samples via :func:`_wav_hex_expr`) — the fixture the decoded-
-    sample audio-features entry runs on."""
+    integer-PCM files (one per audio-typed document, deterministic
+    samples via :func:`_wav_hex_expr`, width per ``bits``) — the
+    fixture the decoded-sample audio-features entries run on."""
     did = F.col("doc_id")
     return docs.where(did % 3 == 1).select(
         did.alias("asset_id"),
         F.lit("audio").alias("media_type"),
-        F.unhex(_wav_hex_expr(did, n_samples, sample_rate)).alias("payload"),
+        F.unhex(
+            _wav_hex_expr(did, n_samples, sample_rate, bits)
+        ).alias("payload"),
     )
 
 
@@ -555,10 +609,15 @@ def audio_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
     discipline with a FLOOR freeze (floor has no rounding-mode tie:
     Python round is half-even, DuckDB's is half-up), so the DuckDB
     oracle replays every decoded sample and both float ops
-    bit-for-bit. Non-WAV payloads
-    in wav mode fall back to the fake featurizer (the stand-in for
-    codecs this box can't decode), as do all payloads in
-    ``decode='fake'``. Audio-only filter stays JVM-side."""
+    bit-for-bit. Fallback contract (ADVICE r13, made precise): only
+    payloads that are NOT RIFF at all take the fake featurizer in
+    wav mode (the stand-in for container formats this box can't
+    decode); a payload that CLAIMS RIFF but fails to decode —
+    truncated, compressed/non-PCM fmt, unheard-of bit depth — FAILS
+    THE JOB, because feature rows silently fabricated from a corrupt
+    archive poison every curation filter downstream. All payloads
+    take the fake path in ``decode='fake'``. Audio-only filter stays
+    JVM-side."""
     import math
 
     import numpy as np
@@ -574,7 +633,7 @@ def audio_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
     def _real(b: bytes):
         if b[:4] != b"RIFF":
             return _fake(b)
-        ch, rate, samples = decode_wav(b)
+        ch, rate, _bits, samples = decode_wav(b)
         n = int(samples.size)
         ss = int((samples.astype(np.int64) ** 2).sum())
         peak = int(np.abs(samples.astype(np.int64)).max()) if n else 0
@@ -606,14 +665,34 @@ def audio_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
 
 
 def encode_wav(
-    samples, sample_rate: int, n_channels: int = 1
+    samples, sample_rate: int, n_channels: int = 1, bits: int = 16
 ) -> bytes:
-    """Inverse of :func:`decode_wav`: canonical 16-bit PCM RIFF/WAVE
+    """Inverse of :func:`decode_wav`: canonical integer-PCM RIFF/WAVE
     (fmt then data, no extra chunks) — the layout
-    :func:`_parse_wav_header` round-trips."""
+    :func:`_parse_wav_header` round-trips. ``bits`` ∈ {8, 16, 24,
+    32}: samples are the SIGNED plane decode_wav returns (8-bit
+    re-centers to the spec's unsigned storage; 24-bit packs the low
+    three little-endian two's-complement bytes)."""
     import numpy as np
 
-    data = np.asarray(samples, dtype="<i2").tobytes()
+    if bits == 16:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+    elif bits == 8:
+        data = (
+            (np.asarray(samples, dtype=np.int64) + 128)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    elif bits == 24:
+        a = np.asarray(samples, dtype="<i4")
+        data = np.ascontiguousarray(a).view(np.uint8).reshape(-1, 4)[
+            :, :3
+        ].tobytes()
+    elif bits == 32:
+        data = np.asarray(samples, dtype="<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bits {bits} (8/16/24/32 only)")
+    block = (bits // 8) * n_channels
     return (
         b"RIFF"
         + (36 + len(data)).to_bytes(4, "little")
@@ -622,9 +701,9 @@ def encode_wav(
         + (1).to_bytes(2, "little")
         + n_channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
-        + (sample_rate * 2 * n_channels).to_bytes(4, "little")
-        + (2 * n_channels).to_bytes(2, "little")
-        + (16).to_bytes(2, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
         + b"data"
         + len(data).to_bytes(4, "little")
         + data
@@ -669,7 +748,7 @@ def resample_audio(
     def _real(b: bytes):
         if b[:4] != b"RIFF":
             return _fake(b)
-        ch, rate, samples = decode_wav(b)
+        ch, rate, bits, samples = decode_wav(b)
         if rate % factor:
             raise ValueError(
                 f"factor {factor} does not divide sample rate {rate}"
@@ -678,7 +757,7 @@ def resample_audio(
         out_rate = rate // factor
         flat = frames.reshape(-1)
         return out_rate, int(flat.size), encode_wav(
-            np.ascontiguousarray(flat), out_rate, ch
+            np.ascontiguousarray(flat), out_rate, ch, bits
         )
 
     fn = _fake if decode == "fake" else _real

@@ -277,15 +277,15 @@ def test_decode_wav_reference():
         decode_wav,
     )
 
-    ch, rate, s = decode_wav(_ref_wav([0, 100, -100, 32767, -32768]))
+    ch, rate, bits, s = decode_wav(_ref_wav([0, 100, -100, 32767, -32768]))
     assert (ch, rate) == (1, 8000)
     assert list(s) == [0, 100, -100, 32767, -32768]
     # an odd-sized LIST chunk (with pad byte) before data must be
     # skipped by the chunk walk, not break the offsets
-    ch, rate, s = decode_wav(_ref_wav([7, -7], extra_chunk=True))
+    ch, rate, bits, s = decode_wav(_ref_wav([7, -7], extra_chunk=True))
     assert list(s) == [7, -7]
     # stereo interleave comes back flat, whole frames only
-    ch, rate, s = decode_wav(_ref_wav([1, 2, 3, 4], channels=2))
+    ch, rate, bits, s = decode_wav(_ref_wav([1, 2, 3, 4], channels=2))
     assert ch == 2 and list(s) == [1, 2, 3, 4]
     for bad in (
         b"RIFX" + b"\x00" * 40,                      # wrong magic
@@ -322,7 +322,7 @@ def test_audio_features_real_wav_path(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(60)
     assets = attach_wav_audio(docs)
     row = assets.first()
-    ch, rate, samples = decode_wav(bytes(row.payload))
+    ch, rate, bits, samples = decode_wav(bytes(row.payload))
     assert (ch, rate, len(samples)) == (1, 8000, 480)
     d = row.asset_id
     assert list(samples[:3]) == [
@@ -334,7 +334,7 @@ def test_audio_features_real_wav_path(spark):
     got = {r.asset_id: r for r in audio_features(assets, decode="wav").collect()}
     for aid, payload in [(r.asset_id, bytes(r.payload))
                          for r in assets.collect()]:
-        _, _, s = decode_wav(payload)
+        _, _, _, s = decode_wav(payload)
         ss = int(sum(int(v) * int(v) for v in s))
         r = got[aid]
         assert r.sum_sq == ss
@@ -374,10 +374,10 @@ def test_resample_audio_real_wav_path(spark):
     out = {r.asset_id: r for r in
            resample_audio(assets, factor=4, decode="wav").collect()}
     for r in assets.collect():
-        _, rate, s = decode_wav(bytes(r.payload))
+        _, rate, _, s = decode_wav(bytes(r.payload))
         got = out[r.asset_id]
         assert got.sample_rate == rate // 4
-        ch2, rate2, s2 = decode_wav(bytes(got.payload))
+        ch2, rate2, _, s2 = decode_wav(bytes(got.payload))
         assert (ch2, rate2) == (1, rate // 4)
         assert list(s2) == list(s[::4])
     # stereo: decimation is frame-wise, channels stay interleaved
@@ -391,7 +391,7 @@ def test_resample_audio_real_wav_path(spark):
         "asset_id long, media_type string, payload binary",
     )
     row = resample_audio(sdf, factor=2, decode="wav").first()
-    _, _, ss = decode_wav(bytes(row.payload))
+    _, _, _, ss = decode_wav(bytes(row.payload))
     assert list(ss) == [1, 2, 5, 6]
     # non-dividing factor refuses
     with pytest.raises(Exception):
@@ -400,3 +400,103 @@ def test_resample_audio_real_wav_path(spark):
     fake = attach_payload(docs).where("media_type = 'audio'")
     fb = resample_audio(fake, factor=4, decode="wav").first()
     assert fb.sample_rate == 4000
+
+
+def test_decode_wav_multi_depth_roundtrip():
+    """8/24/32-bit integer PCM round-trips through encode_wav →
+    decode_wav (VERDICT r13 #4): 8-bit re-centers through the spec's
+    unsigned storage, 24-bit packs/sign-extends 3-byte LE frames,
+    32-bit maps straight; an unheard-of depth still refuses."""
+    import pytest
+
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    cases = {
+        8: [0, 1, -1, 127, -128],
+        24: [0, 1, -1, 8388607, -8388608, 70000, -70000],
+        32: [0, 1, -1, 2147483647, -2147483648, 1 << 24, -(1 << 24)],
+    }
+    for bits, vals in cases.items():
+        payload = encode_wav(vals, 8000, 1, bits)
+        ch, rate, got_bits, s = decode_wav(payload)
+        assert (ch, rate, got_bits) == (1, 8000, bits)
+        assert list(s) == vals, bits
+        # stereo frames too
+        payload = encode_wav(vals[:4], 8000, 2, bits)
+        ch, _, _, s = decode_wav(payload)
+        assert ch == 2 and list(s) == vals[:4]
+    with pytest.raises(ValueError):
+        encode_wav([0], 8000, 1, 12)
+    # a claimed 12-bit payload refuses at decode
+    bad = bytearray(encode_wav([0, 0], 8000, 1, 16))
+    bad[34] = 12  # bits_per_sample field
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_audio_features_24bit_fixture(spark):
+    """The width-parameterized fixture at bits=24: payloads decode
+    through the reference path with sign extension actually
+    triggering, and audio_features matches a pure-Python replay —
+    the engine half of the multimodal_audio_features_24bit oracle."""
+    import math
+
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        attach_wav_audio,
+        audio_features,
+        decode_wav,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    assets = attach_wav_audio(docs, bits=24)
+    rows = assets.collect()
+    any_negative = False
+    got = {
+        r.asset_id: r
+        for r in audio_features(assets, decode="wav").collect()
+    }
+    for r in rows:
+        ch, rate, bits, s = decode_wav(bytes(r.payload))
+        assert (ch, rate, bits, len(s)) == (1, 8000, 24, 480)
+        d = r.asset_id
+        want = [
+            (d * 7 + i * 13) * 40503 % 16777216 for i in range(480)
+        ]
+        want = [v - 16777216 if v >= 8388608 else v for v in want]
+        assert list(s) == want
+        any_negative = any_negative or any(v < 0 for v in want)
+        ss = sum(v * v for v in want)
+        g = got[d]
+        assert g.sum_sq == ss
+        assert g.peak == max(abs(v) for v in want)
+        assert g.rms_micro == int(math.sqrt(ss / 480) * 1e6)
+    assert any_negative  # sign extension actually exercised
+
+
+def test_resample_preserves_bit_depth(spark):
+    """resample_audio re-encodes at the INPUT's bit depth — a 24-bit
+    archive decimated must not silently clip to 16."""
+    from pyspark_airflow_weather_etl_spark.operators.multimodal import (
+        attach_wav_audio,
+        decode_wav,
+        resample_audio,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    assets = attach_wav_audio(docs, bits=24)
+    out = resample_audio(assets, factor=4, decode="wav").collect()
+    src = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    for r in out:
+        _, _, _, s_in = decode_wav(src[r.asset_id])
+        ch, rate, bits, s_out = decode_wav(bytes(r.payload))
+        assert (ch, rate, bits) == (1, 2000, 24)
+        assert list(s_out) == list(s_in[::4])
