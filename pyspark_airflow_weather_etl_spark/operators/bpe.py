@@ -236,15 +236,125 @@ def _pair_counts_of(vocab: DataFrame) -> DataFrame:
     )
 
 
-#: the measured 'auto' crossover (scripts/bpe_probe.py, BASELINE.md
-#: round 13): driver-dict incremental recount wins where rounds are
+#: the round-13 measured crossover for the DISTRIBUTED trainer's two
+#: recount modes (scripts/bpe_probe.py, BASELINE.md round 13):
+#: driver-dict incremental recount wins where rounds are
 #: per-job-LATENCY-bound (fixture-scale 1.4k words: 73.5 s vs 87.4 s
 #: full at 512 merges — it deletes the recount/argmax job entirely),
 #: and loses mildly at every compute-bound vocab measured (46k-2.3M
 #: Zipf words: 1.09-1.23× slower — the staged delta column's write
 #: amplification exceeds the recount it saves, because map-side
-#: combine already shrinks the recount to pair-space size).
+#: combine already shrinks the recount to pair-space size). Kept for
+#: the explicit 'incremental' A/B mode; 'auto' now dispatches on
+#: _DRIVER_TRAIN_MAX_VOCAB below.
 _DRIVER_STATE_MAX_VOCAB = 10_000
+
+#: 'auto' trains ENTIRELY DRIVER-SIDE at or below this many distinct
+#: words (VERDICT round 13 #1): the distinct-word frame is
+#: corpus-compressed (the 2.28M-word Zipf probe is tens of MB as
+#: (word, freq) rows — web-corpus vocabs are 10⁷-10⁸), so the merge
+#: loop needs ZERO Spark jobs per round — the round-13 measurement
+#: proved the per-round vocab-frame materialization, not pair
+#: counting, bounds distributed wall time (~1.2-1.4 h projected at
+#: 32k merges vs minutes driver-side). 4M words ≈ low-single-GB of
+#: Python symbol lists — comfortably inside any driver that runs a
+#: 100 TB job; beyond-driver vocabs keep the distributed trainer.
+_DRIVER_TRAIN_MAX_VOCAB = 4_000_000
+
+
+def _greedy_apply(syms: list[str], left: str, right: str) -> list[str]:
+    """One greedy-leftmost non-overlapping merge pass — the
+    pure-Python twin of :func:`_apply_merge` (a single pass removes
+    every (left, right) adjacency: the scan consumes both symbols on
+    a match, and new pairs created by a merge always involve the
+    merged symbol, which cannot equal ``left``)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    merged = left + right
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_driver(
+    vocab_rows, num_merges: int, min_freq: int
+) -> list["Merge"]:
+    """The merge loop entirely driver-side over the collected
+    (syms, freq) vocab — EXACTLY the sequential trainer's semantics
+    (argmax tiebreak pair_freq DESC, left, right; greedy-leftmost
+    application; min_freq stop), equality-pytested against the
+    distributed trainer in tests/test_bpe.py.
+
+    Zero Spark jobs per round (VERDICT round 13 #1): pair counts live
+    in a dict, the argmax in a lazy-invalidation heap (stale entries
+    — counts superseded by a later delta — are discarded on pop, so
+    each round pops the TRUE current maximum), and a pair→word-set
+    inverted index confines each merge's rewrite to the words that
+    contain it: per-merge cost is O(words containing the pair ×
+    word length), the subword-nmt economics, instead of a cluster
+    round-trip. Counts are exact integers throughout — the signed
+    per-word deltas are the incremental-recount semantics the
+    distributed mode proved."""
+    import heapq
+    from collections import Counter
+
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for syms, f in vocab_rows:
+        words.append(list(syms))
+        freqs.append(int(f))
+    pc: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for p in zip(syms, syms[1:]):
+            pc[p] = pc.get(p, 0) + f
+            occ.setdefault(p, set()).add(i)
+    heap = [(-c, left, right) for (left, right), c in pc.items()]
+    heapq.heapify(heap)
+    merges: list[Merge] = []
+    while len(merges) < num_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        c = -negc
+        if pc.get((left, right), 0) != c:
+            continue  # stale heap entry — a delta superseded it
+        if c < min_freq:
+            break  # fresh maximum below the floor: training is done
+        merges.append(Merge(len(merges), left, right, c))
+        touched: dict[tuple[str, str], int] = {}
+        for i in list(occ.get((left, right), ())):
+            old = words[i]
+            new = _greedy_apply(old, left, right)
+            f = freqs[i]
+            oldc = Counter(zip(old, old[1:]))
+            newc = Counter(zip(new, new[1:]))
+            for p in oldc.keys() | newc.keys():
+                d = newc.get(p, 0) - oldc.get(p, 0)
+                if d:
+                    nv = pc.get(p, 0) + d * f
+                    if nv:
+                        pc[p] = nv
+                    else:
+                        pc.pop(p, None)
+                    touched[p] = nv
+                if p in newc and p not in oldc:
+                    occ.setdefault(p, set()).add(i)
+                elif p in oldc and p not in newc:
+                    s = occ.get(p)
+                    if s is not None:
+                        s.discard(i)
+                        if not s:
+                            occ.pop(p, None)
+            words[i] = new
+        for p, nv in touched.items():
+            if nv > 0:
+                heapq.heappush(heap, (-nv, p[0], p[1]))
+    return merges
 
 
 @dataclass(frozen=True)
@@ -383,15 +493,25 @@ def bpe_train(
     sequential trainer is pytest-pinned for the adaptive path too.
 
     ``recount`` picks how each round's pair-frequency ranking is
-    produced; both modes learn IDENTICAL rule lists (equality
+    produced; ALL modes learn IDENTICAL rule lists (equality
     pytest in tests/test_bpe.py):
 
-    - ``'auto'`` (default): one vocab count picks the measured-faster
-      mode — ``'incremental'`` at latency-bound vocab sizes (≤
-      ``_DRIVER_STATE_MAX_VOCAB`` distinct words), ``'full'`` above,
-      where the delta column's write amplification costs more than
-      the recount it saves (every number in BASELINE.md round 13,
-      reproducible via scripts/bpe_probe.py).
+    - ``'auto'`` (default): one vocab count dispatches —
+      ``'driver'`` when the distinct-word frame fits the driver
+      (≤ ``_DRIVER_TRAIN_MAX_VOCAB`` words), ``'full'`` above.
+    - ``'driver'`` (VERDICT round 13 #1): collect the (syms, freq)
+      vocab ONCE — it is corpus-compressed, tens of MB at millions
+      of words — and run the whole merge loop in
+      :func:`_bpe_train_driver`: ZERO Spark jobs per round (the
+      round-13 measurement proved the per-round vocab-frame
+      materialization, not pair counting, bounds the distributed
+      trainer's 32k-merge wall time at ~1.2-1.4 h; driver-side the
+      same training is minutes). ``batch_rounds`` / ``adaptive`` are
+      no-ops here (there is no per-round job to amortize), and
+      ``checkpoint_dir`` only covers the one word_freqs job —
+      post-collect the loop is driver state, which a Spark
+      checkpoint cannot protect (persist the ARTIFACT via
+      :func:`bpe_save_merges` for durability).
     - ``'incremental'``: pair counts live as DRIVER state — a dict keyed by (left, right), pair-space-sized
       like every other tokenizer artifact (distinct ADJACENT-PAIR
       count, not vocab or corpus: ~4.3e2 pairs on the 2.3M-word probe
@@ -425,7 +545,7 @@ def bpe_train(
     state out so a multi-hour 32k-vocab run survives executor loss.
     Learned rules are identical either way (equality pytest).
     """
-    if recount not in ("auto", "incremental", "full"):
+    if recount not in ("auto", "driver", "incremental", "full"):
         raise ValueError(f"unknown recount {recount!r}")
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -437,13 +557,18 @@ def bpe_train(
         checkpoint_dir,
     )
     if recount == "auto":
-        # one cheap count over the just-materialized frame picks the
-        # measured-faster mode (_DRIVER_STATE_MAX_VOCAB rationale)
+        # one cheap count over the just-materialized frame: train
+        # driver-side whenever the vocab fits (_DRIVER_TRAIN_MAX_VOCAB
+        # rationale), distributed full recount beyond
         recount = (
-            "incremental"
-            if vocab.count() <= _DRIVER_STATE_MAX_VOCAB
+            "driver"
+            if vocab.count() <= _DRIVER_TRAIN_MAX_VOCAB
             else "full"
         )
+    if recount == "driver":
+        rows = [(r["syms"], r["freq"]) for r in vocab.collect()]
+        vocab.unpersist(blocking=False)
+        return _bpe_train_driver(rows, num_merges, min_freq)
     pc: dict[tuple[str, str], int] | None = None
     if recount == "incremental":
         pc = {

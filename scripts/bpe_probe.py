@@ -114,7 +114,8 @@ def main() -> int:
     ap.add_argument("--merges", type=int, default=512)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--recount", default="both",
-                    choices=["incremental", "full", "auto", "both"])
+                    choices=["driver", "incremental", "full", "auto",
+                             "both", "all"])
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--synth", type=int, default=0,
                     help="use the synthetic corpus with N docs "
@@ -134,6 +135,7 @@ def main() -> int:
     corpus.count()  # warm: corpus build priced out of both arms
     modes = (
         ["incremental", "full"] if args.recount == "both"
+        else ["driver", "incremental", "full"] if args.recount == "all"
         else [args.recount]
     )
     fps = []

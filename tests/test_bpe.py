@@ -315,9 +315,53 @@ def test_incremental_recount_equals_full(spark):
             )
             assert inc == full, f"case={texts[0][:20]!r} m={m}"
     # 'auto' (the default) dispatches by vocab size without changing
-    # results — tiny vocab routes to 'full', same rules either way
+    # results — fixture vocab fits the driver, so it routes to
+    # 'driver'; same rules as the distributed trainer either way
     auto = bpe_train(docs, num_merges=20, min_freq=2, recount="auto")
     assert auto == bpe_train(docs, num_merges=20, min_freq=2,
                              recount="full")
     with pytest.raises(ValueError):
         bpe_train(docs, num_merges=2, recount="nope")
+
+
+def test_driver_training_equals_distributed(spark):
+    """recount='driver' (the whole merge loop driver-side over the
+    collected vocab — zero jobs per round, VERDICT r13 #1) learns the
+    IDENTICAL rule list — ranks, pairs, recorded frequencies — as the
+    distributed trainer, on the fixture corpus, deep rule lists, the
+    adversarial corpora (interacting pairs, merged-symbol collisions
+    that make existing counts GROW, tie plateaus, min_freq stops),
+    and the pure-Python full-recount reference."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for kw in (
+        dict(num_merges=20, min_freq=2),
+        dict(num_merges=64, min_freq=2),
+        dict(num_merges=20, min_freq=1),
+        dict(num_merges=500, min_freq=5),  # past the min_freq stop
+    ):
+        drv = bpe_train(docs, recount="driver", **kw)
+        full = bpe_train(docs, recount="full", batch_rounds=8, **kw)
+        assert drv == full, f"kwargs={kw}"
+    cases = [
+        ["a b c " * 50 + "a b " * 5, "b c d " * 30],
+        ["a a a a " * 40, "a a b " * 20, "b b b " * 10],
+        ["a bc " * 60, "ab c " * 40, "abc x " * 30, "x y " * 25],
+        ["a b " * 7, "c d " * 7, "e f " * 7, "g h " * 7, "b a " * 7],
+        ["aaaa bbbb " * 30, "aaab " * 25, "abab " * 20],
+    ]
+    for texts in cases:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        drv = bpe_train(df, num_merges=12, min_freq=2, recount="driver")
+        full = bpe_train(df, num_merges=12, min_freq=2, recount="full")
+        assert drv == full, f"case={texts[0][:20]!r}"
+        ref = ref_train(texts, num_merges=12, min_freq=2)
+        assert [(m.left, m.right, m.freq) for m in drv] == ref
+    # encode with driver-trained rules is byte-identical downstream
+    drv = bpe_train(docs, num_merges=24, min_freq=2, recount="driver")
+    full = bpe_train(docs, num_merges=24, min_freq=2, recount="full")
+    enc_d = sorted(map(tuple, bpe_encode(docs, drv).collect()))
+    enc_f = sorted(map(tuple, bpe_encode(docs, full).collect()))
+    assert enc_d == enc_f
