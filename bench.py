@@ -1672,26 +1672,39 @@ def _cc_algorithm_probe(spark, sf_dir: str) -> dict[str, float]:
     )
     from pyspark_airflow_weather_etl_spark.sources.tables import load_table
 
+    import tempfile
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         docs, "doc_id", "text", threshold=0.5, n=3
     ).localCheckpoint()  # graph build priced out: the probe times CC
-    out: dict[str, list[float]] = {"star": [], "label": []}
+    ckpt_root = tempfile.mkdtemp(prefix="bench_cc_ckpt_")
+    out: dict[str, list[float]] = {"star": [], "label": [], "star_ckpt": []}
     labelings: set[tuple] = set()
-    for _ in range(BENCH_RUNS):
-        for algo in ("star", "label"):
+    for i in range(BENCH_RUNS):
+        for algo, kw in (
+            ("star", {}),
+            ("label", {}),
+            # the reliable-checkpoint durability premium, priced
+            # (VERDICT r13 #6): same algorithm, round state written to
+            # a filesystem path instead of executor-pinned blocks —
+            # what a multi-hour training on preemptible executors pays
+            ("star_ckpt", {"checkpoint_dir": f"{ckpt_root}/run{i}"}),
+        ):
             t0 = time.perf_counter()
             got = connected_components(
-                pairs, max_iter=50, algorithm=algo
+                pairs, max_iter=50, algorithm=algo.split("_")[0], **kw
             ).collect()
             out[algo].append(time.perf_counter() - t0)
             labelings.add(tuple(sorted((r.node, r.component) for r in got)))
         release_cached()
-    assert len(labelings) == 1, "star and label components diverged"
+    assert len(labelings) == 1, "star/label/ckpt components diverged"
     pairs.unpersist(blocking=False)
+    shutil.rmtree(ckpt_root, ignore_errors=True)
     return {
         "dedup_clusters_star": round(_median(out["star"]), 3),
         "dedup_clusters_label": round(_median(out["label"]), 3),
+        "dedup_clusters_star_ckpt": round(_median(out["star_ckpt"]), 3),
     }
 
 

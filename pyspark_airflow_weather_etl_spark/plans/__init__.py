@@ -661,11 +661,96 @@ _PRIORITY_R13: frozenset[str] = frozenset(
 )
 
 
+# CORRECTNESS_r13.json rows — all 50 green (44 hash-exact, 6 in the
+# declared rows-only set), freshest tier.
+_VERIFIED_R13: frozenset[str] = frozenset(
+    {
+        "bpe_encode_documents",
+        "bpe_merges_documents",
+        "build_vocab_documents",
+        "cap_documents_per_source",
+        "chunk_documents_fixed",
+        "decontaminate_documents",
+        "dedup_clusters_jaccard",
+        "dedup_keep_best_quality",
+        "dedup_passages_documents",
+        "doc_repetition_stats",
+        "embedding_near_dup_blocked",
+        "embedding_near_dup_pairs",
+        "embedding_norms",
+        "encode_documents_vocab",
+        "feature_hash_embed_documents",
+        "global_shuffle_documents",
+        "grouped_centroids_pandas",
+        "ivf_ann_topk",
+        "ivf_ann_topk_at_rest",
+        "label_centroids",
+        "minhash_dedup_incremental",
+        "minhash_dedup_incremental_bucketed",
+        "minhash_lsh_portable_pairs",
+        "multimodal_audio_features",
+        "multimodal_audio_resample",
+        "pack_bins_documents",
+        "pairwise_topk_per_label",
+        "phrase_match_at_rest",
+        "phrase_match_at_rest_set",
+        "phrase_match_compacted",
+        "phrase_match_incremental",
+        "profile_orders_columns",
+        "proximity_match_at_rest",
+        "proximity_match_at_rest_set",
+        "semantic_dedup_embeddings",
+        "semantic_dedup_embeddings_hot",
+        "semantic_dedup_fixed_cells",
+        "sq8_ann_topk_at_rest",
+        "sq8_ann_topk_incremental",
+        "sql_above_nation_avg",
+        "sql_grouping_sets_orders",
+        "sql_q4_late_orders",
+        "srp_ann_topk_at_rest",
+        "stream_static_enrichment",
+        "streaming_incremental_dedup",
+        "streaming_phrase_index_match",
+        "streaming_quality_monitor",
+        "streaming_sq8_index_topk",
+        "takedown_documents",
+        "token_budget_select_documents",
+    }
+)
+
+
+# Round-14 priority head: NEW entries plus names whose engine path
+# changed this round after their latest driver row — the driver-side
+# BPE trainer (now the auto default), the disjoint-manifest dedup
+# skip in the positional probes + the incremental plan's contiguous
+# batches, the SQ8 duplicate-id fold in probe/compact/refit, the
+# degenerate-dimension drift sentinel, and the multi-depth WAV decode
+# under the audio entries.
+_PRIORITY_R14: frozenset[str] = frozenset(
+    {
+        "multimodal_audio_features_24bit",  # new this round
+        "bpe_merges_documents",
+        "bpe_encode_documents",
+        "phrase_match_at_rest",
+        "phrase_match_at_rest_set",
+        "phrase_match_incremental",
+        "phrase_match_compacted",
+        "proximity_match_at_rest",
+        "proximity_match_at_rest_set",
+        "sq8_ann_topk_at_rest",
+        "sq8_ann_topk_incremental",
+        "streaming_sq8_index_topk",
+        "multimodal_audio_features",
+        "multimodal_audio_resample",
+    }
+)
+
+
 def _schedule_registry() -> None:
-    """Reorder REGISTRY: never-verified names first, then names whose
-    oracle postdates their last driver row (_PRIORITY_R12), then the
-    stalest round's names, then the freshest round's. A name in
-    several rounds' sets is scheduled by its freshest row (later tiers
+    """Reorder REGISTRY: never-verified names first, then this
+    round's changed-path head (_PRIORITY_R14), then the stalest
+    round's names, then the freshest round's. A name in several
+    rounds' sets is scheduled by its freshest row (later tiers
     win)."""
     rounds = [
         _VERIFIED_R1,
@@ -678,12 +763,13 @@ def _schedule_registry() -> None:
         _VERIFIED_R10,
         _VERIFIED_R11,
         _VERIFIED_R12,
+        _VERIFIED_R13,
     ]
     tiers = [
         rounds[i] - frozenset().union(*rounds[i + 1 :])
         for i in range(len(rounds) - 1)
     ] + [rounds[-1]]
-    head = _PRIORITY_R13 | (_PRIORITY_R12 - frozenset().union(*rounds))
+    head = _PRIORITY_R14 | (_PRIORITY_R12 - frozenset().union(*rounds))
     tiers = [head] + [t - head for t in tiers]
     entries = dict(REGISTRY)
     REGISTRY.clear()
