@@ -1430,7 +1430,15 @@ def _bpe_probe(spark, sf_dir: str) -> dict[str, float]:
     for _ in range(BENCH_RUNS):
         docs = load_table(spark, sf_dir, "documents")
         t0 = time.perf_counter()
-        got = bpe_train(docs, num_merges=24, min_freq=2, batch_rounds=8)
+        # recount pinned to the DISTRIBUTED trainer: since round 14
+        # 'auto' routes driver-fitting vocabs to the driver-resident
+        # loop, so this key prices the distributed batched path the
+        # default no longer takes at this scale (beyond-driver vocabs
+        # still do) against the driver default above.
+        got = bpe_train(
+            docs, num_merges=24, min_freq=2, batch_rounds=8,
+            recount="full",
+        )
         b_samples.append(time.perf_counter() - t0)
         assert (
             tuple((m.rank, m.left, m.right, m.freq) for m in got)
