@@ -720,36 +720,62 @@ def _n_batches(spark: SparkSession, path: str) -> int:
     return len(_batch_ids(spark, path))
 
 
+def _batches_disjoint(
+    spark: SparkSession,
+    tree_path: str,
+    manifest_path: str,
+    min_col: str,
+    max_col: str,
+    n_col: str,
+) -> bool:
+    """Whether a batch-keyed delta tree's per-batch id ranges are
+    PAIRWISE DISJOINT according to its manifest — the proof that no
+    id landed under two batches, so id-keyed dedup/fold passes can be
+    skipped. Any live batch missing from the manifest (a pre-manifest
+    tree) or any range overlap returns False: the manifest is a
+    fast-path marker, never a correctness input. Ranges compare in
+    the id column's OWN type (numeric ids as numbers, string ids
+    lexicographically) — a shared id sits inside both batches' ranges
+    under any total order, so disjoint ranges exclude it either way.
+    Driver cost is one listStatus plus a batches-sized parquet
+    read."""
+    from pyspark.errors import AnalysisException
+
+    live = _batch_ids(spark, tree_path)
+    if len(live) <= 1:
+        return True
+    try:
+        rows = spark.read.parquet(manifest_path).collect()
+    except AnalysisException:
+        return False
+    by_batch = {int(r["batch"]): r for r in rows}
+    if not set(live) <= set(by_batch):
+        return False  # some delta predates the manifest: assume overlap
+    ranges = sorted(
+        (by_batch[b][min_col], by_batch[b][max_col])
+        for b in live
+        if int(by_batch[b][n_col]) > 0
+    )
+    return all(
+        ranges[i][0] > ranges[i - 1][1] for i in range(1, len(ranges))
+    )
+
+
 def _pos_dedup_needed(spark: SparkSession, index_path: str) -> bool:
     """Whether the positional probes must run their (token, doc_id,
     pos) distinct. False in exactly two provably-duplicate-free
     shapes: a single-batch tree (one-shot build or freshly
     compacted), or a multi-batch tree whose per-batch ``manifest``
-    doc-id ranges are PAIRWISE DISJOINT — duplicates require the same
-    doc_id under two batches, which disjoint ranges exclude. Any
-    batch missing from the manifest (a pre-manifest tree) or any
-    range overlap falls back to the dedup: the manifest is a
-    fast-path marker, never a correctness input. Driver cost is one
-    listStatus plus a batches-sized parquet read."""
-    from pyspark.errors import AnalysisException
-
-    live = _batch_ids(spark, f"{index_path}/postings_pos")
-    if len(live) <= 1:
-        return False
-    try:
-        rows = spark.read.parquet(f"{index_path}/manifest").collect()
-    except AnalysisException:
-        return True
-    by_batch = {int(r["batch"]): r for r in rows}
-    if not set(live) <= set(by_batch):
-        return True  # some delta predates the manifest — assume overlap
-    ranges = sorted(
-        (int(by_batch[b]["min_doc_id"]), int(by_batch[b]["max_doc_id"]))
-        for b in live
-        if int(by_batch[b]["n_docs"]) > 0
-    )
-    return any(
-        ranges[i][0] <= ranges[i - 1][1] for i in range(1, len(ranges))
+    doc-id ranges are pairwise disjoint (:func:`_batches_disjoint` —
+    duplicates require the same doc_id under two batches, which
+    disjoint ranges exclude)."""
+    return not _batches_disjoint(
+        spark,
+        f"{index_path}/postings_pos",
+        f"{index_path}/manifest",
+        "min_doc_id",
+        "max_doc_id",
+        "n_docs",
     )
 
 

@@ -240,6 +240,20 @@ def sq8_index_append(
         f"{path}/rows",
         ("batch",),
     )
+    # per-batch id-range manifest (the positional_index_append marker
+    # applied to vectors): when every batch's vec_id range is pairwise
+    # disjoint — the append-only crawl common case — the at-rest probe
+    # skips its index-sized latest-wins fold entirely. Written as a
+    # direct agg so the id keeps its OWN column type across batches.
+    _write_batch_keyed(
+        embeddings.agg(
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows_manifest",
+        ("batch",),
+    )
     n_values = int(guard["n_values"] or 0)
     rep = {
         "batch": batch_id,
@@ -471,6 +485,7 @@ def sq8_index_refit(spark, src_path: str, dst_path: str) -> str:
             .partitionBy("batch")
             .parquet(f"{vdir}/rows")
         )
+        _sq8_write_manifest(spark, vdir, id_col)
 
     return publish_version(spark, dst_path, build)
 
@@ -517,8 +532,28 @@ def sq8_index_compact(spark, src_path: str, dst_path: str) -> str:
             .partitionBy("batch")
             .parquet(f"{vdir}/rows")
         )
+        _sq8_write_manifest(spark, vdir, id_col)
 
     return publish_version(spark, dst_path, build)
+
+
+def _sq8_write_manifest(spark, vdir: str, id_col: str) -> None:
+    """Batch-0 ``rows_manifest`` for a freshly built single-batch SQ8
+    tree (compact/refit output) — a narrow id-column scan of the
+    just-written rows, so appends landing AFTER the rebuild can still
+    prove range disjointness against the folded history."""
+    (
+        spark.read.parquet(f"{vdir}/rows")
+        .agg(
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .withColumn("batch", F.lit(0).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(f"{vdir}/rows_manifest")
+    )
 
 
 def sq8_index_write(
@@ -567,11 +602,15 @@ def sq8_topk_at_rest(
     neighbors — so on a multi-batch tree both passes fold to one row
     per id, LATEST batch wins (the upsert reading; codes are a pure
     function of the vector, so a re-delivered unchanged vector folds
-    to identical bytes either way). Single-batch trees — one-shot
-    builds or freshly compacted/refit ones — provably have no
-    cross-batch duplicates and skip both exchanges (the
-    :func:`..operators.retrieval.phrase_match_at_rest` skip logic)."""
-    from .retrieval import _n_batches
+    to identical bytes either way). The fold is PROVABLY skipped in
+    two duplicate-free shapes (the
+    :func:`..operators.retrieval._batches_disjoint` logic):
+    single-batch trees — one-shot builds or freshly compacted/refit
+    ones — and multi-batch trees whose per-append ``rows_manifest``
+    id ranges are pairwise disjoint (the append-only crawl case), so
+    the correctness fix costs nothing until a re-delivery actually
+    overlaps."""
+    from .retrieval import _batches_disjoint, _n_batches
 
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     mn = [float(v) for v in meta["mn"]]
@@ -592,7 +631,16 @@ def sq8_topk_at_rest(
     # pruning still holds: the coarse pass reads only (id, code[,
     # batch]), ReadSchema-asserted in tests/test_similarity.py.
     rows = spark.read.parquet(f"{index_path}/rows")
-    multi_batch = _n_batches(spark, f"{index_path}/rows") > 1
+    multi_batch = _n_batches(
+        spark, f"{index_path}/rows"
+    ) > 1 and not _batches_disjoint(
+        spark,
+        f"{index_path}/rows",
+        f"{index_path}/rows_manifest",
+        "min_id",
+        "max_id",
+        "n_rows",
+    )
     qq_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in qq])
     coarse_src = rows.select(id_col, "code")
     if multi_batch:

@@ -1300,3 +1300,50 @@ def test_sq8_drift_backfill(spark, tmp_path):
     # idempotent
     assert sq8_drift_backfill(spark, path) == 2
     assert spark.read.parquet(f"{path}/drift").count() == 2
+
+
+def test_sq8_disjoint_batches_skip_fold(spark, tmp_path):
+    """Appends with pairwise-disjoint vec_id ranges (the append-only
+    crawl case) prove no id was re-delivered, so the at-rest probe
+    skips the index-sized latest-wins fold — the positional manifest
+    fast path applied to vectors. Interleaved ranges keep it."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        sq8_index_append,
+        sq8_topk_at_rest,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    # disjoint ranges: [0,150) then [150,300)
+    a = str(tmp_path / "sq8_disjoint")
+    sq8_index_append(emb.where(F.col("vec_id") < 150), a, 0)
+    sq8_index_append(emb.where(F.col("vec_id") >= 150), a, 1)
+    df_a = sq8_topk_at_rest(spark, a, q, k=10)
+    assert "max_by" not in df_a._jdf.queryExecution().analyzed().toString()
+    # interleaved ranges: fold stays
+    b = str(tmp_path / "sq8_interleaved")
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 0), b, 0)
+    sq8_index_append(emb.where(F.col("vec_id") % 2 == 1), b, 1)
+    df_b = sq8_topk_at_rest(spark, b, q, k=10)
+    assert "max_by" in df_b._jdf.queryExecution().analyzed().toString()
+    # a pre-manifest tree (manifest missing) keeps the fold too
+    import shutil
+
+    shutil.rmtree(f"{a}/rows_manifest")
+    df_c = sq8_topk_at_rest(spark, a, q, k=10)
+    assert "max_by" in df_c._jdf.queryExecution().analyzed().toString()
+    # all three probe paths agree with the one-shot build's answer
+    c = str(tmp_path / "sq8_oneshot")
+    sq8_index_append(emb.where(F.col("vec_id") < 150), c, 0)
+    # params differ if trained on a different creation batch — train
+    # on the SAME batch-0 slice so all four indexes share the frozen
+    # quantizer and answers are bit-comparable
+    sq8_index_append(emb.where(F.col("vec_id") >= 150), c, 1)
+    want = sorted(map(tuple, sq8_topk_at_rest(spark, c, q, k=10).collect()))
+    for df in (df_a, df_b, df_c):
+        assert sorted(map(tuple, df.collect())) == want
