@@ -249,17 +249,27 @@ def _pair_counts_of(vocab: DataFrame) -> DataFrame:
 #: _DRIVER_TRAIN_MAX_VOCAB below.
 _DRIVER_STATE_MAX_VOCAB = 10_000
 
-#: 'auto' trains ENTIRELY DRIVER-SIDE at or below this many distinct
-#: words (VERDICT round 13 #1): the distinct-word frame is
-#: corpus-compressed (the 2.28M-word Zipf probe is tens of MB as
-#: (word, freq) rows — web-corpus vocabs are 10⁷-10⁸), so the merge
-#: loop needs ZERO Spark jobs per round — the round-13 measurement
-#: proved the per-round vocab-frame materialization, not pair
-#: counting, bounds distributed wall time (~1.2-1.4 h projected at
-#: 32k merges vs minutes driver-side). 4M words ≈ low-single-GB of
-#: Python symbol lists — comfortably inside any driver that runs a
-#: 100 TB job; beyond-driver vocabs keep the distributed trainer.
+#: 'auto' memory bound for driver-side training: above this many
+#: distinct words the collected symbol lists stop being a casually
+#: driver-sized artifact (2.28M measured words ≈ a few GB of Python
+#: lists; 4M ≈ low-single-GB more) and the distributed trainer takes
+#: over regardless of merge count.
 _DRIVER_TRAIN_MAX_VOCAB = 4_000_000
+
+#: 'auto' speed crossover (round-14 measurement, BASELINE.md): the
+#: driver loop pays a vocab-proportional FIXED cost (initial pair
+#: count + the early merges that touch 40-100% of words — 2.28M
+#: words: ~280 s + 0.25 s/merge tail, Arrow collect 2.4 s), while
+#: the distributed trainer pays per-merge round cost forever
+#: (~0.95 s/merge at 2.28M words, flat in merge count). They cross
+#: near num_merges ≈ vocab/6000 (measured ≈400 merges at 2.28M
+#: words: driver 406 s at 512 merges vs distributed's projected
+#: ~486 s at its measured flat 0.95 s/merge; at 96 merges
+#: distributed 91.6 s beats driver's 304 s) — so 'auto'
+#: goes driver-side when the requested merges clear the ratio, which
+#: a production 32k-vocab run does at ANY driver-collectable corpus
+#: (32k × 6000 = 192M words, far past the memory bound above).
+_DRIVER_TRAIN_WORDS_PER_MERGE = 6_000
 
 
 def _greedy_apply(syms: list[str], left: str, right: str) -> list[str]:
@@ -498,7 +508,12 @@ def bpe_train(
 
     - ``'auto'`` (default): one vocab count dispatches —
       ``'driver'`` when the distinct-word frame fits the driver
-      (≤ ``_DRIVER_TRAIN_MAX_VOCAB`` words), ``'full'`` above.
+      (≤ ``_DRIVER_TRAIN_MAX_VOCAB`` words, the memory bound) AND
+      the merge count clears the measured speed crossover
+      (``num_merges ≥ vocab / _DRIVER_TRAIN_WORDS_PER_MERGE`` — a
+      big vocab with FEW merges amortizes the driver loop's
+      vocab-proportional setup over too little work); ``'full'``
+      otherwise.
     - ``'driver'`` (VERDICT round 13 #1): collect the (syms, freq)
       vocab ONCE — it is corpus-compressed, tens of MB at millions
       of words — and run the whole merge loop in
@@ -558,15 +573,24 @@ def bpe_train(
     )
     if recount == "auto":
         # one cheap count over the just-materialized frame: train
-        # driver-side whenever the vocab fits (_DRIVER_TRAIN_MAX_VOCAB
-        # rationale), distributed full recount beyond
+        # driver-side when the vocab fits the driver (memory bound)
+        # AND the requested merge count clears the measured speed
+        # crossover — the driver loop's cost is vocab-proportional
+        # and ~flat in merges, the distributed trainer's is
+        # per-merge and ~flat in vocab (constants' rationale above)
+        n_vocab = vocab.count()
         recount = (
             "driver"
-            if vocab.count() <= _DRIVER_TRAIN_MAX_VOCAB
+            if n_vocab <= _DRIVER_TRAIN_MAX_VOCAB
+            and n_vocab
+            <= max(1, num_merges) * _DRIVER_TRAIN_WORDS_PER_MERGE
             else "full"
         )
     if recount == "driver":
-        rows = [(r["syms"], r["freq"]) for r in vocab.collect()]
+        # Arrow transfer, not collect(): 2.4 s vs 21.4 s for the
+        # 2.28M-word probe vocab (round-14 measurement)
+        pdf = vocab.toPandas()
+        rows = list(zip(pdf["syms"], pdf["freq"]))
         vocab.unpersist(blocking=False)
         return _bpe_train_driver(rows, num_merges, min_freq)
     pc: dict[tuple[str, str], int] | None = None

@@ -365,3 +365,40 @@ def test_driver_training_equals_distributed(spark):
     enc_d = sorted(map(tuple, bpe_encode(docs, drv).collect()))
     enc_f = sorted(map(tuple, bpe_encode(docs, full).collect()))
     assert enc_d == enc_f
+
+
+def test_auto_dispatch_respects_merge_ratio(spark, monkeypatch):
+    """'auto' goes driver-side only when the merge count clears the
+    vocab/_DRIVER_TRAIN_WORDS_PER_MERGE crossover — a big vocab with
+    few merges keeps the distributed trainer (round-14 measurement:
+    the driver loop's setup is vocab-proportional). Dispatch is
+    observed by patching both implementations' entry points; results
+    are equality-covered elsewhere."""
+    from pyspark_airflow_weather_etl_spark.operators import bpe as B
+
+    # ~10k distinct words, far above 6000·1
+    df = spark.range(10_000).selectExpr(
+        "id as doc_id",
+        "concat('w', cast(id as string), 'x', 'q', "
+        "cast(id % 7 as string)) as text",
+    )
+    picked = {}
+    real_driver = B._bpe_train_driver
+    real_pairs = B._pair_counts_of
+
+    def spy_driver(rows, n, mf):
+        picked["mode"] = "driver"
+        return real_driver(rows, n, mf)
+
+    def spy_pairs(vocab):
+        picked.setdefault("mode", "full")
+        return real_pairs(vocab)
+
+    monkeypatch.setattr(B, "_bpe_train_driver", spy_driver)
+    monkeypatch.setattr(B, "_pair_counts_of", spy_pairs)
+    picked.clear()
+    B.bpe_train(df, num_merges=1, min_freq=2, recount="auto")
+    assert picked["mode"] == "full"  # 10k words > 6000 * 1 merge
+    picked.clear()
+    B.bpe_train(df, num_merges=2, min_freq=2, recount="auto")
+    assert picked["mode"] == "driver"  # 10k <= 6000 * 2
