@@ -272,23 +272,28 @@ _DRIVER_TRAIN_MAX_VOCAB = 4_000_000
 _DRIVER_TRAIN_WORDS_PER_MERGE = 6_000
 
 
-def _greedy_apply(syms: list[str], left: str, right: str) -> list[str]:
+def _greedy_apply(syms: list[str], left: str, right: str):
     """One greedy-leftmost non-overlapping merge pass — the
     pure-Python twin of :func:`_apply_merge` (a single pass removes
     every (left, right) adjacency: the scan consumes both symbols on
     a match, and new pairs created by a merge always involve the
-    merged symbol, which cannot equal ``left``)."""
+    merged symbol, which cannot equal ``left``). Returns None when
+    the pair does not occur — the lazy occurrence index's staleness
+    check, costing nothing extra because the scan had to look
+    anyway."""
     out: list[str] = []
     i, n = 0, len(syms)
     merged = left + right
+    hit = False
     while i < n:
         if i + 1 < n and syms[i] == left and syms[i + 1] == right:
             out.append(merged)
             i += 2
+            hit = True
         else:
             out.append(syms[i])
             i += 1
-    return out
+    return out if hit else None
 
 
 def _bpe_train_driver(
@@ -303,15 +308,20 @@ def _bpe_train_driver(
     Zero Spark jobs per round (VERDICT round 13 #1): pair counts live
     in a dict, the argmax in a lazy-invalidation heap (stale entries
     — counts superseded by a later delta — are discarded on pop, so
-    each round pops the TRUE current maximum), and a pair→word-set
+    each round pops the TRUE current maximum), and a LAZY pair→word
     inverted index confines each merge's rewrite to the words that
-    contain it: per-merge cost is O(words containing the pair ×
+    (may) contain it: per-merge cost is O(words containing the pair ×
     word length), the subword-nmt economics, instead of a cluster
-    round-trip. Counts are exact integers throughout — the signed
-    per-word deltas are the incremental-recount semantics the
+    round-trip. Lazy means the index is a SUPERSET — words are added
+    when a pair first appears in them and never removed; a visit to a
+    word that no longer holds the pair costs one scan and is skipped
+    (:func:`_greedy_apply` returns None), which profiling showed is
+    far cheaper than eagerly maintaining exact sets (the eager form's
+    per-word Counter pair + set discards were ~1/3 of total train
+    time at 647k words). Counts are exact integers throughout — the
+    signed per-word deltas are the incremental-recount semantics the
     distributed mode proved."""
     import heapq
-    from collections import Counter
 
     words: list[list[str]] = []
     freqs: list[int] = []
@@ -337,29 +347,35 @@ def _bpe_train_driver(
             break  # fresh maximum below the floor: training is done
         merges.append(Merge(len(merges), left, right, c))
         touched: dict[tuple[str, str], int] = {}
-        for i in list(occ.get((left, right), ())):
+        # pop: the pair is consumed; if a LATER merge manufactures it
+        # again (its merged symbol concatenating into `left`/`right`),
+        # the positive delta below re-registers both count and index
+        for i in occ.pop((left, right), ()):
             old = words[i]
             new = _greedy_apply(old, left, right)
+            if new is None:
+                continue  # lazy-index staleness: pair already gone
             f = freqs[i]
-            oldc = Counter(zip(old, old[1:]))
-            newc = Counter(zip(new, new[1:]))
-            for p in oldc.keys() | newc.keys():
-                d = newc.get(p, 0) - oldc.get(p, 0)
-                if d:
-                    nv = pc.get(p, 0) + d * f
-                    if nv:
-                        pc[p] = nv
-                    else:
-                        pc.pop(p, None)
-                    touched[p] = nv
-                if p in newc and p not in oldc:
+            # fused signed delta — one dict, no Counters
+            delta: dict[tuple[str, str], int] = {}
+            for p in zip(old, old[1:]):
+                delta[p] = delta.get(p, 0) - 1
+            for p in zip(new, new[1:]):
+                delta[p] = delta.get(p, 0) + 1
+            for p, dc in delta.items():
+                if not dc:
+                    continue
+                nv = pc.get(p, 0) + dc * f
+                if nv:
+                    pc[p] = nv
+                else:
+                    pc.pop(p, None)
+                touched[p] = nv
+                if dc > 0:
+                    # a net-new occurrence in this word: (re)register.
+                    # dc<0-but-still-present pairs were registered
+                    # when they first appeared; dc==0 pairs likewise
                     occ.setdefault(p, set()).add(i)
-                elif p in oldc and p not in newc:
-                    s = occ.get(p)
-                    if s is not None:
-                        s.discard(i)
-                        if not s:
-                            occ.pop(p, None)
             words[i] = new
         for p, nv in touched.items():
             if nv > 0:
