@@ -729,6 +729,7 @@ _VERIFIED_R13: frozenset[str] = frozenset(
 _PRIORITY_R14: frozenset[str] = frozenset(
     {
         "multimodal_audio_features_24bit",  # new this round
+        "sq8_ann_topk_incremental_disjoint",  # new this round
         "bpe_merges_documents",
         "bpe_encode_documents",
         "phrase_match_at_rest",

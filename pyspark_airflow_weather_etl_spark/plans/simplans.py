@@ -168,6 +168,55 @@ def sq8_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# disjoint-range twin: the quantizer trains on the LOW id half (the
+# creation batch), the high half appends under frozen params — same
+# frozen-quantizer replay, different batch geometry
+_SQ8_DISJ_ORACLE = _SQ8_ORACLE.replace(
+    """    ), st AS (
+      SELECT p.j, MIN(q.x[p.j + 1]) AS mn, MAX(q.x[p.j + 1]) AS mx
+      FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) p
+      GROUP BY p.j""",
+    """    ), st AS (
+      SELECT p.j, MIN(q.x[p.j + 1]) AS mn, MAX(q.x[p.j + 1]) AS mx
+      FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) p
+      WHERE q.vec_id < (SELECT COUNT(*) // 2 FROM q)
+      GROUP BY p.j""",
+)
+
+
+_SQ8_DISJ_INDEX: dict[str, str] = {}
+
+
+@register("sq8_ann_topk_incremental_disjoint", oracle=_SQ8_DISJ_ORACLE)
+def sq8_ann_topk_incremental_disjoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The append-only-crawl shape of the SQ8 incremental lifecycle:
+    batch 0 is the LOW vec_id half (trains the frozen quantizer),
+    batch 1 the HIGH half — CONTIGUOUS id ranges, so each append's
+    ``rows_manifest`` proves the batches pairwise disjoint and the
+    probe provably SKIPS the re-delivered-id latest-wins fold
+    (max_by absent from the plan, pytest-pinned in
+    tests/test_similarity.py) — the round-14 fast path exercised
+    under its own oracle, alongside ``sq8_ann_topk_incremental``
+    whose interleaved batches keep the fold active. The oracle
+    replays the frozen-params semantics with min/max trained on the
+    low half only."""
+    import tempfile
+
+    if sf_dir not in _SQ8_DISJ_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cut = emb.count() // 2
+        path = tempfile.mkdtemp(prefix="sq8_disj_") + "/embeddings"
+        S.sq8_index_append(emb.where(F.col("vec_id") < cut), path, 0)
+        S.sq8_index_append(emb.where(F.col("vec_id") >= cut), path, 1)
+        _SQ8_DISJ_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 7)
+    return S.sq8_topk_at_rest(
+        spark, _SQ8_DISJ_INDEX[sf_dir], q, k=10, overfetch=8
+    )
+
+
 @register("srp_ann_topk")  # LSH probe set: no clean SQL equivalent
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via multi-table signed-random-projection LSH
