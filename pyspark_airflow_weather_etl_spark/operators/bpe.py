@@ -259,17 +259,18 @@ _DRIVER_TRAIN_MAX_VOCAB = 4_000_000
 #: 'auto' speed crossover (round-14 measurement, BASELINE.md): the
 #: driver loop pays a vocab-proportional FIXED cost (initial pair
 #: count + the early merges that touch 40-100% of words — 2.28M
-#: words: ~280 s + 0.25 s/merge tail, Arrow collect 2.4 s), while
-#: the distributed trainer pays per-merge round cost forever
-#: (~0.95 s/merge at 2.28M words, flat in merge count). They cross
-#: near num_merges ≈ vocab/6000 (measured ≈400 merges at 2.28M
-#: words: driver 406 s at 512 merges vs distributed's projected
-#: ~486 s at its measured flat 0.95 s/merge; at 96 merges
-#: distributed 91.6 s beats driver's 304 s) — so 'auto'
-#: goes driver-side when the requested merges clear the ratio, which
-#: a production 32k-vocab run does at ANY driver-collectable corpus
-#: (32k × 6000 = 192M words, far past the memory bound above).
-_DRIVER_TRAIN_WORDS_PER_MERGE = 6_000
+#: words with the fused delta pass: ~141 s setup + 0.14 s/merge
+#: tail, Arrow collect 3 s), while the distributed trainer pays
+#: per-merge round cost forever (~0.95 s/merge at 2.28M words, flat
+#: in merge count). They cross near num_merges ≈ vocab/13000
+#: (measured: at 2.28M words driver 212.8 s at 512 merges vs
+#: distributed's projected ~486 s at its measured flat 0.95 s/merge;
+#: at 96 merges distributed 91.6 s beats driver's 154.9 s). 12000 is
+#: the shipped, slightly-conservative constant — 'auto' goes
+#: driver-side when the requested merges clear the ratio, which a
+#: production 32k-vocab run does at ANY driver-collectable corpus
+#: (32k × 12000 = 384M words, far past the memory bound above).
+_DRIVER_TRAIN_WORDS_PER_MERGE = 12_000
 
 
 def _greedy_apply(syms: list[str], left: str, right: str):

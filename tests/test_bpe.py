@@ -376,10 +376,14 @@ def test_auto_dispatch_respects_merge_ratio(spark, monkeypatch):
     are equality-covered elsewhere."""
     from pyspark_airflow_weather_etl_spark.operators import bpe as B
 
-    # ~10k distinct words, far above 6000·1
-    df = spark.range(10_000).selectExpr(
+    from pyspark_airflow_weather_etl_spark.operators.bpe import (
+        _DRIVER_TRAIN_WORDS_PER_MERGE as K,
+    )
+
+    # ~25k distinct words: above K·1, below K·3
+    df = spark.range(25_000).selectExpr(
         "id as doc_id",
-        "concat('w', cast(id as string), 'x', 'q', "
+        "concat('w', cast(id as string), 'x', ' q', "
         "cast(id % 7 as string)) as text",
     )
     picked = {}
@@ -398,7 +402,8 @@ def test_auto_dispatch_respects_merge_ratio(spark, monkeypatch):
     monkeypatch.setattr(B, "_pair_counts_of", spy_pairs)
     picked.clear()
     B.bpe_train(df, num_merges=1, min_freq=2, recount="auto")
-    assert picked["mode"] == "full"  # 10k words > 6000 * 1 merge
+    assert picked["mode"] == "full"  # ~25k words > K * 1 merge
     picked.clear()
-    B.bpe_train(df, num_merges=2, min_freq=2, recount="auto")
-    assert picked["mode"] == "driver"  # 10k <= 6000 * 2
+    B.bpe_train(df, num_merges=3, min_freq=2, recount="auto")
+    assert picked["mode"] == "driver"  # ~25k <= K * 3
+    assert K < 25_007 <= 3 * K  # the fixture straddles the constant
