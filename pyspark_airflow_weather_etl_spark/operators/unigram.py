@@ -168,6 +168,39 @@ def _segment_udf(logp: dict[str, float], max_piece_len: int):
     return F.pandas_udf(seg_batch, "array<string>")
 
 
+#: 'auto' dispatch bound for DRIVER-SIDE unigram training (the BPE
+#: round-14 playbook applied to the EM family, with DIFFERENT
+#: economics): the E-step touches EVERY distinct word EVERY round in
+#: both modes — there is no BPE-style touched-words asymmetry — so
+#: driver mode only deletes the per-round job launch + Arrow
+#: round-trip (~2.3 s/round measured) while giving up the cluster's
+#: cores on the same Python kernel. It wins exactly where rounds are
+#: LATENCY-bound. Measured on this box (BASELINE round 14, 3 EM
+#: rounds, identical trained tables): 50k words — driver 15.8 s vs
+#: distributed 11.1 s; 365k words — 77.9 s vs 22.9 s; fixture-scale
+#: vocabs (hundreds of words) — driver deletes ~7 s of per-round
+#: overhead. Crossover ≈ 30-35k words; 25k is the shipped
+#: conservative bound — far below BPE's memory-bound 4M, because
+#: unigram EM has no incremental trick to amortize. Production web
+#: vocabs (10⁷-10⁸) stay distributed.
+_DRIVER_EM_MAX_VOCAB = 25_000
+
+
+def _collected_word_freqs(df: DataFrame, text_col: str):
+    """(word, freq) rows on the driver over Arrow — the corpus-
+    compressed artifact driver-side EM iterates over."""
+    pdf = word_freqs(df, text_col).toPandas()
+    return list(zip(pdf["word"], pdf["freq"]))
+
+
+def _dispatch_em_mode(mode: str, n_vocab_fn) -> str:
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode != "auto":
+        return mode
+    return "driver" if n_vocab_fn() <= _DRIVER_EM_MAX_VOCAB else "distributed"
+
+
 def unigram_train(
     df: DataFrame,
     text_col: str = "text",
@@ -177,32 +210,57 @@ def unigram_train(
     vocab_size: int = 120,
     em_iters: int = 3,
     checkpoint_dir: str | None = None,
+    mode: str = "auto",
 ) -> dict[str, int]:
     """Train the unigram piece inventory (module docstring). Returns
     the final ``piece -> count`` table in driver space — the tokenizer
     artifact, like BPE's rule list (vocab-sized by construction; the
-    corpus never leaves the cluster)."""
+    corpus never leaves the cluster in distributed mode).
+
+    ``mode='driver'`` collects the (word, freq) frame once and runs
+    every EM round in plain Python with the SAME Viterbi kernel the
+    Arrow UDF ships (integer count sums are orderless, so the learned
+    table is identical — equality pytest); ``'auto'`` picks by the
+    measured latency/compute crossover (``_DRIVER_EM_MAX_VOCAB``).
+    ``checkpoint_dir`` is meaningful only for the distributed rounds."""
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    wf = round_checkpoint(
-        word_freqs(df, text_col).repartition(par), checkpoint_dir
-    )
     counts = {
         r.piece: int(r.piece_freq)
         for r in seed_vocab(
             df, text_col, max_piece_len, min_freq, max_seed
         ).collect()
     }
-    for _ in range(em_iters):
-        seg = _segment_udf(_smoothed_logp(counts), max_piece_len)
-        used = (
-            wf.withColumn("pieces", seg(F.col("word")))
-            .select("freq", F.explode("pieces").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("cnt"))
-            .collect()
+    wf = None
+    words = None
+    if _dispatch_em_mode(
+        mode, lambda: word_freqs(df, text_col).count()
+    ) == "driver":
+        words = _collected_word_freqs(df, text_col)
+    else:
+        par = spark.sparkContext.defaultParallelism
+        wf = round_checkpoint(
+            word_freqs(df, text_col).repartition(par), checkpoint_dir
         )
-        new = {r.piece: int(r.cnt) for r in used}
+    for _ in range(em_iters):
+        if words is not None:
+            seg = _viterbi_factory(_smoothed_logp(counts), max_piece_len)
+            new: dict[str, int] = {}
+            for w, f in words:
+                ps = seg(w)
+                if ps:
+                    f = int(f)
+                    for p in ps:
+                        new[p] = new.get(p, 0) + f
+        else:
+            seg_udf = _segment_udf(_smoothed_logp(counts), max_piece_len)
+            used = (
+                wf.withColumn("pieces", seg_udf(F.col("word")))
+                .select("freq", F.explode("pieces").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("cnt"))
+                .collect()
+            )
+            new = {r.piece: int(r.cnt) for r in used}
         # closure: single chars survive at count 0; longer unused
         # pieces are pruned
         for p in counts:
@@ -215,7 +273,8 @@ def unigram_train(
     for p, c in counts.items():
         if len(p) == 1:
             final[p] = c
-    wf.unpersist(blocking=False)
+    if wf is not None:
+        wf.unpersist(blocking=False)
     return final
 
 
@@ -389,6 +448,7 @@ def unigram_train_em(
     vocab_size: int = 120,
     em_iters: int = 3,
     checkpoint_dir: str | None = None,
+    mode: str = "auto",
 ) -> dict[str, int]:
     """Full-EM unigram training (module comment above): per-round, an
     Arrow pass computes each DISTINCT word's expected piece counts
@@ -398,32 +458,57 @@ def unigram_train_em(
     micro-count`` (drop-in for :func:`unigram_encode` — the smoothed
     probabilities only need relative magnitudes). The same
     word-frequency collapse and driver-bounded iteration as the
-    hard-EM trainer; each round touches the vocab-sized frame only."""
+    hard-EM trainer; each round touches the vocab-sized frame only.
+    ``mode``: as in :func:`unigram_train` — ``'driver'`` runs the
+    rounds in plain Python over the collected vocab with the same
+    kernel + quantization (identical integers, equality pytest)."""
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    wf = round_checkpoint(
-        word_freqs(df, text_col).repartition(par), checkpoint_dir
-    )
     scaled = {
         r.piece: int(r.piece_freq) * EM_SCALE
         for r in seed_vocab(
             df, text_col, max_piece_len, min_freq, max_seed
         ).collect()
     }
-    for _ in range(em_iters):
-        em = _em_count_udf(_em_probs(scaled), max_piece_len)
-        used = (
-            wf.withColumn("pc", em(F.col("word")))
-            .select("freq", F.explode("pc").alias("e"))
-            .select(
-                F.col("e.piece").alias("piece"),
-                (F.col("freq") * F.col("e.c")).alias("wc"),
-            )
-            .groupBy("piece")
-            .agg(F.sum("wc").alias("c"))
-            .collect()
+    wf = None
+    words = None
+    if _dispatch_em_mode(
+        mode, lambda: word_freqs(df, text_col).count()
+    ) == "driver":
+        words = _collected_word_freqs(df, text_col)
+    else:
+        par = spark.sparkContext.defaultParallelism
+        wf = round_checkpoint(
+            word_freqs(df, text_col).repartition(par), checkpoint_dir
         )
-        new = {r.piece: int(r.c) for r in used}
+    for _ in range(em_iters):
+        probs = _em_probs(scaled)
+        if words is not None:
+            # same per-word kernel + quantization the Arrow UDF ships;
+            # the weighted sums are exact integers, so the fold is
+            # orderless and the result identical (equality pytest)
+            new: dict[str, int] = {}
+            for w, f in words:
+                got = _expected_piece_counts(w, probs, max_piece_len)
+                if got is None:
+                    continue
+                f = int(f)
+                for p, c in got:
+                    q = int(round(c * EM_SCALE))
+                    new[p] = new.get(p, 0) + f * q
+        else:
+            em = _em_count_udf(probs, max_piece_len)
+            used = (
+                wf.withColumn("pc", em(F.col("word")))
+                .select("freq", F.explode("pc").alias("e"))
+                .select(
+                    F.col("e.piece").alias("piece"),
+                    (F.col("freq") * F.col("e.c")).alias("wc"),
+                )
+                .groupBy("piece")
+                .agg(F.sum("wc").alias("c"))
+                .collect()
+            )
+            new = {r.piece: int(r.c) for r in used}
         for p in scaled:
             if len(p) == 1 and p not in new:
                 new[p] = 0
@@ -433,7 +518,8 @@ def unigram_train_em(
     for p, c in scaled.items():
         if len(p) == 1:
             final[p] = c
-    wf.unpersist(blocking=False)
+    if wf is not None:
+        wf.unpersist(blocking=False)
     return final
 
 
@@ -506,6 +592,7 @@ def unigram_em_fixed_counts(
     max_seed: int = 200,
     em_iters: int = 2,
     checkpoint_dir: str | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Portable hash-exact twin of :func:`unigram_train_em` — the
     kmeans_cluster_fixed pattern applied to the EM tokenizer trainer:
@@ -525,10 +612,6 @@ def unigram_em_fixed_counts(
     per-round one Arrow pass + one vocab-sized aggregation; the vocab
     round-trips the driver as a bounded model artifact."""
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    wf = round_checkpoint(
-        word_freqs(df, text_col).repartition(par), checkpoint_dir
-    )
     scaled = {
         r.piece: int(r.piece_freq) * EM_SCALE
         for r in seed_vocab(
@@ -536,23 +619,50 @@ def unigram_em_fixed_counts(
         ).collect()
     }
     vocab = sorted(scaled)
-    for _ in range(em_iters):
-        em = _em_fixed_count_udf(_em_probs(scaled), max_piece_len)
-        used = (
-            wf.withColumn("pc", em(F.col("word")))
-            .select("freq", F.explode("pc").alias("e"))
-            .select(
-                F.col("e.piece").alias("piece"),
-                (F.col("freq") * F.col("e.c")).alias("wc"),
-            )
-            .groupBy("piece")
-            .agg(F.sum("wc").alias("c"))
-            .collect()
+    wf = None
+    words = None
+    if _dispatch_em_mode(
+        mode, lambda: word_freqs(df, text_col).count()
+    ) == "driver":
+        words = _collected_word_freqs(df, text_col)
+    else:
+        par = spark.sparkContext.defaultParallelism
+        wf = round_checkpoint(
+            word_freqs(df, text_col).repartition(par), checkpoint_dir
         )
+    for _ in range(em_iters):
+        probs = _em_probs(scaled)
+        if words is not None:
+            acc: dict[str, int] = {}
+            for w, f in words:
+                got = _expected_piece_counts_fixed(w, probs, max_piece_len)
+                if got is None:
+                    continue
+                f = int(f)
+                for p, c in got:
+                    acc[p] = acc.get(p, 0) + f * c
+            used_items = acc.items()
+        else:
+            em = _em_fixed_count_udf(probs, max_piece_len)
+            used_items = [
+                (r.piece, int(r.c))
+                for r in (
+                    wf.withColumn("pc", em(F.col("word")))
+                    .select("freq", F.explode("pc").alias("e"))
+                    .select(
+                        F.col("e.piece").alias("piece"),
+                        (F.col("freq") * F.col("e.c")).alias("wc"),
+                    )
+                    .groupBy("piece")
+                    .agg(F.sum("wc").alias("c"))
+                    .collect()
+                )
+            ]
         new = {p: 0 for p in vocab}
-        new.update({r.piece: int(r.c) for r in used})
+        new.update(dict(used_items))
         scaled = new
-    wf.unpersist(blocking=False)
+    if wf is not None:
+        wf.unpersist(blocking=False)
     return spark.createDataFrame(
         sorted(scaled.items()), "piece string, cnt bigint"
     )

@@ -318,3 +318,35 @@ class TestFullEm:
         )
         hard_scaled = {p: c * EM_SCALE for p, c in engine_vocab.items()}
         assert em != hard_scaled
+
+
+def test_driver_mode_equals_distributed(spark, docs):
+    """mode='driver' (every EM round in plain Python over the
+    collected vocab — zero jobs per round, the BPE round-14 playbook)
+    learns IDENTICAL tables to the distributed trainers for all three
+    families: hard-EM/Viterbi, full EM, and the frozen-vocab
+    fixed-counts twin. Integer count sums are orderless, so equality
+    is exact, not approximate."""
+    import pyspark_airflow_weather_etl_spark.operators.unigram as U
+
+    kw = dict(max_piece_len=4, min_freq=2, max_seed=120, em_iters=2)
+    drv = U.unigram_train(docs, vocab_size=80, mode="driver", **kw)
+    dist = U.unigram_train(docs, vocab_size=80, mode="distributed", **kw)
+    assert drv == dist
+    drv = U.unigram_train_em(docs, vocab_size=80, mode="driver", **kw)
+    dist = U.unigram_train_em(docs, vocab_size=80, mode="distributed", **kw)
+    assert drv == dist
+    a = sorted(map(tuple, U.unigram_em_fixed_counts(
+        docs, mode="driver", **kw).collect()))
+    b = sorted(map(tuple, U.unigram_em_fixed_counts(
+        docs, mode="distributed", **kw).collect()))
+    assert a == b
+    # 'auto' routes this fixture's small vocab to driver, results same
+    auto = U.unigram_train(docs, vocab_size=80, mode="auto", **kw)
+    assert auto == dist or auto == U.unigram_train(
+        docs, vocab_size=80, mode="driver", **kw
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        U.unigram_train(docs, mode="nope")
