@@ -111,8 +111,10 @@ HEADLINE = [
     "sq8_ann_topk",
     "sq8_ann_topk_at_rest",
     "sq8_ann_topk_incremental",
+    "sq8_ann_topk_incremental_disjoint",
     "streaming_sq8_index_topk",
     "multimodal_audio_features",
+    "multimodal_audio_features_24bit",
     "multimodal_audio_resample",
     "pca_reduced_ann_topk_fixed",
     "corpus_datasheet_by_source",
