@@ -230,7 +230,7 @@ def bm25_index_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     forward_index: bool = False,
-) -> None:
+) -> dict:
     """Append one document batch to the BM25 serving index: postings
     with the document length DENORMALIZED in
     (``token, doc_id, tf, dl``) under ``batch=<id>/pfx=<md5 byte>``,
@@ -257,7 +257,23 @@ def bm25_index_append(
     term sets of a handful of feedback documents; dpfx partition
     pruning makes that lookup O(feedback docs), not a postings scan.
     Opt-in because it roughly doubles index bytes for a capability
-    only PRF-style consumers use."""
+    only PRF-style consumers use.
+
+    Disjoint-batch contract, now CHECKED (round 14): df and the
+    corpus scalars are additive only when no doc_id lands under two
+    batch ids — a re-delivered document double-counts df/dl and
+    silently inflates every score involving its terms (the positional
+    family dedups at probe time; pre-aggregated statistics cannot).
+    Each append therefore lands the same one-row doc-id ``manifest``
+    the positional index writes and RETURNS
+    ``{"batch", "n_docs", "maybe_overlap"}`` — ``maybe_overlap`` is
+    True when this batch's id range intersects any OTHER batch's
+    manifest range (a replay of the SAME batch id is idempotent and
+    never flagged). Range intersection is a MAYBE, not proof (ranges
+    can interleave without sharing an id), so the signal is the
+    monitoring hook: alert on it and either re-key the feed or
+    rebuild via ``bm25_index_write``; probes stay cheap and
+    unchanged."""
     caches = claim_group("bm25_index_append")
     tok = persist_into(
         caches,
@@ -311,8 +327,45 @@ def bm25_index_append(
             f"{path}/docterms",
             ("batch", "dpfx"),
         )
+    mm = tok.agg(
+        F.min(F.col("doc_id").cast("bigint")).alias("min_doc_id"),
+        F.max(F.col("doc_id").cast("bigint")).alias("max_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).collect()[0]
     for c in caches:
         c.unpersist()
+    lo = int(mm["min_doc_id"]) if mm["n_docs"] else 0
+    hi = int(mm["max_doc_id"]) if mm["n_docs"] else -1
+    from pyspark.errors import AnalysisException
+
+    spark = docs.sparkSession
+    maybe_overlap = False
+    try:
+        others = [
+            r
+            for r in spark.read.parquet(f"{path}/manifest").collect()
+            if int(r["batch"]) != int(batch_id) and int(r["n_docs"]) > 0
+        ]
+        maybe_overlap = mm["n_docs"] > 0 and any(
+            lo <= int(r["max_doc_id"]) and int(r["min_doc_id"]) <= hi
+            for r in others
+        )
+    except AnalysisException:
+        pass  # first append / pre-manifest tree
+    _write_batch_keyed(
+        spark.createDataFrame(
+            [(int(batch_id), lo, hi, int(mm["n_docs"]))],
+            "batch bigint, min_doc_id bigint, max_doc_id bigint,"
+            " n_docs bigint",
+        ),
+        f"{path}/manifest",
+        ("batch",),
+    )
+    return {
+        "batch": int(batch_id),
+        "n_docs": int(mm["n_docs"]),
+        "maybe_overlap": maybe_overlap,
+    }
 
 
 def bm25_index_write(

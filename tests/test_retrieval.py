@@ -917,3 +917,31 @@ def test_overlapping_batch_manifest_keeps_dedup(spark, docs, tmp_path):
     # drop ONE batch's manifest row: incomplete manifest → dedup stays
     shutil.rmtree(f"{path}/manifest/batch=1")
     assert _pos_dedup_needed(spark, path) is True
+
+
+def test_bm25_append_overlap_signal(spark, docs, tmp_path):
+    """BM25's additive df/scalars silently corrupt under a
+    re-delivered doc_id (no probe-side dedup can exist for
+    pre-aggregated stats), so each append lands a doc-id manifest and
+    returns maybe_overlap — the monitoring hook for the disjoint-batch
+    contract. Disjoint ranges: clean; intersecting ranges: flagged;
+    replaying the SAME batch id is idempotent and never flagged."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+    )
+
+    path = str(tmp_path / "bm25_sig")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    r0 = bm25_index_append(docs.where(F.col("doc_id") <= cut), path, 0)
+    assert r0["maybe_overlap"] is False and r0["n_docs"] > 0
+    r1 = bm25_index_append(docs.where(F.col("doc_id") > cut), path, 1)
+    assert r1["maybe_overlap"] is False
+    # same-batch replay: idempotent, not an overlap
+    r1b = bm25_index_append(docs.where(F.col("doc_id") > cut), path, 1)
+    assert r1b["maybe_overlap"] is False
+    # a re-delivery under a NEW batch id intersects batch 0's range
+    r2 = bm25_index_append(docs.where(F.col("doc_id") <= cut), path, 2)
+    assert r2["maybe_overlap"] is True
