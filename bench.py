@@ -110,6 +110,7 @@ HEADLINE = [
     "proximity_match_at_rest",
     "sq8_ann_topk",
     "sq8_ann_topk_at_rest",
+    "ivf_ann_topk_incremental",
     "sq8_ann_topk_incremental",
     "sq8_ann_topk_incremental_disjoint",
     "streaming_sq8_index_topk",

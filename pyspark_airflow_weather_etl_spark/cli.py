@@ -181,7 +181,8 @@ def main(argv: list[str] | None = None) -> int:
         "--dst", help="compact-index: published-versions root"
     )
     p_mnt.add_argument(
-        "--kind", choices=["bm25", "positional", "sq8"], default="bm25",
+        "--kind", choices=["bm25", "positional", "sq8", "ivf"],
+        default="bm25",
         help="compact-index: which index family --path holds",
     )
     p_mnt.add_argument(
@@ -521,6 +522,10 @@ def main(argv: list[str] | None = None) -> int:
                     from .operators.similarity import sq8_index_compact
 
                     v = sq8_index_compact(spark, args.path, args.dst)
+                elif args.kind == "ivf":
+                    from .operators.similarity import ivf_index_compact
+
+                    v = ivf_index_compact(spark, args.path, args.dst)
                 else:
                     v = positional_index_compact(spark, args.path, args.dst)
                 print(f"published: {v}")

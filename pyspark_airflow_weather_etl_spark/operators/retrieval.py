@@ -1547,7 +1547,7 @@ def compaction_cost_model(
     probe tax vs one-time rewrite) is what this encodes. Returns the
     decision plus every input so callers can log the why."""
     sub = {"bm25": "postings", "positional": "postings_pos",
-           "sq8": "rows"}[kind]
+           "sq8": "rows", "ivf": "rows"}[kind]
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(f"{src_path.rstrip('/')}/{sub}")

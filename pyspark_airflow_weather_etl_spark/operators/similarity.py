@@ -1293,6 +1293,390 @@ def ivf_topk_at_rest(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _ivf_assign_with_d2(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """:func:`ivf_assign` plus the exact squared distance to the
+    assigned centroid — one numpy pass per Arrow batch. The distance
+    is STORED by the append lifecycle so drift questions become a
+    narrow column scan instead of a re-assignment job."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c**2).sum(axis=1)
+
+    @pandas_udf("struct<ivf_cell:int,d2:double>")
+    def _cell_d2(v: pd.Series) -> pd.DataFrame:
+        n = len(v)
+        cells = [None] * n
+        dists = [None] * n
+        mask = v.notna().to_numpy()
+        if mask.any():
+            x = np.vstack(v[mask].to_numpy()).astype(np.float64)
+            stat = -2.0 * (x @ c.T) + c_sq[None, :]
+            pick = np.argmin(stat, axis=1)
+            x_sq = (x**2).sum(axis=1)
+            d2 = x_sq + stat[np.arange(len(pick)), pick]
+            for row, i in enumerate(np.flatnonzero(mask)):
+                cells[i] = int(pick[row])
+                # clamp tiny negative float residue (x==c exactly)
+                dists[i] = float(max(d2[row], 0.0))
+        return pd.DataFrame({"ivf_cell": cells, "d2": dists})
+
+    out = df.withColumn("__a", _cell_d2(F.col(vec_col)))
+    return out.withColumn("ivf_cell", F.col("__a.ivf_cell")).withColumn(
+        "d2", F.col("__a.d2")
+    ).drop("__a")
+
+
+def ivf_index_append(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append one vector batch to an IVF index — the
+    :func:`sq8_index_append` lifecycle applied to the inverted-list
+    family: O(batch) per crawl increment, nothing at rest re-read,
+    batch-keyed dynamic partition overwrite so a replayed batch lands
+    identical bytes.
+
+    The coarse quantizer (centroids) is FROZEN at creation — batch 0
+    trains it (:func:`ivf_train_centroids`, deterministic seed) and
+    every later batch assigns against the stored centroids; refitting
+    per batch would re-cell nothing-at-rest and desynchronize
+    partition pruning across batches. The cost of freezing is DRIFT:
+    a shifted corpus assigns to ever-farther centroids, so each
+    append computes its mean squared distance-to-centroid and
+    returns/logs ``drift_ratio`` = batch mean_d2 / creation-batch
+    mean_d2 (the re-fit signal; recall degrades gradually, answers
+    stay exact because the probe exact-ranks candidates). The per-row
+    ``d2`` is STORED in the rows so later drift questions are a
+    narrow column scan. Layout::
+
+        {path}/centroids           (cell, c array<double>)
+        {path}/meta                (n_cells, fit_mean_d2)
+        {path}/rows/batch=/ivf_cell=   (id, vec, d2)
+        {path}/rows_manifest/batch=    (min_id, max_id, n_rows)
+        {path}/drift/batch=        (n_rows, mean_d2, drift_ratio)
+
+    Returns {"batch", "n_rows", "mean_d2", "drift_ratio"}."""
+    from pyspark.errors import AnalysisException
+
+    from .retrieval import _write_batch_keyed
+
+    spark = embeddings.sparkSession
+    try:
+        crows = spark.read.parquet(f"{path}/centroids").orderBy("cell")
+        centroids = np.asarray([list(r["c"]) for r in crows.collect()])
+        fit_mean_d2 = float(
+            spark.read.parquet(f"{path}/meta").collect()[0]["fit_mean_d2"]
+        )
+    except AnalysisException:
+        centroids = ivf_train_centroids(
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+        )
+        fit_mean_d2 = None
+    try:
+        # normalize to the index's stored column types (one footer
+        # read) — a feed switching float → double mid-stream would
+        # otherwise write a mixed-type tree that fails at probe time
+        stored = spark.read.parquet(f"{path}/rows").schema
+        embeddings = embeddings.select(
+            F.col(id_col).cast(stored[id_col].dataType),
+            F.col(vec_col).cast(stored[vec_col].dataType),
+        )
+    except AnalysisException:
+        pass  # first batch defines the types
+    assigned = _ivf_assign_with_d2(
+        embeddings.select(id_col, vec_col), centroids, vec_col
+    ).persist()
+    stats = assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.avg("d2").alias("mean_d2"),
+    ).collect()[0]
+    mean_d2 = float(stats["mean_d2"] or 0.0)
+    if fit_mean_d2 is None:
+        # quantizer identity persists BEFORE any rows so a crash
+        # between the two never leaves rows assigned to lost centroids
+        fit_mean_d2 = mean_d2
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+            "cell int, c array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [(len(centroids), fit_mean_d2)],
+            "n_cells int, fit_mean_d2 double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_batch_keyed(
+        assigned.withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows",
+        ("batch", "ivf_cell"),
+    )
+    drift_ratio = mean_d2 / fit_mean_d2 if fit_mean_d2 > 0 else 1.0
+    _write_batch_keyed(
+        spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(stats["n_rows"]),
+                    mean_d2,
+                    float(drift_ratio),
+                )
+            ],
+            "batch bigint, n_rows bigint, mean_d2 double,"
+            " drift_ratio double",
+        ),
+        f"{path}/drift",
+        ("batch",),
+    )
+    _write_batch_keyed(
+        assigned.agg(
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows_manifest",
+        ("batch",),
+    )
+    assigned.unpersist(blocking=False)
+    return {
+        "batch": int(batch_id),
+        "n_rows": int(stats["n_rows"]),
+        "mean_d2": mean_d2,
+        "drift_ratio": float(drift_ratio),
+    }
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN against an :func:`ivf_index_append` lifecycle tree —
+    SELF-CONTAINED (the centroids live in the index, unlike
+    :func:`ivf_topk_at_rest`'s caller-held quantizer): rank the
+    query's ``nprobe`` nearest stored centroids driver-side, scan
+    only those ``ivf_cell=`` partitions across all batches (partition
+    pruning), exact-rank the candidates. Duplicate-id safety is the
+    :func:`sq8_topk_at_rest` contract: multi-batch trees fold to one
+    row per id (latest batch wins) UNLESS the per-append
+    ``rows_manifest`` proves the batches' id ranges pairwise disjoint
+    — the append-only crawl case skips the fold entirely, and the
+    fold only ever runs over the PRUNED nprobe/n_cells slice, never
+    the index."""
+    from .retrieval import _batches_disjoint, _n_batches
+
+    crows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell")
+    centroids = np.asarray([list(r["c"]) for r in crows.collect()])
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d2.argsort()[:nprobe]]
+    rows = spark.read.parquet(f"{index_path}/rows")
+    candidates = rows.where(F.col("ivf_cell").isin(probes)).select(
+        id_col, vec_col, "batch"
+    )
+    if _n_batches(spark, f"{index_path}/rows") > 1 and not _batches_disjoint(
+        spark,
+        f"{index_path}/rows",
+        f"{index_path}/rows_manifest",
+        "min_id",
+        "max_id",
+        "n_rows",
+    ):
+        candidates = candidates.groupBy(id_col).agg(
+            F.max_by(vec_col, "batch").alias(vec_col)
+        )
+    return brute_force_topk(
+        candidates.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )
+
+
+def ivf_drift_report(
+    spark,
+    index_path: str,
+    refit_threshold: float = 1.5,
+    live: str = "off",
+    sample_fraction: float = 0.01,
+) -> dict:
+    """Should this IVF index be RE-FIT? — the frozen-centroid
+    maintenance decision (:func:`sq8_drift_report`'s contract for the
+    inverted-list family). ``live='off'`` (default) decides from the
+    per-append drift log alone (n_rows-weighted mean ratio — O(batches),
+    no index read); ``'full'``/``'sample'`` recount over the STORED
+    per-row ``d2`` column — a narrow column scan (seeded sample for
+    the latter), cheap because the append already paid the distance
+    computation. Recommends a re-fit when the live mean squared
+    distance exceeds ``refit_threshold ×`` the creation batch's."""
+    from pyspark.errors import AnalysisException
+
+    if live not in ("full", "sample", "off"):
+        raise ValueError(f"unknown live mode {live!r}")
+    fit_mean_d2 = float(
+        spark.read.parquet(f"{index_path}/meta").collect()[0]["fit_mean_d2"]
+    )
+    try:
+        log = [
+            r.asDict()
+            for r in spark.read.parquet(f"{index_path}/drift")
+            .orderBy("batch")
+            .collect()
+        ]
+    except AnalysisException:
+        log = []
+    if live == "off":
+        n = sum(int(r["n_rows"]) for r in log)
+        mean_d2 = (
+            sum(float(r["mean_d2"]) * int(r["n_rows"]) for r in log) / n
+            if n
+            else 0.0
+        )
+    else:
+        rows = spark.read.parquet(f"{index_path}/rows")
+        if live == "sample":
+            rows = rows.sample(fraction=sample_fraction, seed=SEED)
+        got = rows.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("d2").alias("m")
+        ).collect()[0]
+        n = int(got["n"] or 0)
+        mean_d2 = float(got["m"] or 0.0)
+    ratio = mean_d2 / fit_mean_d2 if fit_mean_d2 > 0 else 1.0
+    return {
+        "live_mode": live,
+        "mean_d2": mean_d2,
+        "fit_mean_d2": fit_mean_d2,
+        "drift_ratio": ratio,
+        "n_rows": n,
+        "batches_logged": len(log),
+        "max_batch_drift_ratio": max(
+            (float(r["drift_ratio"]) for r in log), default=1.0
+        ),
+        "refit_threshold": refit_threshold,
+        "refit_recommended": ratio > refit_threshold,
+    }
+
+
+def ivf_index_compact(spark, src_path: str, dst_path: str) -> str:
+    """Compact an IVF delta tree into a single-batch index published
+    as the next serving version under ``dst_path`` — the
+    :func:`sq8_index_compact` economics: cell assignment and d2 are
+    per-vector facts under FROZEN centroids (copied verbatim — they
+    ARE the index identity), so compaction folds re-delivered ids to
+    their latest row and re-partitions; probe results identical by
+    construction. Rewrites the folded batch-0 drift row and manifest
+    so post-compaction appends keep both protocols working. Crash
+    contract: publish_version."""
+    from ..sources.writers import publish_version
+
+    centroids = spark.read.parquet(f"{src_path}/centroids")
+    meta = spark.read.parquet(f"{src_path}/meta")
+    fit_mean_d2 = float(meta.collect()[0]["fit_mean_d2"])
+
+    def build(vdir: str) -> None:
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{vdir}/centroids"
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        rows = spark.read.parquet(f"{src_path}/rows")
+        id_col = [
+            f.name
+            for f in rows.schema.fields
+            if f.name not in ("ivf_cell", "d2", "batch")
+            and "array" not in f.dataType.simpleString()
+        ][0]
+        others = [
+            f.name
+            for f in rows.schema.fields
+            if f.name not in (id_col, "batch", "ivf_cell")
+        ]
+        (
+            rows.groupBy(id_col)
+            .agg(
+                *[F.max_by(c, "batch").alias(c) for c in others],
+                F.max_by("ivf_cell", "batch").alias("ivf_cell"),
+            )
+            .withColumn("batch", F.lit(0).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch", "ivf_cell")
+            .parquet(f"{vdir}/rows")
+        )
+        folded = spark.read.parquet(f"{vdir}/rows")
+        st = folded.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.avg("d2").alias("mean_d2"),
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+        ).collect()[0]
+        m = float(st["mean_d2"] or 0.0)
+        spark.createDataFrame(
+            [
+                (
+                    0,
+                    int(st["n_rows"]),
+                    m,
+                    m / fit_mean_d2 if fit_mean_d2 > 0 else 1.0,
+                )
+            ],
+            "batch bigint, n_rows bigint, mean_d2 double,"
+            " drift_ratio double",
+        ).write.mode("overwrite").partitionBy("batch").parquet(
+            f"{vdir}/drift"
+        )
+        spark.createDataFrame(
+            [(0, st["min_id"], st["max_id"], int(st["n_rows"]))],
+            spark.read.parquet(f"{src_path}/rows_manifest").schema,
+        ).write.mode("overwrite").partitionBy("batch").parquet(
+            f"{vdir}/rows_manifest"
+        )
+
+    return publish_version(spark, dst_path, build)
+
+
+def ivf_index_refit(
+    spark, src_path: str, dst_path: str, n_cells: int | None = None
+) -> str:
+    """RE-FIT a drifted IVF index: retrain centroids over the folded
+    at-rest vectors (latest row per id), re-assign everything, and
+    publish as the next serving version — resets the drift baseline
+    (fresh fit_mean_d2). ``n_cells=None`` keeps the stored cell
+    count. Crash contract: publish_version; the source deltas are
+    untouched."""
+    from ..sources.writers import publish_version
+
+    rows = spark.read.parquet(f"{src_path}/rows")
+    id_col = [
+        f.name
+        for f in rows.schema.fields
+        if f.name not in ("ivf_cell", "d2", "batch")
+        and "array" not in f.dataType.simpleString()
+    ][0]
+    vec_col = [
+        f.name
+        for f in rows.schema.fields
+        if "array" in f.dataType.simpleString()
+    ][0]
+    if n_cells is None:
+        n_cells = int(
+            spark.read.parquet(f"{src_path}/meta").collect()[0]["n_cells"]
+        )
+    folded = rows.groupBy(id_col).agg(
+        F.max_by(vec_col, "batch").alias(vec_col)
+    )
+
+    def build(vdir: str) -> None:
+        ivf_index_append(
+            folded, vdir, 0, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+
+    return publish_version(spark, dst_path, build)
+
+
 def pairwise_topk_per_label(
     embeddings: DataFrame,
     k: int = 3,

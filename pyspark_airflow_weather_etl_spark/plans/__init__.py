@@ -730,6 +730,7 @@ _PRIORITY_R14: frozenset[str] = frozenset(
     {
         "multimodal_audio_features_24bit",  # new this round
         "sq8_ann_topk_incremental_disjoint",  # new this round
+        "ivf_ann_topk_incremental",  # new this round
         "bpe_merges_documents",
         "bpe_encode_documents",
         "phrase_match_at_rest",

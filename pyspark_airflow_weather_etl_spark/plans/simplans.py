@@ -380,6 +380,36 @@ def ivf_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_at_rest(spark, path, q, centroids, k=10, nprobe=4)
 
 
+_IVF_INC_INDEX: dict[str, str] = {}
+
+
+@register("ivf_ann_topk_incremental")  # trained quantizer: no SQL equiv.
+def ivf_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from an INCREMENTALLY-built lifecycle index
+    (operators.similarity.ivf_index_append — the sq8_index_append
+    contract for the inverted-list family): batch 0 (even vec_ids)
+    trains and FREEZES the coarse centroids and the drift baseline;
+    batch 1 (odd ids) assigns against them at O(batch) and logs its
+    drift ratio. The probe (ivf_index_topk) is SELF-CONTAINED — it
+    reads the stored centroids, prunes nprobe=4 of 16 ivf_cell=
+    partitions across both batches, folds re-delivered ids
+    latest-wins over the pruned slice (skipped when the per-append
+    rows_manifest proves the batches disjoint), and exact-ranks.
+    Rows-only for the driver (float-trained quantizer, like every ivf
+    entry); equality with the in-memory ivf_topk under the stored
+    centroids is pytest-pinned in tests/test_similarity.py."""
+    import tempfile
+
+    if sf_dir not in _IVF_INC_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivf_inc_") + "/embeddings"
+        S.ivf_index_append(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+        S.ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+        _IVF_INC_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 0)
+    return S.ivf_index_topk(spark, _IVF_INC_INDEX[sf_dir], q, k=10, nprobe=4)
+
+
 @register(
     "embedding_norms",
     oracle="""

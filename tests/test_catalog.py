@@ -59,6 +59,9 @@ def test_rows_only_entries_are_the_documented_sketches():
         "embedding_near_dup_blocked",
         "ivf_ann_topk",
         "ivf_ann_topk_at_rest",
+        # round-14 lifecycle edition: float-trained frozen centroids,
+        # probe==in-memory equality pytest in tests/test_similarity.py
+        "ivf_ann_topk_incremental",
         "approx_distinct_users",
         "approx_percentile_prices",
         # SRP sub-blocked hot-label path: approximate by design, recall

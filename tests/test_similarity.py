@@ -1347,3 +1347,146 @@ def test_sq8_disjoint_batches_skip_fold(spark, tmp_path):
     want = sorted(map(tuple, sq8_topk_at_rest(spark, c, q, k=10).collect()))
     for df in (df_a, df_b, df_c):
         assert sorted(map(tuple, df.collect())) == want
+
+
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """The IVF append/probe/drift/compact/refit lifecycle
+    (round-14+): centroids freeze at creation, appends are O(batch)
+    and idempotent, the self-contained probe equals the in-memory
+    ivf_topk under the stored centroids, drift reports fire on a
+    shifted batch and reset after refit, compaction folds
+    re-delivered ids, and disjoint-range appends skip the
+    latest-wins fold."""
+    import numpy as np
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_drift_report,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_refit,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "ivf_idx")
+    r0 = ivf_index_append(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+    assert r0["drift_ratio"] == pytest.approx(1.0)  # creation baseline
+    c0 = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    r1 = ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    c1 = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    assert c0 == c1  # frozen quantizer
+    # probe equals in-memory ivf_topk under the STORED centroids
+    centroids = np.asarray(
+        [
+            list(r["c"])
+            for r in spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell")
+            .collect()
+        ]
+    )
+    want = sorted(
+        map(tuple, ivf_topk(emb, q, centroids, k=10, nprobe=4).collect())
+    )
+    got = sorted(
+        map(tuple, ivf_index_topk(spark, path, q, k=10, nprobe=4).collect())
+    )
+    assert got == want
+    # idempotent replay
+    ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    assert sorted(
+        map(tuple, ivf_index_topk(spark, path, q, k=10, nprobe=4).collect())
+    ) == want
+    # interleaved (mod-2) batches: the fold is active in the plan
+    plan = ivf_index_topk(
+        spark, path, q, k=10, nprobe=4
+    )._jdf.queryExecution().analyzed().toString()
+    assert "max_by" in plan
+    # drift: log-only report is ~baseline before the shifted batch
+    rep = ivf_drift_report(spark, path)
+    assert rep["batches_logged"] == 2 and not rep["refit_recommended"]
+    shifted = emb.where(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 10 + 5).alias("embedding"),
+    )
+    r2 = ivf_index_append(shifted, path, 2)
+    assert r2["drift_ratio"] > 1.5
+    for mode in ("off", "full", "sample"):
+        rep = ivf_drift_report(
+            spark, path, live=mode, sample_fraction=0.5
+        )
+        assert rep["refit_recommended"], mode
+    with pytest.raises(ValueError):
+        ivf_drift_report(spark, path, live="nope")
+    # refit resets the baseline and keeps the self-hit
+    rdst = str(tmp_path / "ivf_refit")
+    ivf_index_refit(spark, path, rdst)
+    rlive = bm25_index_current(spark, rdst)
+    rep = ivf_drift_report(spark, rlive, live="full")
+    assert rep["drift_ratio"] == pytest.approx(1.0)
+    top = ivf_index_topk(spark, rlive, q, k=5, nprobe=16).collect()
+    assert top[0].vec_id == 7
+    # re-delivery with a changed vector: compact folds latest-wins
+    upd = emb.where(F.col("vec_id") == 7).select(
+        "vec_id",
+        F.transform("embedding", lambda v: -v).alias("embedding"),
+    )
+    import shutil
+
+    shutil.rmtree(f"{path}/rows/batch=2")  # drop the drift batch
+    shutil.rmtree(f"{path}/drift/batch=2")
+    shutil.rmtree(f"{path}/rows_manifest/batch=2")
+    ivf_index_append(upd, path, 3)
+    dst = str(tmp_path / "ivf_pub")
+    ivf_index_compact(spark, path, dst)
+    live = bm25_index_current(spark, dst)
+    rows = spark.read.parquet(f"{live}/rows")
+    assert rows.count() == rows.select("vec_id").distinct().count() == 300
+    got2 = {
+        r.vec_id: r.cosine
+        for r in ivf_index_topk(spark, live, q, k=300, nprobe=16).collect()
+    }
+    assert got2[7] == pytest.approx(-1.0, abs=1e-5)  # latest vector won
+
+
+def test_ivf_disjoint_batches_skip_fold(spark, tmp_path):
+    """Disjoint-range IVF appends prove no re-delivery, so the probe
+    skips the latest-wins fold (max_by absent); a pre-manifest tree
+    keeps it."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "ivf_disjoint")
+    ivf_index_append(emb.where(F.col("vec_id") < 150), path, 0)
+    ivf_index_append(emb.where(F.col("vec_id") >= 150), path, 1)
+    df = ivf_index_topk(spark, path, q, k=10, nprobe=4)
+    assert "max_by" not in df._jdf.queryExecution().analyzed().toString()
+    want = sorted(map(tuple, df.collect()))
+    shutil.rmtree(f"{path}/rows_manifest")
+    df2 = ivf_index_topk(spark, path, q, k=10, nprobe=4)
+    assert "max_by" in df2._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, df2.collect())) == want
