@@ -190,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
         help="compact-index (bm25): also fold the docterms tree",
     )
     p_mnt.add_argument(
+        "--repair", choices=["auto", "always", "never"], default="auto",
+        help="compact-index (bm25): fold re-delivered doc_ids "
+        "latest-batch-wins and recompute statistics (auto: exactly "
+        "when the append manifest reports possible overlap)",
+    )
+    p_mnt.add_argument(
         "--when-worth-it", action="store_true",
         help="compact-index: run the measured cost model (linear "
         "per-delta probe tax vs one-time rewrite) and compact only "
@@ -517,6 +523,7 @@ def main(argv: list[str] | None = None) -> int:
                     v = bm25_index_compact(
                         spark, args.path, args.dst,
                         forward_index=args.forward_index,
+                        repair=args.repair,
                     )
                 elif args.kind == "sq8":
                     from .operators.similarity import sq8_index_compact

@@ -814,6 +814,16 @@ def _batches_disjoint(
     )
 
 
+def _manifest_exists(spark: SparkSession, manifest_path: str) -> bool:
+    """Whether a batch manifest tree exists at all — distinguishes
+    'no overlap report available' (pre-manifest trees keep historical
+    behavior) from 'manifest says maybe-overlap'."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(manifest_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def _pos_dedup_needed(spark: SparkSession, index_path: str) -> bool:
     """Whether the positional probes must run their (token, doc_id,
     pos) distinct. False in exactly two provably-duplicate-free
@@ -1425,6 +1435,7 @@ def bm25_index_compact(
     src_path: str,
     dst_path: str,
     forward_index: bool = False,
+    repair: str = "auto",
 ) -> str:
     """Compact a :func:`bm25_index_append` tree (one batch=<id> delta
     per crawl increment) into a SINGLE-batch index published as the
@@ -1449,17 +1460,50 @@ def bm25_index_compact(
     previous version survives as rollback — readers of
     :func:`bm25_index_current` never see a partial index, and the
     SOURCE deltas are never touched (append cadence continues; the
-    next compaction folds the new deltas)."""
+    next compaction folds the new deltas).
+
+    ``repair`` is the REMEDIATION arm for the disjoint-batch contract
+    (round 14): a doc re-delivered under a later batch id
+    double-counts df/dl in the additive statistics, and the fast
+    sums-of-sums fold above would PRESERVE the corruption. Postings
+    carry full doc-level rows, so repair folds them LATEST-batch-wins
+    per doc_id and recomputes termstats/stats/docterms from the
+    folded postings — the compacted index then equals one built from
+    the latest version of every document. ``'auto'`` (default)
+    repairs exactly when the append-time manifest reports possible
+    overlap (``maybe_overlap`` ranges; provably-disjoint or
+    pre-manifest trees keep the bit-identical additive fold);
+    ``'always'`` / ``'never'`` force either arm."""
     from ..sources.writers import publish_version
 
+    if repair not in ("auto", "always", "never"):
+        raise ValueError(f"unknown repair {repair!r}")
+    do_repair = repair == "always" or (
+        repair == "auto"
+        and not _batches_disjoint(
+            spark,
+            f"{src_path}/postings",
+            f"{src_path}/manifest",
+            "min_doc_id",
+            "max_doc_id",
+            "n_docs",
+        )
+        # pre-manifest trees keep the historical additive fold: with
+        # no manifest at all there is no overlap REPORT to act on
+        and _manifest_exists(spark, f"{src_path}/manifest")
+    )
+
     def build(vdir: str) -> None:
-        postings = (
-            spark.read.schema(
-                "token string, doc_id bigint, tf bigint, dl bigint,"
-                " batch bigint, pfx string"
+        raw = spark.read.schema(
+            "token string, doc_id bigint, tf bigint, dl bigint,"
+            " batch bigint, pfx string"
+        ).parquet(f"{src_path}/postings")
+        if do_repair:
+            latest = raw.groupBy("doc_id").agg(
+                F.max("batch").alias("batch")
             )
-            .parquet(f"{src_path}/postings")
-            .select(
+            kept = raw.join(latest, ["doc_id", "batch"])
+            postings = kept.select(
                 "token",
                 "doc_id",
                 "tf",
@@ -1467,41 +1511,83 @@ def bm25_index_compact(
                 F.lit(0).cast("bigint").alias("batch"),
                 "pfx",
             )
-        )
+        else:
+            postings = raw.select(
+                "token",
+                "doc_id",
+                "tf",
+                "dl",
+                F.lit(0).cast("bigint").alias("batch"),
+                "pfx",
+            )
         (
             postings.write.mode("overwrite")
             .partitionBy("batch", "pfx")
             .parquet(f"{vdir}/postings")
         )
-        (
-            spark.read.schema("token string, df bigint, batch bigint")
-            .parquet(f"{src_path}/termstats")
-            .groupBy("token")
-            .agg(F.sum("df").cast("bigint").alias("df"))
-            .withColumn("batch", F.lit(0).cast("bigint"))
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(f"{vdir}/termstats")
-        )
-        (
-            spark.read.schema("n_docs bigint, sum_dl bigint, batch bigint")
-            .parquet(f"{src_path}/stats")
-            .agg(
-                F.sum("n_docs").cast("bigint").alias("n_docs"),
-                F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        if do_repair:
+            # statistics recomputed from the FOLDED postings — the
+            # additive deltas still contain the superseded docs
+            folded = spark.read.schema(
+                "token string, doc_id bigint, tf bigint, dl bigint,"
+                " batch bigint, pfx string"
+            ).parquet(f"{vdir}/postings")
+            (
+                folded.groupBy("token")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+                .withColumn("batch", F.lit(0).cast("bigint"))
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .parquet(f"{vdir}/termstats")
             )
-            .withColumn("batch", F.lit(0).cast("bigint"))
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(f"{vdir}/stats")
-        )
-        if forward_index:
+            (
+                folded.groupBy("doc_id")
+                .agg(F.first("dl").alias("dl"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("dl").cast("bigint").alias("sum_dl"),
+                )
+                .withColumn("batch", F.lit(0).cast("bigint"))
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .parquet(f"{vdir}/stats")
+            )
+        else:
+            (
+                spark.read.schema("token string, df bigint, batch bigint")
+                .parquet(f"{src_path}/termstats")
+                .groupBy("token")
+                .agg(F.sum("df").cast("bigint").alias("df"))
+                .withColumn("batch", F.lit(0).cast("bigint"))
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .parquet(f"{vdir}/termstats")
+            )
             (
                 spark.read.schema(
-                    "doc_id bigint, token string, batch bigint, dpfx string"
+                    "n_docs bigint, sum_dl bigint, batch bigint"
                 )
-                .parquet(f"{src_path}/docterms")
-                .select(
+                .parquet(f"{src_path}/stats")
+                .agg(
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+                )
+                .withColumn("batch", F.lit(0).cast("bigint"))
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .parquet(f"{vdir}/stats")
+            )
+        if forward_index:
+            dterms = spark.read.schema(
+                "doc_id bigint, token string, batch bigint, dpfx string"
+            ).parquet(f"{src_path}/docterms")
+            if do_repair:
+                dlatest = dterms.groupBy("doc_id").agg(
+                    F.max("batch").alias("batch")
+                )
+                dterms = dterms.join(dlatest, ["doc_id", "batch"])
+            (
+                dterms.select(
                     "doc_id",
                     "token",
                     F.lit(0).cast("bigint").alias("batch"),
@@ -1511,6 +1597,40 @@ def bm25_index_compact(
                 .partitionBy("batch", "dpfx")
                 .parquet(f"{vdir}/docterms")
             )
+        # fresh batch-0 manifest (from the written postings) so
+        # post-compaction appends keep the overlap protocol working
+        mm = (
+            spark.read.schema(
+                "token string, doc_id bigint, tf bigint, dl bigint,"
+                " batch bigint, pfx string"
+            )
+            .parquet(f"{vdir}/postings")
+            .agg(
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+                F.count_distinct(F.col("doc_id"))
+                .cast("bigint")
+                .alias("n_docs"),
+            )
+            .collect()[0]
+        )
+        (
+            spark.createDataFrame(
+                [
+                    (
+                        0,
+                        int(mm["min_doc_id"]) if mm["n_docs"] else 0,
+                        int(mm["max_doc_id"]) if mm["n_docs"] else -1,
+                        int(mm["n_docs"]),
+                    )
+                ],
+                "batch bigint, min_doc_id bigint, max_doc_id bigint,"
+                " n_docs bigint",
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{vdir}/manifest")
+        )
 
     return publish_version(spark, dst_path, build)
 

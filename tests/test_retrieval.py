@@ -945,3 +945,62 @@ def test_bm25_append_overlap_signal(spark, docs, tmp_path):
     # a re-delivery under a NEW batch id intersects batch 0's range
     r2 = bm25_index_append(docs.where(F.col("doc_id") <= cut), path, 2)
     assert r2["maybe_overlap"] is True
+
+
+def test_bm25_compact_repairs_redelivered_docs(spark, docs, tmp_path):
+    """The remediation arm of the disjoint-batch contract: a doc
+    re-delivered (with NEW text) under a later batch id double-counts
+    df/dl in the additive stats — repair='auto' compaction folds
+    postings latest-batch-wins and recomputes the statistics, so the
+    compacted probe equals an index built from the latest version of
+    every document. Provably-disjoint trees keep the bit-identical
+    additive fold."""
+    from pyspark.sql import functions as F
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_current,
+        bm25_topk,
+        bm25_topk_at_rest,
+    )
+
+    queries = [(1, "hash join"), (2, "table scan"), (3, "the")]
+    changed = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.lit("updated text "), F.col("text")).alias("text")
+    )
+    latest = docs.where(F.col("doc_id") % 5 != 0).unionByName(changed)
+    want = sorted(map(tuple, bm25_topk(latest, queries, k=10).collect()))
+
+    src = str(tmp_path / "bm25_rep_src")
+    r0 = bm25_index_append(docs, src, 0)
+    r1 = bm25_index_append(changed, src, 1)  # re-delivery, new text
+    assert r1["maybe_overlap"] is True
+    dst = str(tmp_path / "bm25_rep_dst")
+    bm25_index_compact(spark, src, dst)  # auto: manifest says overlap
+    live = bm25_index_current(spark, dst)
+    got = sorted(
+        map(tuple, bm25_topk_at_rest(spark, live, queries, k=10).collect())
+    )
+    assert got == want
+    # the repaired index carries exact folded statistics
+    st = spark.read.parquet(f"{live}/stats").collect()[0]
+    assert int(st["n_docs"]) == latest.count()
+    # disjoint trees keep the additive fold bit-identical to before
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    src2 = str(tmp_path / "bm25_disj_src")
+    bm25_index_append(docs.where(F.col("doc_id") <= cut), src2, 0)
+    bm25_index_append(docs.where(F.col("doc_id") > cut), src2, 1)
+    dst2 = str(tmp_path / "bm25_disj_dst")
+    bm25_index_compact(spark, src2, dst2)
+    live2 = bm25_index_current(spark, dst2)
+    want2 = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+    got2 = sorted(
+        map(tuple, bm25_topk_at_rest(spark, live2, queries, k=10).collect())
+    )
+    assert got2 == want2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_index_compact(spark, src, dst, repair="nope")
