@@ -181,7 +181,7 @@ def main(argv: list[str] | None = None) -> int:
         "--dst", help="compact-index: published-versions root"
     )
     p_mnt.add_argument(
-        "--kind", choices=["bm25", "positional", "sq8", "ivf"],
+        "--kind", choices=["bm25", "positional", "sq8", "ivf", "srp"],
         default="bm25",
         help="compact-index: which index family --path holds",
     )
@@ -232,9 +232,12 @@ def main(argv: list[str] | None = None) -> int:
         "index under --dst",
     )
     p_mnt.add_argument(
-        "--live", choices=["full", "sample", "off"], default="full",
-        help="sq8-drift: live-estimate mode — exact recount, seeded "
-        "sample, or decide from the per-batch drift log alone",
+        "--live", choices=["full", "sample", "off"], default="sample",
+        help="sq8-drift: live-estimate mode — exact recount (opt-in; "
+        "full index scan), seeded sample (default; estimator stderr "
+        "= sqrt(p(1-p)/n_sampled_values), ~4e-5 at 1%% of a 1e9-value "
+        "index vs the 0.02 threshold), or decide from the per-batch "
+        "drift log alone",
     )
     p_mnt.add_argument(
         "--sample-fraction", type=float, default=0.01,
@@ -533,6 +536,10 @@ def main(argv: list[str] | None = None) -> int:
                     from .operators.similarity import ivf_index_compact
 
                     v = ivf_index_compact(spark, args.path, args.dst)
+                elif args.kind == "srp":
+                    from .operators.similarity import srp_index_compact
+
+                    v = srp_index_compact(spark, args.path, args.dst)
                 else:
                     v = positional_index_compact(spark, args.path, args.dst)
                 print(f"published: {v}")

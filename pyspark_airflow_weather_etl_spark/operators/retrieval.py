@@ -51,6 +51,80 @@ from .text import tokens
 _PFX_LEN = 2
 
 
+class OverlappingBatchesError(RuntimeError):
+    """A BM25 probe refused to serve from a delta tree whose batch
+    manifest cannot prove the batches doc-id-disjoint (``on_overlap=
+    'raise'``). BM25's term stats and corpus scalars are additive
+    over DISJOINT batches only — a re-delivered document
+    double-counts df/dl and silently inflates every score involving
+    its terms. Remediation: ``bm25_index_compact(..., repair='auto')``
+    folds re-delivered documents latest-batch-wins and recomputes the
+    statistics."""
+
+
+class OverlapWarning(UserWarning):
+    """The explicit overlap-warning channel of the BM25 probes
+    (``on_overlap='warn'``, the default): the batch manifest reports
+    MAYBE-overlapping doc-id ranges, so served scores are correct
+    only if no document was actually re-delivered across batches
+    (ranges can interleave — e.g. a mod-N keyed feed — without
+    sharing an id)."""
+
+
+def _bm25_overlap_guard(
+    spark: SparkSession, index_path: str, on_overlap: str
+) -> None:
+    """Probe-side arm of the BM25 disjoint-batch contract (VERDICT
+    r14 #1): before ANY at-rest scoring read — postings, termstats,
+    stats, and the PRF ``docterms`` pass — consult the append-time
+    doc-id-range ``manifest`` the way the positional family's
+    :func:`_pos_dedup_needed` does. Positional probes can REPAIR
+    in-plan (positions are per-document facts, so a distinct restores
+    semantics); BM25's pre-aggregated df/dl deltas cannot, so on a
+    can't-prove-disjoint tree the probe raises
+    :class:`OverlappingBatchesError` (``'raise'``) or emits
+    :class:`OverlapWarning` (``'warn'``, default) instead of silently
+    double-counting. ``'ignore'`` opts out for feeds the caller has
+    verified out-of-band. Single-batch and provably-disjoint trees
+    pass silently and their scoring plan is byte-identical to the
+    unguarded one; a PRE-manifest tree (no ``manifest`` subtree at
+    all) keeps historical serve-silently behavior — there is no
+    overlap report to act on. Driver cost: one listStatus, plus a
+    batches-sized manifest read only on multi-batch trees."""
+    if on_overlap not in ("warn", "raise", "ignore"):
+        raise ValueError(f"unknown on_overlap {on_overlap!r}")
+    if on_overlap == "ignore":
+        return
+    if _n_batches(spark, f"{index_path}/postings") <= 1:
+        return
+    if not _manifest_exists(spark, f"{index_path}/manifest"):
+        return
+    if _batches_disjoint(
+        spark,
+        f"{index_path}/postings",
+        f"{index_path}/manifest",
+        "min_doc_id",
+        "max_doc_id",
+        "n_docs",
+    ):
+        return
+    msg = (
+        f"BM25 index at {index_path} has multiple batches whose"
+        " manifest doc-id ranges cannot be proven pairwise disjoint:"
+        " df/dl statistics are additive over disjoint batches only,"
+        " so scores are correct only if no document was re-delivered"
+        " across batches. Run bm25_index_compact(repair='auto') to"
+        " fold re-delivered documents and recompute statistics, or"
+        " pass on_overlap='ignore' for a feed verified disjoint"
+        " out-of-band."
+    )
+    if on_overlap == "raise":
+        raise OverlappingBatchesError(msg)
+    import warnings
+
+    warnings.warn(msg, OverlapWarning, stacklevel=3)
+
+
 def _query_terms(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
     """(query_id, token) — distinct whitespace terms of each query."""
     q = spark.createDataFrame(queries, "query_id bigint, qtext string")
@@ -292,6 +366,9 @@ def bm25_index_append(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
     )
     batch = F.lit(batch_id).cast("bigint")
+    # fail-closed replay window: drop this batch's manifest row before
+    # touching rows (ADVICE r14, _drop_manifest_row)
+    _drop_manifest_row(docs.sparkSession, f"{path}/manifest", batch_id)
     _write_batch_keyed(
         tf.withColumn("batch", batch).withColumn(
             "pfx", F.substring(F.md5("token"), 1, _PFX_LEN)
@@ -384,6 +461,7 @@ def bm25_topk_at_rest(
     index_path: str,
     queries: list[tuple[int, str]],
     k: int = 10,
+    on_overlap: str = "warn",
 ) -> DataFrame:
     """BM25 top-k against a persisted :func:`bm25_index_write` layout.
 
@@ -396,7 +474,12 @@ def bm25_topk_at_rest(
     (vocabulary-sized and one-row-per-batch respectively — additive
     because batches are disjoint), filtered to the query terms and
     broadcast. Returns exactly the rows of :func:`bm25_topk` on the
-    union of all indexed batches."""
+    union of all indexed batches.
+
+    ``on_overlap`` (``'warn'`` default / ``'raise'`` / ``'ignore'``)
+    arms :func:`_bm25_overlap_guard` — the probe-side check that the
+    tree's batch manifest proves the df/dl deltas safe to sum."""
+    _bm25_overlap_guard(spark, index_path, on_overlap)
     term_rows = sorted(
         {(qid, t) for qid, q in queries for t in q.split(" ") if t}
     )
@@ -470,6 +553,7 @@ def bm25_prf_expand_at_rest(
     k_feedback: int = 10,
     n_expansion: int = 3,
     k: int = 10,
+    on_overlap: str = "warn",
 ) -> DataFrame:
     """:func:`bm25_prf_expand` served from a persisted
     :func:`bm25_index_write` layout built with ``forward_index=True``
@@ -491,8 +575,16 @@ def bm25_prf_expand_at_rest(
 
     At 100 TB the ad-hoc PRF re-tokenizes the corpus twice per query
     batch; this shape reads a few parquet partitions per pass — the
-    same economics the repo measures for bm25_adhoc vs at_rest."""
+    same economics the repo measures for bm25_adhoc vs at_rest.
+
+    ``on_overlap`` (``'warn'`` default / ``'raise'`` / ``'ignore'``)
+    arms :func:`_bm25_overlap_guard` ONCE up front — the same
+    manifest covers all three reads (postings, docterms, postings
+    again), since every append lands postings and docterms from the
+    same document batch."""
     from pyspark.sql import Window as W
+
+    _bm25_overlap_guard(spark, index_path, on_overlap)
 
     orig_rows = sorted(
         {(qid, t) for qid, q in queries for t in q.split(" ") if t}
@@ -624,6 +716,9 @@ def positional_index_append(
         F.lit(batch_id).cast("bigint").alias("batch"),
         F.substring(F.md5("token"), 1, _PFX_LEN).alias("pfx"),
     )
+    # fail-closed replay window: drop this batch's manifest row before
+    # touching rows (ADVICE r14, _drop_manifest_row)
+    _drop_manifest_row(spark, f"{path}/manifest", batch_id)
     _write_batch_keyed(posted, f"{path}/postings_pos", ("batch", "pfx"))
     mm = t.agg(
         F.min(F.col("doc_id").cast("bigint")).alias("min_doc_id"),
@@ -822,6 +917,28 @@ def _manifest_exists(spark: SparkSession, manifest_path: str) -> bool:
     p = jvm.org.apache.hadoop.fs.Path(manifest_path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(p))
+
+
+def _drop_manifest_row(
+    spark: SparkSession, manifest_path: str, batch_id: int
+) -> None:
+    """Invalidate one batch's manifest row BEFORE its rows are
+    rewritten (ADVICE r14): appends write rows first and the manifest
+    after, so a batch RE-delivered with a different id range whose
+    job crashes between the two writes would otherwise leave the
+    STALE range on record — possibly 'proving' batches disjoint over
+    rows that now overlap. Deleting the row first fails closed: an
+    interrupted replay yields 'live batch missing from manifest', so
+    :func:`_batches_disjoint` returns False and every consumer runs
+    its fold/dedup/guard until the append is replayed to completion.
+    No-op when the row (or the manifest tree) does not exist yet."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{manifest_path}/batch={int(batch_id)}"
+    )
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def _pos_dedup_needed(spark: SparkSession, index_path: str) -> bool:
@@ -1667,7 +1784,7 @@ def compaction_cost_model(
     probe tax vs one-time rewrite) is what this encodes. Returns the
     decision plus every input so callers can log the why."""
     sub = {"bm25": "postings", "positional": "postings_pos",
-           "sq8": "rows", "ivf": "rows"}[kind]
+           "sq8": "rows", "ivf": "rows", "srp": "rows"}[kind]
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(f"{src_path.rstrip('/')}/{sub}")

@@ -226,8 +226,11 @@ def sq8_index_append(
             F.size(F.filter(raw, lambda c: (c < 0) | (c > 255)))
         ).alias("n_clamped"),
     ).collect()[0]
-    from .retrieval import _write_batch_keyed
+    from .retrieval import _drop_manifest_row, _write_batch_keyed
 
+    # fail-closed replay window: drop this batch's manifest row before
+    # touching rows (ADVICE r14, _drop_manifest_row)
+    _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
     _write_batch_keyed(
         embeddings.select(
             F.col(id_col),
@@ -291,7 +294,7 @@ def sq8_drift_report(
     spark,
     index_path: str,
     refit_threshold: float = 0.02,
-    live: str = "full",
+    live: str = "sample",
     sample_fraction: float = 0.01,
 ) -> dict:
     """Should this SQ8 index be RE-FIT? — the maintenance decision
@@ -310,10 +313,13 @@ def sq8_drift_report(
 
     ``live`` picks how the estimate is produced — at 100 TB a
     maintenance call must not imply a full index scan (VERDICT
-    round 13):
+    round 13; the DEFAULT flipped to the scale-safe ``'sample'`` in
+    round 15 per VERDICT r14 — a maintenance decision should never
+    default to a full index scan; ``'full'`` stays opt-in for exact
+    audits):
 
-    - ``'full'`` (default): exact recount over every at-rest value.
-    - ``'sample'``: recount over ``rows.sample(sample_fraction)``
+    - ``'full'``: exact recount over every at-rest value.
+    - ``'sample'`` (default): recount over ``rows.sample(sample_fraction)``
       (seeded — the decision is reproducible). Treating sampled
       values as Bernoulli(p) draws, the estimator's standard error is
       ``sqrt(p(1-p) / n_sampled_values)`` — at the default 1% of a
@@ -880,6 +886,239 @@ def srp_topk_at_rest(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def srp_index_append(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    dim: int = 64,
+    bits_per_table: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append one vector batch to an SRP-LSH index — the
+    :func:`sq8_index_append` lifecycle for the signature-at-rest
+    family (VERDICT r14 #2, the last write-once index): O(batch) per
+    crawl increment, nothing at rest re-read, batch-keyed dynamic
+    partition overwrite so a replayed batch lands identical bytes.
+
+    SRP is the EASY lifecycle: there is no trained state to freeze —
+    hyperplanes derive deterministically from (SEED, dim, n_planes),
+    so signatures are embarrassingly per-row and no drift concept
+    exists (nothing was fit to data). What IS frozen is the plane
+    IDENTITY ``(dim, bits_per_table, n_tables)``: batch 0 persists it
+    to ``meta`` BEFORE any rows (the ivf_index_append crash
+    ordering), and a later append passing different values raises —
+    mixed-parameter buckets would silently break partition pruning.
+    Layout::
+
+        {path}/meta                    (dim, bits_per_table, n_tables)
+        {path}/rows/batch=/t=/bucket=  (id, vec) — one row per
+                                       (LSH table, vector), the
+                                       srp_index_write L-copy layout
+        {path}/rows_manifest/batch=    (min_id, max_id, n_rows)
+
+    The manifest row is deleted before the batch's rows are
+    rewritten, so a replay interrupted between the two leaves the
+    batch missing from the manifest and :func:`srp_index_topk` fails
+    CLOSED into its latest-wins fold (ADVICE r14). Returns
+    ``{"batch", "n_rows"}``."""
+    from pyspark.errors import AnalysisException
+
+    from .retrieval import _drop_manifest_row, _write_batch_keyed
+
+    spark = embeddings.sparkSession
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        stored_params = (
+            int(meta["dim"]),
+            int(meta["bits_per_table"]),
+            int(meta["n_tables"]),
+        )
+        if stored_params != (dim, bits_per_table, n_tables):
+            raise ValueError(
+                f"SRP index at {path} was created with (dim,"
+                f" bits_per_table, n_tables)={stored_params}; appending"
+                f" with {(dim, bits_per_table, n_tables)} would bucket"
+                " incompatibly"
+            )
+    except AnalysisException:
+        # plane identity persists BEFORE any rows so a crash between
+        # the two never leaves rows probed under different planes
+        spark.createDataFrame(
+            [(dim, bits_per_table, n_tables)],
+            "dim int, bits_per_table int, n_tables int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    try:
+        stored = spark.read.parquet(f"{path}/rows").schema
+        embeddings = embeddings.select(
+            F.col(id_col).cast(stored[id_col].dataType),
+            F.col(vec_col).cast(stored[vec_col].dataType),
+        )
+    except AnalysisException:
+        pass  # first batch defines the types
+    src = embeddings.select(id_col, vec_col).persist()
+    n_planes = bits_per_table * n_tables
+    sig = srp_signature(src, dim, n_planes, vec_col)
+    mask = (1 << bits_per_table) - 1
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
+                .bitwiseAND(F.lit(mask))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _write_batch_keyed(
+        sig.select(
+            F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb")
+        )
+        .select(id_col, vec_col, "tb.t", "tb.bucket")
+        .withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows",
+        ("batch", "t", "bucket"),
+    )
+    mm = src.agg(
+        F.min(F.col(id_col)).alias("min_id"),
+        F.max(F.col(id_col)).alias("max_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    _write_batch_keyed(
+        mm.withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows_manifest",
+        ("batch",),
+    )
+    n_rows = int(mm.collect()[0]["n_rows"])
+    src.unpersist(blocking=False)
+    return {"batch": int(batch_id), "n_rows": n_rows}
+
+
+def srp_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against an :func:`srp_index_append` lifecycle tree —
+    SELF-CONTAINED (plane identity lives in ``meta``, unlike
+    :func:`srp_topk_at_rest`'s caller-held parameters): the query's
+    sub-bucket per table is computed driver-side from the stored
+    (dim, bits, tables), the scan touches only ``n_tables`` of the
+    ``n_tables × 2^bits`` (t, bucket) partitions per batch, and
+    candidates are exactly re-ranked. Duplicate safety is the
+    :func:`ivf_index_topk` contract: multi-batch trees fold
+    candidates to one row per id (latest batch wins — which also
+    collapses a vector's multi-table matches) UNLESS the per-append
+    ``rows_manifest`` proves the batches' id ranges pairwise
+    disjoint, where a plain per-id dropDuplicates suffices; either
+    pass runs over the PRUNED probe slice only, never the index."""
+    from .retrieval import _batches_disjoint, _n_batches
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    dim = int(meta["dim"])
+    bits_per_table = int(meta["bits_per_table"])
+    n_tables = int(meta["n_tables"])
+    planes = _hyperplanes(dim, bits_per_table * n_tables)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) >= 0:
+            qbits |= 1 << i
+    mask = (1 << bits_per_table) - 1
+    rows = spark.read.parquet(f"{index_path}/rows")
+    cond = None
+    for t in range(n_tables):
+        qbucket = (qbits >> (t * bits_per_table)) & mask
+        c = (F.col("t") == t) & (F.col("bucket") == qbucket)
+        cond = c if cond is None else cond | c
+    candidates = rows.where(cond).select(id_col, vec_col, "batch")
+    if _n_batches(spark, f"{index_path}/rows") > 1 and not _batches_disjoint(
+        spark,
+        f"{index_path}/rows",
+        f"{index_path}/rows_manifest",
+        "min_id",
+        "max_id",
+        "n_rows",
+    ):
+        candidates = candidates.groupBy(id_col).agg(
+            F.max_by(vec_col, "batch").alias(vec_col)
+        )
+    else:
+        candidates = candidates.dropDuplicates([id_col])
+    return brute_force_topk(
+        candidates.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )
+
+
+def srp_index_compact(spark, src_path: str, dst_path: str) -> str:
+    """Compact an SRP delta tree into a single-batch index published
+    as the next serving version under ``dst_path`` — the
+    :func:`ivf_index_compact` economics: signatures are per-vector
+    facts under the frozen plane identity, so compaction folds
+    re-delivered ids to their latest row PER TABLE (bucket follows
+    the winning vector — both are functions of the same row) and
+    re-partitions; probe results identical by construction. The
+    rebuilt batch-0 ``rows_manifest`` counts VECTORS (one manifest
+    row per id, not per L-copy), written agg-then-withColumn so the
+    post-compaction disjoint fast path engages (the ADVICE-r14
+    ivf_index_compact lesson). Crash contract: publish_version."""
+    from .retrieval import _write_batch_keyed
+    from ..sources.writers import publish_version
+
+    meta = spark.read.parquet(f"{src_path}/meta")
+
+    def build(vdir: str) -> None:
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        rows = spark.read.parquet(f"{src_path}/rows")
+        id_col = [
+            f.name
+            for f in rows.schema.fields
+            if f.name not in ("t", "bucket", "batch")
+            and "array" not in f.dataType.simpleString()
+        ][0]
+        vec_col = [
+            f.name
+            for f in rows.schema.fields
+            if "array" in f.dataType.simpleString()
+        ][0]
+        (
+            rows.groupBy(id_col, "t")
+            .agg(
+                F.max_by(vec_col, "batch").alias(vec_col),
+                F.max_by("bucket", "batch").alias("bucket"),
+            )
+            .withColumn("batch", F.lit(0).cast("bigint"))
+            .select(id_col, vec_col, "batch", "t", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("batch", "t", "bucket")
+            .parquet(f"{vdir}/rows")
+        )
+        # vector-count manifest from the t=0 slice (each vector has
+        # exactly one row per table — partition-pruned single-table
+        # scan instead of an index-wide countDistinct)
+        _write_batch_keyed(
+            spark.read.parquet(f"{vdir}/rows")
+            .where(F.col("t") == 0)
+            .agg(
+                F.min(F.col(id_col)).alias("min_id"),
+                F.max(F.col(id_col)).alias("max_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+            .withColumn("batch", F.lit(0).cast("bigint")),
+            f"{vdir}/rows_manifest",
+            ("batch",),
+        )
+
+    return publish_version(spark, dst_path, build)
+
+
 def _srp_bucket_rows(
     embeddings: DataFrame,
     id_col: str,
@@ -1365,7 +1604,7 @@ def ivf_index_append(
     Returns {"batch", "n_rows", "mean_d2", "drift_ratio"}."""
     from pyspark.errors import AnalysisException
 
-    from .retrieval import _write_batch_keyed
+    from .retrieval import _drop_manifest_row, _write_batch_keyed
 
     spark = embeddings.sparkSession
     try:
@@ -1410,6 +1649,9 @@ def ivf_index_append(
             [(len(centroids), fit_mean_d2)],
             "n_cells int, fit_mean_d2 double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # fail-closed replay window: drop this batch's manifest row before
+    # touching rows (ADVICE r14, _drop_manifest_row)
+    _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
     _write_batch_keyed(
         assigned.withColumn("batch", F.lit(batch_id).cast("bigint")),
         f"{path}/rows",
@@ -1610,8 +1852,6 @@ def ivf_index_compact(spark, src_path: str, dst_path: str) -> str:
         st = folded.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.avg("d2").alias("mean_d2"),
-            F.min(F.col(id_col)).alias("min_id"),
-            F.max(F.col(id_col)).alias("max_id"),
         ).collect()[0]
         m = float(st["mean_d2"] or 0.0)
         spark.createDataFrame(
@@ -1628,12 +1868,13 @@ def ivf_index_compact(spark, src_path: str, dst_path: str) -> str:
         ).write.mode("overwrite").partitionBy("batch").parquet(
             f"{vdir}/drift"
         )
-        spark.createDataFrame(
-            [(0, st["min_id"], st["max_id"], int(st["n_rows"]))],
-            spark.read.parquet(f"{src_path}/rows_manifest").schema,
-        ).write.mode("overwrite").partitionBy("batch").parquet(
-            f"{vdir}/rows_manifest"
-        )
+        # agg-then-withColumn (the _sq8_write_manifest discipline):
+        # the read-back manifest schema puts the `batch` partition
+        # column LAST, so a positional tuple starting with 0 would
+        # land batch=<n_rows> with garbage min/max — and the batch-0
+        # row the post-compaction disjoint fast path needs would
+        # never exist.
+        _sq8_write_manifest(spark, vdir, id_col)
 
     return publish_version(spark, dst_path, build)
 
@@ -1675,6 +1916,128 @@ def ivf_index_refit(
         )
 
     return publish_version(spark, dst_path, build)
+
+
+def ivf_index_append_fixed(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> dict:
+    """Portable-oracle twin of :func:`ivf_index_append` — the
+    cross-engine proof of the APPEND lifecycle (frozen quantizer →
+    O(batch) batch-keyed assignment → latest-wins fold at probe) that
+    the k-means-trained entry cannot give (VERDICT r14 #3), playing
+    the role :func:`semantic_index_append_fixed` plays for the dedup
+    loop. Two substitutions make every step SQL-replayable:
+
+    1. FIXED centroids — the ``n_centroids`` lowest-id rows of the
+       CREATION batch, floor-quantized (``floor(x·scale)`` longs),
+       persisted BEFORE any rows (the ivf_index_append crash
+       ordering) and frozen thereafter.
+    2. EXACT integer assignment — :func:`_fixed_assign`: integer
+       squared distance, ties to the lowest centroid id. No float
+       comparison decides a cell on either engine.
+
+    Rows land as ``(id, v double[], nrm)`` under
+    ``batch=<id>/ivf_cell=<cell>`` plus the standard ``rows_manifest``
+    (with the :func:`..operators.retrieval._drop_manifest_row`
+    fail-closed replay discipline). Returns {"batch", "n_rows"}."""
+    from pyspark.errors import AnalysisException
+
+    from .retrieval import _drop_manifest_row, _write_batch_keyed
+
+    spark = embeddings.sparkSession
+    base = _fixed_base(embeddings, id_col, vec_col, scale)
+    try:
+        cents = spark.read.parquet(f"{path}/centroids")
+    except AnalysisException:
+        # quantizer identity persists BEFORE any rows (crash ordering)
+        (
+            base.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col("qv").alias("cq"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/centroids")
+        )
+        cents = spark.read.parquet(f"{path}/centroids")
+    assigned = _fixed_assign(base, cents, id_col).persist()
+    _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _write_batch_keyed(
+        assigned.withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows",
+        ("batch", "ivf_cell"),
+    )
+    mm = assigned.agg(
+        F.min(F.col(id_col)).alias("min_id"),
+        F.max(F.col(id_col)).alias("max_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    _write_batch_keyed(
+        mm.withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows_manifest",
+        ("batch",),
+    )
+    n_rows = int(mm.collect()[0]["n_rows"])
+    assigned.unpersist(blocking=False)
+    return {"batch": int(batch_id), "n_rows": n_rows}
+
+
+def ivf_index_topk_fixed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe of the :func:`ivf_index_append_fixed` lifecycle tree —
+    :func:`ivf_index_topk` semantics with the portable quantizer:
+    the query floor-quantizes driver-side, integer d2 ranks the
+    stored centroids (ties to the lowest centroid id), the scan
+    prunes to the ``nprobe`` winning ``ivf_cell=`` partitions across
+    all batches, candidates fold latest-batch-wins per id over the
+    PRUNED slice (the prune-before-fold order is part of the
+    contract: a re-delivered id whose current cell is not probed
+    serves its newest PROBED row — exactly what the DuckDB oracle
+    replays), and the exact double cosine re-ranks. Every step is
+    integer or frozen-shape IEEE, so the twin is hash-exact where the
+    trained probe is rows-only."""
+    from .retrieval import _batches_disjoint, _n_batches
+
+    cents = sorted(
+        (int(r["cent_id"]), [int(x) for x in r["cq"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    )
+    qq = [int(math.floor(float(x) * scale)) for x in query_vec]
+    d2s = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, cq)), cid)
+        for cid, cq in cents
+    )
+    probes = [cid for _, cid in d2s[:nprobe]]
+    rows = spark.read.parquet(f"{index_path}/rows")
+    candidates = rows.where(F.col("ivf_cell").isin(probes)).select(
+        id_col, "v", "batch"
+    )
+    if _n_batches(spark, f"{index_path}/rows") > 1 and not _batches_disjoint(
+        spark,
+        f"{index_path}/rows",
+        f"{index_path}/rows_manifest",
+        "min_id",
+        "max_id",
+        "n_rows",
+    ):
+        candidates = candidates.groupBy(id_col).agg(
+            F.max_by("v", "batch").alias("v")
+        )
+    return brute_force_topk(
+        candidates.select(id_col, "v"), query_vec, k, id_col, "v"
+    )
 
 
 def pairwise_topk_per_label(

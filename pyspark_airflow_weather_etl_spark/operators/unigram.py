@@ -186,19 +186,32 @@ def _segment_udf(logp: dict[str, float], max_piece_len: int):
 _DRIVER_EM_MAX_VOCAB = 25_000
 
 
-def _collected_word_freqs(df: DataFrame, text_col: str):
-    """(word, freq) rows on the driver over Arrow — the corpus-
-    compressed artifact driver-side EM iterates over."""
-    pdf = word_freqs(df, text_col).toPandas()
-    return list(zip(pdf["word"], pdf["freq"]))
-
-
-def _dispatch_em_mode(mode: str, n_vocab_fn) -> str:
+def _em_word_state(
+    df: DataFrame, text_col: str, mode: str, checkpoint_dir: str | None
+):
+    """Resolve the EM execution arm AND materialize (word, freq) ONCE
+    (ADVICE r14: ``mode='auto'`` used to run a full ``word_freqs``
+    count for dispatch and then recompute the frame from scratch in
+    whichever arm ran — one redundant corpus scan per training call).
+    Returns ``(words, wf)``: the driver arm gets the collected
+    ``(word, freq)`` list (over Arrow) with ``wf=None``; the
+    distributed arm gets the checkpointed frame with ``words=None``.
+    ``'auto'`` counts the already-materialized checkpoint — a
+    vocab-sized job, not a corpus scan — and the winning arm consumes
+    that same frame."""
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown mode {mode!r}")
-    if mode != "auto":
-        return mode
-    return "driver" if n_vocab_fn() <= _DRIVER_EM_MAX_VOCAB else "distributed"
+    if mode == "driver":
+        pdf = word_freqs(df, text_col).toPandas()
+        return list(zip(pdf["word"], pdf["freq"])), None
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wf = round_checkpoint(
+        word_freqs(df, text_col).repartition(par), checkpoint_dir
+    )
+    if mode == "auto" and wf.count() <= _DRIVER_EM_MAX_VOCAB:
+        pdf = wf.toPandas()
+        return list(zip(pdf["word"], pdf["freq"])), None
+    return None, wf
 
 
 def unigram_train(
@@ -230,17 +243,7 @@ def unigram_train(
             df, text_col, max_piece_len, min_freq, max_seed
         ).collect()
     }
-    wf = None
-    words = None
-    if _dispatch_em_mode(
-        mode, lambda: word_freqs(df, text_col).count()
-    ) == "driver":
-        words = _collected_word_freqs(df, text_col)
-    else:
-        par = spark.sparkContext.defaultParallelism
-        wf = round_checkpoint(
-            word_freqs(df, text_col).repartition(par), checkpoint_dir
-        )
+    words, wf = _em_word_state(df, text_col, mode, checkpoint_dir)
     for _ in range(em_iters):
         if words is not None:
             seg = _viterbi_factory(_smoothed_logp(counts), max_piece_len)
@@ -469,17 +472,7 @@ def unigram_train_em(
             df, text_col, max_piece_len, min_freq, max_seed
         ).collect()
     }
-    wf = None
-    words = None
-    if _dispatch_em_mode(
-        mode, lambda: word_freqs(df, text_col).count()
-    ) == "driver":
-        words = _collected_word_freqs(df, text_col)
-    else:
-        par = spark.sparkContext.defaultParallelism
-        wf = round_checkpoint(
-            word_freqs(df, text_col).repartition(par), checkpoint_dir
-        )
+    words, wf = _em_word_state(df, text_col, mode, checkpoint_dir)
     for _ in range(em_iters):
         probs = _em_probs(scaled)
         if words is not None:
@@ -619,17 +612,7 @@ def unigram_em_fixed_counts(
         ).collect()
     }
     vocab = sorted(scaled)
-    wf = None
-    words = None
-    if _dispatch_em_mode(
-        mode, lambda: word_freqs(df, text_col).count()
-    ) == "driver":
-        words = _collected_word_freqs(df, text_col)
-    else:
-        par = spark.sparkContext.defaultParallelism
-        wf = round_checkpoint(
-            word_freqs(df, text_col).repartition(par), checkpoint_dir
-        )
+    words, wf = _em_word_state(df, text_col, mode, checkpoint_dir)
     for _ in range(em_iters):
         probs = _em_probs(scaled)
         if words is not None:

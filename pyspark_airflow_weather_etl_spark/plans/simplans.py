@@ -277,6 +277,36 @@ def srp_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRP_INC_INDEX: dict[str, str] = {}
+
+
+@register("srp_ann_topk_incremental")  # LSH probe set: no SQL equivalent
+def srp_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP ANN served from an INCREMENTALLY-built lifecycle index
+    (operators.similarity.srp_index_append — the last index family to
+    gain O(batch) appends, VERDICT r14 #2): batch 0 (even vec_ids)
+    freezes the plane identity in meta; batch 1 (odd ids) computes
+    its per-row signatures against the same seed-deterministic
+    hyperplanes — no trained state, so appends are embarrassingly
+    per-row. The probe (srp_index_topk) is SELF-CONTAINED: it reads
+    (dim, bits, tables) from meta, prunes 8 of 128 (t, bucket)
+    partitions per batch, folds re-delivered ids latest-wins over the
+    pruned slice (skipped for manifest-proven disjoint batches), and
+    exact-ranks. Rows-only for the driver (LSH probe set, like every
+    srp entry); equality with the one-shot srp_topk_at_rest is
+    pytest-pinned in tests/test_similarity.py."""
+    import tempfile
+
+    if sf_dir not in _SRP_INC_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="srp_inc_") + "/embeddings"
+        S.srp_index_append(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+        S.srp_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+        _SRP_INC_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 0)
+    return S.srp_index_topk(spark, _SRP_INC_INDEX[sf_dir], q, k=10)
+
+
 @register("embedding_near_dup_blocked")  # LSH blocking: no clean SQL form
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe embedding near-dup pairs: SRP sub-bucket blocking
@@ -408,6 +438,116 @@ def ivf_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_INC_INDEX[sf_dir] = path
     q = _query_vector(spark, sf_dir, 0)
     return S.ivf_index_topk(spark, _IVF_INC_INDEX[sf_dir], q, k=10, nprobe=4)
+
+
+# Portable replay of the WHOLE append lifecycle: frozen fixed
+# centroids (8 lowest even ids, floor-quantized), per-batch integer
+# assignment, batch 1 re-delivering the even ids < 40 NEGATED, the
+# probe's prune-before-fold latest-wins (QUALIFY latest batch per id
+# over the probed cells only), exact double cosine re-rank.
+_IVF_INC_FIXED_ORACLE = """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ), rows_all AS MATERIALIZED (
+      SELECT vec_id, x, 0 AS batch FROM q WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT vec_id, x, 1 AS batch FROM q WHERE vec_id % 2 = 1
+      UNION ALL
+      SELECT vec_id, list_transform(x, v -> -v) AS x, 1 AS batch
+      FROM q WHERE vec_id % 2 = 0 AND vec_id < 40
+    ), dims AS (SELECT unnest(range(64)) AS j),
+    centq AS MATERIALIZED (
+      SELECT c.vec_id AS cent_id, dims.j,
+             CAST(floor(c.x[dims.j + 1] * 1000.0) AS BIGINT) AS cv
+      FROM (SELECT vec_id, x FROM q WHERE vec_id % 2 = 0
+            ORDER BY vec_id LIMIT 8) c
+      CROSS JOIN dims
+    ), rowq AS (
+      SELECT r.vec_id, r.batch, dims.j,
+             CAST(floor(r.x[dims.j + 1] * 1000.0) AS BIGINT) AS qv
+      FROM rows_all r CROSS JOIN dims
+    ), assigned AS (
+      SELECT rowq.vec_id, rowq.batch, centq.cent_id AS cell
+      FROM rowq JOIN centq USING (j)
+      GROUP BY rowq.vec_id, rowq.batch, centq.cent_id
+      QUALIFY row_number() OVER (
+        PARTITION BY rowq.vec_id, rowq.batch
+        ORDER BY SUM((rowq.qv - centq.cv) * (rowq.qv - centq.cv)),
+                 centq.cent_id
+      ) = 1
+    ), qrow AS (SELECT x AS qx FROM q WHERE vec_id = 7),
+    probes AS (
+      SELECT centq.cent_id
+      FROM (SELECT dims.j,
+                   CAST(floor(qrow.qx[dims.j + 1] * 1000.0) AS BIGINT)
+                     AS qv
+            FROM qrow CROSS JOIN dims) qd
+      JOIN centq USING (j)
+      GROUP BY centq.cent_id
+      ORDER BY SUM((qd.qv - centq.cv) * (qd.qv - centq.cv)),
+               centq.cent_id
+      LIMIT 4
+    ), cand AS (
+      SELECT r.vec_id, r.x
+      FROM rows_all r
+      JOIN assigned a ON r.vec_id = a.vec_id AND r.batch = a.batch
+      JOIN probes p ON a.cell = p.cent_id
+      QUALIFY row_number() OVER (
+        PARTITION BY r.vec_id ORDER BY r.batch DESC
+      ) = 1
+    )
+    SELECT cand.vec_id,
+           round(list_cosine_similarity(cand.x, qrow.qx), 6) AS cosine
+    FROM cand, qrow
+    ORDER BY cosine DESC, cand.vec_id LIMIT 10
+    """
+
+
+_IVF_FIXED_INDEX: dict[str, str] = {}
+
+
+@register("ivf_ann_topk_incremental_fixed", oracle=_IVF_INC_FIXED_ORACLE)
+def ivf_ann_topk_incremental_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-exact twin of the IVF APPEND lifecycle (VERDICT r14 #3 —
+    the fixed-twin discipline of semantic_dedup_fixed_cells applied
+    to ivf_index_append): FIXED floor-quantized centroids (the 8
+    lowest ids of the creation batch) freeze before any rows, batch 0
+    (even vec_ids) and batch 1 (odd ids PLUS the even ids < 40
+    re-delivered NEGATED — a real latest-wins fold, not a no-op
+    replay) assign with exact integer d2 (ties to lowest centroid
+    id), and the probe (ivf_index_topk_fixed) prunes nprobe=4 cells
+    BEFORE folding latest-batch-wins per id — the oracle replays
+    append, fold, and probe in one SQL statement, the cross-engine
+    proof the k-means entry (ivf_ann_topk_incremental, rows-only)
+    cannot give."""
+    import tempfile
+
+    if sf_dir not in _IVF_FIXED_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivf_fixed_") + "/embeddings"
+        S.ivf_index_append_fixed(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+        redelivered = emb.where(
+            (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)
+        ).select(
+            "vec_id",
+            F.transform("embedding", lambda v: -v).alias("embedding"),
+        )
+        S.ivf_index_append_fixed(
+            emb.where(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+            .unionByName(redelivered),
+            path,
+            1,
+        )
+        _IVF_FIXED_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 7)
+    return S.ivf_index_topk_fixed(
+        spark, _IVF_FIXED_INDEX[sf_dir], q, k=10, nprobe=4
+    )
 
 
 @register(

@@ -1004,3 +1004,77 @@ def test_bm25_compact_repairs_redelivered_docs(spark, docs, tmp_path):
 
     with _pytest.raises(ValueError):
         bm25_index_compact(spark, src, dst, repair="nope")
+
+
+def test_bm25_probe_overlap_guard(spark, docs, tmp_path):
+    """The probe-side arm of the disjoint-batch contract (VERDICT r14
+    #1): at-rest and PRF probes consult the batch manifest like
+    _pos_dedup_needed — a can't-prove-disjoint tree warns (default)
+    or raises with a message directing to bm25_index_compact(repair),
+    a provably-disjoint tree serves silently with a byte-identical
+    plan, and a pre-manifest tree keeps historical behavior."""
+    import shutil
+    import warnings
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        OverlappingBatchesError,
+        OverlapWarning,
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_current,
+        bm25_prf_expand_at_rest,
+    )
+
+    # re-delivered doc under a new batch id: guard fires
+    bad = str(tmp_path / "bm25_guard_bad")
+    bm25_index_append(docs, bad, 0, forward_index=True)
+    bm25_index_append(
+        docs.where(F.col("doc_id") % 5 == 0), bad, 1, forward_index=True
+    )
+    with pytest.warns(OverlapWarning, match="bm25_index_compact"):
+        bm25_topk_at_rest(spark, bad, QUERIES, k=10)
+    with pytest.raises(OverlappingBatchesError, match="repair"):
+        bm25_topk_at_rest(spark, bad, QUERIES, k=10, on_overlap="raise")
+    with pytest.warns(OverlapWarning):
+        bm25_prf_expand_at_rest(spark, bad, QUERIES, k=5)
+    with pytest.raises(OverlappingBatchesError):
+        bm25_prf_expand_at_rest(spark, bad, QUERIES, k=5, on_overlap="raise")
+    with pytest.raises(ValueError):
+        bm25_topk_at_rest(spark, bad, QUERIES, k=10, on_overlap="nope")
+    # 'ignore' serves (the caller's out-of-band proof)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", OverlapWarning)
+        bm25_topk_at_rest(
+            spark, bad, QUERIES, k=10, on_overlap="ignore"
+        ).collect()
+    # the repaired compaction clears the guard (single folded batch)
+    dst = str(tmp_path / "bm25_guard_fixed")
+    bm25_index_compact(spark, bad, dst)
+    live = bm25_index_current(spark, dst)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", OverlapWarning)
+        bm25_topk_at_rest(spark, live, QUERIES, k=10).collect()
+    # provably-disjoint multi-batch tree: silent, plan byte-identical
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    good = str(tmp_path / "bm25_guard_good")
+    bm25_index_append(docs.where(F.col("doc_id") <= cut), good, 0)
+    bm25_index_append(docs.where(F.col("doc_id") > cut), good, 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", OverlapWarning)
+        guarded = bm25_topk_at_rest(spark, good, QUERIES, k=10)
+    unguarded = bm25_topk_at_rest(
+        spark, good, QUERIES, k=10, on_overlap="ignore"
+    )
+    norm = lambda df: re.sub(  # noqa: E731 — exprIds differ per-plan
+        r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+    )
+    assert norm(guarded) == norm(unguarded)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )
+    # pre-manifest tree: historical serve-silently behavior
+    shutil.rmtree(f"{bad}/manifest")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", OverlapWarning)
+        bm25_topk_at_rest(spark, bad, QUERIES, k=10).collect()

@@ -1100,7 +1100,10 @@ def test_sq8_drift_report_and_refit(spark, tmp_path):
     )
     path = str(tmp_path / "sq8_drift")
     sq8_index_append(emb, path, 0)
+    # r15: the DEFAULT live mode is the scale-safe seeded sample —
+    # a maintenance call must not imply a full index scan
     rep = sq8_drift_report(spark, path)
+    assert rep["live_mode"] == "sample"
     assert rep["live_clamped_frac"] == 0.0
     assert not rep["refit_recommended"]
     shifted = emb.select(
@@ -1108,13 +1111,13 @@ def test_sq8_drift_report_and_refit(spark, tmp_path):
         F.transform("embedding", lambda v: v * 10 + 5).alias("embedding"),
     )
     sq8_index_append(shifted, path, 1)
-    rep = sq8_drift_report(spark, path)
+    rep = sq8_drift_report(spark, path, live="full")
     assert rep["live_clamped_frac"] > 0.2
     assert rep["refit_recommended"]
     dst = str(tmp_path / "sq8_refit")
     sq8_index_refit(spark, path, dst)
     live = bm25_index_current(spark, dst)
-    rep2 = sq8_drift_report(spark, live)
+    rep2 = sq8_drift_report(spark, live, live="full")
     assert rep2["live_clamped_frac"] == 0.0
     q = [float(x) for x in emb.where(F.col("vec_id") == 7).first()[
         "embedding"]]
@@ -1460,6 +1463,31 @@ def test_ivf_index_lifecycle(spark, tmp_path):
         for r in ivf_index_topk(spark, live, q, k=300, nprobe=16).collect()
     }
     assert got2[7] == pytest.approx(-1.0, abs=1e-5)  # latest vector won
+    # the compacted manifest carries a CORRECT batch=0 row (ADVICE
+    # r14: the positional-tuple + read-back-schema write landed it
+    # under batch=<n_rows> with garbage min/max, so the disjoint fast
+    # path never engaged post-compaction)
+    man = spark.read.parquet(f"{live}/rows_manifest").collect()
+    assert len(man) == 1
+    m0 = man[0]
+    assert (
+        int(m0["batch"]) == 0
+        and int(m0["min_id"]) == 0
+        and int(m0["max_id"]) == 299
+        and int(m0["n_rows"]) == 300
+    )
+    # ...and a disjoint post-compaction append keeps the fast path
+    nxt = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+    )
+    ivf_index_append(nxt, live, 1)
+    plan2 = (
+        ivf_index_topk(spark, live, q, k=10, nprobe=4)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "max_by" not in plan2
 
 
 def test_ivf_disjoint_batches_skip_fold(spark, tmp_path):
@@ -1490,3 +1518,249 @@ def test_ivf_disjoint_batches_skip_fold(spark, tmp_path):
     df2 = ivf_index_topk(spark, path, q, k=10, nprobe=4)
     assert "max_by" in df2._jdf.queryExecution().analyzed().toString()
     assert sorted(map(tuple, df2.collect())) == want
+
+
+def test_srp_index_lifecycle(spark, tmp_path):
+    """The SRP append/probe/compact lifecycle (round 15 — the last
+    index family to gain O(batch) appends): the plane identity
+    freezes in meta before any rows, appends are per-row and
+    idempotent, the self-contained probe equals the one-shot
+    srp_topk_at_rest under the same planes, mismatched append params
+    raise, compaction folds re-delivered ids latest-wins and lands a
+    correct batch-0 manifest, and disjoint-range appends skip the
+    fold."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+        srp_index_compact,
+        srp_index_topk,
+        srp_index_write,
+        srp_topk_at_rest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "srp_inc")
+    r0 = srp_index_append(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+    assert r0 == {"batch": 0, "n_rows": 150}
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (meta["dim"], meta["bits_per_table"], meta["n_tables"]) == (
+        64, 4, 8,
+    )
+    srp_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    # probe equals the ONE-SHOT at-rest probe (same planes/params)
+    one = str(tmp_path / "srp_oneshot")
+    srp_index_write(emb, dim=64, path=one)
+    want = sorted(
+        map(tuple, srp_topk_at_rest(spark, one, q, dim=64, k=10).collect())
+    )
+    got = sorted(map(tuple, srp_index_topk(spark, path, q, k=10).collect()))
+    assert got == want
+    # interleaved (mod-2) batches: the fold is active in the plan
+    plan = (
+        srp_index_topk(spark, path, q, k=10)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "max_by" in plan
+    # idempotent replay
+    srp_index_append(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    assert (
+        sorted(map(tuple, srp_index_topk(spark, path, q, k=10).collect()))
+        == want
+    )
+    # frozen plane identity: a mismatched append raises
+    with pytest.raises(ValueError, match="bucket"):
+        srp_index_append(emb, path, 2, bits_per_table=8, n_tables=4)
+    # re-delivery with a changed vector: compact folds latest-wins
+    upd = emb.where(F.col("vec_id") == 7).select(
+        "vec_id",
+        F.transform("embedding", lambda v: -v).alias("embedding"),
+    )
+    srp_index_append(upd, path, 3)
+    dst = str(tmp_path / "srp_pub")
+    srp_index_compact(spark, path, dst)
+    live = bm25_index_current(spark, dst)
+    rows = spark.read.parquet(f"{live}/rows")
+    assert rows.count() == 300 * 8  # one row per (vector, table)
+    assert rows.select("vec_id").distinct().count() == 300
+    # batch-0 manifest counts VECTORS with a correct id range
+    man = spark.read.parquet(f"{live}/rows_manifest").collect()
+    assert len(man) == 1 and (
+        int(man[0]["batch"]),
+        int(man[0]["min_id"]),
+        int(man[0]["max_id"]),
+        int(man[0]["n_rows"]),
+    ) == (0, 0, 299, 300)
+    # the folded tree serves the LATEST vector for the updated id:
+    # its negated embedding is the exact opposite of the query, so if
+    # any candidate bucket still matches, cosine must be -1 — and the
+    # stale +1 row must be gone everywhere
+    got2 = {
+        r.vec_id: r.cosine
+        for r in srp_index_topk(spark, live, q, k=300).collect()
+    }
+    assert got2.get(7, -1.0) == pytest.approx(-1.0, abs=1e-5)
+    # compacted single batch probes without the fold
+    plan2 = (
+        srp_index_topk(spark, live, q, k=10)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "max_by" not in plan2
+
+
+def test_srp_disjoint_batches_skip_fold(spark, tmp_path):
+    """Disjoint-range SRP appends prove no re-delivery, so the probe
+    takes the plain per-id dedup (max_by absent); dropping the
+    manifest re-arms the fold with identical results."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+        srp_index_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "srp_disjoint")
+    srp_index_append(emb.where(F.col("vec_id") < 150), path, 0)
+    srp_index_append(emb.where(F.col("vec_id") >= 150), path, 1)
+    df = srp_index_topk(spark, path, q, k=10)
+    assert "max_by" not in df._jdf.queryExecution().analyzed().toString()
+    want = sorted(map(tuple, df.collect()))
+    shutil.rmtree(f"{path}/rows_manifest")
+    df2 = srp_index_topk(spark, path, q, k=10)
+    assert "max_by" in df2._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, df2.collect())) == want
+
+
+def test_append_manifest_fails_closed_on_partial_replay(spark, tmp_path):
+    """ADVICE r14: every index append drops its batch's manifest row
+    BEFORE rewriting rows, so a replay interrupted between the two
+    leaves the batch missing from the manifest and _batches_disjoint
+    assumes overlap — the fold/guard runs instead of trusting a stale
+    range."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        _batches_disjoint,
+        _drop_manifest_row,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "srp_crash")
+    srp_index_append(emb.where(F.col("vec_id") < 150), path, 0)
+    srp_index_append(emb.where(F.col("vec_id") >= 150), path, 1)
+    assert _batches_disjoint(
+        spark, f"{path}/rows", f"{path}/rows_manifest",
+        "min_id", "max_id", "n_rows",
+    )
+    # simulate the crash window: manifest row dropped (as the replay
+    # does first), rows partially rewritten, job dies before the new
+    # manifest row lands
+    _drop_manifest_row(spark, f"{path}/rows_manifest", 1)
+    assert not _batches_disjoint(
+        spark, f"{path}/rows", f"{path}/rows_manifest",
+        "min_id", "max_id", "n_rows",
+    )
+    # a completed replay restores the fast path
+    srp_index_append(emb.where(F.col("vec_id") >= 150), path, 1)
+    assert _batches_disjoint(
+        spark, f"{path}/rows", f"{path}/rows_manifest",
+        "min_id", "max_id", "n_rows",
+    )
+    # idempotent no-op on a missing row / missing tree
+    _drop_manifest_row(spark, f"{path}/rows_manifest", 99)
+    shutil.rmtree(f"{path}/rows_manifest")
+    _drop_manifest_row(spark, f"{path}/rows_manifest", 0)
+
+
+def test_ivf_fixed_lifecycle_fold_semantics(spark, tmp_path):
+    """ivf_index_append_fixed / ivf_index_topk_fixed — the hash-exact
+    append-lifecycle twin (VERDICT r14 #3): frozen fixed centroids,
+    integer assignment, a REAL latest-wins fold (re-delivered id with
+    a negated vector), replay idempotency, and the prune-before-fold
+    contract."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_index_append_fixed,
+        ivf_index_topk_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "ivf_fixed")
+    r0 = ivf_index_append_fixed(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+    assert r0 == {"batch": 0, "n_rows": 150}
+    c0 = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    assert len(c0) == 8  # lowest 8 ids of the creation batch
+    assert [c[0] for c in c0] == [0, 2, 4, 6, 8, 10, 12, 14]
+    upd = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)).select(
+        "vec_id", F.transform("embedding", lambda v: -v).alias("embedding")
+    )
+    b1 = (
+        emb.where(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .unionByName(upd)
+    )
+    ivf_index_append_fixed(b1, path, 1)
+    # frozen quantizer
+    assert c0 == sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    df = ivf_index_topk_fixed(spark, path, q, k=300, nprobe=8)
+    # interleaved + re-delivered: the fold is active in the plan
+    assert "max_by" in df._jdf.queryExecution().analyzed().toString()
+    got = {r.vec_id: r.cosine for r in df.collect()}
+    # nprobe=8 == all cells: every re-delivered id serves its LATEST
+    # (negated) vector — cosine is the exact negation of the original
+    for vid in (0, 2, 38):
+        base = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == vid).first()["embedding"]
+        ]
+        import math as m
+
+        dot_ = sum(a * b for a, b in zip(base, q))
+        na = m.sqrt(sum(a * a for a in base))
+        nq = m.sqrt(sum(a * a for a in q))
+        assert got[vid] == pytest.approx(-round(dot_ / (na * nq), 6), abs=2e-6)
+    # replay idempotency
+    want = sorted(map(tuple, df.collect()))
+    ivf_index_append_fixed(b1, path, 1)
+    assert (
+        sorted(
+            map(
+                tuple,
+                ivf_index_topk_fixed(spark, path, q, k=300, nprobe=8)
+                .collect(),
+            )
+        )
+        == want
+    )
