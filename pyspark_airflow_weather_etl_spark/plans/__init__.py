@@ -719,6 +719,95 @@ _VERIFIED_R13: frozenset[str] = frozenset(
 )
 
 
+# CORRECTNESS_r14.json rows — all 50 green (46 hash-exact, 4 in the
+# declared rows-only set), freshest tier.
+_VERIFIED_R14: frozenset[str] = frozenset(
+    {
+        "approx_distinct_users",
+        "approx_percentile_prices",
+        "bpe_encode_documents",
+        "bpe_merges_documents",
+        "corpus_ngram_diversity",
+        "correlation_stats",
+        "decontaminate_fraction_documents",
+        "dedup_substrings_documents",
+        "deterministic_sample_orders",
+        "gopher_quality_filter",
+        "histogram_order_values",
+        "interleave_sources_documents",
+        "ivf_ann_topk_incremental",
+        "linear_regression_aggs",
+        "lm_bigram_score_documents",
+        "multimodal_audio_features",
+        "multimodal_audio_features_24bit",
+        "multimodal_audio_resample",
+        "percentile_price_quartiles",
+        "phrase_match_at_rest",
+        "phrase_match_at_rest_set",
+        "phrase_match_compacted",
+        "phrase_match_incremental",
+        "proximity_match_at_rest",
+        "proximity_match_at_rest_set",
+        "pseudonymize_events",
+        "q11_part_value_concentration",
+        "q12_shipping_delay_classes",
+        "q13_customer_order_distribution",
+        "q16_supplier_count_by_part",
+        "q20_excess_inventory_suppliers",
+        "q21_waiting_suppliers",
+        "q22_dormant_customer_balances",
+        "q8_nation_market_share",
+        "quality_prune_documents",
+        "salted_join_identity",
+        "semantic_dedup_incremental_cells",
+        "semantic_dedup_incremental_embeddings",
+        "snapshot_diff_documents",
+        "sq8_ann_topk_at_rest",
+        "sq8_ann_topk_incremental",
+        "sq8_ann_topk_incremental_disjoint",
+        "sql_lateral_top_customer",
+        "sql_ntile_price_quartiles",
+        "sql_recursive_calendar",
+        "stream_stream_join_view_purchase",
+        "streaming_daily_rollup",
+        "streaming_sq8_index_topk",
+        "token_freq_spectrum",
+        "two_phase_skew_agg",
+    }
+)
+
+
+# Round-15 priority head: NEW entries plus names whose engine path
+# changed this round after their latest driver row — the BM25
+# probe-side overlap guard (every entry probing an at-rest bm25
+# tree), the fail-closed _drop_manifest_row ordering in the
+# sq8/ivf/positional/bm25/srp appends (every entry building a
+# batch-keyed tree), the ivf_index_compact manifest fix, and the
+# unigram _em_word_state dispatch refactor.
+_PRIORITY_R15: frozenset[str] = frozenset(
+    {
+        "srp_ann_topk_incremental",  # new this round
+        "ivf_ann_topk_incremental_fixed",  # new this round
+        "bm25_topk_at_rest",
+        "bm25_topk_incremental",
+        "bm25_topk_compacted",
+        "bm25_prf_expanded_at_rest",
+        "streaming_bm25_index_topk",
+        "phrase_match_at_rest",
+        "phrase_match_incremental",
+        "phrase_match_compacted",
+        "sq8_ann_topk_incremental",
+        "sq8_ann_topk_incremental_disjoint",
+        "ivf_ann_topk_incremental",
+        "unigram_seed_vocab_documents",
+        "unigram_vocab_documents",
+        "unigram_encode_documents",
+        "unigram_vocab_em_documents",
+        "unigram_vocab_em_fixed",
+    }
+)
+
+
 # Round-14 priority head: NEW entries plus names whose engine path
 # changed this round after their latest driver row — the driver-side
 # BPE trainer (now the auto default), the disjoint-manifest dedup
@@ -750,7 +839,7 @@ _PRIORITY_R14: frozenset[str] = frozenset(
 
 def _schedule_registry() -> None:
     """Reorder REGISTRY: never-verified names first, then this
-    round's changed-path head (_PRIORITY_R14), then the stalest
+    round's changed-path head (_PRIORITY_R15), then the stalest
     round's names, then the freshest round's. A name in several
     rounds' sets is scheduled by its freshest row (later tiers
     win)."""
@@ -766,12 +855,13 @@ def _schedule_registry() -> None:
         _VERIFIED_R11,
         _VERIFIED_R12,
         _VERIFIED_R13,
+        _VERIFIED_R14,
     ]
     tiers = [
         rounds[i] - frozenset().union(*rounds[i + 1 :])
         for i in range(len(rounds) - 1)
     ] + [rounds[-1]]
-    head = _PRIORITY_R14 | (_PRIORITY_R12 - frozenset().union(*rounds))
+    head = _PRIORITY_R15 | (_PRIORITY_R12 - frozenset().union(*rounds))
     tiers = [head] + [t - head for t in tiers]
     entries = dict(REGISTRY)
     REGISTRY.clear()

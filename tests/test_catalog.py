@@ -61,7 +61,14 @@ def test_rows_only_entries_are_the_documented_sketches():
         "ivf_ann_topk_at_rest",
         # round-14 lifecycle edition: float-trained frozen centroids,
         # probe==in-memory equality pytest in tests/test_similarity.py
+        # (its fixed-quantizer twin ivf_ann_topk_incremental_fixed,
+        # round 15, IS oracle-bearing — append+fold+probe replayed in
+        # one DuckDB statement)
         "ivf_ann_topk_incremental",
+        # round-15 SRP lifecycle: LSH probe set like every srp entry;
+        # equality with one-shot srp_topk_at_rest + replay idempotency
+        # pinned in tests/test_similarity.py
+        "srp_ann_topk_incremental",
         "approx_distinct_users",
         "approx_percentile_prices",
         # SRP sub-blocked hot-label path: approximate by design, recall
