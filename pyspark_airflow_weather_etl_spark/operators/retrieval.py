@@ -89,16 +89,17 @@ def _bm25_overlap_guard(
     pass silently and their scoring plan is byte-identical to the
     unguarded one; a PRE-manifest tree (no ``manifest`` subtree at
     all) keeps historical serve-silently behavior — there is no
-    overlap report to act on. Driver cost: one listStatus, plus a
-    batches-sized manifest read only on multi-batch trees."""
+    overlap report to act on. Driver cost: one exists-check plus one
+    listStatus, plus a batches-sized manifest read only on
+    multi-batch trees."""
     if on_overlap not in ("warn", "raise", "ignore"):
         raise ValueError(f"unknown on_overlap {on_overlap!r}")
     if on_overlap == "ignore":
         return
-    if _n_batches(spark, f"{index_path}/postings") <= 1:
-        return
     if not _manifest_exists(spark, f"{index_path}/manifest"):
         return
+    # _batches_disjoint short-circuits True on <=1 live batches, so no
+    # separate _n_batches pre-check (one listStatus, not two)
     if _batches_disjoint(
         spark,
         f"{index_path}/postings",
@@ -366,9 +367,18 @@ def bm25_index_append(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
     )
     batch = F.lit(batch_id).cast("bigint")
-    # fail-closed replay window: drop this batch's manifest row before
-    # touching rows (ADVICE r14, _drop_manifest_row)
+    # fail-closed replay: manifest row first, then the batch dirs —
+    # a different-content replay must REPLACE, not merge (dynamic
+    # overwrite only swaps the pfx= leaves present in the new data)
     _drop_manifest_row(docs.sparkSession, f"{path}/manifest", batch_id)
+    _drop_batch_dirs(
+        docs.sparkSession,
+        batch_id,
+        f"{path}/postings",
+        f"{path}/termstats",
+        f"{path}/stats",
+        f"{path}/docterms",
+    )
     _write_batch_keyed(
         tf.withColumn("batch", batch).withColumn(
             "pfx", F.substring(F.md5("token"), 1, _PFX_LEN)
@@ -716,9 +726,10 @@ def positional_index_append(
         F.lit(batch_id).cast("bigint").alias("batch"),
         F.substring(F.md5("token"), 1, _PFX_LEN).alias("pfx"),
     )
-    # fail-closed replay window: drop this batch's manifest row before
-    # touching rows (ADVICE r14, _drop_manifest_row)
+    # fail-closed replay: manifest row first, then the batch dir —
+    # a different-content replay must replace the pfx= leaves too
     _drop_manifest_row(spark, f"{path}/manifest", batch_id)
+    _drop_batch_dirs(spark, batch_id, f"{path}/postings_pos")
     _write_batch_keyed(posted, f"{path}/postings_pos", ("batch", "pfx"))
     mm = t.agg(
         F.min(F.col("doc_id").cast("bigint")).alias("min_doc_id"),
@@ -931,14 +942,40 @@ def _drop_manifest_row(
     interrupted replay yields 'live batch missing from manifest', so
     :func:`_batches_disjoint` returns False and every consumer runs
     its fold/dedup/guard until the append is replayed to completion.
-    No-op when the row (or the manifest tree) does not exist yet."""
+    No-op when the row (or the manifest tree) does not exist yet.
+
+    Callers pair this with :func:`_drop_batch_dirs` — the manifest
+    row alone is not enough for a replay that COMPLETES with a
+    different id set (see there)."""
+    _drop_batch_dirs(spark, batch_id, manifest_path)
+
+
+def _drop_batch_dirs(
+    spark: SparkSession, batch_id: int, *tree_paths: str
+) -> None:
+    """Delete each tree's ``batch=<id>`` directory before an append
+    rewrites that batch (round-15 review): dynamic partition
+    overwrite replaces only the LEAF partitions present in the new
+    data, so on a multi-level layout (``batch=/pfx=``,
+    ``batch=/ivf_cell=``, ``batch=/t=/bucket=``) a batch re-delivered
+    with a DIFFERENT id/content set would keep its old rows in the
+    sub-partitions the new delivery doesn't touch — alongside a fresh
+    manifest row whose range then falsely 'proves' the stale rows
+    away. Deleting the whole batch dir first makes a completed replay
+    a true replacement (and covers the empty-re-delivery edge on
+    single-level trees, where a zero-row write replaces nothing).
+    Ordering contract: callers drop the manifest row FIRST, then the
+    row dirs, then write rows, then the manifest — a crash at any
+    point leaves the batch missing from the manifest and
+    :func:`_batches_disjoint` fails closed. No-op on paths that do
+    not exist yet."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(
-        f"{manifest_path}/batch={int(batch_id)}"
-    )
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p):
-        fs.delete(p, True)
+    hconf = spark._jsc.hadoopConfiguration()
+    for tp in tree_paths:
+        p = jvm.org.apache.hadoop.fs.Path(f"{tp}/batch={int(batch_id)}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def _pos_dedup_needed(spark: SparkSession, index_path: str) -> bool:

@@ -226,11 +226,17 @@ def sq8_index_append(
             F.size(F.filter(raw, lambda c: (c < 0) | (c > 255)))
         ).alias("n_clamped"),
     ).collect()[0]
-    from .retrieval import _drop_manifest_row, _write_batch_keyed
+    from .retrieval import (
+        _drop_batch_dirs,
+        _drop_manifest_row,
+        _write_batch_keyed,
+    )
 
-    # fail-closed replay window: drop this batch's manifest row before
-    # touching rows (ADVICE r14, _drop_manifest_row)
+    # fail-closed replay: manifest row first, then the batch dir —
+    # also covers the empty-re-delivery edge (a zero-row dynamic
+    # overwrite replaces nothing)
     _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _drop_batch_dirs(spark, batch_id, f"{path}/rows")
     _write_batch_keyed(
         embeddings.select(
             F.col(id_col),
@@ -751,6 +757,58 @@ def srp_signature(
     return df.withColumn(out_col, bucket)
 
 
+def _srp_query_bits(query_vec: list[float], dim: int, n_planes: int) -> int:
+    """Driver-side packed SRP signature of one query vector — the
+    same sign-per-hyperplane bits :func:`srp_signature` computes for
+    the corpus, against the same SEED-derived planes. Shared by every
+    probe that turns a query into (table, bucket) predicates (one
+    definition, so the bit order can never desynchronize between the
+    full-scan, at-rest, and lifecycle probes)."""
+    planes = _hyperplanes(dim, n_planes)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) >= 0:
+            qbits |= 1 << i
+    return qbits
+
+
+def _srp_table_structs(bits_per_table: int, n_tables: int) -> F.Column:
+    """The ``array<struct<t, bucket>>`` expression slicing a packed
+    ``srp_bucket`` signature into per-table int sub-buckets — the ONE
+    definition of the at-rest (t, bucket) layout, shared by the
+    one-shot write and the append lifecycle (a bit-order change must
+    not be able to desynchronize them)."""
+    mask = (1 << bits_per_table) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
+                .bitwiseAND(F.lit(mask))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def _srp_query_cond(
+    qbits: int, bits_per_table: int, n_tables: int
+) -> F.Column:
+    """OR-of-(t, bucket)-equalities partition predicate for a query's
+    packed signature — the probe-side twin of
+    :func:`_srp_table_structs`."""
+    mask = (1 << bits_per_table) - 1
+    cond = None
+    for t in range(n_tables):
+        qbucket = (qbits >> (t * bits_per_table)) & mask
+        c = (F.col("t") == t) & (F.col("bucket") == qbucket)
+        cond = c if cond is None else cond | c
+    return cond
+
+
 def srp_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -775,12 +833,7 @@ def srp_topk(
     tests/test_similarity.py (random Gaussian fixtures are LSH's
     worst case; clustered real embeddings bucket far better)."""
     n_planes = bits_per_table * n_tables
-    planes = _hyperplanes(dim, n_planes)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbits = 0
-    for i, plane in enumerate(planes):
-        if float(np.dot(qv, plane)) >= 0:
-            qbits |= 1 << i
+    qbits = _srp_query_bits(query_vec, dim, n_planes)
     with_sig = srp_signature(embeddings, dim, n_planes, vec_col)
     mask = (1 << bits_per_table) - 1
     cond = None
@@ -824,19 +877,7 @@ def srp_index_write(
     vector per query and paying them once at ingest."""
     n_planes = bits_per_table * n_tables
     sig = srp_signature(embeddings, dim, n_planes, vec_col)
-    mask = (1 << bits_per_table) - 1
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
-                .bitwiseAND(F.lit(mask))
-                .cast("int")
-                .alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    tables = _srp_table_structs(bits_per_table, n_tables)
     (
         sig.select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb"))
         .select(id_col, vec_col, "tb.t", "tb.bucket")
@@ -868,22 +909,35 @@ def srp_topk_at_rest(
     are exactly re-ranked. Returns the same rows as the full-scan
     ``srp_topk`` — same planes, same multi-probe OR — at a fraction of
     the read (bench: srp_ann_topk vs srp_ann_topk_at_rest)."""
-    n_planes = bits_per_table * n_tables
-    planes = _hyperplanes(dim, n_planes)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbits = 0
-    for i, plane in enumerate(planes):
-        if float(np.dot(qv, plane)) >= 0:
-            qbits |= 1 << i
-    mask = (1 << bits_per_table) - 1
+    qbits = _srp_query_bits(query_vec, dim, bits_per_table * n_tables)
     idx = spark.read.parquet(index_path)
-    cond = None
-    for t in range(n_tables):
-        qbucket = (qbits >> (t * bits_per_table)) & mask
-        c = (F.col("t") == t) & (F.col("bucket") == qbucket)
-        cond = c if cond is None else cond | c
+    cond = _srp_query_cond(qbits, bits_per_table, n_tables)
     candidates = idx.where(cond).dropDuplicates([id_col])
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def _manifest_from_agg(src: DataFrame, id_col: str, batch_id: int):
+    """One-job per-batch ``rows_manifest``: aggregate the batch's id
+    range ONCE, collect the single row, and rebuild the manifest
+    frame from literals in the id column's OWN type (round-15 review:
+    writing the agg frame and then re-collecting it for the n_rows
+    return value was a second job over the same batch). Returns
+    ``(manifest_df, n_rows)``; an empty batch yields null min/max,
+    which :func:`..operators.retrieval._batches_disjoint` already
+    ignores via its ``n_rows > 0`` filter."""
+    spark = src.sparkSession
+    idt = src.schema[id_col].dataType.simpleString()
+    row = src.agg(
+        F.min(F.col(id_col)).alias("min_id"),
+        F.max(F.col(id_col)).alias("max_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    ).collect()[0]
+    n = int(row["n_rows"])
+    df = spark.createDataFrame(
+        [(int(batch_id), row["min_id"], row["max_id"], n)],
+        f"batch bigint, min_id {idt}, max_id {idt}, n_rows bigint",
+    )
+    return df, n
 
 
 def srp_index_append(
@@ -925,7 +979,11 @@ def srp_index_append(
     ``{"batch", "n_rows"}``."""
     from pyspark.errors import AnalysisException
 
-    from .retrieval import _drop_manifest_row, _write_batch_keyed
+    from .retrieval import (
+        _drop_batch_dirs,
+        _drop_manifest_row,
+        _write_batch_keyed,
+    )
 
     spark = embeddings.sparkSession
     try:
@@ -960,20 +1018,11 @@ def srp_index_append(
     src = embeddings.select(id_col, vec_col).persist()
     n_planes = bits_per_table * n_tables
     sig = srp_signature(src, dim, n_planes, vec_col)
-    mask = (1 << bits_per_table) - 1
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.shiftright(F.col("srp_bucket"), t * bits_per_table)
-                .bitwiseAND(F.lit(mask))
-                .cast("int")
-                .alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    tables = _srp_table_structs(bits_per_table, n_tables)
+    # fail-closed replay: manifest row first, then the batch dir — a
+    # different-content replay must replace the t=/bucket= leaves too
     _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _drop_batch_dirs(spark, batch_id, f"{path}/rows")
     _write_batch_keyed(
         sig.select(
             F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb")
@@ -983,17 +1032,8 @@ def srp_index_append(
         f"{path}/rows",
         ("batch", "t", "bucket"),
     )
-    mm = src.agg(
-        F.min(F.col(id_col)).alias("min_id"),
-        F.max(F.col(id_col)).alias("max_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
-    _write_batch_keyed(
-        mm.withColumn("batch", F.lit(batch_id).cast("bigint")),
-        f"{path}/rows_manifest",
-        ("batch",),
-    )
-    n_rows = int(mm.collect()[0]["n_rows"])
+    mm, n_rows = _manifest_from_agg(src, id_col, batch_id)
+    _write_batch_keyed(mm, f"{path}/rows_manifest", ("batch",))
     src.unpersist(blocking=False)
     return {"batch": int(batch_id), "n_rows": n_rows}
 
@@ -1019,27 +1059,19 @@ def srp_index_topk(
     ``rows_manifest`` proves the batches' id ranges pairwise
     disjoint, where a plain per-id dropDuplicates suffices; either
     pass runs over the PRUNED probe slice only, never the index."""
-    from .retrieval import _batches_disjoint, _n_batches
+    from .retrieval import _batches_disjoint
 
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     dim = int(meta["dim"])
     bits_per_table = int(meta["bits_per_table"])
     n_tables = int(meta["n_tables"])
-    planes = _hyperplanes(dim, bits_per_table * n_tables)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbits = 0
-    for i, plane in enumerate(planes):
-        if float(np.dot(qv, plane)) >= 0:
-            qbits |= 1 << i
-    mask = (1 << bits_per_table) - 1
+    qbits = _srp_query_bits(query_vec, dim, bits_per_table * n_tables)
     rows = spark.read.parquet(f"{index_path}/rows")
-    cond = None
-    for t in range(n_tables):
-        qbucket = (qbits >> (t * bits_per_table)) & mask
-        c = (F.col("t") == t) & (F.col("bucket") == qbucket)
-        cond = c if cond is None else cond | c
+    cond = _srp_query_cond(qbits, bits_per_table, n_tables)
     candidates = rows.where(cond).select(id_col, vec_col, "batch")
-    if _n_batches(spark, f"{index_path}/rows") > 1 and not _batches_disjoint(
+    # _batches_disjoint short-circuits True on <=1 live batches, so no
+    # separate _n_batches pre-check (one listStatus, not two)
+    if not _batches_disjoint(
         spark,
         f"{index_path}/rows",
         f"{index_path}/rows_manifest",
@@ -1604,7 +1636,11 @@ def ivf_index_append(
     Returns {"batch", "n_rows", "mean_d2", "drift_ratio"}."""
     from pyspark.errors import AnalysisException
 
-    from .retrieval import _drop_manifest_row, _write_batch_keyed
+    from .retrieval import (
+        _drop_batch_dirs,
+        _drop_manifest_row,
+        _write_batch_keyed,
+    )
 
     spark = embeddings.sparkSession
     try:
@@ -1649,9 +1685,11 @@ def ivf_index_append(
             [(len(centroids), fit_mean_d2)],
             "n_cells int, fit_mean_d2 double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    # fail-closed replay window: drop this batch's manifest row before
-    # touching rows (ADVICE r14, _drop_manifest_row)
+    # fail-closed replay: manifest row first, then the batch dir — a
+    # different-content replay must replace the ivf_cell= leaves too
+    # (dynamic overwrite only swaps the leaves present in new data)
     _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _drop_batch_dirs(spark, batch_id, f"{path}/rows")
     _write_batch_keyed(
         assigned.withColumn("batch", F.lit(batch_id).cast("bigint")),
         f"{path}/rows",
@@ -1944,15 +1982,33 @@ def ivf_index_append_fixed(
 
     Rows land as ``(id, v double[], nrm)`` under
     ``batch=<id>/ivf_cell=<cell>`` plus the standard ``rows_manifest``
-    (with the :func:`..operators.retrieval._drop_manifest_row`
-    fail-closed replay discipline). Returns {"batch", "n_rows"}."""
+    (fail-closed replay: manifest row dropped first, then the batch's
+    row dirs, so neither a crash mid-replay nor a completed
+    different-content replay can leave stale rows a fresh manifest
+    row would 'prove' away). The quantizer identity ``(n_centroids,
+    scale)`` freezes in ``meta`` alongside the centroids (the
+    srp_index_append discipline — round-15 review): a later append
+    passing different values raises instead of silently
+    mis-quantizing. Returns {"batch", "n_rows"}."""
     from pyspark.errors import AnalysisException
 
-    from .retrieval import _drop_manifest_row, _write_batch_keyed
+    from .retrieval import (
+        _drop_batch_dirs,
+        _drop_manifest_row,
+        _write_batch_keyed,
+    )
 
     spark = embeddings.sparkSession
     base = _fixed_base(embeddings, id_col, vec_col, scale)
     try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        stored = (int(meta["n_centroids"]), int(meta["scale"]))
+        if stored != (n_centroids, scale):
+            raise ValueError(
+                f"fixed IVF index at {path} was created with"
+                f" (n_centroids, scale)={stored}; appending with"
+                f" {(n_centroids, scale)} would quantize incompatibly"
+            )
         cents = spark.read.parquet(f"{path}/centroids")
     except AnalysisException:
         # quantizer identity persists BEFORE any rows (crash ordering)
@@ -1964,25 +2020,20 @@ def ivf_index_append_fixed(
             .write.mode("overwrite")
             .parquet(f"{path}/centroids")
         )
+        spark.createDataFrame(
+            [(n_centroids, scale)], "n_centroids int, scale int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         cents = spark.read.parquet(f"{path}/centroids")
     assigned = _fixed_assign(base, cents, id_col).persist()
     _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _drop_batch_dirs(spark, batch_id, f"{path}/rows")
     _write_batch_keyed(
         assigned.withColumn("batch", F.lit(batch_id).cast("bigint")),
         f"{path}/rows",
         ("batch", "ivf_cell"),
     )
-    mm = assigned.agg(
-        F.min(F.col(id_col)).alias("min_id"),
-        F.max(F.col(id_col)).alias("max_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
-    _write_batch_keyed(
-        mm.withColumn("batch", F.lit(batch_id).cast("bigint")),
-        f"{path}/rows_manifest",
-        ("batch",),
-    )
-    n_rows = int(mm.collect()[0]["n_rows"])
+    mm, n_rows = _manifest_from_agg(assigned, id_col, batch_id)
+    _write_batch_keyed(mm, f"{path}/rows_manifest", ("batch",))
     assigned.unpersist(blocking=False)
     return {"batch": int(batch_id), "n_rows": n_rows}
 
@@ -1993,7 +2044,6 @@ def ivf_index_topk_fixed(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
-    scale: int = 1000,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Probe of the :func:`ivf_index_append_fixed` lifecycle tree —
@@ -2007,9 +2057,15 @@ def ivf_index_topk_fixed(
     serves its newest PROBED row — exactly what the DuckDB oracle
     replays), and the exact double cosine re-ranks. Every step is
     integer or frozen-shape IEEE, so the twin is hash-exact where the
-    trained probe is rows-only."""
-    from .retrieval import _batches_disjoint, _n_batches
+    trained probe is rows-only. SELF-CONTAINED: ``scale`` comes from
+    the index's own ``meta`` (round-15 review — a caller-held scale
+    could silently quantize the query on a different grid than the
+    stored centroids)."""
+    from .retrieval import _batches_disjoint
 
+    scale = int(
+        spark.read.parquet(f"{index_path}/meta").collect()[0]["scale"]
+    )
     cents = sorted(
         (int(r["cent_id"]), [int(x) for x in r["cq"]])
         for r in spark.read.parquet(f"{index_path}/centroids").collect()
@@ -2024,7 +2080,9 @@ def ivf_index_topk_fixed(
     candidates = rows.where(F.col("ivf_cell").isin(probes)).select(
         id_col, "v", "batch"
     )
-    if _n_batches(spark, f"{index_path}/rows") > 1 and not _batches_disjoint(
+    # _batches_disjoint short-circuits True on <=1 live batches, so no
+    # separate _n_batches pre-check (one listStatus, not two)
+    if not _batches_disjoint(
         spark,
         f"{index_path}/rows",
         f"{index_path}/rows_manifest",

@@ -205,13 +205,24 @@ def _em_word_state(
         pdf = word_freqs(df, text_col).toPandas()
         return list(zip(pdf["word"], pdf["freq"])), None
     par = df.sparkSession.sparkContext.defaultParallelism
-    wf = round_checkpoint(
-        word_freqs(df, text_col).repartition(par), checkpoint_dir
-    )
-    if mode == "auto" and wf.count() <= _DRIVER_EM_MAX_VOCAB:
+    if mode == "distributed":
+        return None, round_checkpoint(
+            word_freqs(df, text_col).repartition(par), checkpoint_dir
+        )
+    # auto: materialize into CACHE for the dispatch count, so the
+    # driver arm can collect from it and release — checkpointing
+    # before the decision would leave orphaned localCheckpoint blocks
+    # (or reliable-checkpoint files) pinned whenever the driver arm
+    # wins (round-15 review); the distributed arm checkpoints FROM the
+    # cache, then the cache is dropped either way.
+    wf = word_freqs(df, text_col).persist()
+    if wf.count() <= _DRIVER_EM_MAX_VOCAB:
         pdf = wf.toPandas()
+        wf.unpersist(blocking=False)
         return list(zip(pdf["word"], pdf["freq"])), None
-    return None, wf
+    wfc = round_checkpoint(wf.repartition(par), checkpoint_dir)
+    wf.unpersist(blocking=False)
+    return None, wfc
 
 
 def unigram_train(

@@ -794,10 +794,14 @@ _PRIORITY_R15: frozenset[str] = frozenset(
         "bm25_prf_expanded_at_rest",
         "streaming_bm25_index_topk",
         "phrase_match_at_rest",
+        "phrase_match_at_rest_set",
         "phrase_match_incremental",
         "phrase_match_compacted",
+        "proximity_match_at_rest",
+        "proximity_match_at_rest_set",
         "sq8_ann_topk_incremental",
         "sq8_ann_topk_incremental_disjoint",
+        "streaming_sq8_index_topk",
         "ivf_ann_topk_incremental",
         "unigram_seed_vocab_documents",
         "unigram_vocab_documents",

@@ -1078,3 +1078,44 @@ def test_bm25_probe_overlap_guard(spark, docs, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error", OverlapWarning)
         bm25_topk_at_rest(spark, bad, QUERIES, k=10).collect()
+
+
+def test_bm25_completed_replay_replaces_stale_subpartitions(
+    spark, docs, tmp_path
+):
+    """The bm25 edition of the stale-leaf replay hole: a completed
+    different-content replay of a batch must leave no postings rows
+    from the superseded delivery in pfx= leaves the new delivery
+    doesn't touch."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_topk,
+        bm25_topk_at_rest,
+    )
+
+    path = str(tmp_path / "bm25_replay")
+    bm25_index_append(docs.where(F.col("doc_id") <= 2), path, 0)
+    bm25_index_append(docs.where(F.col("doc_id") == 3), path, 1)  # "hash"
+    # corrected batch 1: doc 4 instead of doc 3 (disjoint token sets)
+    bm25_index_append(docs.where(F.col("doc_id") == 4), path, 1)
+    live_docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert 3 not in live_docs and 4 in live_docs
+    queries = [(1, "hash join"), (2, "table")]
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                docs.where(F.col("doc_id").isin([0, 1, 2, 4])), queries, k=10
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, bm25_topk_at_rest(spark, path, queries, k=10).collect())
+    )
+    assert got == want

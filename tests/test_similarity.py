@@ -1764,3 +1764,83 @@ def test_ivf_fixed_lifecycle_fold_semantics(spark, tmp_path):
         )
         == want
     )
+
+
+def test_completed_replay_replaces_stale_subpartitions(spark, tmp_path):
+    """Round-15 review: dynamic overwrite only replaces the leaf
+    partitions PRESENT in the new data, so a batch re-delivered to
+    completion with a DIFFERENT id set would keep its old rows in the
+    untouched t=/bucket= (or ivf_cell=) leaves — next to a fresh
+    manifest row whose range falsely 'proves' them away. The appends
+    now drop the whole batch dir first: a completed replay is a true
+    replacement."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        _batches_disjoint,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+        srp_index_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "srp_replay")
+    srp_index_append(emb.where(F.col("vec_id") < 150), path, 0)
+    srp_index_append(
+        emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200)),
+        path,
+        1,
+    )
+    # corrected delivery of batch 1: a DIFFERENT, disjoint id set
+    srp_index_append(emb.where(F.col("vec_id") >= 200), path, 1)
+    b1_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/rows")
+        .where(F.col("batch") == 1)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert b1_ids == set(range(200, 300))  # no stale 150-199 rows
+    assert _batches_disjoint(
+        spark, f"{path}/rows", f"{path}/rows_manifest",
+        "min_id", "max_id", "n_rows",
+    )
+    # and the probe serves exactly the union of the live deliveries
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    got_ids = {
+        r.vec_id for r in srp_index_topk(spark, path, q, k=300).collect()
+    }
+    assert got_ids <= (set(range(150)) | set(range(200, 300)))
+
+
+def test_ivf_fixed_scale_frozen_in_meta(spark, tmp_path):
+    """Round-15 review: the fixed twin's quantizer identity
+    (n_centroids, scale) freezes in meta — mismatched appends raise
+    and the probe reads scale from the index, not the caller."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_index_append_fixed,
+        ivf_index_topk_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 100
+    )
+    path = str(tmp_path / "ivf_fixed_meta")
+    ivf_index_append_fixed(emb, path, 0, scale=100)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (int(meta["n_centroids"]), int(meta["scale"])) == (8, 100)
+    with pytest.raises(ValueError, match="quantize"):
+        ivf_index_append_fixed(emb, path, 1, scale=1000)
+    with pytest.raises(ValueError, match="quantize"):
+        ivf_index_append_fixed(emb, path, 1, n_centroids=4, scale=100)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    top = ivf_index_topk_fixed(spark, path, q, k=5, nprobe=8).collect()
+    assert top[0].vec_id == 7  # self-hit under the stored scale
