@@ -113,6 +113,7 @@ HEADLINE = [
     "ivf_ann_topk_incremental",
     "ivf_ann_topk_incremental_fixed",
     "srp_ann_topk_incremental",
+    "srp_ann_topk_incremental_fixed",
     "sq8_ann_topk_incremental",
     "sq8_ann_topk_incremental_disjoint",
     "streaming_sq8_index_topk",
@@ -1755,6 +1756,7 @@ def main() -> None:
         sq8_ann_topk_incremental,
         sq8_ann_topk_incremental_disjoint,
         srp_ann_topk_incremental,
+        srp_ann_topk_incremental_fixed,
     )
 
     for _prebuild in (
@@ -1763,6 +1765,7 @@ def main() -> None:
         sq8_ann_topk_incremental,
         sq8_ann_topk_incremental_disjoint,
         srp_ann_topk_incremental,
+        srp_ann_topk_incremental_fixed,
     ):
         _prebuild(spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -968,14 +968,18 @@ def _drop_batch_dirs(
     row dirs, then write rows, then the manifest — a crash at any
     point leaves the batch missing from the manifest and
     :func:`_batches_disjoint` fails closed. No-op on paths that do
-    not exist yet."""
+    not exist yet. ``tree_paths`` may contain glob segments (e.g.
+    ``rows/ivf_cell=*``) for layouts where ``batch=`` is NOT the
+    outermost level — the semantic index's cell-first tree."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     for tp in tree_paths:
         p = jvm.org.apache.hadoop.fs.Path(f"{tp}/batch={int(batch_id)}")
         fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
+        matches = fs.globStatus(p)
+        if matches is not None:
+            for st in matches:
+                fs.delete(st.getPath(), True)
 
 
 def _pos_dedup_needed(spark: SparkSession, index_path: str) -> bool:

@@ -1151,6 +1151,196 @@ def srp_index_compact(spark, src_path: str, dst_path: str) -> str:
     return publish_version(spark, dst_path, build)
 
 
+def _srp_fixed_planes(n_planes: int, dim: int):
+    """Deterministic INTEGER hyperplanes for the portable SRP twin —
+    the :func:`..operators.pca._fixed_rotation` formula
+    ``W[i][j] = ((i*31 + j*17) % 7) - 3``: small ints an external
+    engine regenerates from the formula alone, replacing the
+    numpy-RNG Gaussian planes (whose float dot signs depend on BLAS
+    summation order and are therefore not SQL-replayable)."""
+    return np.asarray(
+        [
+            [((i * 31 + j * 17) % 7) - 3 for j in range(dim)]
+            for i in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+
+
+def srp_signature_fixed(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 32,
+    vec_col: str = "embedding",
+    out_col: str = "srp_bucket",
+    scale: int = 1000,
+) -> DataFrame:
+    """Portable-exact SRP signature: vectors floor-quantize to
+    ``floor(x·scale)`` longs (the :func:`_fixed_base` discipline) and
+    each bit is the sign of an INTEGER plane dot — integer sums are
+    orderless, so the packed signature is identical on any engine,
+    unlike :func:`srp_signature`'s float dots. Arrow-batched: one
+    int64 matmul per batch (exact — no float rounding to replay)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        planes = _srp_fixed_planes(n_planes, dim)
+        mask = v.notna().to_numpy()
+        out = [None] * len(v)
+        if mask.any():
+            x = np.vstack(v[mask].to_numpy()).astype(np.float64)
+            qv = np.floor(x * float(scale)).astype(np.int64)
+            bits = (qv @ planes.T) >= 0
+            weights = (1 << np.arange(n_planes)).astype(np.uint64)
+            packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+            for row, i in enumerate(np.flatnonzero(mask)):
+                out[i] = int(np.int64(packed[row]))
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(out_col, _sig(F.col(vec_col)))
+
+
+def srp_index_append_fixed(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    dim: int = 64,
+    bits_per_table: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> dict:
+    """Portable-oracle twin of :func:`srp_index_append` — the
+    round-15 fixed-twin discipline (``ivf_index_append_fixed``)
+    applied to the LSH family, so the SRP lifecycle too gets the
+    cross-engine proof its Gaussian-plane entries (rows-only by
+    necessity) cannot give: integer planes
+    (:func:`_srp_fixed_planes`), floor-quantized integer dots
+    (:func:`srp_signature_fixed`), the same batch=/t=/bucket= layout,
+    manifest, fail-closed replay, and frozen identity — here
+    ``(dim, bits_per_table, n_tables, scale)``, persisted to ``meta``
+    before any rows; mismatched appends raise. Returns
+    ``{"batch", "n_rows"}``."""
+    from pyspark.errors import AnalysisException
+
+    from .retrieval import (
+        _drop_batch_dirs,
+        _drop_manifest_row,
+        _write_batch_keyed,
+    )
+
+    spark = embeddings.sparkSession
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        stored = (
+            int(meta["dim"]),
+            int(meta["bits_per_table"]),
+            int(meta["n_tables"]),
+            int(meta["scale"]),
+        )
+        if stored != (dim, bits_per_table, n_tables, scale):
+            raise ValueError(
+                f"fixed SRP index at {path} was created with (dim,"
+                f" bits_per_table, n_tables, scale)={stored}; appending"
+                f" with {(dim, bits_per_table, n_tables, scale)} would"
+                " bucket incompatibly"
+            )
+    except AnalysisException:
+        spark.createDataFrame(
+            [(dim, bits_per_table, n_tables, scale)],
+            "dim int, bits_per_table int, n_tables int, scale int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    try:
+        stored_schema = spark.read.parquet(f"{path}/rows").schema
+        embeddings = embeddings.select(
+            F.col(id_col).cast(stored_schema[id_col].dataType),
+            F.col(vec_col).cast(stored_schema[vec_col].dataType),
+        )
+    except AnalysisException:
+        pass  # first batch defines the types
+    src = embeddings.select(id_col, vec_col).persist()
+    sig = srp_signature_fixed(
+        src, dim, bits_per_table * n_tables, vec_col, scale=scale
+    )
+    tables = _srp_table_structs(bits_per_table, n_tables)
+    _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _drop_batch_dirs(spark, batch_id, f"{path}/rows")
+    _write_batch_keyed(
+        sig.select(
+            F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb")
+        )
+        .select(id_col, vec_col, "tb.t", "tb.bucket")
+        .withColumn("batch", F.lit(batch_id).cast("bigint")),
+        f"{path}/rows",
+        ("batch", "t", "bucket"),
+    )
+    mm, n_rows = _manifest_from_agg(src, id_col, batch_id)
+    _write_batch_keyed(mm, f"{path}/rows_manifest", ("batch",))
+    src.unpersist(blocking=False)
+    return {"batch": int(batch_id), "n_rows": n_rows}
+
+
+def srp_index_topk_fixed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe of the :func:`srp_index_append_fixed` tree —
+    :func:`srp_index_topk` semantics with the portable quantizer,
+    SELF-CONTAINED: (dim, bits, tables, scale) come from the index's
+    own ``meta``. The query floor-quantizes driver-side, its integer
+    plane dots pick one bucket per table, the scan prunes to those
+    (t, bucket) partitions across all batches, candidates fold
+    latest-batch-wins per id over the PRUNED slice (skipped for
+    manifest-proven disjoint batches, where a plain per-id dedup
+    suffices), and the exact double cosine re-ranks. Every step is
+    integer or frozen-shape IEEE — the DuckDB oracle replays append,
+    fold, and probe in one statement."""
+    from .retrieval import _batches_disjoint
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    dim = int(meta["dim"])
+    bits_per_table = int(meta["bits_per_table"])
+    n_tables = int(meta["n_tables"])
+    scale = int(meta["scale"])
+    planes = _srp_fixed_planes(bits_per_table * n_tables, dim)
+    qq = np.asarray(
+        [int(math.floor(float(x) * scale)) for x in query_vec],
+        dtype=np.int64,
+    )
+    dots = planes @ qq
+    qbits = 0
+    for i, d in enumerate(dots):
+        if int(d) >= 0:
+            qbits |= 1 << i
+    rows = spark.read.parquet(f"{index_path}/rows")
+    cond = _srp_query_cond(qbits, bits_per_table, n_tables)
+    candidates = rows.where(cond).select(id_col, vec_col, "batch")
+    # _batches_disjoint short-circuits True on <=1 live batches, so no
+    # separate _n_batches pre-check (one listStatus, not two)
+    if not _batches_disjoint(
+        spark,
+        f"{index_path}/rows",
+        f"{index_path}/rows_manifest",
+        "min_id",
+        "max_id",
+        "n_rows",
+    ):
+        candidates = candidates.groupBy(id_col).agg(
+            F.max_by(vec_col, "batch").alias(vec_col)
+        )
+    else:
+        candidates = candidates.dropDuplicates([id_col])
+    return brute_force_topk(
+        candidates.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )
+
+
 def _srp_bucket_rows(
     embeddings: DataFrame,
     id_col: str,
@@ -2923,13 +3113,23 @@ def semantic_index_append_fixed(
     keyed like the streaming MinHash index (ADVICE r8): rows land in
     ``rows/ivf_cell=<c>/batch=<id>`` with ``mode('overwrite')``
     scoped to this batch's partitions (dynamic overwrite), so a
-    crash-replay overwrites its own partitions instead of
-    double-appending."""
+    SAME-content crash-replay overwrites its own partitions instead
+    of double-appending — and the batch's leaves are deleted first
+    across ALL cells (round-15 review: dynamic overwrite only swaps
+    the (cell, batch) leaves present in the new data, so a replay
+    whose corrected vectors assign to DIFFERENT cells would otherwise
+    strand the superseded rows, and the incremental dedup would keep
+    verifying candidates against them)."""
+    from .retrieval import _drop_batch_dirs
+
     spark = new_df.sparkSession
     cents = spark.read.parquet(f"{index_path}/centroids")
     assigned = _fixed_assign(
         _fixed_base(new_df, id_col, vec_col, scale), cents, id_col
     ).withColumn("batch", F.lit(batch_id))
+    _drop_batch_dirs(
+        spark, batch_id, f"{index_path}/rows/ivf_cell=*"
+    )
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -3059,11 +3259,18 @@ def semantic_index_append(
 ) -> None:
     """Fold a batch into the production-shape index — batch-keyed
     dynamic-overwrite partitions (``rows/ivf_cell=<c>/batch=<id>``),
-    replay-idempotent like :func:`semantic_index_append_fixed`."""
+    replay-idempotent like :func:`semantic_index_append_fixed`,
+    including the same cross-cell leaf delete before the write (a
+    different-content replay must replace, not merge)."""
+    from .retrieval import _drop_batch_dirs
+
     spark = new_df.sparkSession
     cents = semantic_read_centroids(spark, index_path)
     assigned = _assign_vnrm(new_df, cents, id_col, vec_col).withColumn(
         "batch", F.lit(batch_id)
+    )
+    _drop_batch_dirs(
+        spark, batch_id, f"{index_path}/rows/ivf_cell=*"
     )
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

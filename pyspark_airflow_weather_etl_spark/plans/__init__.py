@@ -788,6 +788,7 @@ _PRIORITY_R15: frozenset[str] = frozenset(
     {
         "srp_ann_topk_incremental",  # new this round
         "ivf_ann_topk_incremental_fixed",  # new this round
+        "srp_ann_topk_incremental_fixed",  # new this round
         "bm25_topk_at_rest",
         "bm25_topk_incremental",
         "bm25_topk_compacted",

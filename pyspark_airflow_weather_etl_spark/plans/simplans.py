@@ -307,6 +307,118 @@ def srp_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.srp_index_topk(spark, _SRP_INC_INDEX[sf_dir], q, k=10)
 
 
+# Portable replay of the SRP lifecycle: integer hyperplanes
+# W[i][j] = ((i*31 + j*17) % 7) - 3 (the pca_project_fixed formula),
+# floor-quantized integer plane dots (orderless — exactly replayable,
+# unlike the Gaussian planes' float dots), sign bits sliced into 8
+# tables x 4 bits, batch 1 re-delivering the even ids < 40 NEGATED,
+# and the probe's prune-then-latest-wins fold.
+_SRP_INC_FIXED_ORACLE = """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ), rows_all AS MATERIALIZED (
+      SELECT vec_id, x, 0 AS batch FROM q WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT vec_id, x, 1 AS batch FROM q WHERE vec_id % 2 = 1
+      UNION ALL
+      SELECT vec_id, list_transform(x, v -> -v) AS x, 1 AS batch
+      FROM q WHERE vec_id % 2 = 0 AND vec_id < 40
+    ), dims AS (SELECT unnest(range(64)) AS j),
+    planes AS MATERIALIZED (
+      SELECT ii.i, dims.j,
+             ((ii.i * 31 + dims.j * 17) % 7) - 3 AS w
+      FROM (SELECT unnest(range(32)) AS i) ii CROSS JOIN dims
+    ), rowq AS (
+      SELECT r.vec_id, r.batch, dims.j,
+             CAST(floor(r.x[dims.j + 1] * 1000.0) AS BIGINT) AS qv
+      FROM rows_all r CROSS JOIN dims
+    ), rowbuckets AS (
+      SELECT vec_id, batch, i // 4 AS t,
+             SUM(CASE WHEN d >= 0 THEN 1 << (i % 4) ELSE 0 END) AS bucket
+      FROM (
+        SELECT rowq.vec_id, rowq.batch, planes.i,
+               SUM(rowq.qv * planes.w) AS d
+        FROM rowq JOIN planes USING (j)
+        GROUP BY rowq.vec_id, rowq.batch, planes.i
+      ) GROUP BY vec_id, batch, i // 4
+    ), qrow AS (SELECT x AS qx FROM q WHERE vec_id = 7),
+    qbuckets AS (
+      SELECT i // 4 AS t,
+             SUM(CASE WHEN d >= 0 THEN 1 << (i % 4) ELSE 0 END) AS bucket
+      FROM (
+        SELECT planes.i, SUM(qq.qv * planes.w) AS d
+        FROM (SELECT dims.j,
+                     CAST(floor(qrow.qx[dims.j + 1] * 1000.0) AS BIGINT)
+                       AS qv
+              FROM qrow CROSS JOIN dims) qq
+        JOIN planes USING (j)
+        GROUP BY planes.i
+      ) GROUP BY i // 4
+    ), cand AS (
+      SELECT r.vec_id, r.x
+      FROM rows_all r
+      JOIN (SELECT DISTINCT rb.vec_id, rb.batch
+            FROM rowbuckets rb
+            JOIN qbuckets qb ON rb.t = qb.t AND rb.bucket = qb.bucket) m
+        ON r.vec_id = m.vec_id AND r.batch = m.batch
+      QUALIFY row_number() OVER (
+        PARTITION BY r.vec_id ORDER BY r.batch DESC
+      ) = 1
+    )
+    SELECT cand.vec_id,
+           round(list_cosine_similarity(cand.x, qrow.qx), 6) AS cosine
+    FROM cand, qrow
+    ORDER BY cosine DESC, cand.vec_id LIMIT 10
+    """
+
+
+_SRP_FIXED_INDEX: dict[str, str] = {}
+
+
+@register("srp_ann_topk_incremental_fixed", oracle=_SRP_INC_FIXED_ORACLE)
+def srp_ann_topk_incremental_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-exact twin of the SRP APPEND lifecycle — the round-15
+    fixed-twin discipline (ivf_ann_topk_incremental_fixed) applied to
+    the LSH family, closing the one lifecycle whose probes were all
+    rows-only: deterministic INTEGER hyperplanes (the
+    pca_project_fixed formula) and floor-quantized integer plane dots
+    make every signature bit exactly replayable where the Gaussian
+    planes' float dot signs (BLAS summation order) are not. Batch 0
+    (even vec_ids) freezes the identity; batch 1 re-delivers the even
+    ids < 40 NEGATED (a real latest-wins fold); the probe
+    (srp_index_topk_fixed) prunes 8 of 128 (t, bucket) partitions and
+    folds over the pruned slice — the oracle replays append, fold,
+    and probe in one SQL statement."""
+    import tempfile
+
+    if sf_dir not in _SRP_FIXED_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="srp_fixed_") + "/embeddings"
+        S.srp_index_append_fixed(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+        redelivered = emb.where(
+            (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)
+        ).select(
+            "vec_id",
+            F.transform("embedding", lambda v: -v).alias("embedding"),
+        )
+        S.srp_index_append_fixed(
+            emb.where(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+            .unionByName(redelivered),
+            path,
+            1,
+        )
+        _SRP_FIXED_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 7)
+    return S.srp_index_topk_fixed(
+        spark, _SRP_FIXED_INDEX[sf_dir], q, k=10
+    )
+
+
 @register("embedding_near_dup_blocked")  # LSH blocking: no clean SQL form
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe embedding near-dup pairs: SRP sub-bucket blocking

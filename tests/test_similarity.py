@@ -1844,3 +1844,120 @@ def test_ivf_fixed_scale_frozen_in_meta(spark, tmp_path):
     ]
     top = ivf_index_topk_fixed(spark, path, q, k=5, nprobe=8).collect()
     assert top[0].vec_id == 7  # self-hit under the stored scale
+
+
+def test_semantic_append_replay_replaces_across_cells(spark, tmp_path):
+    """The semantic index's cell-first layout
+    (rows/ivf_cell=/batch=) has batch as the LEAF, so the round-15
+    stale-leaf fix must glob the batch's dirs across ALL cells: a
+    completed different-content replay leaves exactly the corrected
+    rows, in their own cells."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        semantic_centroids_write_fixed,
+        semantic_index_append_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 200
+    )
+    path = str(tmp_path / "sem_replay")
+    semantic_centroids_write_fixed(emb, path)
+    semantic_index_append_fixed(emb.where(F.col("vec_id") < 100), path, 0)
+    semantic_index_append_fixed(
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)),
+        path,
+        1,
+    )
+    # corrected delivery of batch 1: a different id set (and thus a
+    # different cell spread)
+    semantic_index_append_fixed(emb.where(F.col("vec_id") >= 150), path, 1)
+    rows = spark.read.parquet(f"{path}/rows")
+    b1 = {
+        r.vec_id
+        for r in rows.where(F.col("batch") == 1)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert b1 == set(range(150, 200))  # no stale 100-149 rows anywhere
+    assert rows.count() == 150
+
+
+def test_srp_fixed_lifecycle_fold_semantics(spark, tmp_path):
+    """srp_index_append_fixed / srp_index_topk_fixed — the SRP
+    edition of the hash-exact lifecycle twin: frozen integer-plane
+    identity (mismatched appends raise), a real latest-wins fold
+    (negated re-delivery), replay idempotency, and the disjoint
+    fast path."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append_fixed,
+        srp_index_topk_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "srp_fixed")
+    r0 = srp_index_append_fixed(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+    assert r0 == {"batch": 0, "n_rows": 150}
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (
+        meta["dim"], meta["bits_per_table"], meta["n_tables"], meta["scale"]
+    ) == (64, 4, 8, 1000)
+    with pytest.raises(ValueError, match="bucket"):
+        srp_index_append_fixed(emb, path, 1, scale=100)
+    upd = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)
+    ).select(
+        "vec_id", F.transform("embedding", lambda v: -v).alias("embedding")
+    )
+    b1 = (
+        emb.where(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .unionByName(upd)
+    )
+    srp_index_append_fixed(b1, path, 1)
+    df = srp_index_topk_fixed(spark, path, q, k=300)
+    assert "max_by" in df._jdf.queryExecution().analyzed().toString()
+    got = {r.vec_id: r.cosine for r in df.collect()}
+    # every re-delivered id that still buckets with the query serves
+    # its LATEST (negated) vector
+    import math as m
+
+    for vid in (vid for vid in (0, 2, 38) if vid in got):
+        base = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == vid).first()["embedding"]
+        ]
+        dot_ = sum(a * b for a, b in zip(base, q))
+        na = m.sqrt(sum(a * a for a in base))
+        nq = m.sqrt(sum(a * a for a in q))
+        assert got[vid] == pytest.approx(
+            -round(dot_ / (na * nq), 6), abs=2e-6
+        )
+    # replay idempotency
+    want = sorted(map(tuple, df.collect()))
+    srp_index_append_fixed(b1, path, 1)
+    assert (
+        sorted(
+            map(tuple, srp_index_topk_fixed(spark, path, q, k=300).collect())
+        )
+        == want
+    )
+    # disjoint geometry skips the fold
+    dpath = str(tmp_path / "srp_fixed_disj")
+    srp_index_append_fixed(emb.where(F.col("vec_id") < 150), dpath, 0)
+    srp_index_append_fixed(emb.where(F.col("vec_id") >= 150), dpath, 1)
+    df2 = srp_index_topk_fixed(spark, dpath, q, k=10)
+    assert "max_by" not in df2._jdf.queryExecution().analyzed().toString()
+    want2 = sorted(map(tuple, df2.collect()))
+    shutil.rmtree(f"{dpath}/rows_manifest")
+    df3 = srp_index_topk_fixed(spark, dpath, q, k=10)
+    assert "max_by" in df3._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, df3.collect())) == want2
