@@ -312,3 +312,39 @@ def test_maintain_compact_index_positional(
     ) == sorted(
         map(tuple, phrase_match_at_rest(spark, src, phrases).collect())
     )
+
+
+def test_maintain_compact_index_srp(spark, tmp_path, capsys):
+    """compact-index --kind srp folds an SRP lifecycle delta tree
+    through the same policy and the published version answers probes
+    identically to the delta tree (round 15 — the last index family
+    to join the CLI's compaction surface)."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+        srp_index_topk,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 200
+    )
+    src = str(tmp_path / "srp_src")
+    srp_index_append(emb.where(F.col("vec_id") % 2 == 0), src, 0)
+    srp_index_append(emb.where(F.col("vec_id") % 2 == 1), src, 1)
+    rc = main(
+        ["maintain", "compact-index", "--path", src, "--kind", "srp",
+         "--dst", str(tmp_path / "srp_dst")]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "published: v-" in out
+    live = bm25_index_current(spark, str(tmp_path / "srp_dst"))
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    assert sorted(
+        map(tuple, srp_index_topk(spark, live, q, k=10).collect())
+    ) == sorted(map(tuple, srp_index_topk(spark, src, q, k=10).collect()))
