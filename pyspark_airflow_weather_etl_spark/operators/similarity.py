@@ -1100,7 +1100,11 @@ def srp_index_compact(spark, src_path: str, dst_path: str) -> str:
     rebuilt batch-0 ``rows_manifest`` counts VECTORS (one manifest
     row per id, not per L-copy), written agg-then-withColumn so the
     post-compaction disjoint fast path engages (the ADVICE-r14
-    ivf_index_compact lesson). Crash contract: publish_version."""
+    ivf_index_compact lesson). Layout-driven, so
+    :func:`srp_index_append_fixed` trees compact through this same
+    path (meta — including the fixed twin's scale — is copied
+    verbatim; probe-identity pytest). Crash contract:
+    publish_version."""
     from .retrieval import _write_batch_keyed
     from ..sources.writers import publish_version
 

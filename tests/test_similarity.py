@@ -1961,3 +1961,48 @@ def test_srp_fixed_lifecycle_fold_semantics(spark, tmp_path):
     df3 = srp_index_topk_fixed(spark, dpath, q, k=10)
     assert "max_by" in df3._jdf.queryExecution().analyzed().toString()
     assert sorted(map(tuple, df3.collect())) == want2
+
+
+def test_srp_compact_works_on_fixed_twin_tree(spark, tmp_path):
+    """srp_index_compact is layout-driven (id, vec, t, bucket, batch
+    + meta copied verbatim), so the fixed twin's tree compacts through
+    the same code path: folded probe identical, single batch, correct
+    vector-count manifest."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append_fixed,
+        srp_index_compact,
+        srp_index_topk_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 200
+    )
+    path = str(tmp_path / "srp_fixed_src")
+    srp_index_append_fixed(emb.where(F.col("vec_id") % 2 == 0), path, 0)
+    srp_index_append_fixed(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    want = sorted(
+        map(tuple, srp_index_topk_fixed(spark, path, q, k=10).collect())
+    )
+    dst = str(tmp_path / "srp_fixed_dst")
+    srp_index_compact(spark, path, dst)
+    live = bm25_index_current(spark, dst)
+    assert (
+        sorted(
+            map(tuple, srp_index_topk_fixed(spark, live, q, k=10).collect())
+        )
+        == want
+    )
+    man = spark.read.parquet(f"{live}/rows_manifest").collect()
+    assert len(man) == 1 and (
+        int(man[0]["batch"]),
+        int(man[0]["n_rows"]),
+    ) == (0, 200)
+    meta = spark.read.parquet(f"{live}/meta").collect()[0]
+    assert int(meta["scale"]) == 1000  # identity copied verbatim
