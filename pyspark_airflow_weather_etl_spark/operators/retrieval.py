@@ -874,11 +874,6 @@ def _batch_ids(spark: SparkSession, path: str) -> list[int]:
     ]
 
 
-def _n_batches(spark: SparkSession, path: str) -> int:
-    """Number of ``batch=`` delta partitions under an index subtree."""
-    return len(_batch_ids(spark, path))
-
-
 def _batches_disjoint(
     spark: SparkSession,
     tree_path: str,
@@ -965,21 +960,37 @@ def _drop_batch_dirs(
     a true replacement (and covers the empty-re-delivery edge on
     single-level trees, where a zero-row write replaces nothing).
     Ordering contract: callers drop the manifest row FIRST, then the
-    row dirs, then write rows, then the manifest — a crash at any
-    point leaves the batch missing from the manifest and
-    :func:`_batches_disjoint` fails closed. No-op on paths that do
-    not exist yet. ``tree_paths`` may contain glob segments (e.g.
-    ``rows/ivf_cell=*``) for layouts where ``batch=`` is NOT the
-    outermost level — the semantic index's cell-first tree."""
+    row dirs, then write rows, then the manifest — a crash anywhere
+    in that sequence leaves the batch missing from the manifest, so
+    :func:`_batches_disjoint` returns False and every consumer runs
+    its fold/dedup/guard. The honest width of the window (round-15
+    review): a crash BETWEEN the deletes and the rows write leaves
+    the batch's rows absent entirely until the feed replays it —
+    probes serve the index without that batch (loudly, with a read
+    error, if it was the only batch). That is the fail-closed trade
+    taken deliberately: the alternative (write first, diff-and-delete
+    stale leaves after) would serve SUPERSEDED rows through its crash
+    window and needs a leaf-diff the filesystem can't give atomically.
+    At-least-once delivery converges either way on replay.
+
+    No-op on paths that do not exist yet. A ``tree_paths`` entry
+    containing ``*`` is treated as a Hadoop glob (the semantic
+    index's cell-first ``rows/ivf_cell=*`` layout, where ``batch=``
+    is not the outermost level); all other paths are deleted
+    LITERALLY — globStatus would otherwise misread legitimate
+    ``[...]``/``{...}`` characters in a caller's path as pattern
+    syntax and silently skip (or over-match) the delete."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     for tp in tree_paths:
         p = jvm.org.apache.hadoop.fs.Path(f"{tp}/batch={int(batch_id)}")
         fs = p.getFileSystem(hconf)
-        matches = fs.globStatus(p)
-        if matches is not None:
-            for st in matches:
+        if "*" in tp:
+            matches = fs.globStatus(p)
+            for st in matches or []:
                 fs.delete(st.getPath(), True)
+        elif fs.exists(p):
+            fs.delete(p, True)
 
 
 def _pos_dedup_needed(spark: SparkSession, index_path: str) -> bool:

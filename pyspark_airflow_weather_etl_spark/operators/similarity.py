@@ -622,7 +622,7 @@ def sq8_topk_at_rest(
     id ranges are pairwise disjoint (the append-only crawl case), so
     the correctness fix costs nothing until a re-delivery actually
     overlaps."""
-    from .retrieval import _batches_disjoint, _n_batches
+    from .retrieval import _batches_disjoint
 
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     mn = [float(v) for v in meta["mn"]]
@@ -643,9 +643,9 @@ def sq8_topk_at_rest(
     # pruning still holds: the coarse pass reads only (id, code[,
     # batch]), ReadSchema-asserted in tests/test_similarity.py.
     rows = spark.read.parquet(f"{index_path}/rows")
-    multi_batch = _n_batches(
-        spark, f"{index_path}/rows"
-    ) > 1 and not _batches_disjoint(
+    # _batches_disjoint short-circuits True on <=1 live batches, so no
+    # separate _n_batches pre-check (one listStatus, not two)
+    multi_batch = not _batches_disjoint(
         spark,
         f"{index_path}/rows",
         f"{index_path}/rows_manifest",
@@ -792,6 +792,29 @@ def _srp_table_structs(bits_per_table: int, n_tables: int) -> F.Column:
             for t in range(n_tables)
         ]
     )
+
+
+def _srp_require_kind(meta_row, want: str, path: str) -> None:
+    """Refuse to mix the two SRP quantizers (round-15 review): the
+    Gaussian-plane lifecycle and the integer-plane fixed twin share
+    one tree layout, so without a ``kind`` marker an append (or
+    probe) of the wrong flavor would silently merge signatures
+    hashed under DIFFERENT planes — buckets the other flavor's probe
+    never prunes to. Trees written before the marker existed carry a
+    ``scale`` column exactly when they are fixed-twin trees, so kind
+    is inferred for them."""
+    fields = meta_row.__fields__
+    kind = (
+        meta_row["kind"]
+        if "kind" in fields
+        else ("fixed" if "scale" in fields else "gaussian")
+    )
+    if kind != want:
+        raise ValueError(
+            f"SRP index at {path} is a {kind!r}-quantizer tree; the"
+            f" {want!r} append/probe would bucket under different"
+            " hyperplanes — use the matching srp_index_* functions"
+        )
 
 
 def _srp_query_cond(
@@ -988,6 +1011,7 @@ def srp_index_append(
     spark = embeddings.sparkSession
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        _srp_require_kind(meta, "gaussian", path)
         stored_params = (
             int(meta["dim"]),
             int(meta["bits_per_table"]),
@@ -1004,8 +1028,8 @@ def srp_index_append(
         # plane identity persists BEFORE any rows so a crash between
         # the two never leaves rows probed under different planes
         spark.createDataFrame(
-            [(dim, bits_per_table, n_tables)],
-            "dim int, bits_per_table int, n_tables int",
+            [(dim, bits_per_table, n_tables, "gaussian")],
+            "dim int, bits_per_table int, n_tables int, kind string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     try:
         stored = spark.read.parquet(f"{path}/rows").schema
@@ -1062,6 +1086,7 @@ def srp_index_topk(
     from .retrieval import _batches_disjoint
 
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    _srp_require_kind(meta, "gaussian", index_path)
     dim = int(meta["dim"])
     bits_per_table = int(meta["bits_per_table"])
     n_tables = int(meta["n_tables"])
@@ -1238,6 +1263,7 @@ def srp_index_append_fixed(
     spark = embeddings.sparkSession
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        _srp_require_kind(meta, "fixed", path)
         stored = (
             int(meta["dim"]),
             int(meta["bits_per_table"]),
@@ -1253,8 +1279,9 @@ def srp_index_append_fixed(
             )
     except AnalysisException:
         spark.createDataFrame(
-            [(dim, bits_per_table, n_tables, scale)],
-            "dim int, bits_per_table int, n_tables int, scale int",
+            [(dim, bits_per_table, n_tables, scale, "fixed")],
+            "dim int, bits_per_table int, n_tables int, scale int,"
+            " kind string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     try:
         stored_schema = spark.read.parquet(f"{path}/rows").schema
@@ -1308,6 +1335,7 @@ def srp_index_topk_fixed(
     from .retrieval import _batches_disjoint
 
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    _srp_require_kind(meta, "fixed", index_path)
     dim = int(meta["dim"])
     bits_per_table = int(meta["bits_per_table"])
     n_tables = int(meta["n_tables"])
@@ -1945,7 +1973,7 @@ def ivf_index_topk(
     — the append-only crawl case skips the fold entirely, and the
     fold only ever runs over the PRUNED nprobe/n_cells slice, never
     the index."""
-    from .retrieval import _batches_disjoint, _n_batches
+    from .retrieval import _batches_disjoint
 
     crows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell")
     centroids = np.asarray([list(r["c"]) for r in crows.collect()])
@@ -1956,7 +1984,9 @@ def ivf_index_topk(
     candidates = rows.where(F.col("ivf_cell").isin(probes)).select(
         id_col, vec_col, "batch"
     )
-    if _n_batches(spark, f"{index_path}/rows") > 1 and not _batches_disjoint(
+    # _batches_disjoint short-circuits True on <=1 live batches, so no
+    # separate _n_batches pre-check (one listStatus, not two)
+    if not _batches_disjoint(
         spark,
         f"{index_path}/rows",
         f"{index_path}/rows_manifest",
@@ -2195,7 +2225,26 @@ def ivf_index_append_fixed(
     spark = embeddings.sparkSession
     base = _fixed_base(embeddings, id_col, vec_col, scale)
     try:
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        cents = spark.read.parquet(f"{path}/centroids")
+        created = True
+    except AnalysisException:
+        created = False
+    if created:
+        # NEVER regenerate centroids for an existing tree (round-15
+        # review): the centroids ARE the index identity — rebuilding
+        # them from a later batch would desynchronize every
+        # already-assigned row's ivf_cell from the probe's pruning.
+        # A tree with centroids but no meta is a foreign/partial
+        # artifact: refuse loudly rather than guess its scale.
+        try:
+            meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        except AnalysisException:
+            raise ValueError(
+                f"fixed IVF index at {path} has centroids but no meta"
+                " — its quantizer identity (n_centroids, scale) is"
+                " unknowable; rebuild the index (the append would"
+                " otherwise quantize against an unverifiable grid)"
+            )
         stored = (int(meta["n_centroids"]), int(meta["scale"]))
         if stored != (n_centroids, scale):
             raise ValueError(
@@ -2203,9 +2252,15 @@ def ivf_index_append_fixed(
                 f" (n_centroids, scale)={stored}; appending with"
                 f" {(n_centroids, scale)} would quantize incompatibly"
             )
-        cents = spark.read.parquet(f"{path}/centroids")
-    except AnalysisException:
-        # quantizer identity persists BEFORE any rows (crash ordering)
+    else:
+        # quantizer identity persists BEFORE any rows (crash
+        # ordering), meta BEFORE centroids: the centroids read above
+        # is the creation marker, so a crash between the two writes
+        # leaves a meta-only tree the next append simply recreates —
+        # never the unrecoverable centroids-without-meta state.
+        spark.createDataFrame(
+            [(n_centroids, scale)], "n_centroids int, scale int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         (
             base.orderBy(id_col)
             .limit(n_centroids)
@@ -2214,9 +2269,6 @@ def ivf_index_append_fixed(
             .write.mode("overwrite")
             .parquet(f"{path}/centroids")
         )
-        spark.createDataFrame(
-            [(n_centroids, scale)], "n_centroids int, scale int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         cents = spark.read.parquet(f"{path}/centroids")
     assigned = _fixed_assign(base, cents, id_col).persist()
     _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)

@@ -2006,3 +2006,119 @@ def test_srp_compact_works_on_fixed_twin_tree(spark, tmp_path):
     ) == (0, 200)
     meta = spark.read.parquet(f"{live}/meta").collect()[0]
     assert int(meta["scale"]) == 1000  # identity copied verbatim
+
+
+def test_fixed_ivf_never_regenerates_centroids(spark, tmp_path):
+    """Round-15 second review: an existing fixed-IVF tree must NEVER
+    have its centroids regenerated from a later batch (the centroids
+    ARE the index identity). A centroids-without-meta artifact
+    refuses loudly; a creation crash between the meta and centroids
+    writes self-heals (meta is written first, centroids are the
+    creation marker)."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        ivf_index_append_fixed,
+        ivf_index_topk_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 100
+    )
+    path = str(tmp_path / "ivf_nometa")
+    ivf_index_append_fixed(emb, path, 0)
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="centroids but no meta"):
+        ivf_index_append_fixed(emb, path, 1)
+    # meta-only tree (creation crash before centroids): recreates
+    path2 = str(tmp_path / "ivf_metaonly")
+    ivf_index_append_fixed(emb, path2, 0)
+    c0 = sorted(
+        map(tuple, spark.read.parquet(f"{path2}/centroids").collect())
+    )
+    shutil.rmtree(f"{path2}/centroids")
+    shutil.rmtree(f"{path2}/rows")
+    shutil.rmtree(f"{path2}/rows_manifest")
+    ivf_index_append_fixed(emb, path2, 0)
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{path2}/centroids").collect()))
+        == c0
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    assert (
+        ivf_index_topk_fixed(spark, path2, q, k=1, nprobe=8).collect()[0]
+        .vec_id
+        == 7
+    )
+
+
+def test_drop_batch_dirs_literal_paths_with_glob_metachars(
+    spark, tmp_path
+):
+    """Round-15 second review: _drop_batch_dirs must delete LITERAL
+    paths literally — a '[1]' in a caller's path is not a character
+    class (globStatus would no-op and silently reopen the replay
+    window); '*' opts into globbing for the cell-first layout."""
+    import os
+
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        _drop_batch_dirs,
+    )
+
+    base = tmp_path / "run[1]" / "idx" / "rows" / "batch=2"
+    base.mkdir(parents=True)
+    (base / "part.parquet").write_text("x")
+    _drop_batch_dirs(spark, 2, str(tmp_path / "run[1]" / "idx" / "rows"))
+    assert not base.exists()
+    # glob form still works for nested layouts
+    for c in (0, 3):
+        d = tmp_path / "sem" / "rows" / f"ivf_cell={c}" / "batch=1"
+        d.mkdir(parents=True)
+        (d / "p").write_text("x")
+    _drop_batch_dirs(spark, 1, str(tmp_path / "sem" / "rows" / "ivf_cell=*"))
+    assert not os.path.exists(
+        str(tmp_path / "sem" / "rows" / "ivf_cell=0" / "batch=1")
+    )
+    assert not os.path.exists(
+        str(tmp_path / "sem" / "rows" / "ivf_cell=3" / "batch=1")
+    )
+
+
+def test_srp_kind_marker_prevents_quantizer_mixing(spark, tmp_path):
+    """Round-15 second review: the Gaussian lifecycle and the fixed
+    twin share one tree layout, so appends and probes check the meta
+    ``kind`` marker — mixing flavors would merge signatures hashed
+    under DIFFERENT planes into buckets the other probe never prunes
+    to."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+        srp_index_append_fixed,
+        srp_index_topk,
+        srp_index_topk_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < 100
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    fixed = str(tmp_path / "srp_kind_fixed")
+    srp_index_append_fixed(emb, fixed, 0)
+    with pytest.raises(ValueError, match="quantizer"):
+        srp_index_append(emb, fixed, 1)
+    with pytest.raises(ValueError, match="quantizer"):
+        srp_index_topk(spark, fixed, q, k=5)
+    gauss = str(tmp_path / "srp_kind_gauss")
+    srp_index_append(emb, gauss, 0)
+    with pytest.raises(ValueError, match="quantizer"):
+        srp_index_append_fixed(emb, gauss, 1)
+    with pytest.raises(ValueError, match="quantizer"):
+        srp_index_topk_fixed(spark, gauss, q, k=5)
+    # matching flavors still work
+    assert srp_index_topk_fixed(spark, fixed, q, k=1).collect()[0].vec_id == 7
+    assert srp_index_topk(spark, gauss, q, k=1).collect()[0].vec_id == 7
