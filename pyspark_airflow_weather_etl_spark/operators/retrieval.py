@@ -332,7 +332,11 @@ def bm25_index_append(
     term sets of a handful of feedback documents; dpfx partition
     pruning makes that lookup O(feedback docs), not a postings scan.
     Opt-in because it roughly doubles index bytes for a capability
-    only PRF-style consumers use.
+    only PRF-style consumers use. Replaying a batch with
+    ``forward_index=False`` on a forward-indexed tree REMOVES that
+    batch's docterms (the replay is a true replacement); PRF probes
+    then fail closed via :func:`_require_docterms_coverage` instead
+    of serving feedback from partial docterms (round-16 review).
 
     Disjoint-batch contract, now CHECKED (round 14): df and the
     corpus scalars are additive only when no doc_id lands under two
@@ -591,10 +595,14 @@ def bm25_prf_expand_at_rest(
     arms :func:`_bm25_overlap_guard` ONCE up front — the same
     manifest covers all three reads (postings, docterms, postings
     again), since every append lands postings and docterms from the
-    same document batch."""
+    same document batch. A live batch WITHOUT docterms (a
+    forward_index=False downgrade replay on a forward-indexed tree)
+    raises via :func:`_require_docterms_coverage` — feedback from
+    partial docterms would otherwise be silently wrong."""
     from pyspark.sql import Window as W
 
     _bm25_overlap_guard(spark, index_path, on_overlap)
+    _require_docterms_coverage(spark, index_path)
 
     orig_rows = sorted(
         {(qid, t) for qid, q in queries for t in q.split(" ") if t}
@@ -991,6 +999,46 @@ def _drop_batch_dirs(
                 fs.delete(st.getPath(), True)
         elif fs.exists(p):
             fs.delete(p, True)
+
+
+def _require_docterms_coverage(spark: SparkSession, index_path: str) -> None:
+    """Fail closed when any live document batch lacks its ``docterms``
+    forward-index twin (round-16 review): ``bm25_index_append`` drops
+    ``docterms/batch=<id>`` on every replay, so replaying a batch with
+    ``forward_index=False`` on a tree originally built with
+    ``forward_index=True`` removes that batch's docterms and never
+    rewrites them — the manifest still completes (it doesn't record
+    the forward bit), so PRF would otherwise silently compute feedback
+    from PARTIAL docterms with no guard firing. One listStatus per
+    subtree; live = manifest batches with ``n_docs > 0`` when a
+    manifest exists (a zero-doc batch legitimately has no docterms
+    dir), else every postings batch dir."""
+    from pyspark.errors import AnalysisException
+
+    live = set(_batch_ids(spark, f"{index_path}/postings"))
+    if _manifest_exists(spark, f"{index_path}/manifest"):
+        try:
+            rows = spark.read.parquet(f"{index_path}/manifest").collect()
+            nonempty = {
+                int(r["batch"]) for r in rows if int(r["n_docs"]) > 0
+            }
+            live &= nonempty
+        except AnalysisException:
+            pass
+    covered = (
+        set(_batch_ids(spark, f"{index_path}/docterms"))
+        if _manifest_exists(spark, f"{index_path}/docterms")
+        else set()
+    )
+    missing = sorted(live - covered)
+    if missing:
+        raise ValueError(
+            f"BM25 index at {index_path} has document batches"
+            f" {missing} without a docterms forward index — PRF"
+            " feedback would silently use partial term sets. Replay"
+            " those batches with forward_index=True (or rebuild via"
+            " bm25_index_write(..., forward_index=True))"
+        )
 
 
 def _pos_dedup_needed(spark: SparkSession, index_path: str) -> bool:
@@ -1638,15 +1686,27 @@ def bm25_index_compact(
     carry full doc-level rows, so repair folds them LATEST-batch-wins
     per doc_id and recomputes termstats/stats/docterms from the
     folded postings — the compacted index then equals one built from
-    the latest version of every document, with ONE documented edge
-    (ADVICE r14): a document whose latest version tokenizes to ZERO
-    tokens leaves no postings row, so the recomputed ``n_docs``
-    excludes it where :func:`bm25_index_write` over the latest corpus
-    would count it (empty docs are invisible to postings — their ids
-    survive only as manifest ranges, which cannot name them). The
-    divergence only nudges idf's n_docs by the empty-doc count and
-    affects no posting, and re-keying empty docs out of the feed
-    removes it entirely. ``'auto'`` (default) repairs exactly when
+    the latest version of every document, with ONE documented
+    root-cause edge (ADVICE r14, pinned in
+    tests/test_retrieval.py::test_bm25_compact_repair_empty_doc_edge):
+    ZERO-token documents are invisible to postings — their ids
+    survive only as manifest ranges, which cannot name them. Two
+    visible symptoms:
+
+    - a document whose only delivery is empty drops out of the
+      recomputed ``n_docs`` where :func:`bm25_index_write` over the
+      latest corpus would count it (idf nudged by the empty-doc
+      count; no posting affected);
+    - a document RE-delivered emptied under a later batch id leaves
+      no row in that batch, so the latest-batch-wins fold cannot see
+      the supersession and keeps the previous delivery's postings
+      (a from-scratch build over the latest corpus would drop them).
+
+    Re-keying empty deliveries out of the feed (or sending explicit
+    deletes through a rebuild) removes both; modulo empty deliveries,
+    a repaired tree serves BIT-EQUAL to a from-scratch build over the
+    latest corpus (the pin test asserts this equality and both
+    symptoms). ``'auto'`` (default) repairs exactly when
     the append-time manifest reports possible overlap
     (``maybe_overlap`` ranges; provably-disjoint or pre-manifest
     trees keep the bit-identical additive fold); ``'always'`` /

@@ -698,6 +698,24 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _srp_require_packable(bits_per_table: int, n_tables: int) -> None:
+    """Refuse plane counts the packed signature cannot hold (round-16
+    review): beyond 64 planes the uint64 packing in
+    :func:`srp_signature` silently drops the high bits (``1 << i``
+    wraps), while the driver-side Python qbits (arbitrary-precision
+    ints) keeps them — corpus signatures and query predicates would
+    diverge and probes return wrong candidates. Every SRP entry point
+    (signature, one-shot probe, at-rest write/probe, both appends)
+    funnels through this single guard."""
+    n_planes = bits_per_table * n_tables
+    if n_planes > 64:
+        raise ValueError(
+            f"bits_per_table ({bits_per_table}) * n_tables ({n_tables})"
+            f" = {n_planes} planes exceeds the 64-bit signature packing"
+            " — use <= 64 total planes (or multiple indexes)"
+        )
+
+
 def srp_signature(
     df: DataFrame,
     dim: int,
@@ -722,6 +740,10 @@ def srp_signature(
     captured by closure, so the batch transfer is the vector column
     and 8 bytes back. ``impl='expr'`` keeps the pure-JVM form (useful
     where Python workers are unavailable)."""
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the 64-bit signature packing"
+        )
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -764,6 +786,10 @@ def _srp_query_bits(query_vec: list[float], dim: int, n_planes: int) -> int:
     probe that turns a query into (table, bucket) predicates (one
     definition, so the bit order can never desynchronize between the
     full-scan, at-rest, and lifecycle probes)."""
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the 64-bit signature packing"
+        )
     planes = _hyperplanes(dim, n_planes)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = 0
@@ -855,6 +881,7 @@ def srp_topk(
     of scanning. Recall vs brute_force_topk is measured in
     tests/test_similarity.py (random Gaussian fixtures are LSH's
     worst case; clustered real embeddings bucket far better)."""
+    _srp_require_packable(bits_per_table, n_tables)
     n_planes = bits_per_table * n_tables
     qbits = _srp_query_bits(query_vec, dim, n_planes)
     with_sig = srp_signature(embeddings, dim, n_planes, vec_col)
@@ -898,6 +925,7 @@ def srp_index_write(
     Signatures are computed ONCE here, at write time — at 100 TB this
     is the difference between paying 32 hyperplane dot products per
     vector per query and paying them once at ingest."""
+    _srp_require_packable(bits_per_table, n_tables)
     n_planes = bits_per_table * n_tables
     sig = srp_signature(embeddings, dim, n_planes, vec_col)
     tables = _srp_table_structs(bits_per_table, n_tables)
@@ -932,6 +960,7 @@ def srp_topk_at_rest(
     are exactly re-ranked. Returns the same rows as the full-scan
     ``srp_topk`` — same planes, same multi-probe OR — at a fraction of
     the read (bench: srp_ann_topk vs srp_ann_topk_at_rest)."""
+    _srp_require_packable(bits_per_table, n_tables)
     qbits = _srp_query_bits(query_vec, dim, bits_per_table * n_tables)
     idx = spark.read.parquet(index_path)
     cond = _srp_query_cond(qbits, bits_per_table, n_tables)
@@ -1008,6 +1037,7 @@ def srp_index_append(
         _write_batch_keyed,
     )
 
+    _srp_require_packable(bits_per_table, n_tables)
     spark = embeddings.sparkSession
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -1025,6 +1055,19 @@ def srp_index_append(
                 " incompatibly"
             )
     except AnalysisException:
+        # A tree with rows but no meta is a foreign/partial artifact
+        # (partial copy, manual meta deletion) — treating it as NEW
+        # would merge this batch under possibly different plane
+        # identity, exactly the mixed-parameter corruption the meta
+        # check exists to prevent (the ivf_index_append_fixed
+        # 'centroids but no meta' discipline; round-16 review).
+        if _fs_exists(spark, f"{path}/rows"):
+            raise ValueError(
+                f"SRP index at {path} has rows but no meta — its plane"
+                " identity (dim, bits_per_table, n_tables) is"
+                " unknowable; rebuild the index (the append would"
+                " otherwise bucket against unverifiable planes)"
+            )
         # plane identity persists BEFORE any rows so a crash between
         # the two never leaves rows probed under different planes
         spark.createDataFrame(
@@ -1149,14 +1192,27 @@ def srp_index_compact(spark, src_path: str, dst_path: str) -> str:
             for f in rows.schema.fields
             if "array" in f.dataType.simpleString()
         ][0]
+        # ONE max_by over a (vec, bucket) struct, not two independent
+        # ones (round-16 review): with duplicate rows for the same
+        # (id, t) inside one batch, two max_by calls could each pick a
+        # DIFFERENT duplicate on the batch tie, persisting a bucket
+        # inconsistent with the stored vector — later probes would
+        # then prune that vector into the wrong (t, bucket) partition.
+        # Folding the struct guarantees vector and bucket always come
+        # from the same winning row.
         (
             rows.groupBy(id_col, "t")
             .agg(
-                F.max_by(vec_col, "batch").alias(vec_col),
-                F.max_by("bucket", "batch").alias("bucket"),
+                F.max_by(F.struct(vec_col, "bucket"), "batch").alias("w")
             )
             .withColumn("batch", F.lit(0).cast("bigint"))
-            .select(id_col, vec_col, "batch", "t", "bucket")
+            .select(
+                id_col,
+                F.col(f"w.{vec_col}").alias(vec_col),
+                "batch",
+                "t",
+                F.col("w.bucket").alias("bucket"),
+            )
             .write.mode("overwrite")
             .partitionBy("batch", "t", "bucket")
             .parquet(f"{vdir}/rows")
@@ -1210,6 +1266,10 @@ def srp_signature_fixed(
     orderless, so the packed signature is identical on any engine,
     unlike :func:`srp_signature`'s float dots. Arrow-batched: one
     int64 matmul per batch (exact — no float rounding to replay)."""
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the 64-bit signature packing"
+        )
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -1260,6 +1320,7 @@ def srp_index_append_fixed(
         _write_batch_keyed,
     )
 
+    _srp_require_packable(bits_per_table, n_tables)
     spark = embeddings.sparkSession
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -1278,6 +1339,14 @@ def srp_index_append_fixed(
                 " bucket incompatibly"
             )
     except AnalysisException:
+        # rows without meta: foreign/partial artifact — refuse, like
+        # the gaussian append (round-16 review)
+        if _fs_exists(spark, f"{path}/rows"):
+            raise ValueError(
+                f"fixed SRP index at {path} has rows but no meta — its"
+                " plane identity (dim, bits_per_table, n_tables,"
+                " scale) is unknowable; rebuild the index"
+            )
         spark.createDataFrame(
             [(dim, bits_per_table, n_tables, scale, "fixed")],
             "dim int, bits_per_table int, n_tables int, scale int,"

@@ -1119,3 +1119,147 @@ def test_bm25_completed_replay_replaces_stale_subpartitions(
         map(tuple, bm25_topk_at_rest(spark, path, queries, k=10).collect())
     )
     assert got == want
+
+
+def test_prf_fails_closed_on_forward_index_downgrade(spark, docs, tmp_path):
+    """ADVICE r15: bm25_index_append drops docterms/batch=<id> on
+    every replay, so a forward_index=False replay on a forward-indexed
+    tree removes that batch's docterms and never rewrites them — the
+    manifest still completes, so without a probe-side check PRF would
+    silently compute feedback from PARTIAL docterms. The probe must
+    raise on the uncovered batch and serve again once the batch is
+    replayed with forward_index=True."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_prf_expand_at_rest,
+    )
+
+    path = str(tmp_path / "prf_downgrade")
+    b0 = docs.where(F.col("doc_id") < 3)
+    b1 = docs.where(F.col("doc_id") >= 3)
+    bm25_index_append(b0, path, 0, forward_index=True)
+    bm25_index_append(b1, path, 1, forward_index=True)
+    want = sorted(
+        map(
+            tuple,
+            bm25_prf_expand_at_rest(
+                spark, path, QUERIES, k_feedback=3, n_expansion=2, k=10
+            ).collect(),
+        )
+    )
+    # downgrade replay: batch 1's docterms are gone, manifest complete
+    bm25_index_append(b1, path, 1, forward_index=False)
+    with pytest.raises(ValueError, match="docterms"):
+        bm25_prf_expand_at_rest(
+            spark, path, QUERIES, k_feedback=3, n_expansion=2, k=10
+        )
+    # healing replay restores coverage and the original answer
+    bm25_index_append(b1, path, 1, forward_index=True)
+    got = sorted(
+        map(
+            tuple,
+            bm25_prf_expand_at_rest(
+                spark, path, QUERIES, k_feedback=3, n_expansion=2, k=10
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_bm25_compact_repair_empty_doc_edge(spark, tmp_path):
+    """VERDICT r15 #4: pin the repair arm's empty-doc contract so a
+    refactor can't silently widen it. (1) Modulo empty deliveries, a
+    repaired tree serves BIT-EQUAL to a from-scratch build over the
+    latest corpus. (2) The two documented symptoms of the zero-token
+    root cause are pinned exactly: an empty-only doc drops out of the
+    recomputed n_docs, and an emptied RE-delivery keeps its previous
+    postings (invisible supersession)."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_current,
+        bm25_topk_at_rest,
+    )
+
+    # batch 0: docs 0, 1; batch 1 RE-delivers doc 1 changed (overlap
+    # -> repair engages under 'auto') and doc 2 with EMPTY text
+    path = str(tmp_path / "src")
+    b0 = spark.createDataFrame(
+        [(0, "hash join table scan"), (1, "merge join key")],
+        "doc_id bigint, text string",
+    )
+    # NULL text is the zero-token delivery (split("") yields [''] —
+    # one empty-string token — so "" is NOT empty to this tokenizer)
+    b1 = spark.createDataFrame(
+        [(1, "hash index rebuild"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    bm25_index_append(b0, path, 0)
+    r = bm25_index_append(b1, path, 1)
+    assert r["maybe_overlap"] is True
+    dst = str(tmp_path / "pub")
+    bm25_index_compact(spark, path, dst, repair="auto")
+    live = bm25_index_current(spark, dst)
+    # (1) equality modulo the edge: from-scratch over the latest
+    # corpus WITHOUT the empty delivery == repaired tree, bit-equal
+    scratch = str(tmp_path / "scratch")
+    latest_nonempty = spark.createDataFrame(
+        [(0, "hash join table scan"), (1, "hash index rebuild")],
+        "doc_id bigint, text string",
+    )
+    bm25_index_append(latest_nonempty, scratch, 0)
+    queries = [(1, "hash join"), (2, "key rebuild")]
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk_at_rest(spark, live, queries, k=10).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk_at_rest(spark, scratch, queries, k=10).collect(),
+        )
+    )
+    assert got == want
+    # (2a) pinned symptom: the empty-only doc 2 is absent from the
+    # recomputed n_docs (a from-scratch build over the latest corpus
+    # INCLUDING the empty delivery would say 3)
+    stats = spark.read.parquet(f"{live}/stats").collect()[0]
+    assert int(stats["n_docs"]) == 2
+    full_scratch = str(tmp_path / "full")
+    bm25_index_append(
+        latest_nonempty.unionByName(
+            spark.createDataFrame(
+                [(2, None)], "doc_id bigint, text string"
+            )
+        ),
+        full_scratch,
+        0,
+    )
+    assert (
+        int(
+            spark.read.parquet(f"{full_scratch}/stats").collect()[0][
+                "n_docs"
+            ]
+        )
+        == 3
+    )
+    # (2b) pinned symptom: an emptied RE-delivery is invisible to the
+    # fold — doc 0 re-delivered empty in batch 2 keeps its batch-0
+    # postings through a repair
+    bm25_index_append(
+        spark.createDataFrame([(0, None)], "doc_id bigint, text string"),
+        path,
+        2,
+    )
+    dst2 = str(tmp_path / "pub2")
+    bm25_index_compact(spark, path, dst2, repair="always")
+    live2 = bm25_index_current(spark, dst2)
+    kept0 = {
+        r.token
+        for r in spark.read.parquet(f"{live2}/postings")
+        .where(F.col("doc_id") == 0)
+        .collect()
+    }
+    assert kept0 == {"hash", "join", "table", "scan"}

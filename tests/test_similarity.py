@@ -2122,3 +2122,132 @@ def test_srp_kind_marker_prevents_quantizer_mixing(spark, tmp_path):
     # matching flavors still work
     assert srp_index_topk_fixed(spark, fixed, q, k=1).collect()[0].vec_id == 7
     assert srp_index_topk(spark, gauss, q, k=1).collect()[0].vec_id == 7
+
+
+def test_srp_plane_packing_limit_raises_everywhere(spark, tmp_path):
+    """ADVICE r15: beyond 64 planes the uint64 signature packing
+    silently drops the high bits (1 << i wraps) while the driver-side
+    Python qbits keeps them — corpus signatures and query predicates
+    would diverge. Every SRP entry point must refuse
+    bits_per_table * n_tables > 64 before writing or probing
+    anything."""
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+        srp_index_append_fixed,
+        srp_index_write,
+        srp_signature,
+        srp_signature_fixed,
+        srp_topk,
+        srp_topk_at_rest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 20)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    path = str(tmp_path / "srp_never")
+    for fn in (
+        lambda: srp_index_append(
+            emb, path, 0, bits_per_table=16, n_tables=8
+        ),
+        lambda: srp_index_append_fixed(
+            emb, path, 0, bits_per_table=16, n_tables=8
+        ),
+        lambda: srp_index_write(
+            emb, 64, path, bits_per_table=16, n_tables=8
+        ),
+        lambda: srp_topk(emb, q, 64, bits_per_table=16, n_tables=8),
+        lambda: srp_topk_at_rest(
+            spark, path, q, 64, bits_per_table=16, n_tables=8
+        ),
+        lambda: srp_signature(emb, 64, n_planes=80),
+        lambda: srp_signature_fixed(emb, 64, n_planes=80),
+    ):
+        with pytest.raises(ValueError, match="64"):
+            fn()
+    # nothing was written: the guard fires before any filesystem write
+    import os
+
+    assert not os.path.exists(path)
+
+
+def test_srp_append_refuses_rows_without_meta(spark, tmp_path):
+    """ADVICE r15: a tree whose meta subtree is missing but whose
+    rows exist (partial copy, manual meta deletion) must NOT be
+    treated as new — a fresh meta with the caller's parameters would
+    merge the batch into rows bucketed under possibly different plane
+    identity, exactly the mixed-parameter corruption the meta check
+    exists to prevent."""
+    import shutil
+
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        srp_index_append,
+        srp_index_append_fixed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 50)
+    for append in (srp_index_append, srp_index_append_fixed):
+        path = str(tmp_path / f"srp_no_meta_{append.__name__}")
+        append(emb, path, 0)
+        shutil.rmtree(f"{path}/meta")
+        with pytest.raises(ValueError, match="rows but no meta"):
+            append(emb, path, 1)
+
+
+def test_srp_compact_duplicate_in_batch_keeps_row_consistency(
+    spark, tmp_path
+):
+    """ADVICE r15: when ONE batch carries duplicate rows for the same
+    id with different vectors, the compaction's latest-wins fold ties
+    on batch — vector and bucket must still come from the SAME winning
+    row (one max_by over a struct), or a later probe would prune the
+    stored vector into the wrong (t, bucket) partition. Pinned by
+    recomputing every stored vector's signature and asserting the
+    stored bucket matches it, whichever duplicate won."""
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.similarity import (
+        _srp_table_structs,
+        srp_index_append,
+        srp_index_compact,
+        srp_signature,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 60)
+    dup = emb.where(F.col("vec_id") < 8).select(
+        "vec_id", F.transform("embedding", lambda v: -v).alias("embedding")
+    )
+    # ids 0..7 appear TWICE in batch 0 (original + negated duplicate)
+    srp_index_append(
+        emb.select("vec_id", "embedding").unionByName(dup),
+        str(tmp_path / "t"),
+        0,
+    )
+    srp_index_compact(
+        spark, str(tmp_path / "t"), str(tmp_path / "pub")
+    )
+    live = bm25_index_current(spark, str(tmp_path / "pub"))
+    rows = spark.read.parquet(f"{live}/rows")
+    # recompute the winning vectors' true (t, bucket) pairs and compare
+    # against what compaction persisted, row by row
+    stored = rows.select("vec_id", "embedding", "t", "bucket")
+    resig = (
+        srp_signature(
+            stored.select("vec_id", "t", "embedding"), 64, 32, "embedding"
+        )
+        .select(
+            "vec_id",
+            "t",
+            F.explode(_srp_table_structs(4, 8)).alias("tb"),
+        )
+        .where(F.col("t") == F.col("tb.t"))
+        .select("vec_id", "t", F.col("tb.bucket").alias("true_bucket"))
+    )
+    bad = (
+        stored.join(resig, ["vec_id", "t"])
+        .where(F.col("bucket") != F.col("true_bucket"))
+        .count()
+    )
+    assert bad == 0
