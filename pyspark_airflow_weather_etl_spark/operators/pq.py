@@ -332,29 +332,28 @@ def ivfpq_topk_at_rest(
 # similarity.semantic_dedup_fixed_cells / dedup.minhash_lsh_portable.
 
 
-def _fixed_subvectors(
-    df: DataFrame,
-    m: int,
-    dsub: int,
-    scale: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """(id, sub_j, s): floor-quantized integer sub-vectors, exploded
-    one row per (row, sub-vector) — the narrow frame every fixed-twin
-    step joins on. floor, not round: round-half semantics differ
-    across engines."""
-    qv = F.transform(
+def _fixed_qv(vec_col: str, scale: int) -> F.Column:
+    """Floor-quantized integer vector ``floor(x·scale)`` — floor, not
+    round: round-half semantics differ across engines."""
+    return F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
             "long"
         ),
     )
+
+
+def _sub_explode(
+    df: DataFrame, vec: F.Column, m: int, dsub: int, id_col: str
+) -> DataFrame:
+    """Explode an integer vector column into (id, sub_j, s) — one row
+    per (row, sub-vector), the narrow frame every fixed-twin step
+    joins on."""
     subs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("sub_j"),
-                F.slice(qv, j * dsub + 1, dsub).alias("s"),
+                F.slice(vec, j * dsub + 1, dsub).alias("s"),
             )
             for j in range(m)
         ]
@@ -364,11 +363,144 @@ def _fixed_subvectors(
     )
 
 
+def _fixed_subvectors(
+    df: DataFrame,
+    m: int,
+    dsub: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, sub_j, s): floor-quantized integer sub-vectors."""
+    return _sub_explode(df, _fixed_qv(vec_col, scale), m, dsub, id_col)
+
+
+def _opq_fixed_rotation(dim: int) -> list[list[int]]:
+    """The OPQ twin's deterministic integer rotation:
+    ``W[i][j] = ((i*37 + j*23 + i*j*29) % 101) - 50``. NOT the
+    :func:`..operators.pca.fixed_rotation` formula — that matrix is
+    circulant in (i + j) mod 7 (rank ≤ 7, rows periodic with period
+    7), which collapses the rotated space so badly that most rows
+    encode to a handful of code tuples and the ADC top-k degenerates
+    into one giant tie (measured round 16: top-10 all equal) — a tie
+    pins tie-breaking, not ADC ranking. The ``i*j`` cross term breaks
+    the additive structure (measured rank: full 64; 499/500 distinct
+    code tuples and a fully distinct top-10 at every test SF), so the
+    oracle actually exercises the rotate→encode→LUT→ADC ordering."""
+    return [
+        [((i * 37 + j * 23 + i * j * 29) % 101) - 50 for j in range(dim)]
+        for i in range(dim)
+    ]
+
+
+def _rotated_fixed_subvectors(
+    df: DataFrame,
+    m: int,
+    dsub: int,
+    scale: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, sub_j, s): INTEGER-ROTATED floor-quantized sub-vectors —
+    the OPQ fixed twin's replacement for the learned float rotation.
+    ``rv = W·xq`` with the :func:`_opq_fixed_rotation` matrix —
+    dim×dim small ints an external engine regenerates from the
+    formula alone; integer sums are orderless, so the rotated
+    coordinates are identical on any engine where a learned float R
+    (BLAS order) is not.
+
+    The rotation is ONE Arrow-batched int64 numpy matmul per batch —
+    the :func:`..operators.similarity.srp_signature_fixed` discipline
+    (integer sums are orderless, so the matmul is exactly replayable;
+    a dense dim×dim rotation is precisely what Catalyst expression
+    eval is worst at — the in-plan literal-tree form measured 18-36 s
+    of codegen on a 4096-literal expression, the matmul milliseconds).
+    W regenerates inside the UDF from the formula — nothing captured
+    by closure. Overflow: |rv| ≤ dim·50·scale·max|x| (≈1.2·10⁶ for
+    unit-normalized 64-d at scale 1000), far inside int64."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _rot(v: pd.Series) -> pd.Series:
+        W = np.asarray(_opq_fixed_rotation(dim), dtype=np.int64)
+        mask = v.notna().to_numpy()
+        out = [None] * len(v)
+        if mask.any():
+            x = np.vstack(v[mask].to_numpy()).astype(np.float64)
+            qv = np.floor(x * float(scale)).astype(np.int64)
+            rv = qv @ W.T
+            for row, i in enumerate(np.flatnonzero(mask)):
+                out[i] = [int(z) for z in rv[row]]
+        return pd.Series(out, dtype=object)
+
+    q = df.select(F.col(id_col), _rot(F.col(vec_col)).alias("__rv"))
+    return _sub_explode(q, F.col("__rv"), m, dsub, id_col)
+
+
 _INT_D2 = lambda a, b: F.aggregate(  # noqa: E731 — shared integer Σ(a−b)²
     F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
     F.lit(0).cast("long"),
     lambda acc, x: acc + x,
 )
+
+
+def _fixed_codebook(sub: DataFrame, n_codes: int, id_col: str) -> DataFrame:
+    """The fixed codebook frame (code, sub_j, cs): sub-vectors of the
+    ``n_codes`` lowest-id corpus rows — m·n_codes rows, broadcast."""
+    return sub.where(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("code"), F.col("sub_j"), F.col("s").alias("cs")
+    )
+
+
+def _encode_from_sub(
+    sub: DataFrame, n_codes: int, id_col: str
+) -> DataFrame:
+    """Codes from any (id, sub_j, s) sub-vector frame: integer squared
+    distance argmin against the fixed codebook, ties to the lowest
+    code. Returns (id, sub_j, code), all BIGINT.
+
+    Scale shape: the codebook is m·n_codes rows (broadcast);
+    assignment is a broadcast join on sub_j (n·m·n_codes candidate
+    rows — linear in the corpus for fixed m, n_codes) with a
+    per-(id, sub_j) window over n_codes rows."""
+    cb = _fixed_codebook(sub, n_codes, id_col)
+    w = Window.partitionBy(id_col, "sub_j").orderBy("d2", "code")
+    return (
+        sub.join(F.broadcast(cb), "sub_j")
+        .withColumn("d2", _INT_D2(F.col("s"), F.col("cs")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("sub_j").cast("long").alias("sub_j"),
+            F.col("code").cast("long").alias("code"),
+        )
+    )
+
+
+def _adc_scored_from_sub(
+    sub: DataFrame, query_id: int, n_codes: int, id_col: str
+) -> DataFrame:
+    """(id, adc_d2) for every row of a (id, sub_j, s) frame: the LUT
+    is the query row's sub-vectors joined to the fixed codebook
+    (m·n_codes rows — broadcast); each row's ADC distance is the SUM
+    of its m looked-up entries (an equi-join on (sub_j, code) +
+    groupBy, replacing the trained path's literal-array lookup with
+    the same associative integer sum)."""
+    cb = _fixed_codebook(sub, n_codes, id_col)
+    qsub = sub.where(F.col(id_col) == query_id).select(
+        F.col("sub_j"), F.col("s").alias("qs")
+    )
+    lut = cb.join(qsub, "sub_j").select(
+        "sub_j", "code", _INT_D2(F.col("qs"), F.col("cs")).alias("lut_d2")
+    )
+    codes = _encode_from_sub(sub, n_codes, id_col)
+    return (
+        codes.join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("lut_d2").alias("adc_d2"))
+    )
 
 
 def pq_encode_fixed(
@@ -385,31 +517,12 @@ def pq_encode_fixed(
     would be any agreed codebook table); assignment is the integer
     squared distance argmin with ties to the lowest code. Returns the
     exploded (id, sub_j, code) frame — one row per sub-vector, all
-    BIGINT, hash-exact across engines.
-
-    Scale shape: the codebook frame is m·n_codes rows (broadcast);
-    assignment is a broadcast join on sub_j (n·m·n_codes candidate
-    rows — linear in the corpus for fixed m, n_codes) with a
-    per-(id, sub_j) window over n_codes rows."""
+    BIGINT, hash-exact across engines."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     sub = _fixed_subvectors(embeddings, m, dsub, scale, id_col, vec_col)
-    cb = sub.where(F.col(id_col) < n_codes).select(
-        F.col(id_col).alias("code"), F.col("sub_j"), F.col("s").alias("cs")
-    )
-    w = Window.partitionBy(id_col, "sub_j").orderBy("d2", "code")
-    return (
-        sub.join(F.broadcast(cb), "sub_j")
-        .withColumn("d2", _INT_D2(F.col("s"), F.col("cs")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("sub_j").cast("long").alias("sub_j"),
-            F.col("code").cast("long").alias("code"),
-        )
-    )
+    return _encode_from_sub(sub, n_codes, id_col)
 
 
 def pq_adc_topk_fixed(
@@ -424,38 +537,163 @@ def pq_adc_topk_fixed(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Portable ADC top-k: the full encode→LUT→scan pipeline on exact
-    integer arithmetic. The LUT is the join of the query row's
-    quantized sub-vectors with the fixed codebook (m·n_codes rows —
-    broadcast); each row's ADC distance is the SUM of its m looked-up
-    entries (an equi-join on (sub_j, code) + groupBy, replacing the
-    trained path's literal-array lookup with the same associative
-    integer sum); top-k orders by (adc_d2, id). Returns (id, adc_d2),
-    both BIGINT — bit-for-bit replayable by the DuckDB oracle."""
+    integer arithmetic; top-k orders by (adc_d2, id). Returns
+    (id, adc_d2), both BIGINT — bit-for-bit replayable by the DuckDB
+    oracle."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     sub = _fixed_subvectors(embeddings, m, dsub, scale, id_col, vec_col)
-    cb = sub.where(F.col(id_col) < n_codes).select(
-        F.col(id_col).alias("code"), F.col("sub_j"), F.col("s").alias("cs")
+    scored = _adc_scored_from_sub(sub, query_id, n_codes, id_col)
+    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(k)
+
+
+def opq_adc_topk_fixed(
+    embeddings: DataFrame,
+    query_id: int = 33,
+    m: int = 8,
+    n_codes: int = 8,
+    scale: int = 1000,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Portable-oracle twin of :func:`opq_topk_adc` — the hash-exact
+    cross-engine proof of the OPQ mechanics (rotate → encode → LUT →
+    ADC) that the trained entry (learned float rotation + k-means
+    codebooks, rows-only by necessity) cannot give; the round-16
+    fixed-twin discipline (VERDICT r15 #1). The learned orthogonal R
+    is replaced by the deterministic INTEGER
+    :func:`..operators.pca.fixed_rotation` matrix applied to
+    floor-quantized vectors (:func:`_rotated_fixed_subvectors`) —
+    query and corpus rotate under the SAME matrix, exactly as OPQ
+    rotates both sides, and then the pipeline IS
+    :func:`pq_adc_topk_fixed` over the rotated coordinates (the same
+    code path, byte for byte — mirroring how :func:`opq_topk_adc` is
+    :func:`pq_topk_adc` over rotated vectors). Returns (id, adc_d2),
+    both BIGINT."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = _rotated_fixed_subvectors(
+        embeddings, m, dsub, scale, dim, id_col, vec_col
     )
-    qsub = sub.where(F.col(id_col) == query_id).select(
+    scored = _adc_scored_from_sub(sub, query_id, n_codes, id_col)
+    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(k)
+
+
+def ivfpq_topk_fixed(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    m: int = 4,
+    n_codes: int = 8,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    rerank: int = 16,
+    scale: int = 1000,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Portable-oracle twin of the TWO-STAGE IVFADC search
+    (:func:`ivfpq_topk_at_rest`) — coarse cell probe → ADC rank →
+    exact re-rank, every stage in exact integer arithmetic so the
+    DuckDB oracle replays the full pipeline bit-for-bit (VERDICT r15
+    #1; the trained entry is rows-only because both quantizers are
+    float-order-dependent):
+
+    1. coarse quantizer — centroids are the floor-quantized
+       ``n_cells`` lowest-id corpus rows; rows assign by integer d2
+       argmin, ties to the lowest centroid id (the
+       ``ivf_index_append_fixed`` discipline); the query's ``nprobe``
+       nearest cells are the same argsort on (d2, cell);
+    2. ADC — candidates (probed cells only) rank by the fixed-codebook
+       integer ADC sum; the top ``rerank`` survive, ties to the
+       lowest id (a deterministic cut both engines replay);
+    3. exact re-rank — survivors re-score by FULL-dimension integer
+       squared distance on the quantized vectors; top k by
+       (qd2, id).
+
+    Returns (id, qd2), both BIGINT. The re-rank being exact-integer
+    (not float cosine) keeps stage 3 inside the same portable algebra
+    as stages 1-2 — one oracle covers the whole search."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    q = embeddings.select(
+        F.col(id_col), _fixed_qv(vec_col, scale).alias("qv")
+    )
+    cents = q.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col("qv").alias("cq")
+    )
+    w_cell = Window.partitionBy(id_col).orderBy("d2", "cell")
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _INT_D2(F.col("qv"), F.col("cq")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select(id_col, "qv", "cell")
+    )
+    # the query's nprobe nearest cells — the same integer argmin,
+    # kept IN-PLAN (a rank over n_cells rows) so the whole search
+    # stays one statement for the oracle
+    qrow = q.where(F.col(id_col) == query_id).select(
+        F.col("qv").alias("query_qv")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(qrow))
+        .select(
+            "cell", _INT_D2(F.col("cq"), F.col("query_qv")).alias("d2")
+        )
+        .orderBy("d2", "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").select(id_col, "qv")
+    sub = _sub_explode(cand, F.col("qv"), m, dsub, id_col)
+    # codebook/LUT from the FULL corpus sub-vectors (rows < n_codes
+    # and the query row are not necessarily in the probed cells)
+    full_sub = _sub_explode(q, F.col("qv"), m, dsub, id_col)
+    cb = _fixed_codebook(full_sub, n_codes, id_col)
+    qsub = full_sub.where(F.col(id_col) == query_id).select(
         F.col("sub_j"), F.col("s").alias("qs")
     )
-    lut = (
-        cb.join(qsub, "sub_j")
-        .select(
-            "sub_j", "code", _INT_D2(F.col("qs"), F.col("cs")).alias("lut_d2")
+    lut = cb.join(qsub, "sub_j").select(
+        "sub_j", "code", _INT_D2(F.col("qs"), F.col("cs")).alias("lut_d2")
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "sub_j")
+        .withColumn("d2", _INT_D2(F.col("s"), F.col("cs")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col, "sub_j").orderBy("d2", "code")
+            ),
         )
+        .where(F.col("rn") == 1)
+        .select(id_col, "sub_j", "code")
     )
-    codes = pq_encode_fixed(
-        embeddings, m, n_codes, scale, dim, id_col, vec_col
-    )
-    scored = (
+    survivors = (
         codes.join(F.broadcast(lut), ["sub_j", "code"])
         .groupBy(id_col)
         .agg(F.sum("lut_d2").alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
     )
-    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(k)
+    exact = cand.join(F.broadcast(survivors), id_col).crossJoin(
+        F.broadcast(qrow)
+    )
+    return (
+        exact.select(
+            F.col(id_col),
+            _INT_D2(F.col("qv"), F.col("query_qv")).alias("qd2"),
+        )
+        .orderBy(F.col("qd2").asc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 # --- OPQ: optimized product quantization (learned rotation) ---------------
@@ -595,4 +833,246 @@ def opq_topk_adc(
     )
     return scored.orderBy(
         F.col("adc_d2").asc_nulls_last(), F.col(id_col)
+    ).limit(k)
+
+
+# --- IVF-PQ append lifecycle (frozen quantizers, batch-keyed deltas) -------
+
+
+def ivfpq_index_append(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append one vector batch to an IVF-PQ index — the
+    :func:`..operators.similarity.ivf_index_append` lifecycle applied
+    to the code-at-rest family (VERDICT r15 #1, the last index family
+    without O(batch) appends): per-batch cost is O(batch), nothing at
+    rest re-read, batch-keyed dynamic partition overwrite so a
+    replayed batch lands identical bytes.
+
+    BOTH quantizers freeze at creation: batch 0 trains the coarse
+    centroids (:func:`..operators.similarity.ivf_train_centroids`)
+    and the PQ codebooks (:func:`pq_train_codebooks`), and every
+    later batch assigns/encodes against the stored artifacts —
+    refitting either per batch would desynchronize cell pruning and
+    make codes from different batches incomparable under one ADC LUT
+    (the whole point of freezing; recall drift is the accepted cost,
+    monitored the same way as the plain-IVF family). The quantizer
+    shape ``(m, n_codes, n_cells)`` persists in ``meta`` BEFORE any
+    quantizer rows (crash ordering: meta → codebooks → centroids
+    last, so the centroids read is the creation marker and a crash
+    mid-creation leaves a tree the next append simply recreates —
+    never rows under lost quantizers); a later append passing a
+    different shape raises. A tree with centroids but no meta is a
+    foreign/partial artifact and is refused (the
+    ``ivf_index_append_fixed`` discipline). Layout::
+
+        {path}/meta                   (m, n_codes, n_cells)
+        {path}/centroids              (cell, c array<double>)
+        {path}/codebooks              (sub_j, code, cs array<double>)
+        {path}/rows/batch=/ivf_cell=  (id, pq_code, vec)
+        {path}/rows_manifest/batch=   (min_id, max_id, n_rows)
+
+    Fail-closed replay: the manifest row drops first, then the
+    batch's row dirs, then rows land, then the manifest — a crash
+    anywhere leaves the batch missing from the manifest so probes run
+    their latest-wins fold instead of trusting a stale range.
+    Returns ``{"batch", "n_rows"}``."""
+    from pyspark.errors import AnalysisException
+
+    from .retrieval import (
+        _drop_batch_dirs,
+        _drop_manifest_row,
+        _write_batch_keyed,
+    )
+    from .similarity import _manifest_from_agg, ivf_assign, ivf_train_centroids
+
+    spark = embeddings.sparkSession
+    try:
+        crows = spark.read.parquet(f"{path}/centroids").orderBy("cell")
+        centroids = np.asarray([list(r["c"]) for r in crows.collect()])
+        created = True
+    except AnalysisException:
+        created = False
+    if created:
+        try:
+            meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        except AnalysisException:
+            raise ValueError(
+                f"IVF-PQ index at {path} has centroids but no meta —"
+                " its quantizer shape (m, n_codes, n_cells) is"
+                " unknowable; rebuild the index"
+            )
+        stored = (
+            int(meta["m"]),
+            int(meta["n_codes"]),
+            int(meta["n_cells"]),
+        )
+        if stored != (m, n_codes, n_cells):
+            raise ValueError(
+                f"IVF-PQ index at {path} was created with (m, n_codes,"
+                f" n_cells)={stored}; appending with"
+                f" {(m, n_codes, n_cells)} would encode incompatibly"
+            )
+        books = _read_codebooks(spark, path, m, n_codes)
+    else:
+        centroids = ivf_train_centroids(
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+        )
+        books = pq_train_codebooks(
+            embeddings, m, n_codes, id_col=id_col, vec_col=vec_col
+        )
+        # crash ordering: meta first, centroids LAST (creation marker)
+        spark.createDataFrame(
+            [(m, n_codes, n_cells)], "m int, n_codes int, n_cells int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in books[j][c]])
+                for j in range(m)
+                for c in range(n_codes)
+            ],
+            "sub_j int, code int, cs array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+            "cell int, c array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    try:
+        stored_schema = spark.read.parquet(f"{path}/rows").schema
+        embeddings = embeddings.select(
+            F.col(id_col).cast(stored_schema[id_col].dataType),
+            F.col(vec_col).cast(stored_schema[vec_col].dataType),
+        )
+    except AnalysisException:
+        pass  # first batch defines the types
+    src = embeddings.select(id_col, vec_col)
+    assigned = ivf_assign(src, centroids, vec_col)
+    coded = pq_encode(assigned, books, vec_col).persist()
+    _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
+    _drop_batch_dirs(spark, batch_id, f"{path}/rows")
+    _write_batch_keyed(
+        coded.select(id_col, "pq_code", vec_col, "ivf_cell").withColumn(
+            "batch", F.lit(batch_id).cast("bigint")
+        ),
+        f"{path}/rows",
+        ("batch", "ivf_cell"),
+    )
+    mm, n_rows = _manifest_from_agg(coded, id_col, batch_id)
+    _write_batch_keyed(mm, f"{path}/rows_manifest", ("batch",))
+    coded.unpersist(blocking=False)
+    return {"batch": int(batch_id), "n_rows": n_rows}
+
+
+def _read_codebooks(spark, path: str, m: int, n_codes: int) -> np.ndarray:
+    """Rehydrate the frozen (m, n_codes, dsub) codebook array from the
+    index's ``codebooks`` table — a bounded m·n_codes-row driver
+    read."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    by_key = {(int(r["sub_j"]), int(r["code"])): list(r["cs"]) for r in rows}
+    dsub = len(next(iter(by_key.values())))
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        for c in range(n_codes):
+            books[j][c] = by_key[(j, c)]
+    return books
+
+
+def ivfpq_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage IVFADC search against an :func:`ivfpq_index_append`
+    lifecycle tree — SELF-CONTAINED (quantizer shape, centroids, and
+    codebooks all live in the index): rank the query's ``nprobe``
+    nearest stored centroids driver-side, scan only those
+    ``ivf_cell=`` partitions across all batches (partition pruning),
+    ADC-rank the probed codes JVM-side (column pruning: this stage
+    never reads the vector column), exact-re-rank the top ``rerank``
+    survivors on their stored raw vectors. Returns (id, l2_d2) —
+    exact distances for the returned rows.
+
+    Duplicate-id safety is the :func:`..operators.similarity.
+    ivf_index_topk` contract: multi-batch trees fold candidates to
+    one row per id (latest batch wins) UNLESS the per-append
+    ``rows_manifest`` proves the batches pairwise disjoint; both the
+    ADC pass (codes) and the re-rank pass (vectors) fold over the
+    PRUNED slice only. The two folds pick the same winning BATCH for
+    an id (max over the same key); codes and vectors from one batch
+    are consistent by construction of the append, and the final
+    ranking depends only on the re-ranked exact vector — ADC fold
+    choice affects candidate selection (recall), never the returned
+    distances."""
+    from .retrieval import _batches_disjoint
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    m, n_codes = int(meta["m"]), int(meta["n_codes"])
+    crows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell")
+    centroids = np.asarray([list(r["c"]) for r in crows.collect()])
+    books = _read_codebooks(spark, index_path, m, n_codes)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cd2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in cd2.argsort()[:nprobe]]
+    lut = adc_lut(query_vec, books)
+    rows = spark.read.parquet(f"{index_path}/rows")
+    pruned = rows.where(F.col("ivf_cell").isin(probes))
+    fold = not _batches_disjoint(
+        spark,
+        f"{index_path}/rows",
+        f"{index_path}/rows_manifest",
+        "min_id",
+        "max_id",
+        "n_rows",
+    )
+    codes = pruned.select(id_col, "pq_code", "batch")
+    if fold:
+        codes = codes.groupBy(id_col).agg(
+            F.max_by("pq_code", "batch").alias("pq_code")
+        )
+    cand = (
+        codes.select(
+            F.col(id_col), _adc_score(lut, "pq_code").alias("adc_d2")
+        )
+        .orderBy(F.col("adc_d2").asc_nulls_last(), F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    vecs = pruned.select(id_col, vec_col, "batch").join(
+        F.broadcast(cand), id_col
+    )
+    if fold:
+        vecs = vecs.groupBy(id_col).agg(
+            F.max_by(vec_col, "batch").alias(vec_col)
+        )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = vecs.select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    qlit,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("l2_d2"),
+    )
+    return exact.orderBy(
+        F.col("l2_d2").asc_nulls_last(), F.col(id_col)
     ).limit(k)

@@ -322,3 +322,264 @@ def test_opq_at_rest_layout(spark, emb, xmat, qvec, tmp_path):
     full = ((X - q[None, :]) ** 2).sum(axis=1)
     top10 = set(int(i) for i in ids[np.argsort(full, kind="stable")[:10]])
     assert len({r.vec_id for r in got} & top10) / 10 >= 0.5
+
+
+def test_opq_fixed_twin_full_rank_and_distinct_topk(spark, emb, duck):
+    """The OPQ fixed twin's rotation must stay full-rank (the pca
+    fixed_rotation formula is circulant with period 7 — rank ≤ 7 —
+    which collapses the rotated space into one giant ADC tie, a proof
+    of tie-breaking rather than ranking) and the registered entry's
+    top-10 must be tie-free so the oracle pins actual ADC ordering."""
+    from pyspark_airflow_weather_etl_spark.operators.pq import (
+        _opq_fixed_rotation,
+        opq_adc_topk_fixed,
+    )
+
+    W = np.asarray(_opq_fixed_rotation(64))
+    assert np.linalg.matrix_rank(W) == 64
+    rows = opq_adc_topk_fixed(
+        emb, query_id=33, m=8, n_codes=8, scale=1000, dim=64, k=10
+    ).collect()
+    scores = [int(r.adc_d2) for r in rows]
+    assert len(set(scores)) == 10 and all(s > 0 for s in scores)
+
+
+def test_new_fixed_twins_match_duckdb(spark, emb, duck):
+    """opq_ann_topk_fixed / ivfpq_ann_topk_fixed replay bit-for-bit in
+    DuckDB — the same check the correctness driver runs (round 16)."""
+    from pyspark_airflow_weather_etl_spark.plans import REGISTRY
+
+    for name in ["opq_ann_topk_fixed", "ivfpq_ann_topk_fixed"]:
+        q = REGISTRY[name]
+        got = q.fn(spark, SF_DIR).toPandas()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True
+        )
+        want = duck.execute(q.oracle).fetchdf()
+        want = want[sorted(want.columns)].sort_values(
+            by=sorted(want.columns), ignore_index=True
+        )
+        assert got.astype("int64").equals(want.astype("int64")), name
+
+
+def test_ivfpq_fixed_rerank_is_exact_within_candidates(spark, emb):
+    """Stage 3 of ivfpq_topk_fixed must return EXACT integer distances
+    for the rows it returns: every (id, qd2) pair recomputes to the
+    same value from the raw quantized vectors."""
+    from pyspark_airflow_weather_etl_spark.operators.pq import (
+        ivfpq_topk_fixed,
+    )
+
+    got = {
+        r.vec_id: int(r.qd2)
+        for r in ivfpq_topk_fixed(emb, query_id=0, k=10).collect()
+    }
+    X = {
+        r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000)
+        .astype(np.int64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for vid, qd2 in got.items():
+        want = int(((X[vid] - X[0]) ** 2).sum())
+        assert qd2 == want, vid
+
+
+class TestIvfpqLifecycle:
+    def test_single_batch_tree_equals_at_rest_probe(
+        self, spark, emb, qvec, tmp_path
+    ):
+        """A one-batch lifecycle tree must serve the SAME rows as
+        ivfpq_topk_at_rest driven by the tree's own frozen quantizers
+        — the lifecycle adds append machinery, not new search
+        semantics."""
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            _read_codebooks,
+            ivfpq_index_append,
+            ivfpq_index_topk,
+            ivfpq_topk_at_rest,
+        )
+
+        path = str(tmp_path / "ivfpq_one")
+        ivfpq_index_append(emb, path, 0, m=8, n_codes=16, n_cells=16)
+        cents = np.asarray(
+            [
+                list(r["c"])
+                for r in spark.read.parquet(f"{path}/centroids")
+                .orderBy("cell")
+                .collect()
+            ]
+        )
+        books = _read_codebooks(spark, path, 8, 16)
+        want = sorted(
+            map(
+                tuple,
+                ivfpq_topk_at_rest(
+                    spark, f"{path}/rows/batch=0", qvec, cents, books,
+                    k=10, nprobe=4, rerank=64,
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                ivfpq_index_topk(
+                    spark, path, qvec, k=10, nprobe=4, rerank=64
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_lifecycle_append_probe_fold_and_guards(
+        self, spark, emb, qvec, tmp_path
+    ):
+        """The full append contract: two mod-2 batches probe with the
+        latest-wins fold active (interleaved ranges), a replayed batch
+        is idempotent, a re-delivered changed vector serves its newest
+        row, mismatched quantizer shapes raise, and a centroids-
+        without-meta tree is refused."""
+        import shutil
+
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            ivfpq_index_append,
+            ivfpq_index_topk,
+        )
+
+        path = str(tmp_path / "ivfpq_inc")
+        r0 = ivfpq_index_append(
+            emb.where(F.col("vec_id") % 2 == 0), path, 0,
+            m=8, n_codes=16, n_cells=16,
+        )
+        ivfpq_index_append(
+            emb.where(F.col("vec_id") % 2 == 1), path, 1,
+            m=8, n_codes=16, n_cells=16,
+        )
+        assert r0["n_rows"] == emb.where(F.col("vec_id") % 2 == 0).count()
+        probe = ivfpq_index_topk(spark, path, qvec, k=10, nprobe=4)
+        plan = probe._jdf.queryExecution().analyzed().toString()
+        assert "max_by" in plan  # interleaved ranges: fold armed
+        want = sorted(map(tuple, probe.collect()))
+        assert want[0][1] == 0.0 or any(d == 0.0 for _, d in want)
+        # idempotent replay
+        ivfpq_index_append(
+            emb.where(F.col("vec_id") % 2 == 1), path, 1,
+            m=8, n_codes=16, n_cells=16,
+        )
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    ivfpq_index_topk(
+                        spark, path, qvec, k=10, nprobe=4
+                    ).collect(),
+                )
+            )
+            == want
+        )
+        # re-delivered id 0 with the NEGATED vector: the probe must
+        # serve the newest row — the self-hit at distance 0 disappears
+        upd = emb.where(F.col("vec_id") == 0).select(
+            "vec_id",
+            F.transform("embedding", lambda v: -v).alias("embedding"),
+        )
+        ivfpq_index_append(upd, path, 2, m=8, n_codes=16, n_cells=16)
+        got2 = {
+            r.vec_id: r.l2_d2
+            for r in ivfpq_index_topk(
+                spark, path, qvec, k=500, nprobe=16, rerank=1000
+            ).collect()
+        }
+        if 0 in got2:
+            assert got2[0] > 0.0
+        # frozen quantizer shape: mismatched appends raise
+        with pytest.raises(ValueError, match="encode incompatibly"):
+            ivfpq_index_append(emb, path, 3, m=4, n_codes=16, n_cells=16)
+        # centroids without meta: foreign/partial artifact is refused
+        shutil.rmtree(f"{path}/meta")
+        with pytest.raises(ValueError, match="centroids but no meta"):
+            ivfpq_index_append(emb, path, 3, m=8, n_codes=16, n_cells=16)
+
+    def test_disjoint_batches_skip_fold(self, spark, emb, qvec, tmp_path):
+        """Disjoint-range appends prove no re-delivery: the probe
+        drops the fold (max_by absent); removing the manifest re-arms
+        it with identical results."""
+        import shutil
+
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            ivfpq_index_append,
+            ivfpq_index_topk,
+        )
+
+        n = emb.count() // 2
+        path = str(tmp_path / "ivfpq_disjoint")
+        ivfpq_index_append(
+            emb.where(F.col("vec_id") < n), path, 0,
+            m=8, n_codes=16, n_cells=16,
+        )
+        ivfpq_index_append(
+            emb.where(F.col("vec_id") >= n), path, 1,
+            m=8, n_codes=16, n_cells=16,
+        )
+        df = ivfpq_index_topk(spark, path, qvec, k=10, nprobe=4)
+        assert "max_by" not in (
+            df._jdf.queryExecution().analyzed().toString()
+        )
+        want = sorted(map(tuple, df.collect()))
+        shutil.rmtree(f"{path}/rows_manifest")
+        df2 = ivfpq_index_topk(spark, path, qvec, k=10, nprobe=4)
+        assert "max_by" in df2._jdf.queryExecution().analyzed().toString()
+        assert sorted(map(tuple, df2.collect())) == want
+
+    def test_probe_prunes_partitions_and_columns(
+        self, spark, emb, qvec, tmp_path
+    ):
+        """Scale contract: the ADC stage's scan is pruned to the
+        probed ivf_cell= partitions AND reads only (id, pq_code) —
+        never the vector column (codes are 8 B/row; vectors 256 B)."""
+        import re
+
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            ivfpq_index_append,
+            ivfpq_index_topk,
+        )
+
+        path = str(tmp_path / "ivfpq_prune")
+        ivfpq_index_append(emb, path, 0, m=8, n_codes=16, n_cells=16)
+        plan = (
+            ivfpq_index_topk(spark, path, qvec, k=10, nprobe=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "ivf_cell" in m.group(1), plan
+        m2 = re.search(r"ReadSchema: ([^\n]*pq_code[^\n]*)", plan)
+        assert m2 and "embedding" not in m2.group(1), plan
+
+    def test_recall_floor(self, spark, emb, xmat, qvec, tmp_path):
+        """Lifecycle probe recall vs exact L2 top-10 on the fixture
+        (same floor as the at-rest entry)."""
+        from pyspark_airflow_weather_etl_spark.operators.pq import (
+            ivfpq_index_append,
+            ivfpq_index_topk,
+        )
+
+        path = str(tmp_path / "ivfpq_recall")
+        ivfpq_index_append(
+            emb.where(F.col("vec_id") % 2 == 0), path, 0,
+            m=8, n_codes=16, n_cells=16,
+        )
+        ivfpq_index_append(
+            emb.where(F.col("vec_id") % 2 == 1), path, 1,
+            m=8, n_codes=16, n_cells=16,
+        )
+        ids, X = xmat
+        q = np.asarray(qvec)
+        d2 = ((X - q[None, :]) ** 2).sum(axis=1)
+        top10 = {int(ids[i]) for i in np.argsort(d2)[:10]}
+        got = {
+            r.vec_id
+            for r in ivfpq_index_topk(
+                spark, path, qvec, k=10, nprobe=4, rerank=64
+            ).collect()
+        }
+        assert len(got & top10) / 10 >= 0.5
