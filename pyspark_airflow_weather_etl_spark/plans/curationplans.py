@@ -719,3 +719,123 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_training_shards(docs, f"{tmp}/epoch", "doc_id", seed=42,
                           shard_rows=256)
     return write_shard_manifest(spark, f"{tmp}/epoch", "doc_id")
+
+
+# The flagship end-to-end curation pipeline oracle (VERDICT r15 #6):
+# every stage of operators.curation.curate_corpus chained as one CTE
+# pipeline — each CTE is the (already individually oracle-checked)
+# stage's SQL applied to the PREVIOUS stage's survivors, in the
+# pipeline's own order: gopher gate (min_words=20, min_stopwords=1) →
+# exact dedup (canonical = lowest id per md5(text)) → phrase
+# decontamination → drop-worst-1/10 quality prune → per-source cap 10
+# → 3/10 token-budget cut → shards (the shard write itself is pinned
+# by training_shard_manifest; this oracle checks the KEPT SET the
+# shards contain).
+_CURATE_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             string_split(text, ' ') AS tk
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, text, lang, source, n_chars, tk,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+          AS sum_len,
+        CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
+          AS BIGINT) AS n_alpha,
+        CAST(len(list_distinct(list_filter(tk, x -> x IN
+          ('the','be','to','of','and','that','have','with'))))
+          AS BIGINT) AS n_stop,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          + (CAST(length(text)
+               - length(replace(text, '...', '')) AS BIGINT) // 3)
+          AS n_symbol,
+        CAST(len(list_transform(
+              generate_series(1, GREATEST(len(tk) - 2, 0)),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+          AS BIGINT) AS nt,
+        CAST(len(list_distinct(list_transform(
+              generate_series(1, GREATEST(len(tk) - 2, 0)),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+          AS BIGINT) AS nd
+      FROM tok
+    ), g AS (
+      SELECT doc_id, text, lang, source, n_chars, tk FROM stats
+      WHERE n_words >= 20 AND n_words <= 100000
+        AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        AND n_symbol * 10 <= 1 * n_words
+        AND n_alpha * 100 >= 80 * n_words
+        AND n_stop >= 1
+        AND (nt - nd) * 100 <= 30 * nt
+    ), dd AS (
+      SELECT * FROM g
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) = 1
+    ), dec AS (
+      SELECT * FROM dd
+      WHERE NOT (' ' || text || ' ' LIKE '% key agg row %'
+              OR ' ' || text || ' ' LIKE '% batch window spark %')
+    ), pr AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS qrank,
+               COUNT(*) OVER () AS npool
+        FROM dec)
+      WHERE qrank > npool // 10
+    ), cap AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id)
+                 AS srn
+        FROM pr)
+      WHERE srn <= 10
+    ), bud AS (
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               SUM(CAST(len(tk) AS BIGINT)) OVER (
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(CAST(len(tk) AS BIGINT)) OVER () AS tot
+        FROM cap)
+      WHERE cum <= (tot * 3) // 10
+    )
+    SELECT doc_id, lang, source, n_chars FROM bud
+    """
+
+#: Per-process cache of curated releases: sf_dir -> shard path.
+_CURATED: dict[str, str] = {}
+
+
+@register("curate_corpus_documents", oracle=_CURATE_ORACLE)
+def curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus curation pipeline as one catalog
+    entry (operators.curation.curate_corpus — VERDICT r15 #6, the
+    flagship LLM-training-data demonstration): Gopher rule gate →
+    exact dedup → benchmark-phrase decontamination → drop-worst-1/10
+    quality prune → per-source anti-domination cap → 3/10
+    token-budget cut → deterministic shuffle into fixed-row training
+    shards at rest. The returned frame is the release read BACK from
+    the written shards (so the oracle checks what the shards actually
+    contain, not an in-memory intermediate); every stage is
+    individually oracle-checked elsewhere, and this entry pins their
+    COMPOSITION hash-exact through one CTE-chained DuckDB replay."""
+    if sf_dir not in _CURATED:
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = tempfile.mkdtemp(prefix="curate_") + "/release"
+        C.curate_corpus(
+            docs,
+            out,
+            benchmark_phrases=["key agg row", "batch window spark"],
+            gopher_rules={"min_words": 20, "min_stopwords": 1},
+            drop_worst_numer=1,
+            drop_worst_denom=10,
+            per_source_cap=10,
+            budget_numer=3,
+            budget_denom=10,
+            shard_rows=64,
+        )
+        _CURATED[sf_dir] = out
+    return spark.read.parquet(_CURATED[sf_dir]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
