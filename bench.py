@@ -96,7 +96,9 @@ HEADLINE = [
     "ivf_ann_topk_at_rest",
     "pq_ann_topk_adc",
     "opq_ann_topk_adc",
+    "opq_ann_topk_fixed",
     "ivfpq_ann_topk_at_rest",
+    "ivfpq_ann_topk_fixed",
     "embedding_near_dup_blocked",
     "pairwise_topk_per_label",
     "pairwise_topk_per_label_hot",
@@ -116,6 +118,7 @@ HEADLINE = [
     "srp_ann_topk_incremental_fixed",
     "sq8_ann_topk_incremental",
     "sq8_ann_topk_incremental_disjoint",
+    "ivfpq_ann_topk_incremental",
     "streaming_sq8_index_topk",
     "multimodal_audio_features",
     "multimodal_audio_features_24bit",
@@ -131,6 +134,7 @@ HEADLINE = [
     "cdc_chunks_documents",
     "funnel_view_click_purchase",
     "retention_cohorts_events",
+    "curate_corpus_documents",
 ]
 
 
@@ -1722,6 +1726,46 @@ def _cc_algorithm_probe(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _curate_pipeline_probe(spark, sf_dir: str) -> dict[str, float]:
+    """The END-TO-END curate_corpus pipeline cost, measured honestly
+    (round 16): the ``curate_corpus_documents`` HEADLINE key prices
+    the at-rest contract — reading the already-written release — the
+    same way index keys price probes against prebuilt trees. This
+    probe prices the RELEASE BUILD itself (gate → dedup →
+    decontaminate → prune → cap → budget → shard write, a fresh
+    output dir per sample, median of 3) — the per-release cost a
+    training-data team actually pays."""
+    import tempfile
+
+    from pyspark_airflow_weather_etl_spark.operators.curation import (
+        curate_corpus,
+    )
+    from pyspark_airflow_weather_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    samples = []
+    for i in range(BENCH_RUNS):
+        release_cached()
+        out = tempfile.mkdtemp(prefix=f"bench_curate_{i}_") + "/release"
+        t0 = time.time()
+        counts = curate_corpus(
+            docs,
+            out,
+            benchmark_phrases=["key agg row", "batch window spark"],
+            gopher_rules={"min_words": 20, "min_stopwords": 1},
+            drop_worst_numer=1,
+            drop_worst_denom=10,
+            per_source_cap=10,
+            budget_numer=3,
+            budget_denom=10,
+            shard_rows=64,
+        )
+        samples.append(time.time() - t0)
+        assert counts["sharded"] > 0
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return {"curate_corpus_pipeline": round(_median(samples), 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1736,6 +1780,9 @@ def main() -> None:
     # Build the at-rest LSH index before timing: signature-at-write is
     # ingest-time cost, amortized over every probe (same treatment as
     # the bucketed-table write in _layout_comparison).
+    from pyspark_airflow_weather_etl_spark.plans.pqplans import (
+        ivfpq_index_path,
+    )
     from pyspark_airflow_weather_etl_spark.plans.simplans import (
         ivf_index_path,
         srp_index_path,
@@ -1743,6 +1790,7 @@ def main() -> None:
 
     srp_index_path(spark, sf_dir)
     ivf_index_path(spark, sf_dir)
+    ivfpq_index_path(spark, sf_dir)
 
     # Prebuild the incremental-lifecycle trees the same way (VERDICT
     # r14 #6): each entry caches its built index per sf_dir, so one
@@ -1750,6 +1798,12 @@ def main() -> None:
     # scale) and every timed sample measures the steady-state probe —
     # BENCH_r14's ivf_ann_topk_incremental first sample carried the
     # 22 s build; the quiet steady probe is ~0.9 s.
+    from pyspark_airflow_weather_etl_spark.plans.curationplans import (
+        curate_corpus_documents,
+    )
+    from pyspark_airflow_weather_etl_spark.plans.pqplans import (
+        ivfpq_ann_topk_incremental,
+    )
     from pyspark_airflow_weather_etl_spark.plans.simplans import (
         ivf_ann_topk_incremental,
         ivf_ann_topk_incremental_fixed,
@@ -1766,6 +1820,8 @@ def main() -> None:
         sq8_ann_topk_incremental_disjoint,
         srp_ann_topk_incremental,
         srp_ann_topk_incremental_fixed,
+        ivfpq_ann_topk_incremental,
+        curate_corpus_documents,
     ):
         _prebuild(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -1876,6 +1932,9 @@ def main() -> None:
     timings.update(_phrase_scale_probe(spark, sf_dir))
     gc.collect()
     timings.update(_cc_algorithm_probe(spark, sf_dir))
+    gc.collect()
+    # End-to-end curation release build (fresh output dir per sample).
+    timings.update(_curate_pipeline_probe(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

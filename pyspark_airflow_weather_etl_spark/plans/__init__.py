@@ -813,6 +813,92 @@ _PRIORITY_R15: frozenset[str] = frozenset(
 )
 
 
+# CORRECTNESS_r15.json rows — all 50 green (43 hash-exact, 7 in the
+# declared rows-only set), freshest tier.
+_VERIFIED_R15: frozenset[str] = frozenset(
+    {
+        "bm25_prf_expanded_at_rest",
+        "bm25_topk_at_rest",
+        "bm25_topk_compacted",
+        "bm25_topk_incremental",
+        "bpe_pair_counts_documents",
+        "diversity_sample_embeddings",
+        "documents_jsonl_roundtrip",
+        "dsir_gumbel_sample_documents",
+        "dsir_logweights_documents",
+        "dsir_select_documents",
+        "exact_quantiles_by_status",
+        "exact_quantiles_orders",
+        "ivf_ann_topk_incremental",
+        "ivf_ann_topk_incremental_fixed",
+        "ivfpq_ann_topk_at_rest",
+        "kmeans_cluster_fixed_embeddings",
+        "lm_reference_score_documents",
+        "opq_ann_topk_adc",
+        "perplexity_buckets_documents",
+        "phrase_match_at_rest",
+        "phrase_match_at_rest_set",
+        "phrase_match_compacted",
+        "phrase_match_incremental",
+        "pq_adc_topk_fixed",
+        "pq_ann_topk_adc",
+        "pq_encode_fixed_embeddings",
+        "proximity_match_at_rest",
+        "proximity_match_at_rest_set",
+        "remove_frequent_passages",
+        "scd2_event_state_history",
+        "scd2_point_in_time_lookup",
+        "semantic_dedup_embeddings_nprobe",
+        "sq8_ann_topk_incremental",
+        "sq8_ann_topk_incremental_disjoint",
+        "srp_ann_topk_incremental",
+        "srp_ann_topk_incremental_fixed",
+        "streaming_bm25_index_topk",
+        "streaming_decontaminate_documents",
+        "streaming_encode_documents",
+        "streaming_pseudonymize_events",
+        "streaming_scd2_history",
+        "streaming_scd2_sealed_store",
+        "streaming_semantic_dedup",
+        "streaming_sq8_index_topk",
+        "training_shard_manifest",
+        "unigram_encode_documents",
+        "unigram_seed_vocab_documents",
+        "unigram_vocab_documents",
+        "unigram_vocab_em_documents",
+        "unigram_vocab_em_fixed",
+    }
+)
+
+
+# Round-16 priority head: NEW entries plus names whose engine path
+# changed this round after their latest driver row — the SRP
+# plane-packing / rows-without-meta guards and the compact
+# struct-fold (every srp entry), the PRF docterms-coverage check
+# (bm25_prf_expanded_at_rest), the bm25 compact repair-pin round
+# (bm25_topk_compacted), and the pq fixed-twin refactor
+# (_encode_from_sub/_adc_scored_from_sub under both pq fixed
+# entries).
+_PRIORITY_R16: frozenset[str] = frozenset(
+    {
+        "opq_ann_topk_fixed",  # new this round
+        "ivfpq_ann_topk_fixed",  # new this round
+        "ivfpq_ann_topk_incremental",  # new this round
+        "curate_corpus_documents",  # new this round
+        "srp_ann_topk",
+        "srp_ann_topk_at_rest",
+        "srp_ann_topk_incremental",
+        "srp_ann_topk_incremental_fixed",
+        "bm25_prf_expanded_at_rest",
+        "bm25_topk_compacted",
+        "pq_encode_fixed_embeddings",
+        "pq_adc_topk_fixed",
+        "opq_ann_topk_adc",
+        "ivfpq_ann_topk_at_rest",
+    }
+)
+
+
 # Round-14 priority head: NEW entries plus names whose engine path
 # changed this round after their latest driver row — the driver-side
 # BPE trainer (now the auto default), the disjoint-manifest dedup
@@ -844,7 +930,7 @@ _PRIORITY_R14: frozenset[str] = frozenset(
 
 def _schedule_registry() -> None:
     """Reorder REGISTRY: never-verified names first, then this
-    round's changed-path head (_PRIORITY_R15), then the stalest
+    round's changed-path head (_PRIORITY_R16), then the stalest
     round's names, then the freshest round's. A name in several
     rounds' sets is scheduled by its freshest row (later tiers
     win)."""
@@ -861,12 +947,13 @@ def _schedule_registry() -> None:
         _VERIFIED_R12,
         _VERIFIED_R13,
         _VERIFIED_R14,
+        _VERIFIED_R15,
     ]
     tiers = [
         rounds[i] - frozenset().union(*rounds[i + 1 :])
         for i in range(len(rounds) - 1)
     ] + [rounds[-1]]
-    head = _PRIORITY_R15 | (_PRIORITY_R12 - frozenset().union(*rounds))
+    head = _PRIORITY_R16 | (_PRIORITY_R12 - frozenset().union(*rounds))
     tiers = [head] + [t - head for t in tiers]
     entries = dict(REGISTRY)
     REGISTRY.clear()

@@ -100,6 +100,11 @@ def test_rows_only_entries_are_the_documented_sketches():
         # oracle-bearing — the hash-exact proof of the same pipeline)
         "pq_ann_topk_adc",
         "ivfpq_ann_topk_at_rest",
+        # IVF-PQ lifecycle: same trained quantizers, frozen in the
+        # tree; lifecycle equality/recall/plan shape in
+        # tests/test_pq.py::TestIvfpqLifecycle (the hash-exact twin is
+        # ivfpq_ann_topk_fixed — oracle-bearing)
+        "ivfpq_ann_topk_incremental",
         # OPQ: learned rotation (SVD Procrustes) + trained codebooks;
         # orthogonality, error-reduction vs plain PQ, and encode
         # parity pinned in tests/test_pq.py::TestOpq
