@@ -120,6 +120,7 @@ HEADLINE = [
     "sq8_ann_topk_incremental_disjoint",
     "ivfpq_ann_topk_incremental",
     "streaming_sq8_index_topk",
+    "streaming_ivfpq_index_topk",
     "multimodal_audio_features",
     "multimodal_audio_features_24bit",
     "multimodal_audio_resample",
@@ -1804,6 +1805,9 @@ def main() -> None:
     from pyspark_airflow_weather_etl_spark.plans.pqplans import (
         ivfpq_ann_topk_incremental,
     )
+    from pyspark_airflow_weather_etl_spark.plans.streamplans import (
+        streaming_ivfpq_index_topk,
+    )
     from pyspark_airflow_weather_etl_spark.plans.simplans import (
         ivf_ann_topk_incremental,
         ivf_ann_topk_incremental_fixed,
@@ -1821,6 +1825,7 @@ def main() -> None:
         srp_ann_topk_incremental,
         srp_ann_topk_incremental_fixed,
         ivfpq_ann_topk_incremental,
+        streaming_ivfpq_index_topk,
         curate_corpus_documents,
     ):
         _prebuild(spark, sf_dir).write.format("noop").mode(

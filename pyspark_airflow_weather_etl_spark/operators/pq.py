@@ -1076,3 +1076,83 @@ def ivfpq_index_topk(
     return exact.orderBy(
         F.col("l2_d2").asc_nulls_last(), F.col(id_col)
     ).limit(k)
+
+
+def ivfpq_index_compact(spark, src_path: str, dst_path: str) -> str:
+    """Compact an IVF-PQ delta tree into a single-batch index
+    published as the next serving version under ``dst_path`` — the
+    :func:`..operators.similarity.ivf_index_compact` economics: cell
+    assignment and PQ codes are per-vector facts under the FROZEN
+    quantizers (meta/centroids/codebooks copied verbatim — they ARE
+    the index identity), so compaction folds re-delivered ids to
+    their latest row and re-partitions; probe results identical by
+    construction, and the rebuilt batch-0 manifest re-arms the
+    disjoint fast path for post-compaction appends.
+
+    The fold is ONE ``max_by(struct(pq_code, vec, ivf_cell), batch)``
+    per id — the srp_index_compact round-16 lesson: folding the
+    columns with independent max_by calls would let a batch tie
+    between duplicate in-batch rows persist a code (or cell)
+    inconsistent with the stored vector, and an inconsistent
+    ivf_cell would serve the vector from a partition the probe
+    never prunes to. Crash contract:
+    :func:`..sources.writers.publish_version`."""
+    from ..sources.writers import publish_version
+
+    meta = spark.read.parquet(f"{src_path}/meta")
+    centroids = spark.read.parquet(f"{src_path}/centroids")
+    codebooks = spark.read.parquet(f"{src_path}/codebooks")
+
+    def build(vdir: str) -> None:
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        codebooks.coalesce(1).write.mode("overwrite").parquet(
+            f"{vdir}/codebooks"
+        )
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{vdir}/centroids"
+        )
+        rows = spark.read.parquet(f"{src_path}/rows")
+        id_col = [
+            f.name
+            for f in rows.schema.fields
+            if f.name not in ("ivf_cell", "batch")
+            and "array" not in f.dataType.simpleString()
+        ][0]
+        vec_col = [
+            f.name
+            for f in rows.schema.fields
+            if "array" in f.dataType.simpleString()
+            and f.name != "pq_code"
+        ][0]
+        (
+            rows.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct("pq_code", vec_col, "ivf_cell"), "batch"
+                ).alias("w")
+            )
+            .select(
+                F.col(id_col),
+                F.col("w.pq_code").alias("pq_code"),
+                F.col(f"w.{vec_col}").alias(vec_col),
+                F.lit(0).cast("bigint").alias("batch"),
+                F.col("w.ivf_cell").alias("ivf_cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch", "ivf_cell")
+            .parquet(f"{vdir}/rows")
+        )
+        (
+            spark.read.parquet(f"{vdir}/rows")
+            .agg(
+                F.min(F.col(id_col)).alias("min_id"),
+                F.max(F.col(id_col)).alias("max_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+            .withColumn("batch", F.lit(0).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{vdir}/rows_manifest")
+        )
+
+    return publish_version(spark, dst_path, build)

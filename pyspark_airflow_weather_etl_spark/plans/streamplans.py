@@ -852,3 +852,61 @@ def streaming_decontaminate_documents(
     return read_kept_documents(spark, f"{tmp}/kept").select(
         "doc_id", "n_ngrams", "n_contaminated"
     )
+
+
+_IVFPQ_STREAM_INDEX: dict[str, str] = {}
+
+
+@register("streaming_ivfpq_index_topk")  # trained quantizers: no SQL form
+def streaming_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN served from a STREAMING-maintained index
+    (streaming.ivfpq_index — round 16, completing the streaming
+    maintainer symmetry across the index families): embeddings arrive
+    as three micro-batches (vec_id mod 3, mtime-ordered); the first
+    batch trains and freezes BOTH quantizers in the tree, later
+    batches assign+encode against the stored artifacts at O(batch).
+    The probe (ivfpq_index_topk) answers from the accreted delta tree
+    with its latest-wins folds armed (mod-3 ranges interleave).
+    Rows-only (k-means + float ADC); the streamed-equals-incremental
+    and compact-identical equalities are pinned in
+    tests/test_streaming_serve.py."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..operators.pq import ivfpq_index_topk
+    from ..streaming.ivfpq_index import run_streaming_ivfpq_index
+
+    if sf_dir not in _IVFPQ_STREAM_INDEX:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        tmp = tempfile.mkdtemp(prefix="ivfpq_stream_")
+        watch = f"{tmp}/in"
+        os.makedirs(watch, exist_ok=True)
+        for i in range(3):
+            stage = f"{tmp}/stage_{i}"
+            emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+                stage
+            )
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{watch}/batch_{i:03d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        run_streaming_ivfpq_index(
+            spark,
+            watch,
+            f"{tmp}/index",
+            emb.schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        _IVFPQ_STREAM_INDEX[sf_dir] = f"{tmp}/index"
+    q = [
+        float(x)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .first()["embedding"]
+    ]
+    return ivfpq_index_topk(
+        spark, _IVFPQ_STREAM_INDEX[sf_dir], q, k=10, nprobe=4, rerank=64
+    )

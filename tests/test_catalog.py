@@ -105,6 +105,9 @@ def test_rows_only_entries_are_the_documented_sketches():
         # tests/test_pq.py::TestIvfpqLifecycle (the hash-exact twin is
         # ivfpq_ann_topk_fixed — oracle-bearing)
         "ivfpq_ann_topk_incremental",
+        # streaming twin of the same lifecycle: streamed == incremental
+        # batch build == compacted, pinned in tests/test_pq.py
+        "streaming_ivfpq_index_topk",
         # OPQ: learned rotation (SVD Procrustes) + trained codebooks;
         # orthogonality, error-reduction vs plain PQ, and encode
         # parity pinned in tests/test_pq.py::TestOpq

@@ -583,3 +583,137 @@ class TestIvfpqLifecycle:
             ).collect()
         }
         assert len(got & top10) / 10 >= 0.5
+
+
+def test_streaming_ivfpq_index_maintenance_and_compact(spark, emb, qvec, tmp_path):
+    """The streaming IVF-PQ maintainer (round 16): the first
+    micro-batch trains and freezes BOTH quantizers in the tree, the
+    streamed index's probe equals the incremental batch build's with
+    the same mod-3 decomposition, and ivfpq_index_compact folds the
+    delta tree into a probe-identical single-batch version whose
+    manifest re-arms the disjoint fast path (fold absent from the
+    post-compaction plan)."""
+    import glob
+    import os
+
+    from pyspark_airflow_weather_etl_spark.operators.pq import (
+        ivfpq_index_append,
+        ivfpq_index_compact,
+        ivfpq_index_topk,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+    from pyspark_airflow_weather_etl_spark.streaming.ivfpq_index import (
+        run_streaming_ivfpq_index,
+    )
+
+    src = emb.select("vec_id", "embedding")
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    for i in range(3):
+        stage = str(tmp_path / f"stage_{i}")
+        src.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{watch}/batch_{i:03d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    idx = str(tmp_path / "index")
+    reports = run_streaming_ivfpq_index(
+        spark, watch, idx, src.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert [r["batch"] for r in reports] == [0, 1, 2]
+    assert sum(r["n_rows"] for r in reports) == src.count()
+    # probe-equivalent to the incremental batch build
+    batch_idx = str(tmp_path / "batch_index")
+    for i in range(3):
+        ivfpq_index_append(
+            src.where(F.col("vec_id") % 3 == i), batch_idx, i
+        )
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(spark, idx, qvec, k=10, nprobe=4).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, batch_idx, qvec, k=10, nprobe=4
+            ).collect(),
+        )
+    )
+    assert got == want
+    # mod-3 ranges interleave: the delta-tree probe folds
+    probe = ivfpq_index_topk(spark, idx, qvec, k=10, nprobe=4)
+    assert "max_by" in probe._jdf.queryExecution().analyzed().toString()
+    # compaction: probe-identical, fold disarmed, one batch at rest
+    dst = str(tmp_path / "pub")
+    ivfpq_index_compact(spark, idx, dst)
+    live = bm25_index_current(spark, dst)
+    compacted = ivfpq_index_topk(spark, live, qvec, k=10, nprobe=4)
+    assert sorted(map(tuple, compacted.collect())) == got
+    assert "max_by" not in (
+        compacted._jdf.queryExecution().analyzed().toString()
+    )
+    rows = spark.read.parquet(f"{live}/rows")
+    assert rows.count() == src.count()
+    assert rows.select("vec_id").distinct().count() == src.count()
+
+
+def test_ivfpq_compact_duplicate_in_batch_keeps_row_consistency(
+    spark, emb, tmp_path
+):
+    """The srp_index_compact round-16 lesson applied to IVF-PQ: when
+    one batch carries duplicate rows for the same id with different
+    vectors, the compaction's struct fold must keep (pq_code, vec,
+    ivf_cell) from the SAME winning row — pinned by re-encoding every
+    stored vector against the tree's own frozen quantizers and
+    asserting the stored code and cell match it."""
+    import numpy as np
+
+    from pyspark_airflow_weather_etl_spark.operators.pq import (
+        _read_codebooks,
+        ivfpq_index_append,
+        ivfpq_index_compact,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+
+    src = emb.select("vec_id", "embedding").where(F.col("vec_id") < 60)
+    dup = src.where(F.col("vec_id") < 8).select(
+        "vec_id", F.transform("embedding", lambda v: -v).alias("embedding")
+    )
+    path = str(tmp_path / "t")
+    ivfpq_index_append(src.unionByName(dup), path, 0, m=8, n_codes=8,
+                       n_cells=4)
+    ivfpq_index_compact(spark, path, str(tmp_path / "pub"))
+    live = bm25_index_current(spark, str(tmp_path / "pub"))
+    cents = np.asarray(
+        [
+            list(r["c"])
+            for r in spark.read.parquet(f"{live}/centroids")
+            .orderBy("cell")
+            .collect()
+        ]
+    )
+    books = _read_codebooks(spark, live, 8, 8)
+    b_sq = (books**2).sum(axis=2)
+    for r in spark.read.parquet(f"{live}/rows").collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        want_cell = int(((cents - x[None, :]) ** 2).sum(axis=1).argmin())
+        dsub = x.shape[0] // 8
+        want_code = [
+            int(
+                (
+                    -2.0 * (x[j * dsub : (j + 1) * dsub] @ books[j].T)
+                    + b_sq[j]
+                ).argmin()
+            )
+            for j in range(8)
+        ]
+        assert int(r["ivf_cell"]) == want_cell, r["vec_id"]
+        assert [int(c) for c in r["pq_code"]] == want_code, r["vec_id"]
