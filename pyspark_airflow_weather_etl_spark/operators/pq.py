@@ -104,35 +104,70 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    err_col: str | None = None,
 ) -> DataFrame:
     """Encode vectors to their PQ codes: ``out_col`` is an
     ``array<int>`` of length m (code j = nearest codebook-j centroid
     of sub-vector j; exact ties break to the lowest code, matching
     numpy argmin). One Arrow batch does all m sub-vector argmins as m
     small matmuls — this is the index-build step, run once per corpus,
-    and the only Python in the PQ family."""
+    and the only Python in the PQ family.
+
+    ``err_col`` (optional) additionally emits the row's total squared
+    quantization residual ``Σ_j |sub_j − books[j][code_j]|²`` — free
+    in the same pass (it is the argmin's own minimum statistic plus
+    ``|sub|²``), and the drift signal the frozen-codebook lifecycle
+    monitors (:func:`ivfpq_drift_report`): a shifted corpus encodes
+    to ever-farther codes, degrading ADC recall while the exact
+    re-rank keeps answers correct."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = books.shape
     b_sq = (books**2).sum(axis=2)  # (m, n_codes)
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<int>")
-    def _codes(v: pd.Series) -> pd.Series:
+    def _compute(v: pd.Series, with_err: bool):
         mask = v.notna().to_numpy()
-        out = [None] * len(v)
+        codes_out = [None] * len(v)
+        err_out = [None] * len(v)
         if mask.any():
             x = np.vstack(v[mask].to_numpy()).astype(np.float64)
             codes = np.empty((x.shape[0], m), dtype=np.int64)
+            err = np.zeros(x.shape[0])
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
                 # same decision statistic as ivf_assign: −2·x@cᵀ+|c|²
                 stat = -2.0 * (sub @ books[j].T) + b_sq[j][None, :]
                 codes[:, j] = stat.argmin(axis=1)
+                if with_err:
+                    err += stat.min(axis=1) + (sub**2).sum(axis=1)
             for row, i in enumerate(np.flatnonzero(mask)):
-                out[i] = [int(z) for z in codes[row]]
-        return pd.Series(out, dtype=object)
+                codes_out[i] = [int(z) for z in codes[row]]
+                if with_err:
+                    # clamp: −2x·cᵀ+|c|²+|x|² is |x−c|² in exact math
+                    # but can round a hair below zero in floats
+                    err_out[i] = float(max(err[row], 0.0))
+        return codes_out, err_out
 
-    return df.withColumn(out_col, _codes(F.col(vec_col)))
+    if err_col is None:
+
+        @pandas_udf("array<int>")
+        def _codes(v: pd.Series) -> pd.Series:
+            codes_out, _ = _compute(v, False)
+            return pd.Series(codes_out, dtype=object)
+
+        return df.withColumn(out_col, _codes(F.col(vec_col)))
+
+    @pandas_udf("struct<code: array<int>, err: double>")
+    def _codes_err(v: pd.Series) -> pd.DataFrame:
+        codes_out, err_out = _compute(v, True)
+        return pd.DataFrame({"code": codes_out, "err": err_out})
+
+    enc = df.withColumn("__enc", _codes_err(F.col(vec_col)))
+    return (
+        enc.withColumn(out_col, F.col("__enc.code"))
+        .withColumn(err_col, F.col("__enc.err"))
+        .drop("__enc")
+    )
 
 
 def adc_lut(query_vec: list[float], codebooks: np.ndarray) -> np.ndarray:
@@ -873,17 +908,27 @@ def ivfpq_index_append(
     foreign/partial artifact and is refused (the
     ``ivf_index_append_fixed`` discipline). Layout::
 
-        {path}/meta                   (m, n_codes, n_cells)
+        {path}/meta                   (m, n_codes, n_cells, fit_mean_qerr)
         {path}/centroids              (cell, c array<double>)
         {path}/codebooks              (sub_j, code, cs array<double>)
-        {path}/rows/batch=/ivf_cell=  (id, pq_code, vec)
+        {path}/rows/batch=/ivf_cell=  (id, pq_code, vec, qerr)
+        {path}/drift/batch=           (n_rows, mean_qerr, drift_ratio)
         {path}/rows_manifest/batch=   (min_id, max_id, n_rows)
+
+    The cost of freezing is DRIFT: a shifted corpus encodes to
+    ever-farther codes, so each append computes its mean squared
+    quantization residual (free in the encode pass —
+    :func:`pq_encode` ``err_col``) and logs ``drift_ratio`` = batch
+    mean_qerr / creation-batch mean_qerr (the re-fit signal; ADC
+    recall degrades gradually, answers stay exact because the probe
+    exact-re-ranks). The per-row ``qerr`` is STORED so later drift
+    questions are a narrow column scan (:func:`ivfpq_drift_report`).
 
     Fail-closed replay: the manifest row drops first, then the
     batch's row dirs, then rows land, then the manifest — a crash
     anywhere leaves the batch missing from the manifest so probes run
     their latest-wins fold instead of trusting a stale range.
-    Returns ``{"batch", "n_rows"}``."""
+    Returns ``{"batch", "n_rows", "mean_qerr", "drift_ratio"}``."""
     from pyspark.errors import AnalysisException
 
     from .retrieval import (
@@ -920,6 +965,7 @@ def ivfpq_index_append(
                 f" n_cells)={stored}; appending with"
                 f" {(m, n_codes, n_cells)} would encode incompatibly"
             )
+        fit_mean_qerr = float(meta["fit_mean_qerr"])
         books = _read_codebooks(spark, path, m, n_codes)
     else:
         centroids = ivf_train_centroids(
@@ -928,9 +974,33 @@ def ivfpq_index_append(
         books = pq_train_codebooks(
             embeddings, m, n_codes, id_col=id_col, vec_col=vec_col
         )
-        # crash ordering: meta first, centroids LAST (creation marker)
+        fit_mean_qerr = None
+    try:
+        stored_schema = spark.read.parquet(f"{path}/rows").schema
+        embeddings = embeddings.select(
+            F.col(id_col).cast(stored_schema[id_col].dataType),
+            F.col(vec_col).cast(stored_schema[vec_col].dataType),
+        )
+    except AnalysisException:
+        pass  # first batch defines the types
+    src = embeddings.select(id_col, vec_col)
+    assigned = ivf_assign(src, centroids, vec_col)
+    coded = pq_encode(assigned, books, vec_col, err_col="qerr").persist()
+    stats = coded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.avg("qerr").alias("mean_qerr"),
+    ).collect()[0]
+    mean_qerr = float(stats["mean_qerr"] or 0.0)
+    if fit_mean_qerr is None:
+        # quantizer identity persists BEFORE any rows (crash
+        # ordering): meta first, centroids LAST — the centroids read
+        # above is the creation marker, so a crash between the writes
+        # leaves a tree the next append simply recreates, never rows
+        # under lost quantizers
+        fit_mean_qerr = mean_qerr
         spark.createDataFrame(
-            [(m, n_codes, n_cells)], "m int, n_codes int, n_cells int"
+            [(m, n_codes, n_cells, fit_mean_qerr)],
+            "m int, n_codes int, n_cells int, fit_mean_qerr double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         spark.createDataFrame(
             [
@@ -944,30 +1014,41 @@ def ivfpq_index_append(
             [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
             "cell int, c array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    try:
-        stored_schema = spark.read.parquet(f"{path}/rows").schema
-        embeddings = embeddings.select(
-            F.col(id_col).cast(stored_schema[id_col].dataType),
-            F.col(vec_col).cast(stored_schema[vec_col].dataType),
-        )
-    except AnalysisException:
-        pass  # first batch defines the types
-    src = embeddings.select(id_col, vec_col)
-    assigned = ivf_assign(src, centroids, vec_col)
-    coded = pq_encode(assigned, books, vec_col).persist()
     _drop_manifest_row(spark, f"{path}/rows_manifest", batch_id)
     _drop_batch_dirs(spark, batch_id, f"{path}/rows")
     _write_batch_keyed(
-        coded.select(id_col, "pq_code", vec_col, "ivf_cell").withColumn(
-            "batch", F.lit(batch_id).cast("bigint")
-        ),
+        coded.select(
+            id_col, "pq_code", vec_col, "qerr", "ivf_cell"
+        ).withColumn("batch", F.lit(batch_id).cast("bigint")),
         f"{path}/rows",
         ("batch", "ivf_cell"),
+    )
+    drift_ratio = mean_qerr / fit_mean_qerr if fit_mean_qerr > 0 else 1.0
+    _write_batch_keyed(
+        spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(stats["n_rows"]),
+                    mean_qerr,
+                    float(drift_ratio),
+                )
+            ],
+            "batch bigint, n_rows bigint, mean_qerr double,"
+            " drift_ratio double",
+        ),
+        f"{path}/drift",
+        ("batch",),
     )
     mm, n_rows = _manifest_from_agg(coded, id_col, batch_id)
     _write_batch_keyed(mm, f"{path}/rows_manifest", ("batch",))
     coded.unpersist(blocking=False)
-    return {"batch": int(batch_id), "n_rows": n_rows}
+    return {
+        "batch": int(batch_id),
+        "n_rows": n_rows,
+        "mean_qerr": mean_qerr,
+        "drift_ratio": float(drift_ratio),
+    }
 
 
 def _read_codebooks(spark, path: str, m: int, n_codes: int) -> np.ndarray:
@@ -1128,13 +1209,15 @@ def ivfpq_index_compact(spark, src_path: str, dst_path: str) -> str:
             rows.groupBy(id_col)
             .agg(
                 F.max_by(
-                    F.struct("pq_code", vec_col, "ivf_cell"), "batch"
+                    F.struct("pq_code", vec_col, "qerr", "ivf_cell"),
+                    "batch",
                 ).alias("w")
             )
             .select(
                 F.col(id_col),
                 F.col("w.pq_code").alias("pq_code"),
                 F.col(f"w.{vec_col}").alias(vec_col),
+                F.col("w.qerr").alias("qerr"),
                 F.lit(0).cast("bigint").alias("batch"),
                 F.col("w.ivf_cell").alias("ivf_cell"),
             )
@@ -1142,17 +1225,152 @@ def ivfpq_index_compact(spark, src_path: str, dst_path: str) -> str:
             .partitionBy("batch", "ivf_cell")
             .parquet(f"{vdir}/rows")
         )
-        (
-            spark.read.parquet(f"{vdir}/rows")
-            .agg(
-                F.min(F.col(id_col)).alias("min_id"),
-                F.max(F.col(id_col)).alias("max_id"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            )
-            .withColumn("batch", F.lit(0).cast("bigint"))
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(f"{vdir}/rows_manifest")
+        folded = spark.read.parquet(f"{vdir}/rows")
+        st = folded.agg(
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.avg("qerr").alias("mean_qerr"),
+        ).collect()[0]
+        fit = float(meta.collect()[0]["fit_mean_qerr"])
+        mq = float(st["mean_qerr"] or 0.0)
+        # folded batch-0 drift row so post-compaction appends keep
+        # the drift protocol working (the ivf_index_compact shape)
+        spark.createDataFrame(
+            [(0, int(st["n_rows"]), mq, mq / fit if fit > 0 else 1.0)],
+            "batch bigint, n_rows bigint, mean_qerr double,"
+            " drift_ratio double",
+        ).write.mode("overwrite").partitionBy("batch").parquet(
+            f"{vdir}/drift"
+        )
+        # agg-then-withColumn (the _sq8_write_manifest discipline):
+        # a positional tuple would misalign against the read-back
+        # schema's trailing batch partition column
+        spark.createDataFrame(
+            [
+                (
+                    st["min_id"],
+                    st["max_id"],
+                    int(st["n_rows"]),
+                )
+            ],
+            f"min_id {folded.schema[id_col].dataType.simpleString()},"
+            f" max_id {folded.schema[id_col].dataType.simpleString()},"
+            " n_rows bigint",
+        ).withColumn("batch", F.lit(0).cast("bigint")).write.mode(
+            "overwrite"
+        ).partitionBy("batch").parquet(f"{vdir}/rows_manifest")
+
+    return publish_version(spark, dst_path, build)
+
+
+def ivfpq_drift_report(
+    spark,
+    index_path: str,
+    refit_threshold: float = 1.5,
+    live: str = "off",
+    sample_fraction: float = 0.01,
+) -> dict:
+    """Should this IVF-PQ index be RE-FIT? — the frozen-quantizer
+    maintenance decision (:func:`..operators.similarity.
+    ivf_drift_report`'s contract for the code-at-rest family).
+    ``live='off'`` (default) decides from the per-append drift log
+    alone (n_rows-weighted mean quantization residual — O(batches),
+    no index read); ``'full'``/``'sample'`` recount over the STORED
+    per-row ``qerr`` column — a narrow column scan (seeded sample
+    for the latter), cheap because the append already paid the
+    encode. Recommends a re-fit when the live mean residual exceeds
+    ``refit_threshold ×`` the creation batch's — a RECALL alert, not
+    a correctness gate (the probe's exact re-rank keeps returned
+    distances true while coarse candidate quality drifts)."""
+    from pyspark.errors import AnalysisException
+
+    if live not in ("full", "sample", "off"):
+        raise ValueError(f"unknown live mode {live!r}")
+    fit = float(
+        spark.read.parquet(f"{index_path}/meta").collect()[0][
+            "fit_mean_qerr"
+        ]
+    )
+    try:
+        log = [
+            r.asDict()
+            for r in spark.read.parquet(f"{index_path}/drift")
+            .orderBy("batch")
+            .collect()
+        ]
+    except AnalysisException:
+        log = []
+    if live == "off":
+        n = sum(int(r["n_rows"]) for r in log)
+        mean_qerr = (
+            sum(float(r["mean_qerr"]) * int(r["n_rows"]) for r in log) / n
+            if n
+            else 0.0
+        )
+    else:
+        rows = spark.read.parquet(f"{index_path}/rows").select("qerr")
+        if live == "sample":
+            rows = rows.sample(fraction=sample_fraction, seed=SEED)
+        st = rows.agg(F.avg("qerr").alias("m")).collect()[0]
+        mean_qerr = float(st["m"] or 0.0)
+    ratio = mean_qerr / fit if fit > 0 else 1.0
+    return {
+        "fit_mean_qerr": fit,
+        "live_mean_qerr": mean_qerr,
+        "drift_ratio": ratio,
+        "refit_recommended": ratio > refit_threshold,
+        "batches": log,
+    }
+
+
+def ivfpq_index_refit(
+    spark,
+    src_path: str,
+    dst_path: str,
+    m: int | None = None,
+    n_codes: int | None = None,
+    n_cells: int | None = None,
+) -> str:
+    """RE-FIT a drifted IVF-PQ index: retrain BOTH quantizers over
+    the folded at-rest vectors (latest row per id), re-assign and
+    re-encode everything, and publish as the next serving version —
+    resets the drift baseline (fresh ``fit_mean_qerr``). ``None``
+    keeps the stored quantizer shape. Crash contract:
+    :func:`..sources.writers.publish_version`; the source deltas are
+    untouched."""
+    from ..sources.writers import publish_version
+
+    meta = spark.read.parquet(f"{src_path}/meta").collect()[0]
+    m = int(meta["m"]) if m is None else m
+    n_codes = int(meta["n_codes"]) if n_codes is None else n_codes
+    n_cells = int(meta["n_cells"]) if n_cells is None else n_cells
+    rows = spark.read.parquet(f"{src_path}/rows")
+    id_col = [
+        f.name
+        for f in rows.schema.fields
+        if f.name not in ("ivf_cell", "batch", "qerr")
+        and "array" not in f.dataType.simpleString()
+    ][0]
+    vec_col = [
+        f.name
+        for f in rows.schema.fields
+        if "array" in f.dataType.simpleString() and f.name != "pq_code"
+    ][0]
+    folded = rows.groupBy(id_col).agg(
+        F.max_by(vec_col, "batch").alias(vec_col)
+    )
+
+    def build(vdir: str) -> None:
+        ivfpq_index_append(
+            folded,
+            vdir,
+            0,
+            m=m,
+            n_codes=n_codes,
+            n_cells=n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
         )
 
     return publish_version(spark, dst_path, build)

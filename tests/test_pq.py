@@ -717,3 +717,89 @@ def test_ivfpq_compact_duplicate_in_batch_keeps_row_consistency(
         ]
         assert int(r["ivf_cell"]) == want_cell, r["vec_id"]
         assert [int(c) for c in r["pq_code"]] == want_code, r["vec_id"]
+
+
+def test_pq_encode_err_matches_numpy(emb, xmat, books):
+    """pq_encode(err_col=...): the per-row quantization residual must
+    equal the numpy per-sub-vector min distance sum exactly — it is
+    the drift signal the IVF-PQ lifecycle stores and monitors."""
+    from pyspark_airflow_weather_etl_spark.operators.pq import pq_encode
+
+    ids, X = xmat
+    m, n_codes, dsub = books.shape
+    want = {}
+    for i, x in zip(ids, X):
+        want[int(i)] = sum(
+            float(
+                ((x[j * dsub : (j + 1) * dsub][None, :] - books[j]) ** 2)
+                .sum(axis=1)
+                .min()
+            )
+            for j in range(m)
+        )
+    got = {
+        r.vec_id: r.qerr
+        for r in pq_encode(emb, books, err_col="qerr")
+        .select("vec_id", "qerr")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for vid, qe in got.items():
+        assert abs(qe - want[vid]) <= 1e-6, vid
+
+
+def test_ivfpq_drift_report_and_refit(spark, emb, tmp_path):
+    """The frozen-quantizer maintenance loop: appends log their
+    residual ratio, a 5x-scaled shifted batch trips the re-fit
+    recommendation (live recount over the stored qerr column — a
+    narrow scan, no re-encode), and ivfpq_index_refit retrains both
+    quantizers over the folded vectors and resets the baseline."""
+    from pyspark_airflow_weather_etl_spark.operators.pq import (
+        ivfpq_drift_report,
+        ivfpq_index_append,
+        ivfpq_index_refit,
+        ivfpq_index_topk,
+    )
+    from pyspark_airflow_weather_etl_spark.operators.retrieval import (
+        bm25_index_current,
+    )
+
+    src = emb.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    r0 = ivfpq_index_append(src.where(F.col("vec_id") % 2 == 0), path, 0)
+    assert r0["drift_ratio"] == pytest.approx(1.0)
+    ivfpq_index_append(src.where(F.col("vec_id") % 2 == 1), path, 1)
+    rep = ivfpq_drift_report(spark, path, live="full")
+    assert not rep["refit_recommended"]  # same distribution
+    assert len(rep["batches"]) == 2
+    # off-mode (log-only) agrees with the full recount here: no batch
+    # was ever re-delivered with different content
+    off = ivfpq_drift_report(spark, path, live="off")
+    assert off["live_mean_qerr"] == pytest.approx(
+        rep["live_mean_qerr"], rel=1e-9
+    )
+    with pytest.raises(ValueError, match="live"):
+        ivfpq_drift_report(spark, path, live="bogus")
+    # a shifted batch (5x scale) drifts far outside the frozen grid
+    shifted = src.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 5).alias("embedding"),
+    )
+    r2 = ivfpq_index_append(shifted, path, 2)
+    assert r2["drift_ratio"] > 5.0
+    rep2 = ivfpq_drift_report(spark, path, live="full")
+    assert rep2["refit_recommended"]
+    # refit: fresh quantizers over the folded corpus, baseline reset
+    dst = str(tmp_path / "refit")
+    ivfpq_index_refit(spark, path, dst)
+    live = bm25_index_current(spark, dst)
+    rep3 = ivfpq_drift_report(spark, live, live="full")
+    assert rep3["drift_ratio"] == pytest.approx(1.0, rel=1e-6)
+    assert not rep3["refit_recommended"]
+    # the refit tree still serves (self-hit on an original vector)
+    q = [
+        float(x)
+        for x in src.where(F.col("vec_id") == 4).first()["embedding"]
+    ]
+    rows = ivfpq_index_topk(spark, live, q, k=5, nprobe=16).collect()
+    assert rows[0]["vec_id"] == 4 and rows[0]["l2_d2"] == 0.0
