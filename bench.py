@@ -119,6 +119,7 @@ HEADLINE = [
     "sq8_ann_topk_incremental",
     "sq8_ann_topk_incremental_disjoint",
     "ivfpq_ann_topk_incremental",
+    "opq_ann_topk_incremental",
     "streaming_sq8_index_topk",
     "streaming_ivfpq_index_topk",
     "multimodal_audio_features",
@@ -1804,6 +1805,7 @@ def main() -> None:
     )
     from pyspark_airflow_weather_etl_spark.plans.pqplans import (
         ivfpq_ann_topk_incremental,
+        opq_ann_topk_incremental,
     )
     from pyspark_airflow_weather_etl_spark.plans.streamplans import (
         streaming_ivfpq_index_topk,
@@ -1825,6 +1827,7 @@ def main() -> None:
         srp_ann_topk_incremental,
         srp_ann_topk_incremental_fixed,
         ivfpq_ann_topk_incremental,
+        opq_ann_topk_incremental,
         streaming_ivfpq_index_topk,
         curate_corpus_documents,
     ):

@@ -834,13 +834,16 @@ def opq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    err_col: str | None = None,
 ) -> DataFrame:
     """PQ-encode under the learned rotation: rotate (Arrow matmul),
     then the standard sub-vector argmin. Same output contract as
-    :func:`pq_encode`; the rotation lives entirely at index-build
-    time — scans and LUTs are unchanged."""
+    :func:`pq_encode` (including the optional ``err_col`` residual —
+    computed in the rotated space, where it equals the original-space
+    reconstruction error because R is orthogonal); the rotation lives
+    entirely at index-build time — scans and LUTs are unchanged."""
     return pq_encode(
-        _rotated(df, R, vec_col), codebooks, "__rot", out_col
+        _rotated(df, R, vec_col), codebooks, "__rot", out_col, err_col
     ).drop("__rot")
 
 
@@ -883,6 +886,7 @@ def ivfpq_index_append(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    opq: bool = False,
 ) -> dict:
     """Append one vector batch to an IVF-PQ index — the
     :func:`..operators.similarity.ivf_index_append` lifecycle applied
@@ -923,6 +927,16 @@ def ivfpq_index_append(
     recall degrades gradually, answers stay exact because the probe
     exact-re-ranks). The per-row ``qerr`` is STORED so later drift
     questions are a narrow column scan (:func:`ivfpq_drift_report`).
+
+    ``opq=True`` builds the OPQ edition (the
+    :func:`ivfpq_index_write` ``rotation`` contract, lifecycle-ified):
+    batch 0 trains the learned rotation together with the codebooks
+    (:func:`opq_train`) and persists it under ``{path}/rotation``;
+    codes quantize the ROTATED vectors while the stored raw vector —
+    and therefore the coarse cells and the exact re-rank — stay in
+    the original space (R is orthogonal, so L2 is identical in both).
+    The flag freezes in meta: appending the other flavor raises
+    (codes from the two spaces are incomparable under one LUT).
 
     Fail-closed replay: the manifest row drops first, then the
     batch's row dirs, then rows land, then the manifest — a crash
@@ -965,15 +979,30 @@ def ivfpq_index_append(
                 f" n_cells)={stored}; appending with"
                 f" {(m, n_codes, n_cells)} would encode incompatibly"
             )
+        stored_opq = bool(meta["opq"]) if "opq" in meta.__fields__ else False
+        if stored_opq != opq:
+            raise ValueError(
+                f"IVF-PQ index at {path} was created with"
+                f" opq={stored_opq}; appending with opq={opq} would"
+                " encode in a different space (codes from the two"
+                " spaces are incomparable under one ADC LUT)"
+            )
         fit_mean_qerr = float(meta["fit_mean_qerr"])
         books = _read_codebooks(spark, path, m, n_codes)
+        R = _read_rotation(spark, path) if opq else None
     else:
         centroids = ivf_train_centroids(
             embeddings, n_cells, id_col=id_col, vec_col=vec_col
         )
-        books = pq_train_codebooks(
-            embeddings, m, n_codes, id_col=id_col, vec_col=vec_col
-        )
+        if opq:
+            R, books = opq_train(
+                embeddings, m, n_codes, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            R = None
+            books = pq_train_codebooks(
+                embeddings, m, n_codes, id_col=id_col, vec_col=vec_col
+            )
         fit_mean_qerr = None
     try:
         stored_schema = spark.read.parquet(f"{path}/rows").schema
@@ -985,7 +1014,11 @@ def ivfpq_index_append(
         pass  # first batch defines the types
     src = embeddings.select(id_col, vec_col)
     assigned = ivf_assign(src, centroids, vec_col)
-    coded = pq_encode(assigned, books, vec_col, err_col="qerr").persist()
+    coded = (
+        opq_encode(assigned, R, books, vec_col, err_col="qerr")
+        if opq
+        else pq_encode(assigned, books, vec_col, err_col="qerr")
+    ).persist()
     stats = coded.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.avg("qerr").alias("mean_qerr"),
@@ -999,8 +1032,9 @@ def ivfpq_index_append(
         # under lost quantizers
         fit_mean_qerr = mean_qerr
         spark.createDataFrame(
-            [(m, n_codes, n_cells, fit_mean_qerr)],
-            "m int, n_codes int, n_cells int, fit_mean_qerr double",
+            [(m, n_codes, n_cells, fit_mean_qerr, opq)],
+            "m int, n_codes int, n_cells int, fit_mean_qerr double,"
+            " opq boolean",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
         spark.createDataFrame(
             [
@@ -1010,6 +1044,16 @@ def ivfpq_index_append(
             ],
             "sub_j int, code int, cs array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        if opq:
+            # rotation persists BEFORE centroids (the creation
+            # marker), so a crash can never leave a marked OPQ tree
+            # without its rotation
+            spark.createDataFrame(
+                [(i, [float(x) for x in row]) for i, row in enumerate(R)],
+                "i int, r array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/rotation"
+            )
         spark.createDataFrame(
             [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
             "cell int, c array<double>",
@@ -1049,6 +1093,14 @@ def ivfpq_index_append(
         "mean_qerr": mean_qerr,
         "drift_ratio": float(drift_ratio),
     }
+
+
+def _read_rotation(spark, path: str) -> np.ndarray:
+    """Rehydrate the frozen OPQ rotation (dim×dim) from the index's
+    ``rotation`` table — a bounded dim-row driver read."""
+    rows = spark.read.parquet(f"{path}/rotation").collect()
+    by_i = {int(r["i"]): list(r["r"]) for r in rows}
+    return np.asarray([by_i[i] for i in range(len(by_i))], dtype=np.float64)
 
 
 def _read_codebooks(spark, path: str, m: int, n_codes: int) -> np.ndarray:
@@ -1100,13 +1152,22 @@ def ivfpq_index_topk(
 
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     m, n_codes = int(meta["m"]), int(meta["n_codes"])
+    opq = bool(meta["opq"]) if "opq" in meta.__fields__ else False
     crows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell")
     centroids = np.asarray([list(r["c"]) for r in crows.collect()])
     books = _read_codebooks(spark, index_path, m, n_codes)
     q = np.asarray(query_vec, dtype=np.float64)
     cd2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in cd2.argsort()[:nprobe]]
-    lut = adc_lut(query_vec, books)
+    # OPQ layout: the LUT is built from the ROTATED query (codes live
+    # in rotated space); coarse ranking and the exact re-rank stay in
+    # the original space, where L2 is identical under the orthogonal R
+    lut_q = (
+        [float(x) for x in q @ _read_rotation(spark, index_path)]
+        if opq
+        else query_vec
+    )
+    lut = adc_lut(lut_q, books)
     rows = spark.read.parquet(f"{index_path}/rows")
     pruned = rows.where(F.col("ivf_cell").isin(probes))
     fold = not _batches_disjoint(
@@ -1180,15 +1241,26 @@ def ivfpq_index_compact(spark, src_path: str, dst_path: str) -> str:
     :func:`..sources.writers.publish_version`."""
     from ..sources.writers import publish_version
 
+    from .similarity import _fs_exists
+
     meta = spark.read.parquet(f"{src_path}/meta")
     centroids = spark.read.parquet(f"{src_path}/centroids")
     codebooks = spark.read.parquet(f"{src_path}/codebooks")
+    rotation = (
+        spark.read.parquet(f"{src_path}/rotation")
+        if _fs_exists(spark, f"{src_path}/rotation")
+        else None
+    )
 
     def build(vdir: str) -> None:
         meta.coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
         codebooks.coalesce(1).write.mode("overwrite").parquet(
             f"{vdir}/codebooks"
         )
+        if rotation is not None:
+            rotation.coalesce(1).write.mode("overwrite").parquet(
+                f"{vdir}/rotation"
+            )
         centroids.coalesce(1).write.mode("overwrite").parquet(
             f"{vdir}/centroids"
         )
@@ -1345,6 +1417,7 @@ def ivfpq_index_refit(
     m = int(meta["m"]) if m is None else m
     n_codes = int(meta["n_codes"]) if n_codes is None else n_codes
     n_cells = int(meta["n_cells"]) if n_cells is None else n_cells
+    opq = bool(meta["opq"]) if "opq" in meta.__fields__ else False
     rows = spark.read.parquet(f"{src_path}/rows")
     id_col = [
         f.name
@@ -1371,6 +1444,7 @@ def ivfpq_index_refit(
             n_cells=n_cells,
             id_col=id_col,
             vec_col=vec_col,
+            opq=opq,
         )
 
     return publish_version(spark, dst_path, build)

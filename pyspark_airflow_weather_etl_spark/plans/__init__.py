@@ -886,6 +886,7 @@ _PRIORITY_R16: frozenset[str] = frozenset(
         "ivfpq_ann_topk_incremental",  # new this round
         "curate_corpus_documents",  # new this round
         "streaming_ivfpq_index_topk",  # new this round
+        "opq_ann_topk_incremental",  # new this round
         "srp_ann_topk",
         "srp_ann_topk_at_rest",
         "srp_ann_topk_incremental",

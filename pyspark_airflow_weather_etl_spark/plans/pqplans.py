@@ -355,3 +355,41 @@ def ivfpq_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivfpq_index_topk(
         spark, _IVFPQ_INC_INDEX[sf_dir], q, k=10, nprobe=4, rerank=64
     )
+
+
+#: Per-process cache of built OPQ-IVF-PQ lifecycle trees.
+_OPQ_INC_INDEX: dict[str, str] = {}
+
+
+@register("opq_ann_topk_incremental")  # learned rotation: no SQL form
+def opq_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-IVF-PQ ANN served from an INCREMENTALLY-built lifecycle
+    tree (operators.pq.ivfpq_index_append(opq=True) — round 16,
+    completing the OPQ story's lifecycle leg): batch 0 (even vec_ids)
+    trains and freezes the coarse centroids, the LEARNED ROTATION,
+    and the rotated-space codebooks in the tree; batch 1 (odd ids)
+    rotates+encodes against the stored artifacts. The probe reads the
+    opq flag from meta, builds its ADC LUT from the ROTATED query,
+    and coarse-ranks + exact-re-ranks in the original space (L2
+    identical under the orthogonal R). Mixing flavors raises (codes
+    from the two spaces are incomparable under one LUT). Rows-only
+    (Procrustes rotation + k-means); lifecycle equality pinned in
+    tests/test_pq.py."""
+    if sf_dir not in _OPQ_INC_INDEX:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="opq_inc_") + "/embeddings"
+        PQ.ivfpq_index_append(
+            emb.where(F.col("vec_id") % 2 == 0), path, 0, m=8,
+            n_codes=16, n_cells=16, opq=True,
+        )
+        PQ.ivfpq_index_append(
+            emb.where(F.col("vec_id") % 2 == 1), path, 1, m=8,
+            n_codes=16, n_cells=16, opq=True,
+        )
+        _OPQ_INC_INDEX[sf_dir] = path
+    q = _query_vector(spark, sf_dir, 0)
+    return PQ.ivfpq_index_topk(
+        spark, _OPQ_INC_INDEX[sf_dir], q, k=10, nprobe=4, rerank=64
+    )

@@ -30,6 +30,7 @@ def run_streaming_ivfpq_index(
     m: int = 8,
     n_codes: int = 16,
     n_cells: int = 16,
+    opq: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
@@ -57,6 +58,7 @@ def run_streaming_ivfpq_index(
                 m=m,
                 n_codes=n_codes,
                 n_cells=n_cells,
+                opq=opq,
                 id_col=id_col,
                 vec_col=vec_col,
             )

@@ -108,6 +108,10 @@ def test_rows_only_entries_are_the_documented_sketches():
         # streaming twin of the same lifecycle: streamed == incremental
         # batch build == compacted, pinned in tests/test_pq.py
         "streaming_ivfpq_index_topk",
+        # OPQ edition of the lifecycle (learned rotation frozen in the
+        # tree); one-batch == at-rest equality + flavor guard pinned
+        # in tests/test_pq.py
+        "opq_ann_topk_incremental",
         # OPQ: learned rotation (SVD Procrustes) + trained codebooks;
         # orthogonality, error-reduction vs plain PQ, and encode
         # parity pinned in tests/test_pq.py::TestOpq

@@ -803,3 +803,69 @@ def test_ivfpq_drift_report_and_refit(spark, emb, tmp_path):
     ]
     rows = ivfpq_index_topk(spark, live, q, k=5, nprobe=16).collect()
     assert rows[0]["vec_id"] == 4 and rows[0]["l2_d2"] == 0.0
+
+
+def test_opq_lifecycle_one_batch_equals_at_rest_and_flavor_guard(
+    spark, emb, qvec, tmp_path
+):
+    """The OPQ edition of the lifecycle (round 16): a one-batch
+    opq=True tree serves the SAME rows as ivfpq_topk_at_rest driven
+    by the tree's own frozen rotation/codebooks/centroids, and a
+    plain-PQ append onto an OPQ tree (or vice versa) raises — codes
+    from the two spaces are incomparable under one LUT."""
+    from pyspark_airflow_weather_etl_spark.operators.pq import (
+        _read_codebooks,
+        _read_rotation,
+        ivfpq_index_append,
+        ivfpq_index_topk,
+        ivfpq_topk_at_rest,
+    )
+
+    src = emb.select("vec_id", "embedding")
+    path = str(tmp_path / "opq_one")
+    ivfpq_index_append(src, path, 0, m=8, n_codes=16, n_cells=16,
+                       opq=True)
+    R = _read_rotation(spark, path)
+    books = _read_codebooks(spark, path, 8, 16)
+    cents = np.asarray(
+        [
+            list(r["c"])
+            for r in spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell")
+            .collect()
+        ]
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk_at_rest(
+                spark, f"{path}/rows/batch=0", qvec, cents, books,
+                k=10, nprobe=4, rerank=64, rotation=R,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, path, qvec, k=10, nprobe=4, rerank=64
+            ).collect(),
+        )
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="opq"):
+        ivfpq_index_append(src, path, 1, m=8, n_codes=16, n_cells=16,
+                           opq=False)
+    # and the rotation is genuinely in play: the stored codes differ
+    # from a plain-PQ tree's codes built from the same corpus
+    plain = str(tmp_path / "plain")
+    ivfpq_index_append(src, plain, 0, m=8, n_codes=16, n_cells=16)
+    c_opq = {
+        r.vec_id: list(r.pq_code)
+        for r in spark.read.parquet(f"{path}/rows").collect()
+    }
+    c_plain = {
+        r.vec_id: list(r.pq_code)
+        for r in spark.read.parquet(f"{plain}/rows").collect()
+    }
+    assert any(c_opq[k] != c_plain[k] for k in c_opq)
