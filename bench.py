@@ -97,6 +97,7 @@ HEADLINE = [
     "pq_ann_topk_adc",
     "opq_ann_topk_adc",
     "opq_ann_topk_fixed",
+    "opq_ann_topk_at_rest",
     "ivfpq_ann_topk_at_rest",
     "ivfpq_ann_topk_fixed",
     "embedding_near_dup_blocked",
@@ -1784,6 +1785,7 @@ def main() -> None:
     # the bucketed-table write in _layout_comparison).
     from pyspark_airflow_weather_etl_spark.plans.pqplans import (
         ivfpq_index_path,
+        opq_ann_topk_at_rest as _opq_at_rest_prebuild,
     )
     from pyspark_airflow_weather_etl_spark.plans.simplans import (
         ivf_index_path,
@@ -1793,6 +1795,9 @@ def main() -> None:
     srp_index_path(spark, sf_dir)
     ivf_index_path(spark, sf_dir)
     ivfpq_index_path(spark, sf_dir)
+    _opq_at_rest_prebuild(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # Prebuild the incremental-lifecycle trees the same way (VERDICT
     # r14 #6): each entry caches its built index per sf_dir, so one

@@ -887,6 +887,7 @@ _PRIORITY_R16: frozenset[str] = frozenset(
         "curate_corpus_documents",  # new this round
         "streaming_ivfpq_index_topk",  # new this round
         "opq_ann_topk_incremental",  # new this round
+        "opq_ann_topk_at_rest",  # new this round
         "srp_ann_topk",
         "srp_ann_topk_at_rest",
         "srp_ann_topk_incremental",

@@ -393,3 +393,38 @@ def opq_ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivfpq_index_topk(
         spark, _OPQ_INC_INDEX[sf_dir], q, k=10, nprobe=4, rerank=64
     )
+
+
+#: Per-process cache of built OPQ at-rest layouts:
+#: sf_dir -> (path, centroids, R, codebooks).
+_OPQ_AT_REST: dict[str, tuple] = {}
+
+
+@register("opq_ann_topk_at_rest")  # learned rotation: no SQL form
+def opq_ann_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVFADC search against the persisted OPQ layout
+    (operators.pq.ivfpq_index_write(rotation=R) /
+    ivfpq_topk_at_rest(rotation=R) — round 16, the at-rest serving
+    shape of the OPQ family; `opq_ann_topk_adc` is its full-scan
+    ad-hoc baseline): codes quantize the ROTATED vectors at write
+    time, the probe builds its ADC LUT from the rotated query, and
+    coarse-cell ranking + the exact re-rank stay in the original
+    space (L2 identical under the orthogonal R). Partition pruning on
+    ivf_cell=, column pruning in the ADC stage — the same plan
+    contract as ivfpq_ann_topk_at_rest, pytested there. Rows-only;
+    recall/exactness bounds in tests/test_pq.py."""
+    q = _query_vector(spark, sf_dir, 0)
+    if sf_dir not in _OPQ_AT_REST:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = S.ivf_train_centroids(emb, n_cells=16)
+        R, books = PQ.opq_train(emb, m=8, n_codes=16)
+        path = tempfile.mkdtemp(prefix="opq_at_rest_") + "/embeddings"
+        PQ.ivfpq_index_write(emb, centroids, books, path, rotation=R)
+        _OPQ_AT_REST[sf_dir] = (path, centroids, R, books)
+    path, centroids, R, books = _OPQ_AT_REST[sf_dir]
+    return PQ.ivfpq_topk_at_rest(
+        spark, path, q, centroids, books, k=10, nprobe=4, rerank=64,
+        rotation=R,
+    )

@@ -112,6 +112,9 @@ def test_rows_only_entries_are_the_documented_sketches():
         # tree); one-batch == at-rest equality + flavor guard pinned
         # in tests/test_pq.py
         "opq_ann_topk_incremental",
+        # OPQ at-rest serving shape (codes quantize rotated vectors at
+        # write time); plan contract shared with ivfpq_ann_topk_at_rest
+        "opq_ann_topk_at_rest",
         # OPQ: learned rotation (SVD Procrustes) + trained codebooks;
         # orthogonality, error-reduction vs plain PQ, and encode
         # parity pinned in tests/test_pq.py::TestOpq
