@@ -113,10 +113,20 @@ def train_quality_classifier(
     mid-range scores the Pareto lottery can actually use."""
     spark = df.sparkSession
     caches = claim_group("quality_classifier_train")
+    # Explicit partition COUNT, sized to the cluster: a bare
+    # repartition(col) inherits spark.sql.shuffle.partitions (200 on
+    # a vanilla session) and user repartitions are exempt from AQE
+    # coalescing, so every one of the `iters` gradient jobs paid
+    # hundreds of near-empty tasks (measured: the 40-iteration loop
+    # ran 600-task union stages under the correctness driver's
+    # local[8] session). defaultParallelism tracks the actual cores
+    # on any deployment (round 16, guide §2.2 fewer/larger
+    # partitions).
+    n_parts = spark.sparkContext.defaultParallelism
     feats = persist_into(
         caches,
         hashed_features(df, id_col, text_col, dim).repartition(
-            F.col(id_col)
+            n_parts, F.col(id_col)
         ),
     )
     doc_meta = persist_into(
@@ -125,7 +135,7 @@ def train_quality_classifier(
             F.col(id_col),
             F.col(label_col).cast("int").alias("__y"),
             F.size(tokens(text_col)).cast("long").alias("__n_tok"),
-        ).repartition(F.col(id_col)),
+        ).repartition(n_parts, F.col(id_col)),
     )
     n_docs = doc_meta.count()
     if n_docs == 0:

@@ -511,6 +511,13 @@ def curate_corpus(
             score_col, derived_score = "__curate_score", True
             df = df.withColumn(score_col, F.length(text_col).cast("long"))
 
+    # Round-16 probe note: spread_small_scan at the head was tried
+    # and REVERTED — the per-row gates are cheap at any corpus the
+    # single-split case can even arise for, the added repartition
+    # recomputes under the first two stage barriers, and the measured
+    # pipeline cost went 16.0 s → 23.6 s at sf0.1 ×32. The pipeline's
+    # cost lives in its contract-mandated per-stage count barriers
+    # and the release write, not in gate compute.
     caches = claim_group("curate_corpus")
 
     def barrier(frame: DataFrame, name: str) -> DataFrame:

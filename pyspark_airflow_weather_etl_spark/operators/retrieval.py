@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import claim_group, persist_into
+from .dedup import spread_small_scan
 from .text import tokens
 
 #: partition-prefix width of the at-rest postings layout: first byte of
@@ -189,21 +190,49 @@ def bm25_scores(
     """BM25 scores (query_id, doc_id, score_micro) for every document
     matching ≥1 query term, computed from the corpus in one job.
 
-    Scale shape: the query's terms are known driver-side, so the
-    exploded token stream is pruned with an in-plan ``isin`` predicate
-    (pushed into the scan stage — no join, no exchange, only postings
-    of the query's terms ever reach an aggregation). tf aggregates
-    once and is PERSISTED (it is query-term-sized, tiny relative to
-    the corpus); df reuses it as a second aggregation instead of a
-    two-phase countDistinct over the postings. The one corpus-sized
-    shuffle is the (doc_id, dl) join onto the matched candidates
-    (~16 B/row, never text); the at-rest index removes even that by
-    denormalizing dl into the postings at build time.
+    Scale shape (round 16, guide §2.3/§2.4 — two passes, not three,
+    and no corpus-sized join): the query's terms are known
+    driver-side, so the exploded token stream is pruned with an
+    in-plan ``isin`` predicate (codegen hash-set lookup, no join, no
+    exchange before the prune) and CARRIES the document length
+    through its groupBy — doc_id determines dl, so the groups are
+    identical and the pre-r16 corpus-wide ``(doc_id, dl)`` join
+    disappears outright (the dl bytes ride the already-tiny matched
+    shuffle instead). The corpus scalars are the second tokenize
+    pass (a one-row broadcast aggregate). tf stays PERSISTED
+    (query-term-sized; df reuses it instead of a two-phase
+    countDistinct). The at-rest index removes the remaining passes
+    by persisting postings with dl denormalized at ingest.
     """
     spark = docs.sparkSession
     terms = sorted({t for _, q in queries for t in q.split(" ") if t})
     qt = F.broadcast(_query_terms(spark, queries))
-    tok = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    # spread_small_scan: a fixture-sized corpus reads as ONE parquet
+    # split and the whole tokenize pass would run on a single core;
+    # the guard makes it a no-op on any real many-split deployment
+    tok = spread_small_scan(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    posted = (
+        tok.select(
+            "doc_id",
+            F.array_size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("token"),
+        )
+        .where(F.col("token").isin(terms))
+    )
+    return _bm25_scores_from_posted(tok, posted, qt, "bm25_topk")
+
+
+def _bm25_scores_from_posted(
+    tok: DataFrame, posted: DataFrame, qt, cache_name: str
+) -> DataFrame:
+    """Shared BM25 core: ``tok`` is the tokenized corpus
+    ``(doc_id, t)``, ``posted`` the pruned exploded token stream
+    ``(doc_id, dl BIGINT, token)`` restricted to the query's terms
+    (duplicates preserved), ``qt`` a broadcast (query_id, token)
+    frame. One corpus scan for tf, one for the corpus scalars —
+    nothing corpus-sized is ever joined or shuffled."""
     # corpus scalars: one-row broadcast aggregate (no driver action)
     stats = F.broadcast(
         tok.agg(
@@ -211,13 +240,10 @@ def bm25_scores(
             F.sum(F.array_size("t")).alias("sum_dl"),
         )
     )
-    dl = tok.select("doc_id", F.array_size("t").cast("bigint").alias("dl"))
-    caches = claim_group("bm25_topk")
+    caches = claim_group(cache_name)
     tf = persist_into(
         caches,
-        tok.select("doc_id", F.explode("t").alias("token"))
-        .where(F.col("token").isin(terms))
-        .groupBy("doc_id", "token")
+        posted.groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
     )
     df = tf.groupBy("token").agg(
@@ -226,7 +252,6 @@ def bm25_scores(
     term = (
         tf.join(F.broadcast(df), "token")
         .join(qt, "token")
-        .join(dl, "doc_id")
         .crossJoin(stats)
         .select(
             "query_id", "doc_id", _term_micro().alias("term_micro")
@@ -665,26 +690,66 @@ def phrase_counts(
     twice).
 
     Whole-stage-codegen evaluation: the tiny phrase table broadcasts
-    onto the corpus and each document's token array is scanned with a
-    built-in higher-order filter (positions i where
-    slice(tokens, i, m) == phrase) — no Python, no explode, no
-    shuffle of text; the only aggregation is the already-tiny result.
+    onto the corpus and matches come from built-in higher-order
+    functions — no Python, no explode, no shuffle of text; the only
+    aggregation is the already-tiny result.
+
+    Round-16 shape (guide §1.2 per-task work + §4.4's duplication
+    trap): the final ``n_matches > 0`` filter is pushed into the
+    broadcast join's condition, so whatever expression computes
+    n_matches is evaluated TWICE per doc×phrase row (plan-verified:
+    the pre-r16 plan carried the full slice-compare HOF in both the
+    BNLJ condition and the Project). The pre-r16 form paid
+    O(tokens) ARRAY SLICES per row per evaluation. Now a per-doc
+    first-token position map is computed ONCE below the join (one
+    integer-compare scan per distinct leading token), and each
+    doc×phrase row only slice-compares at those few candidate
+    positions — the duplicated evaluation is of the cheap tail, not
+    the corpus scan. Candidates beyond ``size(t)-size(p)+1`` probe a
+    truncated slice that can never equal the phrase, so the wider
+    candidate range is semantics-free (same rows, same counts).
     The at-rest twin (:func:`phrase_match_at_rest`) answers the same
     query from positional postings without touching the corpus."""
     spark = docs.sparkSession
+    # split(" ") never returns an empty array (an empty string
+    # tokenizes to [""]), so every phrase has a leading token
+    firsts = sorted({q.split(" ")[0] for _, q in phrases})
     p = spark.createDataFrame(phrases, "phrase_id bigint, phrase string")
-    p = p.select("phrase_id", tokens("phrase").alias("p"))
-    t = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
-    # upper bound clamped to 1, not 0: sequence(1, 0) is DESCENDING in
-    # Spark ([1, 0]) and slice(start=0) throws. For a document shorter
-    # than the phrase the single probed slice is truncated and can
-    # never equal the phrase, so the clamp is semantics-free.
+    p = p.select(
+        "phrase_id",
+        tokens("phrase").alias("p"),
+        F.element_at(tokens("phrase"), 1).alias("__ft"),
+    )
+
+    def _positions_of(term: str):
+        return F.filter(
+            "__seq",
+            lambda i: F.element_at("t", i) == F.lit(term),
+        )
+
+    t = (
+        spread_small_scan(docs).select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+        )
+        # shared 1..n position axis (one allocation per doc, not one
+        # per distinct leading token)
+        .select(
+            "doc_id",
+            "t",
+            F.sequence(F.lit(1), F.size("t")).alias("__seq"),
+        )
+        .select(
+            "doc_id",
+            "t",
+            F.map_from_arrays(
+                F.array(*[F.lit(ft) for ft in firsts]),
+                F.array(*[_positions_of(ft) for ft in firsts]),
+            ).alias("__fpos"),
+        )
+    )
     n_matches = F.size(
         F.filter(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.size("t") - F.size("p") + 1, F.lit(1)),
-            ),
+            F.element_at("__fpos", F.col("__ft")),
             lambda i: F.slice("t", i, F.size("p")) == F.col("p"),
         )
     ).cast("bigint")
@@ -1199,37 +1264,55 @@ def proximity_counts(
     per document — the NEAR operator (unordered co-occurrence within a
     window) that sits between bag-of-words BM25 and exact phrase match.
 
-    Per-row codegen like phrase_counts: positions of each term come
-    from higher-order filters over the token array (materialized as
-    columns first — inline HOF subtrees re-evaluate per reference, the
-    cdc_chunks lesson), the pair count from a nested aggregate over the
-    two position arrays. Position arrays are doc-local; nothing
-    shuffles but the result."""
+    Per-row codegen like phrase_counts: the pair count is a nested
+    aggregate over the two terms' position arrays. Round-16 shape
+    (guide §1.2 per-task work + §4.4's duplication trap): the final
+    ``n_pairs > 0`` filter is pushed into the broadcast join's
+    condition, so the counting expression is evaluated TWICE per
+    doc×pair row; the pre-r16 form additionally recomputed BOTH
+    O(tokens) position scans per doc×pair row because they lived
+    ABOVE the crossJoin. Now a per-doc term→positions map is built
+    ONCE below the join (one integer-compare scan per DISTINCT term
+    across all pairs), the join carries only that small map (never
+    the token array), and each doc×pair row — including the
+    duplicated filter evaluation — only runs the nested aggregate
+    over two tiny position arrays. Position arrays are doc-local;
+    nothing shuffles but the result."""
     spark = docs.sparkSession
+    all_terms = sorted({t for _, a, b in pairs for t in (a, b)})
     p = spark.createDataFrame(
         pairs, "pair_id bigint, term_a string, term_b string"
     )
+
+    def _positions_of(term: str):
+        return F.filter(
+            "__seq",
+            lambda i: F.element_at(F.col("__t"), i) == F.lit(term),
+        )
+
     base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+        spread_small_scan(docs).select(
+            F.col(id_col).alias("doc_id"),
+            tokens(text_col).alias("__t"),
+        )
+        # the 1..n position axis is built ONCE per document and shared
+        # by every term's position filter (it was re-materialized per
+        # term before — |terms| array allocations per row)
+        .select(
+            "doc_id",
+            "__t",
+            F.sequence(F.lit(1), F.size("__t")).alias("__seq"),
+        )
+        .select(
+            "doc_id",
+            F.map_from_arrays(
+                F.array(*[F.lit(t) for t in all_terms]),
+                F.array(*[_positions_of(t) for t in all_terms]),
+            ).alias("__tpos"),
         )
         .crossJoin(F.broadcast(p))
-        .withColumn(
-            "__pa",
-            F.filter(
-                F.sequence(F.lit(1), F.size("__t")),
-                lambda i: F.element_at(F.col("__t"), i)
-                == F.col("term_a"),
-            ),
-        )
-        .withColumn(
-            "__pb",
-            F.filter(
-                F.sequence(F.lit(1), F.size("__t")),
-                lambda i: F.element_at(F.col("__t"), i)
-                == F.col("term_b"),
-            ),
-        )
+        .withColumn("__pa", F.element_at("__tpos", F.col("term_a")))
+        .withColumn("__pb", F.element_at("__tpos", F.col("term_b")))
     )
     w = F.lit(window)
     n = F.aggregate(
@@ -1544,40 +1627,26 @@ def bm25_scores_for_terms(
     terms arrive as a (query_id, token) DataFrame (e.g. produced by
     relevance feedback) instead of driver-side literals, so the
     posting prune is a broadcast semi-join rather than an in-plan
-    ``isin``. Same exactness contract and plan shape otherwise."""
+    ``isin``. Same exactness contract as :func:`bm25_scores`, and
+    the same round-16 two-pass shape (dl carried through the tf
+    groupBy — no corpus-sized dl join; the pre-r16 form paid three
+    tokenize scans plus that join)."""
     qt = F.broadcast(query_terms.select("query_id", "token").distinct())
-    tok = docs.select(
+    tok = spread_small_scan(docs).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
     )
-    stats = F.broadcast(
-        tok.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.array_size("t")).alias("sum_dl"),
+    posted = (
+        tok.select(
+            "doc_id",
+            F.array_size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("token"),
         )
-    )
-    dl = tok.select("doc_id", F.array_size("t").cast("bigint").alias("dl"))
-    caches = claim_group("bm25_scores_for_terms")
-    tf = persist_into(
-        caches,
-        tok.select("doc_id", F.explode("t").alias("token"))
         .join(
             F.broadcast(qt.select("token").distinct()), "token", "left_semi"
         )
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
     )
-    df = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    term = (
-        tf.join(F.broadcast(df), "token")
-        .join(qt, "token")
-        .join(dl, "doc_id")
-        .crossJoin(stats)
-        .select("query_id", "doc_id", _term_micro().alias("term_micro"))
-    )
-    return term.groupBy("query_id", "doc_id").agg(
-        F.sum("term_micro").cast("bigint").alias("score_micro")
+    return _bm25_scores_from_posted(
+        tok, posted, qt, "bm25_scores_for_terms"
     )
 
 
@@ -1601,47 +1670,73 @@ def bm25_prf_expand(
     Fully deterministic: both ranking passes are the integer-exact
     BM25, expansion selection is an integer count with a total
     tie-break — an external engine replays the whole loop. Scale
-    shape: the feedback set is (queries × k_feedback) rows, so
-    expansion selection is broadcast-scale; each pass prunes postings
-    to its term set before any aggregation."""
+    shape: the feedback set is (queries × k_feedback) rows and the
+    expansion table (queries × n_expansion) rows; both are collected
+    driver-side as bounded model artifacts — the SAME pattern the
+    at-rest twin (:func:`bm25_prf_expand_at_rest`) documents — so the
+    second ranking pass references literal frames instead of
+    re-executing the whole first-pass pipeline once per broadcast
+    reference (round 16: the lazy form re-ran the pass-1 score
+    aggregation + rank up to 4× inside pass 2; each pass prunes
+    postings to its term set before any aggregation either way)."""
     from pyspark.sql import Window as W
 
     spark = docs.sparkSession
     fb = _rank_topk(
         bm25_scores(docs, queries, id_col, text_col), k_feedback
     ).select("query_id", "doc_id")
-    # prune to the feedback docs BEFORE exploding: the expansion
-    # vocabulary comes from (queries × k_feedback) documents, so the
-    # corpus-wide explode would be pure waste (measured 5.9 s → the
-    # whole entry's cost dominated by it at sf0.1)
-    doc_terms = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .join(
-            F.broadcast(fb.select("doc_id").distinct()),
-            "doc_id",
-            "left_semi",
+    # bounded collect: queries × k_feedback rows (model artifact)
+    fb_rows = [(r.query_id, r.doc_id) for r in fb.collect()]
+    orig_rows = sorted(
+        {(qid, t) for qid, q in queries for t in q.split(" ") if t}
+    )
+    exp_rows: list[tuple[int, str]] = []
+    if fb_rows:
+        fb_ids = sorted({d for _, d in fb_rows})
+        # prune to the feedback docs BEFORE exploding — in-plan isin,
+        # pushed into the scan (the expansion vocabulary comes from
+        # (queries × k_feedback) documents; a corpus-wide explode
+        # would be pure waste — measured 5.9 s at sf0.1)
+        doc_terms = (
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .where(F.col("doc_id").isin(fb_ids))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(tokens(text_col))
+                ).alias("token"),
+            )
         )
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        fbdf = F.broadcast(
+            spark.createDataFrame(
+                fb_rows, "query_id bigint, doc_id bigint"
+            )
         )
+        orig = F.broadcast(
+            spark.createDataFrame(
+                orig_rows, "query_id bigint, token string"
+            )
+        )
+        cand = (
+            doc_terms.join(fbdf, "doc_id")
+            .join(orig, ["query_id", "token"], "left_anti")
+            .groupBy("query_id", "token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df_fb"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("df_fb").desc(), F.col("token")
+        )
+        expansion = (
+            cand.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= n_expansion)
+            .select("query_id", "token")
+        )
+        # bounded collect: queries × n_expansion rows
+        exp_rows = [(r.query_id, r.token) for r in expansion.collect()]
+    expanded = spark.createDataFrame(
+        sorted(set(orig_rows) | set(exp_rows)),
+        "query_id bigint, token string",
     )
-    orig = _query_terms(spark, queries)
-    cand = (
-        doc_terms.join(F.broadcast(fb), "doc_id")
-        .join(F.broadcast(orig), ["query_id", "token"], "left_anti")
-        .groupBy("query_id", "token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df_fb"))
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("df_fb").desc(), F.col("token")
-    )
-    expansion = (
-        cand.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= n_expansion)
-        .select("query_id", "token")
-    )
-    expanded = orig.select("query_id", "token").unionByName(expansion)
     return _rank_topk(
         bm25_scores_for_terms(docs, expanded, id_col, text_col), k
     )

@@ -2482,12 +2482,19 @@ def pairwise_topk_per_label(
     # (No localCheckpoint here: the dominant cost is the per-pair dot
     # fold after the join, not the pre-join recompute — measured, a
     # checkpoint buys nothing and its storage lingers.)
+    # Explicit partition count (round 16): a bare repartition(col)
+    # inherits spark.sql.shuffle.partitions (200 on a vanilla driver
+    # session) and is exempt from AQE coalescing, paying hundreds of
+    # near-empty tasks at fixture scale; defaultParallelism tracks
+    # the cluster's actual cores on any deployment.
     normed = embeddings.select(
         F.col(group_col),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-    ).repartition(group_col)
+    ).repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, group_col
+    )
     # Label sizes route each label to the exact or sub-blocked path.
     # Window count over the SAME partitioning the repartition already
     # established — no join, no broadcast, no extra exchange (an

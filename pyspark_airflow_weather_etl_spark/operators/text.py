@@ -648,6 +648,13 @@ def dedup_substrings(
     partition by doc id and it stays embarrassingly parallel."""
     from pyspark.sql.window import Window
 
+    from .dedup import spread_small_scan
+
+    # fixture-sized inputs read as ONE split; the window fingerprint
+    # explode + md5 below is per-row codegen with no exchange before
+    # it, so left unspread it runs on a single core (guarded no-op on
+    # many-split deployments — round 16, guide §2.5 input skew)
+    df = spread_small_scan(df)
     t = tokens(text_col)
     n = F.size(t)
     starts = F.when(

@@ -371,3 +371,41 @@ def test_pca_project_fixed_projection_no_exchange(spark):
     proj = pca_project_fixed(emb, k=8, scale=1000)
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_bm25_adhoc_carries_dl_no_corpus_join(spark):
+    """Round-16 reshape guard: the ad-hoc BM25 tf aggregation carries
+    the document length through its groupBy (doc_id determines dl, so
+    the groups are unchanged) — the pre-r16 corpus-sized (doc_id, dl)
+    join must NOT reappear. The aggregate keyed (doc_id, dl, token)
+    is the carrier; a refactor that drops dl from the keys brings the
+    corpus join (and its exchange) back."""
+    plan = _plan(spark, "bm25_topk_documents")
+    agg_keys = [
+        seg.split("]")[0]
+        for seg in plan.split("HashAggregate(keys=[")[1:]
+    ]
+    assert any(
+        "doc_id" in k and "dl" in k and "token" in k for k in agg_keys
+    ), plan
+
+
+def test_phrase_counts_candidate_map_below_join(spark):
+    """Round-16 reshape guard: phrase matching slice-compares only at
+    first-token candidate positions from a per-doc map computed BELOW
+    the broadcast join (the pushed n_matches>0 filter duplicates the
+    join-condition expression, so the duplicated part must stay the
+    cheap candidate tail, not the full per-position scan)."""
+    plan = _plan(spark, "phrase_match_documents")
+    assert "map_from_arrays" in plan, plan
+    assert "element_at(__fpos" in plan, plan
+
+
+def test_proximity_counts_position_map_below_join(spark):
+    """Same guard for NEAR queries: one term→positions map per doc
+    below the join; the join carries the map, never the token
+    array (both O(tokens) position scans lived above the crossJoin
+    pre-r16 and recomputed per doc×pair row)."""
+    plan = _plan(spark, "proximity_match_documents")
+    assert "map_from_arrays" in plan, plan
+    assert "element_at(__tpos" in plan, plan
