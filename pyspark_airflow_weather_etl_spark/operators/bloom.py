@@ -181,8 +181,14 @@ def ngram_counts_against_filter(
     included). Output ``(id_col, n_grams, n_maybe)``. Used by both
     the inline build (:func:`ngram_bloom_counts`) and the streaming
     store cut (streaming.bloom_stream)."""
+    from .dedup import spread_small_scan
     from .governance import ngram_phrases
 
+    # a fixture-sized pool reads as ONE parquet split and the gram
+    # explode + 1+k md5s per gram below are shuffle-free codegen —
+    # left unspread they run on a single core (round 16; guarded
+    # no-op on many-split deployments; measured 9.1 s → parallel)
+    df = spread_small_scan(df)
     grams = df.select(
         F.col(id_col), F.explode(ngram_phrases(text_col, n)).alias("__g")
     ).select(id_col, F.md5("__g").alias("__fp"))
@@ -273,8 +279,11 @@ def decontaminate_bloom(
     ``n_hits = 0`` by construction — the audit columns prove the
     count pipeline ran (and match the oracle's replay).
     """
+    from .dedup import spread_small_scan
     from .governance import ngram_phrases
 
+    # single-split pool guard — see ngram_counts_against_filter
+    df = spread_small_scan(df)
     bench_fps = (
         benchmark.select(F.explode(ngram_phrases(bench_text_col, n)).alias("__g"))
         .select(F.md5("__g").alias("__fp"))
@@ -284,6 +293,10 @@ def decontaminate_bloom(
     m_bits = sized_m_bits(n_keys, bits_per_key)
     words = bloom_collect(bloom_build(bench_fps, "__fp", m_bits, k), m_bits)
 
+    # gram digests are consumed twice (flag/verify branch + per-doc
+    # count); a persist_into of the gram frame was probed round 16
+    # and REVERTED — cache materialization cost more than recomputing
+    # the (now spread) explode+md5 kernel (5.8 s → 8.6 s at sf0.1)
     grams = df.select(
         F.col(id_col), F.explode(ngram_phrases(text_col, n)).alias("__g")
     ).select(id_col, F.md5("__g").alias("__fp"))
