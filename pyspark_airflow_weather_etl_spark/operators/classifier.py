@@ -33,10 +33,19 @@ Design, Spark-first:
   residuals re-quantize to 1e-9 micro-units, and gradients aggregate
   as DECIMAL(38,0) — exact at any corpus size, no float accumulation
   order anywhere. Bit-identical weights on any partitioning.
-- Feature and doc-meta frames are repartitioned by id once and
-  persisted, so the per-iteration join + per-doc aggregation reuse
-  that partitioning instead of re-shuffling the corpus T times; the
-  per-bucket gradient shuffle moves D·P tiny rows.
+- Feature layout (round 17, guide §2.3/§2.4): the training loop
+  carries ONE persisted per-document row ``(id, bucket-array, y,
+  n_tok)`` — the presence set as a sorted int array instead of
+  exploded ``(id, bucket)`` rows. The per-doc margin is then a pure
+  per-row fold over the array against a LITERAL weight array (no
+  weight join, no per-doc aggregation, no shuffle), and the gradient
+  is one explode + one tiny per-bucket shuffle per iteration. The
+  pre-r17 shape paid, per iteration, a broadcast join + per-doc
+  groupBy + doc-meta join — and referenced that subtree from THREE
+  union branches (bucket/bias/length gradient rows), so the sigmoid
+  UDF pipeline evaluated up to 3× per doc per iteration; the round-17
+  form emits all three gradient contributions from one generator over
+  a single evaluation.
 """
 
 from __future__ import annotations
@@ -74,20 +83,45 @@ def hashed_features(
     )
 
 
-def _margins(feats, doc_meta, weights, spark, id_col):
+def _presence_bucket_array(text_col: str, dim: int) -> F.Column:
+    """The ARRAY twin of :func:`hashed_features`: a document's
+    distinct presence buckets as a sorted int array, computed per row
+    (no explode, no distinct exchange). Same md5 bucket per token,
+    same distinct set — only the layout differs, so every integer
+    derived from it (margins, gradients) is bit-identical to the
+    exploded form's."""
+    hashed = F.transform(
+        tokens(text_col),
+        lambda tok: (
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+            % F.lit(int(dim))
+        ).cast("int"),
+    )
+    return F.coalesce(
+        F.array_sort(F.array_distinct(hashed)),
+        F.array().cast("array<int>"),
+    )
+
+
+def _w_micro_array(weights) -> F.Column:
+    """The weight vector as a LITERAL long array in the exact integer
+    micro-units the pre-r17 broadcast weight table carried
+    (``int(round(w * MICRO_W))`` — same quantization, same sums)."""
+    return F.array(
+        *[F.lit(int(round(w * MICRO_W))).cast("long") for w in weights]
+    )
+
+
+def _margin_micro(bucket_arr, weights) -> F.Column:
     """Per-doc EXACT integer margin numerator Σ_{b present} w_micro_b
-    (long — bounded by dim · max|w|·1e6, far under 2^63)."""
-    wdf = spark.createDataFrame(
-        [(b, int(round(w * MICRO_W))) for b, w in enumerate(weights)],
-        schema="bucket int, w_micro long",
-    )
-    m = (
-        feats.join(F.broadcast(wdf), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum("w_micro").alias("margin_micro"))
-    )
-    return doc_meta.join(m, id_col, "left").withColumn(
-        "margin_micro", F.coalesce("margin_micro", F.lit(0))
+    (long — bounded by dim · max|w|·1e6, far under 2^63): a per-row
+    integer fold over the presence array against the literal weight
+    array — no join, no aggregation, no shuffle."""
+    wm = _w_micro_array(weights)
+    return F.aggregate(
+        bucket_arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(wm, b + F.lit(1)),
     )
 
 
@@ -113,34 +147,24 @@ def train_quality_classifier(
     mid-range scores the Pareto lottery can actually use."""
     spark = df.sparkSession
     caches = claim_group("quality_classifier_train")
-    # Explicit partition COUNT, sized to the cluster: a bare
-    # repartition(col) inherits spark.sql.shuffle.partitions (200 on
-    # a vanilla session) and user repartitions are exempt from AQE
-    # coalescing, so every one of the `iters` gradient jobs paid
-    # hundreds of near-empty tasks (measured: the 40-iteration loop
-    # ran 600-task union stages under the correctness driver's
-    # local[8] session). defaultParallelism tracks the actual cores
-    # on any deployment (round 16, guide §2.2 fewer/larger
-    # partitions).
-    n_parts = spark.sparkContext.defaultParallelism
-    feats = persist_into(
-        caches,
-        hashed_features(df, id_col, text_col, dim).repartition(
-            n_parts, F.col(id_col)
-        ),
-    )
-    doc_meta = persist_into(
+    # One persisted per-document row (round 17): the presence set as
+    # a sorted int array next to label and length. No repartition is
+    # needed at all — the loop below never joins or aggregates by id,
+    # and its only shuffle is the dim+2-row per-bucket gradient
+    # exchange, which AQE coalesces on any session (a user
+    # repartition here would be AQE-exempt — ADVICE r16).
+    docfeat = persist_into(
         caches,
         df.select(
             F.col(id_col),
             F.col(label_col).cast("int").alias("__y"),
             F.size(tokens(text_col)).cast("long").alias("__n_tok"),
-        ).repartition(n_parts, F.col(id_col)),
+            _presence_bucket_array(text_col, dim).alias("__b"),
+        ),
     )
-    n_docs = doc_meta.count()
+    n_docs = docfeat.count()  # materializes the cache
     if n_docs == 0:
         raise ValueError("empty training frame")
-    feats.count()  # materialize under the same cache generation
 
     weights = [0.0] * dim
     w_len = 0.0
@@ -171,37 +195,39 @@ def train_quality_classifier(
                 }
             )
 
-        scored = (
-            _margins(feats, doc_meta, weights, spark, id_col)
-            .select(
-                F.col(id_col),
-                resid("margin_micro", "__n_tok", "__y").alias("__r"),
-            )
-            .select(
-                id_col,
-                F.col("__r.cb").alias("cb"),
-                F.col("__r.cl").alias("cl"),
-            )
+        scored = docfeat.select(
+            "__b",
+            resid(
+                _margin_micro(F.col("__b"), weights), "__n_tok", "__y"
+            ).alias("__r"),
         )
         # presence features: per-bucket gradient contribution of a doc
         # is exactly its residual, so the bucket gradient reuses cb.
-        # Bias (bucket −1) and length (bucket −2) ride the same
-        # aggregation — ONE Spark job per iteration.
+        # Bias (bucket −1) and length (bucket −2) ride the SAME
+        # generator — one evaluation of the margin+sigmoid pipeline
+        # per doc, one tiny shuffle, ONE Spark job per iteration (the
+        # pre-r17 three-branch union re-evaluated the scored subtree
+        # per branch).
+        contrib = F.concat(
+            F.transform(
+                "__b",
+                lambda b: F.struct(
+                    b.alias("bucket"), F.col("__r.cb").alias("c")
+                ),
+            ),
+            F.array(
+                F.struct(
+                    F.lit(-1).alias("bucket"), F.col("__r.cb").alias("c")
+                ),
+                F.struct(
+                    F.lit(-2).alias("bucket"), F.col("__r.cl").alias("c")
+                ),
+            ),
+        )
         grad_rows = (
-            feats.join(scored.select(id_col, "cb"), id_col)
-            .select("bucket", F.col("cb").alias("c"))
-            .unionByName(
-                scored.select(
-                    F.lit(-1).alias("bucket"), F.col("cb").alias("c")
-                )
-            )
-            .unionByName(
-                scored.select(
-                    F.lit(-2).alias("bucket"), F.col("cl").alias("c")
-                )
-            )
-            .groupBy("bucket")
-            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("g"))
+            scored.select(F.explode(contrib).alias("__g"))
+            .groupBy(F.col("__g.bucket").alias("bucket"))
+            .agg(F.sum(F.col("__g.c").cast("decimal(38,0)")).alias("g"))
             .collect()
         )
         g = {int(r["bucket"]): int(r["g"]) for r in grad_rows}
@@ -231,17 +257,14 @@ def score_quality_classifier(
 ) -> DataFrame:
     """Score every document: ``(id, score)`` with score = σ(margin)
     rounded to 6 dp (the ``avg_neg_logprob`` float-column idiom).
-    Same exact-integer margin path as training."""
-    spark = df.sparkSession
+    Same exact-integer margin path as training — and, round 17, a
+    pure map stage: presence array + literal-weight fold per row,
+    then the Arrow sigmoid. ZERO exchanges (the pre-r17 shape paid a
+    distinct exchange, a per-doc margin groupBy and two joins);
+    pinned by tests/test_plan_shapes.py."""
     dim = int(model["dim"])
     b_lit = float(model["bias"])
     wl_lit = float(model["w_len"])
-    feats = hashed_features(df, id_col, text_col, dim)
-    doc_meta = df.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("__n_tok"),
-    )
-    m = _margins(feats, doc_meta, model["weights"], spark, id_col)
 
     @pandas_udf("double")
     def sig6(margin_micro: pd.Series, n_tok: pd.Series) -> pd.Series:
@@ -255,7 +278,14 @@ def score_quality_classifier(
         )
         return pd.Series(np.round(1.0 / (1.0 + np.exp(-margin)), 6))
 
-    return m.select(
+    base = df.select(
+        F.col(id_col),
+        _margin_micro(
+            _presence_bucket_array(text_col, dim), model["weights"]
+        ).alias("margin_micro"),
+        F.size(tokens(text_col)).cast("long").alias("__n_tok"),
+    )
+    return base.select(
         F.col(id_col), sig6("margin_micro", "__n_tok").alias("score")
     )
 

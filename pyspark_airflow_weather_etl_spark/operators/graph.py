@@ -80,6 +80,52 @@ def _canon(e: DataFrame) -> DataFrame:
     )
 
 
+def _canon_on(e: DataFrame, par: int, key: str) -> DataFrame:
+    """:func:`_canon` fused with the repartition that used to FOLLOW
+    it (round 17, guide §2.4): hash-partitioning on ``key`` (a subset
+    of the distinct keys (u, v)) satisfies the distinct's clustering
+    requirement, so the dedup runs inside the same exchange instead
+    of paying its own (u, v) exchange first — the duplicate-carrying
+    rows shuffle ONCE, not once per step. Plan-pinned in
+    tests/test_graph.py."""
+    return (
+        e.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .repartition(par, key)
+        .dropDuplicates()
+    )
+
+
+def _is_star_forest_violation(e: DataFrame):
+    """ONE-job convergence check for star contraction (round 17,
+    guide §2.6 — it replaces TWO symmetric-difference ``exceptAll``
+    jobs per round): a canonical (u < v, distinct) edge set is a
+    min-rooted star forest — and therefore a FIXED POINT of the
+    large-star/small-star round (both steps map a star forest to
+    itself; see _star_contract) — iff no node appears as a child
+    twice and no node is both a parent and a child. Returns a frame
+    whose non-emptiness is the violation flag; consuming it with
+    ``limit(1).count()`` is the per-round convergence job. Stopping
+    at the FIRST star-forest round yields the same labeling as the
+    old equality check one round later (applying a round to a star
+    forest is the identity)."""
+    m = e.select(
+        F.col("u").alias("x"), F.lit(1).alias("cu"), F.lit(0).alias("cv")
+    ).unionByName(
+        e.select(
+            F.col("v").alias("x"), F.lit(0).alias("cu"), F.lit(1).alias("cv")
+        )
+    )
+    stats = m.groupBy("x").agg(
+        F.sum("cu").alias("nu"), F.sum("cv").alias("nv")
+    )
+    return stats.where(
+        (F.col("nv") > 1) | ((F.col("nu") > 0) & (F.col("nv") > 0))
+    )
+
+
 def _star_contract(
     edges: DataFrame,
     src: str,
@@ -89,9 +135,7 @@ def _star_contract(
 ) -> DataFrame:
     par = edges.sparkSession.sparkContext.defaultParallelism
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    first = round_checkpoint(
-        raw.transform(_canon).repartition(par, "u"), checkpoint_dir
-    )
+    first = round_checkpoint(_canon_on(raw, par, "u"), checkpoint_dir)
     # original node universe — the final star forest omits roots'
     # self rows, and label joins must cover every input node. Built
     # from the RAW endpoints, not the canonical edge set: _canon
@@ -115,38 +159,44 @@ def _star_contract(
             e.select(F.col("v").alias("n"), F.col("u").alias("w"))
         ).repartition(par, "n")
         mins = both.groupBy("n").agg(F.min("w").alias("mn"))
-        large = (
+        # canon fused with small-star's repartition: partitioned on v
+        # (= small-star's n), deduped in place — one exchange, not two
+        large = _canon_on(
             both.join(mins, "n")
             .where(F.col("w") > F.col("n"))
             .select(
                 F.col("w").alias("a"),
                 F.least("n", "mn").alias("b"),
-            )
-            .transform(_canon)
+            ),
+            par,
+            "v",
         )
         # SMALL-STAR: orient each edge from its larger endpoint; per
         # node n over its smaller neighbors, connect them (and n) to
-        # the minimum.
-        oriented = large.select(
-            F.col("v").alias("n"), F.col("u").alias("w")
-        ).repartition(par, "n")
+        # the minimum. `large` is already hash-partitioned on v = n,
+        # so the groupBy and join below add no exchange.
+        oriented = large.select(F.col("v").alias("n"), F.col("u").alias("w"))
         smins = oriented.groupBy("n").agg(F.min("w").alias("mn"))
-        small = (
+        small = _canon_on(
             oriented.join(smins, "n")
             .select(F.col("w").alias("a"), F.col("mn").alias("b"))
             .unionByName(
                 smins.select(
                     F.col("n").alias("a"), F.col("mn").alias("b")
                 )
-            )
-            .transform(_canon)
-            .repartition(par, "u")
+            ),
+            par,
+            "u",
         )
-        small = round_checkpoint(small, checkpoint_dir)
-        changed = (
-            small.exceptAll(e).limit(1).count()
-            + e.exceptAll(small).limit(1).count()
-        )
+        # Lazy checkpoint: the convergence job below is the round's
+        # ONLY action — it materializes the round state and answers
+        # "is this a star forest (= fixed point)?" in one pass. The
+        # pre-r17 loop paid an eager-checkpoint job plus two
+        # exceptAll jobs per round, and always ran one extra round
+        # (set equality detects the fixed point a round after the
+        # star forest first appears).
+        small = round_checkpoint(small, checkpoint_dir, eager=False)
+        changed = _is_star_forest_violation(small).limit(1).count()
         e = small
         if changed == 0:
             converged = True
@@ -229,7 +279,11 @@ def _propagate(
                 ).alias("component"),
             )
         )
-        new_labels = round_checkpoint(new_labels, checkpoint_dir)
+        # Lazy checkpoint: the changed-count job below is the round's
+        # only action — it materializes the new labels while counting
+        # the diff (an eager checkpoint would be a second job per
+        # round; round 17, guide §2.6 fewer jobs).
+        new_labels = round_checkpoint(new_labels, checkpoint_dir, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -181,11 +181,31 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _corpus_stats_row(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[int, int]:
+    """The BM25 corpus scalars ``(n_docs, sum_dl)`` as driver-side
+    ints — ONE tokenize pass + a one-row bounded collect. PRF runs
+    two ranking passes over the same corpus; sharing this row saves
+    pass 2's entire corpus-scalars scan (round 17, guide §2.4 — the
+    scalars are identical by construction, so scores are unchanged)."""
+    r = (
+        docs.select(tokens(text_col).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.array_size("t")).alias("sum_dl"),
+        )
+        .collect()[0]
+    )
+    return int(r["n_docs"]), int(r["sum_dl"] if r["sum_dl"] is not None else 0)
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: list[tuple[int, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats_row: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BM25 scores (query_id, doc_id, score_micro) for every document
     matching ≥1 query term, computed from the corpus in one job.
@@ -221,25 +241,26 @@ def bm25_scores(
         )
         .where(F.col("token").isin(terms))
     )
-    return _bm25_scores_from_posted(tok, posted, qt, "bm25_topk")
+    return _bm25_scores_from_posted(tok, posted, qt, "bm25_topk", stats_row)
 
 
 def _bm25_scores_from_posted(
-    tok: DataFrame, posted: DataFrame, qt, cache_name: str
+    tok: DataFrame,
+    posted: DataFrame,
+    qt,
+    cache_name: str,
+    stats_row: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Shared BM25 core: ``tok`` is the tokenized corpus
     ``(doc_id, t)``, ``posted`` the pruned exploded token stream
     ``(doc_id, dl BIGINT, token)`` restricted to the query's terms
     (duplicates preserved), ``qt`` a broadcast (query_id, token)
     frame. One corpus scan for tf, one for the corpus scalars —
-    nothing corpus-sized is ever joined or shuffled."""
-    # corpus scalars: one-row broadcast aggregate (no driver action)
-    stats = F.broadcast(
-        tok.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.array_size("t")).alias("sum_dl"),
-        )
-    )
+    nothing corpus-sized is ever joined or shuffled. ``stats_row``
+    (round 17): a caller that already holds the corpus scalars (PRF's
+    second pass — :func:`_corpus_stats_row`) passes them as literals
+    and skips the scalars scan entirely; values are identical by
+    construction, so every score is unchanged."""
     caches = claim_group(cache_name)
     tf = persist_into(
         caches,
@@ -249,13 +270,22 @@ def _bm25_scores_from_posted(
     df = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    term = (
-        tf.join(F.broadcast(df), "token")
-        .join(qt, "token")
-        .crossJoin(stats)
-        .select(
-            "query_id", "doc_id", _term_micro().alias("term_micro")
+    term = tf.join(F.broadcast(df), "token").join(qt, "token")
+    if stats_row is None:
+        # corpus scalars: one-row broadcast aggregate (no driver action)
+        stats = F.broadcast(
+            tok.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.array_size("t")).alias("sum_dl"),
+            )
         )
+        term = term.crossJoin(stats)
+    else:
+        term = term.withColumn(
+            "n_docs", F.lit(int(stats_row[0])).cast("bigint")
+        ).withColumn("sum_dl", F.lit(int(stats_row[1])).cast("bigint"))
+    term = term.select(
+        "query_id", "doc_id", _term_micro().alias("term_micro")
     )
     return term.groupBy("query_id", "doc_id").agg(
         F.sum("term_micro").cast("bigint").alias("score_micro")
@@ -608,9 +638,15 @@ def bm25_prf_expand_at_rest(
        is queries × k_feedback rows, collected driver-side: a bounded
        model-artifact collect that makes the partition predicate
        computable);
-    3. re-ranking — postings pruned to the EXPANDED term set (the
-       expansion table is queries × n_expansion rows, same bounded
-       collect).
+    3. re-ranking — postings pruned to ONLY the expansion pairs
+       (round 17, guide §2.3/§2.4): the expanded set is the
+       pair-disjoint union of original and expansion (query, term)
+       pairs and the per-doc score is an exact integer sum over
+       pairs, so the final ranking adds the PERSISTED pass-1 scores
+       to an expansion-only scoring pass (union + groupBy-sum,
+       orderless BIGINT — bit-identical to re-scoring the full
+       expanded set). Pass 1's postings partitions are read once,
+       not twice.
 
     At 100 TB the ad-hoc PRF re-tokenizes the corpus twice per query
     batch; this shape reads a few parquet partitions per pass — the
@@ -632,12 +668,12 @@ def bm25_prf_expand_at_rest(
     orig_rows = sorted(
         {(qid, t) for qid, q in queries for t in q.split(" ") if t}
     )
-    fb = _rank_topk(
-        _scores_at_rest(spark, index_path, orig_rows), k_feedback
-    ).select("query_id", "doc_id")
+    caches = claim_group("bm25_prf_at_rest_pass1")
+    s1 = persist_into(caches, _scores_at_rest(spark, index_path, orig_rows))
+    fb = _rank_topk(s1, k_feedback).select("query_id", "doc_id")
     fb_rows = [(r.query_id, r.doc_id) for r in fb.collect()]
     if not fb_rows:
-        return _rank_topk(_scores_at_rest(spark, index_path, orig_rows), k)
+        return _rank_topk(s1, k)
     fb_ids = sorted({d for _, d in fb_rows})
     dpfxs = sorted(
         {
@@ -673,9 +709,16 @@ def bm25_prf_expand_at_rest(
         .where(F.col("r") <= n_expansion)
         .select("query_id", "token")
     )
-    exp_rows = [(r.query_id, r.token) for r in expansion.collect()]
-    term_rows = sorted(set(orig_rows) | set(exp_rows))
-    return _rank_topk(_scores_at_rest(spark, index_path, term_rows), k)
+    exp_rows = sorted({(r.query_id, r.token) for r in expansion.collect()})
+    if not exp_rows:
+        return _rank_topk(s1, k)
+    s2 = _scores_at_rest(spark, index_path, exp_rows)
+    total = (
+        s1.unionByName(s2)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_micro").cast("bigint").alias("score_micro"))
+    )
+    return _rank_topk(total, k)
 
 
 def phrase_counts(
@@ -711,6 +754,13 @@ def phrase_counts(
     The at-rest twin (:func:`phrase_match_at_rest`) answers the same
     query from positional postings without touching the corpus."""
     spark = docs.sparkSession
+    if not phrases:
+        # ADVICE r16: an empty phrase list would build
+        # map_from_arrays(array(), array()) — VOID-typed, fails
+        # analysis. Pre-r16 behavior: an empty result frame.
+        return spark.createDataFrame(
+            [], "phrase_id bigint, doc_id bigint, n_matches bigint"
+        )
     # split(" ") never returns an empty array (an empty string
     # tokenizes to [""]), so every phrase has a leading token
     firsts = sorted({q.split(" ")[0] for _, q in phrases})
@@ -1265,24 +1315,27 @@ def proximity_counts(
     window) that sits between bag-of-words BM25 and exact phrase match.
 
     Per-row codegen like phrase_counts: the pair count is a nested
-    aggregate over the two terms' position arrays. Round-16 shape
-    (guide §1.2 per-task work + §4.4's duplication trap): the final
-    ``n_pairs > 0`` filter is pushed into the broadcast join's
-    condition, so the counting expression is evaluated TWICE per
-    doc×pair row; the pre-r16 form additionally recomputed BOTH
-    O(tokens) position scans per doc×pair row because they lived
-    ABOVE the crossJoin. Now a per-doc term→positions map is built
-    ONCE below the join (one integer-compare scan per DISTINCT term
-    across all pairs), the join carries only that small map (never
-    the token array), and each doc×pair row — including the
-    duplicated filter evaluation — only runs the nested aggregate
-    over two tiny position arrays. Position arrays are doc-local;
-    nothing shuffles but the result."""
+    aggregate over the two terms' position arrays, computed from a
+    per-doc term→positions map built ONCE per document (one
+    integer-compare scan per DISTINCT term across all pairs, round
+    16). Round-17 shape (guide §4.4's duplication trap, closed): the
+    pair set is driver-side, so instead of a broadcast crossJoin —
+    whose pushed ``n_pairs > 0`` join condition re-evaluated the
+    counting aggregate a second time per doc×pair row — each document
+    EXPLODES a literal array of (pair_id, n_pairs) structs. A filter
+    on a generator output cannot be pushed below the Generate, so
+    every pair's aggregate runs exactly once per document and the
+    join disappears outright (plan-pinned in tests/test_plan_shapes).
+    Position arrays are doc-local; nothing shuffles but the result."""
     spark = docs.sparkSession
+    if not pairs:
+        # ADVICE r16: mirrors the phrase_counts empty-input guard —
+        # an empty pair list would fail analysis on the VOID-typed
+        # empty map; pre-r16 behavior was an empty result frame.
+        return spark.createDataFrame(
+            [], "pair_id bigint, doc_id bigint, n_pairs bigint"
+        )
     all_terms = sorted({t for _, a, b in pairs for t in (a, b)})
-    p = spark.createDataFrame(
-        pairs, "pair_id bigint, term_a string, term_b string"
-    )
 
     def _positions_of(term: str):
         return F.filter(
@@ -1310,25 +1363,35 @@ def proximity_counts(
                 F.array(*[_positions_of(t) for t in all_terms]),
             ).alias("__tpos"),
         )
-        .crossJoin(F.broadcast(p))
-        .withColumn("__pa", F.element_at("__tpos", F.col("term_a")))
-        .withColumn("__pb", F.element_at("__tpos", F.col("term_b")))
     )
     w = F.lit(window)
-    n = F.aggregate(
-        "__pa",
-        F.lit(0).cast("bigint"),
-        lambda acc, a: acc
-        + F.size(
-            F.filter(
-                F.col("__pb"),
-                lambda b: (F.abs(b - a) <= w) & (b != a),
+
+    def _n_pairs(term_a: str, term_b: str):
+        pa = F.element_at("__tpos", F.lit(term_a))
+        pb = F.element_at("__tpos", F.lit(term_b))
+        return F.aggregate(
+            pa,
+            F.lit(0).cast("bigint"),
+            lambda acc, a: acc
+            + F.size(
+                F.filter(pb, lambda b: (F.abs(b - a) <= w) & (b != a))
+            ).cast("bigint"),
+        )
+
+    per_pair = F.array(
+        *[
+            F.struct(
+                F.lit(int(pid)).cast("bigint").alias("pair_id"),
+                _n_pairs(a, b).alias("n_pairs"),
             )
-        ).cast("bigint"),
+            for pid, a, b in pairs
+        ]
     )
-    return base.select(
-        "pair_id", "doc_id", n.alias("n_pairs")
-    ).where(F.col("n_pairs") > 0)
+    return (
+        base.select("doc_id", F.explode(per_pair).alias("__m"))
+        .select("__m.pair_id", "doc_id", "__m.n_pairs")
+        .where(F.col("n_pairs") > 0)
+    )
 
 
 def proximity_match_at_rest(
@@ -1622,6 +1685,7 @@ def bm25_scores_for_terms(
     query_terms: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats_row: tuple[int, int] | None = None,
 ) -> DataFrame:
     """:func:`bm25_scores` for a DATA-DEPENDENT term set — the query
     terms arrive as a (query_id, token) DataFrame (e.g. produced by
@@ -1646,7 +1710,7 @@ def bm25_scores_for_terms(
         )
     )
     return _bm25_scores_from_posted(
-        tok, posted, qt, "bm25_scores_for_terms"
+        tok, posted, qt, "bm25_scores_for_terms", stats_row
     )
 
 
@@ -1678,13 +1742,36 @@ def bm25_prf_expand(
     re-executing the whole first-pass pipeline once per broadcast
     reference (round 16: the lazy form re-ran the pass-1 score
     aggregation + rank up to 4× inside pass 2; each pass prunes
-    postings to its term set before any aggregation either way)."""
+    postings to its term set before any aggregation either way).
+
+    Round 17 (guide §2.3/§2.4 — score decomposition): the expanded
+    term set is the PAIR-disjoint union of the original (query, term)
+    pairs and the expansion pairs (expansion excludes each query's
+    own terms), and the per-document score is an exact integer SUM
+    over pairs — so pass 2 re-scores ONLY the expansion pairs and
+    adds the persisted pass-1 scores (union + groupBy-sum, orderless
+    BIGINT arithmetic: bit-identical to re-scoring the full expanded
+    set). The corpus scalars are likewise computed once
+    (:func:`_corpus_stats_row`) and shared by both passes as
+    literals. Net: pass 2's corpus passes score a strictly smaller
+    term set and the scalars scan happens once, not twice.
+
+    Input-edge note (ADVICE r16): query tokenization here keeps only
+    non-empty whitespace terms (``t for t in q.split(" ") if t``), so
+    queries with consecutive/leading spaces contribute no ``''``
+    token to either pass — both passes and both twins share this one
+    tokenization rule."""
     from pyspark.sql import Window as W
 
     spark = docs.sparkSession
-    fb = _rank_topk(
-        bm25_scores(docs, queries, id_col, text_col), k_feedback
-    ).select("query_id", "doc_id")
+    # corpus scalars once, shared by both passes (bounded 1-row collect)
+    stats_row = _corpus_stats_row(docs, id_col, text_col)
+    caches = claim_group("bm25_prf_pass1")
+    s1 = persist_into(
+        caches,
+        bm25_scores(docs, queries, id_col, text_col, stats_row),
+    )
+    fb = _rank_topk(s1, k_feedback).select("query_id", "doc_id")
     # bounded collect: queries × k_feedback rows (model artifact)
     fb_rows = [(r.query_id, r.doc_id) for r in fb.collect()]
     orig_rows = sorted(
@@ -1732,14 +1819,20 @@ def bm25_prf_expand(
             .select("query_id", "token")
         )
         # bounded collect: queries × n_expansion rows
-        exp_rows = [(r.query_id, r.token) for r in expansion.collect()]
-    expanded = spark.createDataFrame(
-        sorted(set(orig_rows) | set(exp_rows)),
-        "query_id bigint, token string",
+        exp_rows = sorted({(r.query_id, r.token) for r in expansion.collect()})
+    if not exp_rows:
+        # nothing expanded: the expanded set IS the original set
+        return _rank_topk(s1, k)
+    exp_df = spark.createDataFrame(
+        exp_rows, "query_id bigint, token string"
     )
-    return _rank_topk(
-        bm25_scores_for_terms(docs, expanded, id_col, text_col), k
+    s2 = bm25_scores_for_terms(docs, exp_df, id_col, text_col, stats_row)
+    total = (
+        s1.unionByName(s2)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_micro").cast("bigint").alias("score_micro"))
     )
+    return _rank_topk(total, k)
 
 
 def bm25_index_compact(

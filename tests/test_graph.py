@@ -148,3 +148,37 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
         for r in dedup_keep_best(docs, pairs, "doc_id", "quality").collect()
     )
     assert kept == [2, 3, 5]
+
+
+def test_canon_fused_dedup_single_exchange(spark):
+    """Round-17 fusion guard: _canon_on's distinct must REUSE the
+    repartition's hash(key) exchange (key is a subset of the distinct
+    keys (u, v)) — exactly one exchange in the plan. A refactor that
+    reorders the dedup before the repartition brings the second
+    (u, v) exchange back."""
+    from pyspark_airflow_weather_etl_spark.operators.graph import _canon_on
+
+    e = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 4), (4, 3), (5, 5)], "a long, b long"
+    )
+    out = _canon_on(e, 4, "u")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = sorted((r.u, r.v) for r in out.collect())
+    assert got == [(1, 2), (3, 4)]
+
+
+def test_star_forest_violation_is_fixed_point_check(spark):
+    """The one-job convergence check: a min-rooted star forest has no
+    violations; a chain (non-star) and a duplicate-child edge set
+    do."""
+    from pyspark_airflow_weather_etl_spark.operators.graph import (
+        _is_star_forest_violation,
+    )
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (5, 6)], "u long, v long"
+    )
+    assert _is_star_forest_violation(star).count() == 0
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    assert _is_star_forest_violation(chain).count() > 0

@@ -5,6 +5,7 @@ executed plan string the way `.explain("formatted")` renders it."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from pyspark_airflow_weather_etl_spark.plans import REGISTRY
@@ -296,11 +297,13 @@ def test_pseudonymize_rank_is_prefix_sum(spark):
             assert "__pid" in line, f"global window: {line}"
 
 
-def test_classifier_scoring_broadcasts_weights_arrow_only(spark):
-    """Classifier margin path: the weight table joins as a BROADCAST
-    hash join (model-sized side never shuffles the corpus), the
-    sigmoid step is Arrow-batched (ArrowEvalPython), and no
-    row-at-a-time Python (BatchEvalPython) appears anywhere."""
+def test_classifier_scoring_is_exchange_free_arrow_only(spark):
+    """Classifier margin path (round 17): scoring is a pure map stage
+    — presence-array fold against a LITERAL weight array — so the
+    plan must carry ZERO exchanges and no join of any kind (the
+    pre-r17 shape paid a distinct exchange, a per-doc margin groupBy
+    and two joins); the sigmoid step stays Arrow-batched
+    (ArrowEvalPython) with no row-at-a-time Python anywhere."""
     from pyspark_airflow_weather_etl_spark.operators import classifier as C
 
     df = spark.createDataFrame(
@@ -313,10 +316,62 @@ def test_classifier_scoring_broadcasts_weights_arrow_only(spark):
         C.score_quality_classifier(df, model)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_classifier_gradient_single_udf_evaluation(spark):
+    """Round-17 training-loop guard: each gradient iteration must
+    evaluate the margin+sigmoid pipeline ONCE per document — exactly
+    one ArrowEvalPython node in the gradient job's plan (the pre-r17
+    three-branch union re-evaluated the scored subtree per branch),
+    and the only exchange is the tiny per-bucket aggregation's."""
+    from pyspark_airflow_weather_etl_spark.operators import classifier as C
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("cb long, cl long")
+    def resid(m: pd.Series, n: pd.Series, y: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({"cb": m.astype("int64"), "cl": n.astype("int64")})
+
+    docfeat = df.select(
+        "doc_id",
+        F.lit(1).alias("__y"),
+        F.lit(5).cast("long").alias("__n_tok"),
+        C._presence_bucket_array("text", 8).alias("__b"),
+    )
+    scored = docfeat.select(
+        "__b",
+        resid(
+            C._margin_micro(F.col("__b"), [0.1] * 8), "__n_tok", "__y"
+        ).alias("__r"),
+    )
+    contrib = F.concat(
+        F.transform(
+            "__b",
+            lambda b: F.struct(b.alias("bucket"), F.col("__r.cb").alias("c")),
+        ),
+        F.array(
+            F.struct(F.lit(-1).alias("bucket"), F.col("__r.cb").alias("c")),
+            F.struct(F.lit(-2).alias("bucket"), F.col("__r.cl").alias("c")),
+        ),
+    )
+    plan = (
+        scored.select(F.explode(contrib).alias("__g"))
+        .groupBy(F.col("__g.bucket").alias("bucket"))
+        .agg(F.sum(F.col("__g.c").cast("decimal(38,0)")).alias("g"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
 
 
 def test_perplexity_buckets_rank_is_prefix_sum(spark):
@@ -402,10 +457,14 @@ def test_phrase_counts_candidate_map_below_join(spark):
 
 
 def test_proximity_counts_position_map_below_join(spark):
-    """Same guard for NEAR queries: one term→positions map per doc
-    below the join; the join carries the map, never the token
-    array (both O(tokens) position scans lived above the crossJoin
-    pre-r16 and recomputed per doc×pair row)."""
+    """NEAR queries (round 17): one term→positions map per doc, then
+    a literal (pair_id, n_pairs) struct array EXPLODES per document —
+    no join at all, and the n_pairs filter sits above the Generate
+    where it cannot be pushed into a duplicated evaluation (the
+    r16 crossJoin shape re-ran the counting aggregate in the pushed
+    join condition, once per doc×pair row)."""
     plan = _plan(spark, "proximity_match_documents")
     assert "map_from_arrays" in plan, plan
     assert "element_at(__tpos" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan

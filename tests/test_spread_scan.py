@@ -43,6 +43,52 @@ def test_large_scan_short_circuits(spark):
     assert "Repartition" not in out._jdf.queryExecution().logical().toString()
 
 
+def test_split_estimate_matches_spark_packing(spark, tmp_path):
+    """Round-17 guard rewrite: the driver-side split estimate
+    (_estimated_scan_splits — FilePartition arithmetic over os.stat
+    sizes) must agree with the split count Spark actually gives the
+    scan (df.rdd.getNumPartitions(), the old guard's source of
+    truth), across one-file, many-tiny-files and multi-row-group
+    layouts — otherwise the repartition decision silently changes."""
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        _estimated_scan_splits,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    open_cost = _bytes_conf(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
+    max_pb = _bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    layouts = {
+        "one": spark.range(0, 2000).withColumn("t", F.lit("x" * 50)),
+        "many": spark.range(0, 64).withColumn("t", F.lit("y")),
+    }
+    layouts["one"].coalesce(1).write.parquet(str(tmp_path / "one"))
+    layouts["many"].repartition(16).write.parquet(str(tmp_path / "many"))
+    for name in layouts:
+        df = spark.read.parquet(str(tmp_path / name))
+        est = _estimated_scan_splits(
+            spark, df.inputFiles(), open_cost, max_pb, target
+        )
+        assert est == df.rdd.getNumPartitions(), name
+
+
+def test_split_estimate_unstatable_falls_back(spark):
+    from pyspark_airflow_weather_etl_spark.operators.dedup import (
+        _estimated_scan_splits,
+    )
+
+    assert _estimated_scan_splits(spark, [], 4, 128, 8) == -1
+    assert (
+        _estimated_scan_splits(
+            spark, ["s3a://bucket/nope.parquet"], 4, 128, 8
+        )
+        == -1
+    )
+
+
 def test_bytes_conf_parsing(spark):
     spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
     assert (
