@@ -181,23 +181,23 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _corpus_stats_row(
-    docs: DataFrame, id_col: str, text_col: str
-) -> tuple[int, int]:
-    """The BM25 corpus scalars ``(n_docs, sum_dl)`` as driver-side
-    ints — ONE tokenize pass + a one-row bounded collect. PRF runs
-    two ranking passes over the same corpus; sharing this row saves
-    pass 2's entire corpus-scalars scan (round 17, guide §2.4 — the
-    scalars are identical by construction, so scores are unchanged)."""
-    r = (
-        docs.select(tokens(text_col).alias("t"))
-        .agg(
+def _corpus_stats_df(docs: DataFrame, text_col: str, caches) -> DataFrame:
+    """The BM25 corpus scalars ``(n_docs, sum_dl)`` as a PERSISTED
+    one-row frame. PRF runs two ranking passes over the same corpus;
+    sharing this frame computes the scalars tokenize pass once — it
+    fills inside pass 1's own broadcast subtree (no separate driver
+    action, no extra job barrier), and pass 2's broadcast re-reads
+    the one-row cache instead of re-tokenizing the corpus (round 17,
+    guide §2.4 — the scalars are identical by construction, so every
+    score is unchanged; an earlier draft collected them driver-side
+    up front, which paid a whole extra job for the same sharing)."""
+    return persist_into(
+        caches,
+        docs.select(tokens(text_col).alias("t")).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.array_size("t")).alias("sum_dl"),
-        )
-        .collect()[0]
+        ),
     )
-    return int(r["n_docs"]), int(r["sum_dl"] if r["sum_dl"] is not None else 0)
 
 
 def bm25_scores(
@@ -205,7 +205,7 @@ def bm25_scores(
     queries: list[tuple[int, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
-    stats_row: tuple[int, int] | None = None,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 scores (query_id, doc_id, score_micro) for every document
     matching ≥1 query term, computed from the corpus in one job.
@@ -241,7 +241,7 @@ def bm25_scores(
         )
         .where(F.col("token").isin(terms))
     )
-    return _bm25_scores_from_posted(tok, posted, qt, "bm25_topk", stats_row)
+    return _bm25_scores_from_posted(tok, posted, qt, "bm25_topk", stats_df)
 
 
 def _bm25_scores_from_posted(
@@ -249,18 +249,20 @@ def _bm25_scores_from_posted(
     posted: DataFrame,
     qt,
     cache_name: str,
-    stats_row: tuple[int, int] | None = None,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared BM25 core: ``tok`` is the tokenized corpus
     ``(doc_id, t)``, ``posted`` the pruned exploded token stream
     ``(doc_id, dl BIGINT, token)`` restricted to the query's terms
     (duplicates preserved), ``qt`` a broadcast (query_id, token)
     frame. One corpus scan for tf, one for the corpus scalars —
-    nothing corpus-sized is ever joined or shuffled. ``stats_row``
-    (round 17): a caller that already holds the corpus scalars (PRF's
-    second pass — :func:`_corpus_stats_row`) passes them as literals
-    and skips the scalars scan entirely; values are identical by
-    construction, so every score is unchanged."""
+    nothing corpus-sized is ever joined or shuffled. ``stats_df``
+    (round 17): a caller that runs several scoring passes over the
+    same corpus (PRF — :func:`_corpus_stats_df`) passes the persisted
+    one-row scalars frame, so only the FIRST pass pays the scalars
+    tokenize subtree (it fills the cache) and later passes broadcast
+    the cached row; values are identical by construction, so every
+    score is unchanged."""
     caches = claim_group(cache_name)
     tf = persist_into(
         caches,
@@ -270,8 +272,7 @@ def _bm25_scores_from_posted(
     df = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    term = tf.join(F.broadcast(df), "token").join(qt, "token")
-    if stats_row is None:
+    if stats_df is None:
         # corpus scalars: one-row broadcast aggregate (no driver action)
         stats = F.broadcast(
             tok.agg(
@@ -279,13 +280,13 @@ def _bm25_scores_from_posted(
                 F.sum(F.array_size("t")).alias("sum_dl"),
             )
         )
-        term = term.crossJoin(stats)
     else:
-        term = term.withColumn(
-            "n_docs", F.lit(int(stats_row[0])).cast("bigint")
-        ).withColumn("sum_dl", F.lit(int(stats_row[1])).cast("bigint"))
-    term = term.select(
-        "query_id", "doc_id", _term_micro().alias("term_micro")
+        stats = F.broadcast(stats_df)
+    term = (
+        tf.join(F.broadcast(df), "token")
+        .join(qt, "token")
+        .crossJoin(stats)
+        .select("query_id", "doc_id", _term_micro().alias("term_micro"))
     )
     return term.groupBy("query_id", "doc_id").agg(
         F.sum("term_micro").cast("bigint").alias("score_micro")
@@ -1685,7 +1686,7 @@ def bm25_scores_for_terms(
     query_terms: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    stats_row: tuple[int, int] | None = None,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`bm25_scores` for a DATA-DEPENDENT term set — the query
     terms arrive as a (query_id, token) DataFrame (e.g. produced by
@@ -1710,7 +1711,7 @@ def bm25_scores_for_terms(
         )
     )
     return _bm25_scores_from_posted(
-        tok, posted, qt, "bm25_scores_for_terms", stats_row
+        tok, posted, qt, "bm25_scores_for_terms", stats_df
     )
 
 
@@ -1751,10 +1752,14 @@ def bm25_prf_expand(
     over pairs — so pass 2 re-scores ONLY the expansion pairs and
     adds the persisted pass-1 scores (union + groupBy-sum, orderless
     BIGINT arithmetic: bit-identical to re-scoring the full expanded
-    set). The corpus scalars are likewise computed once
-    (:func:`_corpus_stats_row`) and shared by both passes as
-    literals. Net: pass 2's corpus passes score a strictly smaller
-    term set and the scalars scan happens once, not twice.
+    set). The corpus scalars are likewise computed once — a persisted
+    one-row frame (:func:`_corpus_stats_df`) that FILLS inside pass
+    1's own broadcast subtree and is re-broadcast from cache by pass
+    2 (no separate stats job: an earlier round-17 draft collected the
+    scalars up front and the extra job barrier measurably cost more
+    at fixture scale than the tokenize pass it saved). Net: pass 2's
+    corpus passes score a strictly smaller term set and the scalars
+    tokenize happens once, not twice.
 
     Input-edge note (ADVICE r16): query tokenization here keeps only
     non-empty whitespace terms (``t for t in q.split(" ") if t``), so
@@ -1764,12 +1769,13 @@ def bm25_prf_expand(
     from pyspark.sql import Window as W
 
     spark = docs.sparkSession
-    # corpus scalars once, shared by both passes (bounded 1-row collect)
-    stats_row = _corpus_stats_row(docs, id_col, text_col)
     caches = claim_group("bm25_prf_pass1")
+    # corpus scalars once, shared by both passes: a persisted one-row
+    # frame — pass 1's broadcast fills it, pass 2 re-reads the cache
+    stats_df = _corpus_stats_df(docs, text_col, caches)
     s1 = persist_into(
         caches,
-        bm25_scores(docs, queries, id_col, text_col, stats_row),
+        bm25_scores(docs, queries, id_col, text_col, stats_df),
     )
     fb = _rank_topk(s1, k_feedback).select("query_id", "doc_id")
     # bounded collect: queries × k_feedback rows (model artifact)
@@ -1826,7 +1832,7 @@ def bm25_prf_expand(
     exp_df = spark.createDataFrame(
         exp_rows, "query_id bigint, token string"
     )
-    s2 = bm25_scores_for_terms(docs, exp_df, id_col, text_col, stats_row)
+    s2 = bm25_scores_for_terms(docs, exp_df, id_col, text_col, stats_df)
     total = (
         s1.unionByName(s2)
         .groupBy("query_id", "doc_id")
