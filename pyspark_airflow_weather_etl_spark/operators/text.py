@@ -150,9 +150,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     length, distinct-token ratio, fingerprint — standard pre-training
     quality-filter inputs. Exact integer/ratio arithmetic only (no
     fp-summation-order hazards)."""
-    t = tokens(text_col)
+    # materialized token array (guide §1.2 / the cdc_chunks HOF
+    # lesson): the per-token length fold runs on the interpreted HOF
+    # path, so the inline-split form re-tokenized per expression
+    t = F.col("__t")
     n_tok = F.array_size(t)
     return df.select(
+        "doc_id", F.col(text_col), tokens(text_col).alias("__t")
+    ).select(
         "doc_id",
         F.length(text_col).alias("n_chars_computed"),
         n_tok.alias("n_tokens"),
@@ -179,7 +184,11 @@ def chunk_documents(
     no shuffle, no Python; at 100 TB this runs at scan speed and the
     output is written straight back out partitioned however the
     packing stage wants it. Null texts produce no chunks."""
-    t = tokens(text_col)
+    # token array materialized one projection below (guide §1.2 /
+    # the cdc_chunks HOF lesson): the transform lambda's slice
+    # re-evaluates its operand per CHUNK on the interpreted HOF path,
+    # so an inline split re-tokenized the document once per chunk
+    t = F.col("__t")
     n_chunks = F.ceil(F.size(t) / F.lit(float(chunk_tokens))).cast("int")
     chunks = F.when(
         n_chunks >= 1,
@@ -191,7 +200,8 @@ def chunk_documents(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.posexplode(chunks))
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.posexplode(chunks))
         .select(
             id_col,
             (F.col("pos") + 1).alias("chunk_idx"),
@@ -654,8 +664,15 @@ def dedup_substrings(
     # explode + md5 below is per-row codegen with no exchange before
     # it, so left unspread it runs on a single core (guarded no-op on
     # many-split deployments — round 16, guide §2.5 input skew)
-    df = spread_small_scan(df)
-    t = tokens(text_col)
+    # token array materialized one projection below (round 17, guide
+    # §1.2 / the cdc_chunks HOF lesson): the window-fingerprint select
+    # used to carry the raw text through the explode and re-split it
+    # PER WINDOW ROW for each slice; now each window slices the
+    # already-computed array attribute
+    df = spread_small_scan(df).select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    )
+    t = F.col("__t")
     n = F.size(t)
     starts = F.when(
         n >= window_tokens,
@@ -667,14 +684,14 @@ def dedup_substrings(
     ).otherwise(F.array().cast("array<int>"))
     wins = df.select(
         F.col(id_col),
-        F.col(text_col),
+        t,
         F.explode(starts).alias("start"),
     ).select(
         F.col(id_col),
         F.col("start").cast("long").alias("start"),
         F.md5(
             F.concat_ws(
-                " ", F.slice(tokens(text_col), F.col("start"), window_tokens)
+                " ", F.slice(t, F.col("start"), window_tokens)
             )
         ).alias("fp"),
     )
@@ -724,6 +741,28 @@ def dedup_substrings(
     return per_doc.where(F.col("n_kept_tokens") > 0)
 
 
+def _bigram_pairs(t: Column) -> Column:
+    """Adjacent (w1, w2) struct array over a MATERIALIZED token-array
+    column. ``t`` MUST be an attribute (a ``tokens(...)`` expression
+    projected one level below), never an inline ``split()``: the
+    transform lambda's ``element_at(t, ...)`` re-evaluates its operand
+    per ELEMENT on the interpreted higher-order-function path (no
+    codegen subexpression elimination there), so an inline split
+    re-tokenizes the whole document twice per bigram — O(n²) per doc
+    (round 17, guide §1.2; the span_corruption "cdc_chunks HOF
+    lesson", applied to the three bigram builders that predate it)."""
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def lm_bigram_score(
     df: DataFrame,
     text_col: str = "text",
@@ -760,20 +799,14 @@ def lm_bigram_score(
     ``decontaminate`` fingerprint idiom) to shuffle digests instead of
     text; kept as strings here for oracle portability."""
     caches = claim_group("lm_bigram_score")
-    t = tokens(text_col)
-    pairs = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.struct(
-                F.element_at(t, i + 1).alias("w1"),
-                F.element_at(t, i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     doc_bg = persist_into(
         caches,
-        df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(_bigram_pairs(F.col("__t"))).alias("bg"),
+        )
+        .select(
             id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
         ),
     )
@@ -827,19 +860,10 @@ def bigram_lm_train(
     aggregation; at web scale hash the words to digests first — kept
     as strings here for oracle portability, the
     :func:`lm_bigram_score` note)."""
-    t = tokens(text_col)
-    pairs = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.struct(
-                F.element_at(t, i + 1).alias("w1"),
-                F.element_at(t, i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = reference.select(F.explode(pairs).alias("bg")).select(
-        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    bg = (
+        reference.select(tokens(text_col).alias("__t"))
+        .select(F.explode(_bigram_pairs(F.col("__t"))).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     b = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     u = b.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -896,19 +920,15 @@ def lm_bigram_score_against(
     joins (unseen pairs survive with c=0) keyed on the w1/w2 strings
     with map-side partial aggregation upstream; scoring a batch
     re-ships only the model-sized tables."""
-    t = tokens(text_col)
-    pairs = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.struct(
-                F.element_at(t, i + 1).alias("w1"),
-                F.element_at(t, i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    doc_bg = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    doc_bg = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(_bigram_pairs(F.col("__t"))).alias("bg"),
+        )
+        .select(
+            id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
     )
     V = int(model["vocab"])
     scored = (
@@ -1028,7 +1048,9 @@ def ngram_diversity(
     linear in occurrences; the approximate twin for quick audits is
     ``approx_count_distinct`` (not used here — the oracle contract is
     exact)."""
-    t = tokens(text_col)
+    # materialized token array (guide §1.2 / the cdc_chunks HOF
+    # lesson) — the inline-split form re-tokenized once per gram slice
+    t = F.col("__t")
 
     # closure factory, NOT `lambda i, n=n`: a two-parameter lambda is
     # Spark's (element, index) transform form, so the defaulted n
@@ -1059,7 +1081,8 @@ def ngram_diversity(
         )
     )
     return (
-        df.select(F.explode(grams).alias("g"))
+        df.select(tokens(text_col).alias("__t"))
+        .select(F.explode(grams).alias("g"))
         .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
         .groupBy("n")
         .agg(
@@ -1135,8 +1158,22 @@ def gopher_filter(
     ``passes`` (AND of all). Callers filter on ``passes`` but keep
     the flags for the release report (WHY a document died matters as
     much as that it died). Pure per-row codegen — no shuffle, no
-    Python; at 100 TB this runs at scan speed."""
-    t = tokens(text_col)
+    Python; at 100 TB this runs at scan speed.
+
+    Round 17 (guide §1.2 per-task work): the token array is
+    materialized ONCE per row in a projection BELOW the flags. Five
+    of the six rules walk the array through higher-order functions
+    (aggregate/filter/transform), which evaluate on the interpreted
+    path where common-subexpression elimination does not apply —
+    building each rule directly on ``tokens(text_col)`` re-split the
+    text up to six times per row (measured ~5.8 s of the
+    quality_classifier_scores entry's 6.3 s scoring sample at sf0.1).
+    CollapseProject keeps the shared alias in its own projection
+    because it is non-cheap and multiply-referenced (SPARK-36718).
+    The flag formulas are unchanged, so the keep set is
+    bit-identical (oracle-pinned by gopher_quality_filter)."""
+    tcol = "__gopher_tokens"
+    t = F.col(tcol)
     n_words = F.array_size(t)
     sum_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
     n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
@@ -1188,7 +1225,7 @@ def gopher_filter(
         "ok_dup_trigrams": (nt - nd) * 100
         <= F.lit(int(max_dup_trigram_pct)) * nt,
     }
-    out = df
+    out = df.withColumn(tcol, tokens(text_col))
     for name, c in flags.items():
         out = out.withColumn(name, c)
     passes = None
@@ -1196,7 +1233,7 @@ def gopher_filter(
         passes = (
             F.col(name) if passes is None else passes & F.col(name)
         )
-    return out.withColumn("passes", passes)
+    return out.withColumn("passes", passes).drop(tcol)
 
 
 def token_entropy(
@@ -1391,7 +1428,9 @@ def chunk_documents_strided(
         raise ValueError("window and stride must be positive")
     if stride_tokens > window_tokens:
         raise ValueError("stride must not exceed the window")
-    t = tokens(text_col)
+    # materialized token array (guide §1.2 / the cdc_chunks HOF
+    # lesson) — the inline-split form re-tokenized once per window
+    t = F.col("__t")
     n_windows = (
         F.floor(
             (F.size(t) - F.lit(1)) / F.lit(float(stride_tokens))
@@ -1409,7 +1448,8 @@ def chunk_documents_strided(
         ),
     ).otherwise(F.array().cast("array<string>"))
     out = (
-        df.select(F.col(id_col), F.posexplode(chunks))
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.posexplode(chunks))
         .withColumnRenamed("pos", "chunk_idx")
         .withColumnRenamed("col", "chunk_text")
     )
