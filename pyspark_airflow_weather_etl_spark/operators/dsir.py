@@ -75,8 +75,13 @@ def _bucket(n_buckets: int) -> Column:
 def _features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, __feat) — one row per unigram AND adjacent-bigram
     occurrence. Bigram text is ``w1 || ' ' || w2`` so the hashed
-    feature space is exactly reproducible from the token stream."""
-    t = tokens(text_col)
+    feature space is exactly reproducible from the token stream.
+
+    The token array is materialized one projection below (round 17,
+    guide §1.2 / the cdc_chunks HOF lesson): the pre-r17 form called
+    ``element_at(split(text), i)`` twice per bigram inside the
+    transform lambda — O(n_tokens²) re-tokenization per document."""
+    t = F.col("__t")
     bigrams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -87,6 +92,8 @@ def _features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(
         F.col(id_col),
         F.explode(F.concat(t, bigrams)).alias("__feat"),
     )

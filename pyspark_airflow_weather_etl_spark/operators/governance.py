@@ -68,14 +68,30 @@ def ngram_phrases(text_col: str, n: int = 3, distinct: bool = True):
     here because decontamination lists are human-auditable artifacts
     (you want to SEE which benchmark phrase matched).
     ``distinct=False`` keeps every occurrence — repetition metrics
-    need the multiset."""
+    need the multiset.
+
+    Shape note (round 17, guide §1.2 — the interpreted-HOF
+    re-tokenization trap): this is a COLUMN factory, so it cannot
+    materialize the token array below itself the way the DataFrame
+    operators do. Instead the gram array is built by chaining
+    ``zip_with`` over the n shifted slices of the token array: every
+    slice is a higher-order-function ARGUMENT (evaluated once per
+    row), and the lambdas reference only their own lambda variables —
+    nothing re-evaluates ``split(text)`` per gram. The pre-r17
+    transform form called ``element_at(split(text), i+j)`` n times
+    per gram: O(n_tokens²) per document. Gram strings are identical
+    (chained pairwise ``concat_ws(" ", …)`` over non-null tokens ==
+    one n-ary concat_ws), so every consumer is oracle-unchanged."""
     t = tokens(text_col)
-    grams = F.transform(
-        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda _, i: F.concat_ws(
-            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-        ),
-    )
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, m)
+    for j in range(1, n):
+        # parts_j = tokens shifted by j, same length m as the chain
+        grams = F.zip_with(
+            grams,
+            F.slice(t, 1 + j, m),
+            lambda acc, x: F.concat_ws(" ", acc, x),
+        )
     return F.array_distinct(grams) if distinct else grams
 
 
